@@ -1,0 +1,115 @@
+"""ClickHouse/quackpipe dialect compatibility layer.
+
+The reference ships a macro file (/root/reference/aliases.sql:1-36) and the
+chsql DuckDB extension to give ClickHouse users familiar function names, and
+documents ``epoch_ns`` for time predicates (/root/reference/README.md:121).
+Here those macros become Spark **SQL scalar functions** (Spark 4 ``CREATE
+FUNCTION ... RETURN <expr>``): they inline into the Catalyst plan, stay
+inside whole-stage codegen, and cost nothing at 100 TB — no Python UDFs.
+
+A tiny string rewriter handles the two constructs that can't be functions:
+zero-arg ``count()`` (ClickHouse style, /root/reference/BENCHMARK.md:11) and
+the ``FROM read_parquet('path')`` table function.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+# Cast families mirror /root/reference/aliases.sql:1-34: plain → CAST,
+# OrZero → coalesce(try_cast, 0), OrNull → try_cast (NULL on failure).
+# INT128/256 → DECIMAL(38,0) best effort (Spark has no int128; SURVEY §7).
+# Each entry: (name, spark SQL type).
+_CAST_FAMILIES = [
+    ("toString", "STRING"),
+    ("toInt8", "TINYINT"),
+    ("toInt16", "SMALLINT"),
+    ("toInt32", "INT"),
+    ("toInt64", "BIGINT"),
+    ("toInt128", "DECIMAL(38,0)"),
+    ("toInt256", "DECIMAL(38,0)"),
+    ("toUInt8", "SMALLINT"),
+    ("toUInt16", "INT"),
+    ("toUInt32", "BIGINT"),
+    ("toUInt64", "BIGINT"),  # unsigned caveat: SURVEY §7.2
+    ("toFloat32", "FLOAT"),
+    ("toFloat64", "DOUBLE"),
+]
+
+_SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    # epoch_ns: README.md:121 — timestamp → int64 epoch nanoseconds.
+    ("epoch_ns", "x TIMESTAMP", "BIGINT", "unix_micros(x) * 1000L"),
+    # from_epoch_ns: inverse, ns long → timestamp (our extension).
+    # x DIV 1000, not x/1000: double division loses sub-µs precision for
+    # epoch-ns magnitudes (1.7e18 > 2^53).
+    ("from_epoch_ns", "x BIGINT", "TIMESTAMP", "timestamp_micros(x DIV 1000)"),
+    # intDiv: aliases.sql:35 defines it as plain a/b (NOT floor div) —
+    # replicated as-is for parity; documented quirk (SURVEY.md §7.5).
+    ("intDiv", "a DOUBLE, b DOUBLE", "DOUBLE", "a / b"),
+    # match: aliases.sql:36 defines LIKE semantics (not CH regex) — as-is.
+    ("match", "s STRING, tok STRING", "BOOLEAN", "s LIKE tok"),
+    # Common chsql date helpers (chsql extension surface, Dockerfile:11).
+    ("toYear", "x TIMESTAMP", "INT", "year(x)"),
+    ("toMonth", "x TIMESTAMP", "INT", "month(x)"),
+    ("toDayOfMonth", "x TIMESTAMP", "INT", "day(x)"),
+    ("toHour", "x TIMESTAMP", "INT", "hour(x)"),
+    ("toMinute", "x TIMESTAMP", "INT", "minute(x)"),
+    ("toSecond", "x TIMESTAMP", "INT", "second(x)"),
+    ("toStartOfDay", "x TIMESTAMP", "TIMESTAMP", "date_trunc('DAY', x)"),
+    ("toStartOfHour", "x TIMESTAMP", "TIMESTAMP", "date_trunc('HOUR', x)"),
+    ("toStartOfMinute", "x TIMESTAMP", "TIMESTAMP", "date_trunc('MINUTE', x)"),
+    ("toDate", "x TIMESTAMP", "DATE", "CAST(x AS DATE)"),
+    ("toUnixTimestamp", "x TIMESTAMP", "BIGINT", "unix_seconds(x)"),
+    ("toDateTime", "x BIGINT", "TIMESTAMP", "timestamp_seconds(x)"),
+    # chsql string/url helpers.
+    ("empty", "s STRING", "BOOLEAN", "s IS NULL OR length(s) = 0"),
+    ("notEmpty", "s STRING", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
+    # (lcase/ucase are already Spark builtins with CH semantics — not shimmed)
+    ("leftPad", "s STRING, n INT, p STRING", "STRING", "lpad(s, n, p)"),
+    ("rightPad", "s STRING, n INT, p STRING", "STRING", "rpad(s, n, p)"),
+    ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", "split(s, sep)"),
+    # time_bucket (DuckDB/Timescale style): align ts to a bucket width.
+    (
+        "time_bucket_s",
+        "width_s BIGINT, x TIMESTAMP",
+        "TIMESTAMP",
+        "timestamp_seconds(CAST(floor(unix_seconds(x) / width_s) * width_s AS BIGINT))",
+    ),
+]
+
+
+def register_dialect(spark: SparkSession) -> None:
+    """Register every dialect function on the session. Idempotent."""
+    for name, sqltype in _CAST_FAMILIES:
+        _create(spark, name, "x STRING", sqltype, f"CAST(x AS {sqltype})")
+        _create(spark, name + "OrNull", "x STRING", sqltype, f"try_cast(x AS {sqltype})")
+        if name != "toString":
+            _create(
+                spark, name + "OrZero", "x STRING", sqltype,
+                f"coalesce(try_cast(x AS {sqltype}), CAST(0 AS {sqltype}))",
+            )
+    for name, args, rettype, body in _SCALAR_FUNCTIONS:
+        _create(spark, name, args, rettype, body)
+
+
+def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) -> None:
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {rettype} RETURN {body}"
+    )
+
+
+_COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+_READ_PARQUET = re.compile(r"\bread_parquet\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+
+
+def rewrite_sql(sql: str) -> str:
+    """Rewrite dialect constructs Spark can't express as functions.
+
+    - ``count()`` → ``count(*)`` (ClickHouse zero-arg count).
+    - ``read_parquet('p')`` → ``parquet.`p``` (Spark path-table syntax).
+    """
+    sql = _COUNT_NOARG.sub("count(*)", sql)
+    sql = _READ_PARQUET.sub(lambda m: f"parquet.`{m.group(1)}`", sql)
+    return sql

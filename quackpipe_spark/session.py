@@ -1,0 +1,81 @@
+"""SparkSession factory tuned for the quackpipe-parity engine.
+
+Single place where every entry point (tests, bench, driver contract, HTTP
+API) obtains a session, so the scale-oriented settings are uniform:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans.
+- Arrow execution on — every pandas_udf / toPandas boundary is vectorized.
+- UTC session timezone — parity with DuckDB's UTC-naive timestamps (the
+  oracle comparison would silently drift otherwise).
+- parquet filter pushdown + schema merging off by default (mergeSchema is
+  opt-in per read: it forces footer reads of every file at planning time,
+  which at 100k-file scale is a driver stall; our catalog tracks schema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "quackpipe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime shuffle-partition coalescing + skew-join handling.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every Python<->JVM batch boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan efficiency: pushdown + pruning are the point of parquet.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # Broadcast threshold: TPC-H dims (region/nation/supplier/part at
+        # our SFs) should always broadcast; AQE also converts at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Nanosecond time: the reference's time domain is int64 epoch ns
+        # (lineproto_parser.go:156, registry.go:95). Spark has no ns
+        # timestamp; read parquet TIMESTAMP(NANOS) as LongType ns — the
+        # same representation the reference uses — and derive µs
+        # TimestampType via from_epoch_ns() where humans need it.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamps: keep parquet NTZ semantics aligned with DuckDB.
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # ANSI off: reference semantics (DuckDB via quackpipe) tolerate
+        # overflow/cast edge cases; Spark 4 defaults ANSI on.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark

@@ -1,0 +1,34 @@
+"""Named query workloads: the driver-facing registry.
+
+Each submodule contributes ``QUERIES`` (name → fn(spark, sf_dir) → DataFrame)
+and ``ORACLE`` (name → DuckDB SQL). ``__spark_entry__.py`` re-exports the
+merged dicts. A query with no oracle entry gets the driver's weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quackpipe_spark.workloads import dataflow, llm_ops, sql_surface
+
+_MODULES = [sql_surface, llm_ops, dataflow]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,784 @@
+"""Relational SQL surface — SURVEY.md §2B parity queries.
+
+The reference exposes the full DuckDB dialect (/root/reference
+ARCHITECTURE.md:1959-1975: aggregates, complex WHERE, joins, subqueries,
+window functions; BENCHMARK.md:11 group-by). Here each capability family is
+expressed with the DataFrame API so Catalyst plans it (partial aggregates,
+broadcast joins, top-K rewrite, pushdown), with a DuckDB oracle proving
+identical semantics.
+
+Float-output convention: aggregate doubles are rounded (2dp for money sums,
+4dp for averages) because summation order differs across engines; raw
+column values pass through unrounded (bitwise identical from parquet).
+Event time convention: ``events.ts`` is int64 epoch-ns in Spark
+(nanosAsLong) and µs TIMESTAMP in DuckDB, so comparisons normalize to µs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quackpipe_spark.functions.dialect import register_dialect
+
+_DIALECT_SESSIONS: set[int] = set()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dialect(spark: SparkSession) -> None:
+    key = id(spark)
+    if key not in _DIALECT_SESSIONS:
+        register_dialect(spark)
+        _DIALECT_SESSIONS.add(key)
+
+
+# --- aggregation -----------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key group, 8 aggregates, filter pushed to scan.
+
+    Parity with the reference's delegated hash-agg surface
+    (ARCHITECTURE.md:1971,1985-1997). Catalyst emits partial+final
+    HashAggregate — map-side combine means the shuffle carries one row per
+    (flag,status) per partition, which is what survives 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan filter + single agg — the pushdown probe.
+
+    The whole WHERE clause reaches the parquet reader as PushedFilters;
+    only 3 columns are read (ReadSchema). At 100 TB this is the difference
+    between scanning 3% and 100% of the table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (delegated dialect, SURVEY §2B aggregations)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — multi-level aggregates in one pass (Catalyst
+    Expand operator; one shuffle for all grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over return flag / line status."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_discount"), 4).alias("avg_disc")
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("n_items") > 400)
+    )
+
+
+HAVING_SQL = """
+SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_suppkey HAVING count(*) > 400
+"""
+
+
+# --- joins -----------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on the
+    join key. orderBy+limit is rewritten by Catalyst to
+    TakeOrderedAndProject — no global sort at scale.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join; dims broadcast, facts shuffle.
+
+    The region→nation→(customer,supplier) chain stays broadcast all the
+    way; only orders⋈lineitem is a shuffle join. This is the plan shape
+    that survives a 1000-executor cluster.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched dimension rows."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT n_name, count(c_custkey) AS n_customers,
+       round(coalesce(sum(c_acctbal), 0), 2) AS total_bal
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins: parts with lineitems vs without.
+
+    Catalyst plans both sides as broadcast hash semi/anti joins here; at
+    scale the semi-join avoids materializing the (huge) match multiplicity.
+    """
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    with_li = p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", F.lit("matched").alias("status")
+    )
+    without_li = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", F.lit("unmatched").alias("status")
+    )
+    return with_li.unionAll(without_li)
+
+
+JOIN_SEMI_ANTI_SQL = """
+SELECT p_partkey, 'matched' AS status FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+UNION ALL
+SELECT p_partkey, 'unmatched' AS status FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (small×small — the only sane cardinality for one)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+JOIN_CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: price-band classification of parts.
+
+    The reference surface has no ASOF (SURVEY §2B joins); range joins via
+    inequality conditions are the delegated-dialect equivalent. Bands are
+    broadcast → BroadcastNestedLoopJoin, which is the right physical plan
+    for a tiny band table at any scale.
+    """
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("cheap", 0.0, 500.0), ("mid", 500.0, 1200.0), ("expensive", 1200.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+JOIN_RANGE_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('cheap', 0.0, 500.0), ('mid', 500.0, 1200.0), ('expensive', 1200.0, 1e12)
+)
+SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# --- window functions ------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per type by value — ranking window (SURVEY §2B windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT event_type, rn, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user ordered by event time (µs-normalized)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER w, 4) AS delta_prev,
+       lead(event_type) OVER w AS next_type
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+"""
+
+
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame per customer's orders."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey < 100
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session ids via lag + cumulative sum.
+
+    The classic stateful-looking op expressed as two windows — fully
+    parallel per user, no Python. (Streaming variant:
+    quackpipe_spark.streaming uses session_window.)
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    us = F.expr("ts DIV 1000")  # ns → µs, integer div (duckdb parity; /1000 in
+    # double would lose sub-µs precision at epoch-ns magnitude)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        (us - F.lag(us).over(w) > 1_800_000_000).cast("int").alias("is_new"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = gapped.withColumn(
+        "session_id", F.coalesce(F.sum("is_new").over(wcum), F.lit(0)).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gapped AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 AS INT) AS is_new
+  FROM events WHERE user_id < 200
+), sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(coalesce(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS session_start_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --- sort / limit / top-k --------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT — Catalyst rewrites to TakeOrderedAndProject
+    (per-partition top-K + driver merge; no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return building.union(rich).distinct().intersect(with_orders).exceptAll(
+        c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    )
+
+
+SET_OPS_SQL = """
+(
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  INTERSECT
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (dedup without aggregation)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --- subqueries ------------------------------------------------------------
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (Catalyst → left semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rich_keys = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        o.join(rich_keys, o.o_custkey == rich_keys.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SUBQUERY_IN_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderstatus
+"""
+
+
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (anti join): customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SUBQUERY_NOT_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold (above-average filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.agg(F.avg("l_quantity").alias("a"))
+    return (
+        li.join(F.broadcast(avg_qty))
+        .filter(F.col("l_quantity") > F.col("a"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+SUBQUERY_SCALAR_SQL = """
+SELECT l_returnflag, count(*) AS n_above_avg FROM lineitem
+WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average.
+
+    Catalyst decorrelates to an aggregate + join (RewriteCorrelatedScalarSubquery)
+    — expressed here directly as that plan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.k)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SUBQUERY_CORRELATED_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+"""
+
+
+# --- expressions / dialect -------------------------------------------------
+
+def expr_case_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + string functions (lower/substr/length/replace/LIKE)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.length("p_type").alias("type_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.when(F.col("p_size") >= 40, "XL")
+        .when(F.col("p_size") >= 20, "L")
+        .when(F.col("p_size") >= 10, "M")
+        .otherwise("S")
+        .alias("size_class"),
+        F.col("p_name").like("%green%").alias("is_green"),
+    )
+
+
+EXPR_CASE_SQL = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       substring(p_brand, 1, 5) AS brand5,
+       length(p_type) AS type_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       CASE WHEN p_size >= 40 THEN 'XL' WHEN p_size >= 20 THEN 'L'
+            WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class,
+       p_name LIKE '%green%' AS is_green
+FROM part
+"""
+
+
+def time_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the reference's core time-series query:
+    date_trunc / time_bucket over event time, ARCHITECTURE.md:1967)."""
+    _dialect(spark)
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("unix_seconds(date_trunc('HOUR', from_epoch_ns(ts)))")
+    return (
+        ev.groupBy(bucket.alias("bucket_s"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+TIME_BUCKET_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def epoch_ns_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch_ns() time-range predicate — the reference's documented idiom
+    (README.md:121: WHERE time >= epoch_ns('...'::TIMESTAMP))."""
+    _dialect(spark)
+    ev = _t(spark, sf_dir, "events")
+    lo = F.expr("epoch_ns(timestamp'2024-01-05 00:00:00')")
+    hi = F.expr("epoch_ns(timestamp'2024-01-06 00:00:00')")
+    return (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min(F.expr("ts DIV 1000")).alias("first_us"))
+    )
+
+
+EPOCH_NS_SQL = """
+SELECT event_type, count(*) AS n, min(epoch_us(ts)) AS first_us
+FROM events
+WHERE epoch_ns(ts) >= epoch_ns(TIMESTAMP '2024-01-05 00:00:00')
+  AND epoch_ns(ts) < epoch_ns(TIMESTAMP '2024-01-06 00:00:00')
+GROUP BY event_type
+"""
+
+
+def ch_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse alias functions (aliases.sql:1-36 parity): casts,
+    OrZero/OrNull, intDiv(=plain / — reference quirk), match(=LIKE)."""
+    _dialect(spark)
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("toString(p_size)").alias("size_str"),
+        F.expr("toInt64(toString(p_size))").alias("size_i64"),
+        F.expr("toFloat64(toString(p_retailprice))").alias("price_f64"),
+        F.expr("toInt32OrZero(p_type)").alias("bad_cast_zero"),
+        F.expr("toInt32OrNull(p_type)").alias("bad_cast_null"),
+        F.expr("round(intDiv(p_retailprice, 100.0), 4)").alias("price_div"),
+        F.expr("match(p_name, '%red%')").alias("is_red"),
+    )
+
+
+CH_DIALECT_SQL = """
+SELECT p_partkey,
+       CAST(p_size AS VARCHAR) AS size_str,
+       CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_i64,
+       CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS price_f64,
+       coalesce(try_cast(p_type AS INT), 0) AS bad_cast_zero,
+       try_cast(p_type AS INT) AS bad_cast_null,
+       round(p_retailprice / 100.0, 4) AS price_div,
+       p_name LIKE '%red%' AS is_red
+FROM part
+"""
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user across event types (explicit values →
+    no extra distinct-discovery job; matches oracle CASE aggregation)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    types = ["click", "view", "purchase", "login", "logout"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'login') AS BIGINT) AS login,
+       CAST(count(*) FILTER (WHERE event_type = 'logout') AS BIGINT) AS logout
+FROM events WHERE user_id < 100 GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "agg_distinct": agg_distinct,
+    "rollup_orders": rollup_orders,
+    "cube_lineitem": cube_lineitem,
+    "having_filter": having_filter,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_regional_volume": q5_regional_volume,
+    "join_left_outer": join_left_outer,
+    "join_semi_anti": join_semi_anti,
+    "join_cross": join_cross,
+    "join_range_nonequi": join_range_nonequi,
+    "window_topk_per_group": window_topk_per_group,
+    "window_lag_delta": window_lag_delta,
+    "window_running_frame": window_running_frame,
+    "sessionize_events": sessionize_events,
+    "topk_orders": topk_orders,
+    "set_operations": set_operations,
+    "distinct_values": distinct_values,
+    "subquery_in": subquery_in,
+    "subquery_not_exists": subquery_not_exists,
+    "subquery_scalar": subquery_scalar,
+    "subquery_correlated": subquery_correlated,
+    "expr_case_strings": expr_case_strings,
+    "time_bucket_events": time_bucket_events,
+    "epoch_ns_range": epoch_ns_range,
+    "ch_dialect_functions": ch_dialect_functions,
+    "pivot_event_types": pivot_event_types,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "agg_distinct": AGG_DISTINCT_SQL,
+    "rollup_orders": ROLLUP_SQL,
+    "cube_lineitem": CUBE_SQL,
+    "having_filter": HAVING_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_regional_volume": Q5_SQL,
+    "join_left_outer": JOIN_LEFT_SQL,
+    "join_semi_anti": JOIN_SEMI_ANTI_SQL,
+    "join_cross": JOIN_CROSS_SQL,
+    "join_range_nonequi": JOIN_RANGE_SQL,
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_lag_delta": WINDOW_LAG_SQL,
+    "window_running_frame": WINDOW_RUNNING_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "topk_orders": TOPK_SQL,
+    "set_operations": SET_OPS_SQL,
+    "distinct_values": DISTINCT_SQL,
+    "subquery_in": SUBQUERY_IN_SQL,
+    "subquery_not_exists": SUBQUERY_NOT_EXISTS_SQL,
+    "subquery_scalar": SUBQUERY_SCALAR_SQL,
+    "subquery_correlated": SUBQUERY_CORRELATED_SQL,
+    "expr_case_strings": EXPR_CASE_SQL,
+    "time_bucket_events": TIME_BUCKET_SQL,
+    "epoch_ns_range": EPOCH_NS_SQL,
+    "ch_dialect_functions": CH_DIALECT_SQL,
+    "pivot_event_types": PIVOT_SQL,
+}
