@@ -1,0 +1,120 @@
+"""HTTP API surface (SURVEY §2C) — stdlib-only server on the driver.
+
+Route parity with /root/reference/merge/merge.go:44-100 and the querier:
+
+- POST /gigapi/create            — explicit CREATE TABLE (create_table.go:30-81)
+- POST /gigapi/insert|/gigapi/write[/{db}]|/write|/api/v2/write|/api/v3/write_lp
+                                 — line-protocol ingest (?db=, ?precision=)
+- GET  /health | /ping           — health JSON / 204
+- POST /query?db=                — SQL → {"results": [...]}
+
+The handler thread parses and buffers; Spark executes on flush/query —
+same thread boundaries as the reference (HTTP ↔ parser ↔ writer ↔ engine).
+Gzip request bodies are decompressed transparently (insert_into.go:44-52).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from quackpipe_spark.catalog import Catalog
+from quackpipe_spark.ingest import IngestService, ingest_lines
+from quackpipe_spark.query import QueryEngine, rows_as_json
+
+_WRITE_PATHS = ("/gigapi/insert", "/gigapi/write", "/write", "/api/v2/write", "/api/v3/write_lp")
+
+
+class GigapiServer:
+    def __init__(self, spark, root: str, host: str = "127.0.0.1", port: int = 7971):
+        self.catalog = Catalog(root)
+        self.ingest = IngestService(spark, self.catalog)
+        self.query = QueryEngine(spark, self.catalog)
+        self.host, self.port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+
+    def start(self) -> None:
+        self.ingest.start()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                if self.headers.get("Content-Encoding") == "gzip" or raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                return raw
+
+            def _send(self, code: int, payload: dict | None = None):
+                body = json.dumps(payload).encode() if payload is not None else b""
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/health":
+                    self._send(200, {"status": "ok"})
+                elif path == "/ping":
+                    self.send_response(204)
+                    self.end_headers()
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                path = url.path
+                try:
+                    if path == "/gigapi/create":
+                        spec = _parse_create(self._body())
+                        server.catalog.get_or_create(
+                            spec.get("database", q.get("db", "default")),
+                            spec["table"],
+                            fields=spec.get("fields"),
+                            order_by=spec.get("order_by"),
+                        )
+                        self._send(200, {"status": "created"})
+                    elif any(path == p or path.startswith(p + "/") for p in _WRITE_PATHS):
+                        db = q.get("db") or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "default")
+                        promises = ingest_lines(
+                            server.ingest,
+                            self._body().decode(),
+                            db=db,
+                            precision=q.get("precision", "ns"),
+                        )
+                        for p in promises:
+                            p.result(30)
+                        self.send_response(204)
+                        self.end_headers()
+                    elif path == "/query":
+                        body = json.loads(self._body() or b"{}")
+                        df = server.query.sql(body["query"], db=q.get("db", "default"))
+                        self._send(200, rows_as_json(df))
+                    else:
+                        self._send(404, {"error": "not found"})
+                except Exception as e:  # error shape parity: JSON error body
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        threading.Thread(target=self._httpd.serve_forever, daemon=True, name="gigapi-http").start()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+        self.ingest.stop()
+
+
+def _parse_create(body: bytes) -> dict:
+    """create_table.go accepts yaml or json; we accept json (yaml lib not
+    guaranteed in-container — json is a yaml subset the reference docs use)."""
+    return json.loads(body)

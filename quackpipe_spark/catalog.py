@@ -1,0 +1,149 @@
+"""Database/table registry over a root directory (SURVEY §2A A6, A25).
+
+Parity with /root/reference/merge/repository/registry.go:23-158: tables key
+on (db, name), auto-create on first write ("schema-on-write", README.md:82)
+with the HiveMerge defaults (OrderBy=["__timestamp"], hive date/hour
+partitioning, registry.go:94-95,184-190). Layout:
+
+    {root}/{db}/{table}/date=YYYY-MM-DD/hour=HH/{uuid}.{level}.parquet
+    {root}/{db}/{table}/tmp/            (write-then-rename staging)
+    {root}/{db}/{table}/.table.json     (table metadata, ours)
+
+We keep one engine — the hive-partitioned parquet writer — because Spark's
+partitioned write subsumes both reference engines ("Merge" flat dir is just
+partition_by=[]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import asdict, dataclass, field
+
+from quackpipe_spark.types import resolve
+
+
+@dataclass
+class Table:
+    """Mirror of shared.Table (merge/shared/table.go:32-41)."""
+
+    database: str
+    name: str
+    path: str
+    engine: str = "HiveMerge"
+    order_by: list[str] = field(default_factory=lambda: ["__timestamp"])
+    partition_by: list[str] = field(default_factory=lambda: ["date", "hour"])
+    auto_timestamp: bool = True
+    schema: dict[str, str] = field(default_factory=dict)  # col → canonical type
+
+    META_NAME = ".table.json"
+
+    def meta_path(self) -> str:
+        return os.path.join(self.path, self.META_NAME)
+
+    def tmp_dir(self) -> str:
+        return os.path.join(self.path, "tmp")
+
+    def save(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self.tmp_dir(), exist_ok=True)
+        tmp = self.meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=2)
+        os.replace(tmp, self.meta_path())
+
+    @classmethod
+    def load(cls, path: str) -> "Table":
+        with open(os.path.join(path, cls.META_NAME)) as f:
+            return cls(**json.load(f))
+
+    def partition_dirs(self) -> list[str]:
+        """Live partition directories (…/date=D/hour=H)."""
+        out = []
+        if not os.path.isdir(self.path):
+            return out
+        for dname in sorted(os.listdir(self.path)):
+            dpath = os.path.join(self.path, dname)
+            if not (os.path.isdir(dpath) and dname.startswith("date=")):
+                continue
+            subs = [
+                os.path.join(dpath, h)
+                for h in sorted(os.listdir(dpath))
+                if h.startswith("hour=")
+            ]
+            out.extend(subs) if subs else out.append(dpath)
+        return out
+
+
+class Catalog:
+    """In-process registry with per-table serialization of schema updates
+    (the reference serializes via per-table mutexes, registry.go:65-84)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._tables: dict[tuple[str, str], Table] = {}
+        self._lock = threading.Lock()
+        self._discover()
+
+    def _discover(self) -> None:
+        """Re-register tables found on disk (restart path; parity with
+        discoverPartitions, hive_merge_tree_service.go:165-218)."""
+        if not os.path.isdir(self.root):
+            return
+        for db in os.listdir(self.root):
+            dbdir = os.path.join(self.root, db)
+            if not os.path.isdir(dbdir):
+                continue
+            for name in os.listdir(dbdir):
+                tdir = os.path.join(dbdir, name)
+                if os.path.exists(os.path.join(tdir, Table.META_NAME)):
+                    t = Table.load(tdir)
+                    self._tables[(db, name)] = t
+
+    def get(self, db: str, name: str) -> Table | None:
+        return self._tables.get((db, name))
+
+    def get_or_create(
+        self,
+        db: str,
+        name: str,
+        fields: dict[str, str] | None = None,
+        engine: str = "HiveMerge",
+        order_by: list[str] | None = None,
+    ) -> Table:
+        """Auto-create on first write (registry.go:67-85)."""
+        with self._lock:
+            t = self._tables.get((db, name))
+            if t is None:
+                t = Table(
+                    database=db,
+                    name=name,
+                    path=os.path.join(self.root, db, name),
+                    engine=engine,
+                    order_by=order_by or ["__timestamp"],
+                    partition_by=["date", "hour"] if engine == "HiveMerge" else [],
+                    schema={c: resolve(ty) for c, ty in (fields or {}).items()},
+                )
+                t.save()
+                self._tables[(db, name)] = t
+            return t
+
+    def update_schema(self, t: Table, new_cols: dict[str, str]) -> None:
+        """Union-by-name schema evolution with type-conflict rejection
+        (data_store.go:40-43; hive_merge_tree_service.go:309-329)."""
+        with self._lock:
+            for col, canon in new_cols.items():
+                prev = t.schema.get(col)
+                if prev is not None and prev != canon:
+                    raise TypeError(
+                        f"column {col!r}: type conflict {prev} vs {canon} "
+                        f"(schema-on-write rejects type changes)"
+                    )
+            changed = any(c not in t.schema for c in new_cols)
+            t.schema.update(new_cols)
+            if changed:
+                t.save()
+
+    def tables(self, db: str | None = None) -> list[Table]:
+        return [t for (d, _), t in sorted(self._tables.items()) if db is None or d == db]

@@ -1,0 +1,136 @@
+"""Micro-batch ingest buffer with timed flush (SURVEY §2A A8, A11, A24).
+
+Parity with the reference's write path: batches append into an in-memory
+columnar store per (db, table); a background loop flushes every
+``save_timeout_s`` (default 1s, config/configuration.go:17) or when a
+table's buffer exceeds ``max_buffered_rows`` (>1M,
+hive_merge_tree_service.go:267-290,390-396). Writers get a promise that
+resolves at flush time (utils/promise.go:8-98) — here a
+``concurrent.futures.Future`` resolved by the flush thread.
+
+Buffered batches union by name with null fill (normalizeSchema /
+MergeColumns, data_store.go:79-141): a column absent from one batch is
+null-filled for those rows. Type conflicts reject at append
+(data_store.go:40-43) via Catalog.update_schema.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+
+from quackpipe_spark.catalog import Catalog
+from quackpipe_spark.writer import HiveWriter, infer_schema
+
+
+class _TableBuffer:
+    def __init__(self):
+        self.columns: dict[str, list] = {}
+        self.rows = 0
+        self.promises: list[Future] = []
+
+    def append(self, data: dict[str, list], n: int) -> None:
+        """Union-by-name with two-way null fill (data_store.go:94-141)."""
+        for col in data:
+            if col not in self.columns:
+                self.columns[col] = [None] * self.rows  # back-fill new column
+        for col, buf in self.columns.items():
+            vals = data.get(col)
+            buf.extend(vals if vals is not None else [None] * n)  # fwd-fill
+        self.rows += n
+
+
+class IngestService:
+    def __init__(
+        self,
+        spark,
+        catalog: Catalog,
+        save_timeout_s: float = 1.0,
+        max_buffered_rows: int = 1_000_000,
+    ):
+        self.writer = HiveWriter(spark, catalog)
+        self.catalog = catalog
+        self.save_timeout_s = save_timeout_s
+        self.max_buffered_rows = max_buffered_rows
+        self._buffers: dict[tuple[str, str], _TableBuffer] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- write path ---------------------------------------------------------
+
+    def store(self, db: str, table: str, data: dict[str, list]) -> Future:
+        """Append one schema-homogeneous batch; resolves at flush."""
+        if not data:
+            f: Future = Future()
+            f.set_result([])
+            return f
+        lengths = {len(v) for v in data.values()}
+        if len(lengths) != 1:
+            raise ValueError(f"ragged batch: { {k: len(v) for k, v in data.items()} }")
+        n = lengths.pop()
+        # Validate/evolve schema up front so a type conflict rejects the
+        # write (not the flush) — reference semantics.
+        t = self.catalog.get_or_create(db, table, fields=infer_schema(data))
+        self.catalog.update_schema(t, infer_schema(data))
+        promise: Future = Future()
+        flush_now = False
+        with self._lock:
+            buf = self._buffers.setdefault((db, table), _TableBuffer())
+            buf.append(data, n)
+            buf.promises.append(promise)
+            if buf.rows >= self.max_buffered_rows:
+                flush_now = True
+        if flush_now:
+            self.flush()
+        return promise
+
+    def flush(self) -> int:
+        """Flush all buffers; returns rows written. Synchronous ack:
+        the write return resolves every pending promise."""
+        with self._lock:
+            todo = self._buffers
+            self._buffers = {}
+        written = 0
+        for (db, table), buf in todo.items():
+            try:
+                self.writer.write_columnar(db, table, buf.columns)
+                written += buf.rows
+                for p in buf.promises:
+                    p.set_result(buf.rows)
+            except Exception as e:
+                for p in buf.promises:
+                    p.set_exception(e)
+        return written
+
+    # -- background flush loop (A11) ---------------------------------------
+
+    def start(self) -> None:
+        if self._thread:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="ingest-flush")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.save_timeout_s):
+            self.flush()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+            self._thread = None
+        self.flush()
+
+
+def ingest_lines(service: IngestService, text: str, db: str = "default", precision: str = "ns"):
+    """HTTP /write body → parsed batches → buffered store. Returns the
+    list of per-batch promises (handler awaits all, insert_into.go:58-80)."""
+    from quackpipe_spark.sources.lineproto import parse_lines
+
+    promises = []
+    for batch in parse_lines(text, database=db, precision=precision):
+        promises.append(service.store(batch.database, batch.table, batch.data))
+    return promises

@@ -1,0 +1,170 @@
+"""Size-tiered LSM-style compaction (SURVEY §2A A16-A20).
+
+Parity with the reference's merge pipeline:
+
+- levels ``.1 → .4`` encode compaction generation (README.md:97-110),
+- per level, files sort by size desc and greedy bin-pack into plans
+  capped at {100MB, 400MB, 4GB, 4GB} (GetFilesToMerge/PlanMerge,
+  merge_service_fs.go:42-106),
+- level cadences are {T, 10T, 100T, 420T} with T=MERGE_TIMEOUT_S=10
+  (merge_tree_service.go:332-362),
+- a merge reads its inputs, sorts by the table's order-by, writes ONE
+  output file at level+1, then tombstones the inputs with a delayed
+  delete (mergeFirstIteration / mergeMany / cleanup,
+  merge_service_fs.go:202-278,241-252).
+
+Spark-first: the sorted rewrite is ``read.parquet(files).sort(order_by)
+.coalesce(1)`` — Catalyst's ExternalSorter spills for the 4GB tier, and the
+same job covers both the reference's L1 full-sort and the L2+ k-way merge
+of sorted runs (no special merge primitive needed; SURVEY §4). Plans run
+concurrently from a driver thread pool (≤10, matching doMerge's errgroup
+cap, merge_service_fs.go:361-380) — each plan is an independent Spark job,
+so cluster executors stay busy across plans.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from quackpipe_spark.catalog import Table
+from quackpipe_spark.plans.index import FileEntry, PartitionIndex
+
+MAX_LEVEL = 4
+# level (1-based) → max merged output size, merge_service_fs.go:81-106.
+MAX_SIZES = {1: 100 << 20, 2: 400 << 20, 3: 4 << 30, 4: 4 << 30}
+# level → cadence multiplier over MERGE_TIMEOUT_S, merge_tree_service.go:336-344.
+CADENCE = {1: 1, 2: 10, 3: 100, 4: 420}
+MERGE_TIMEOUT_S = 10
+
+_LEVEL_RE = re.compile(r"\.(\d+)\.parquet$")
+
+
+@dataclass
+class MergePlan:
+    partition_dir: str
+    level: int  # input level; output is min(level+1, MAX_LEVEL)
+    files: list[str]  # file names within partition_dir
+
+    @property
+    def out_level(self) -> int:
+        return min(self.level + 1, MAX_LEVEL)
+
+
+def file_level(name: str) -> int | None:
+    m = _LEVEL_RE.search(name)
+    return int(m.group(1)) if m else None
+
+
+def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[MergePlan]:
+    """Greedy size-desc bin-packing per level (PlanMerge parity,
+    merge_service_fs.go:81-106). Single-file bins are skipped — promoting
+    a lone file buys nothing (the reference renames it; we leave it to
+    avoid churn, same end state for readers)."""
+    idx = PartitionIndex.load(partition_dir)
+    by_level: dict[int, list[FileEntry]] = {}
+    for entry in idx.files.values():
+        lv = file_level(entry.name)
+        if lv is not None:
+            by_level.setdefault(lv, []).append(entry)
+    plans: list[MergePlan] = []
+    for lv in levels or sorted(by_level):
+        if lv >= MAX_LEVEL:
+            continue
+        entries = sorted(by_level.get(lv, []), key=lambda e: -e.size_bytes)
+        cap = MAX_SIZES[lv]
+        bin_files: list[str] = []
+        bin_size = 0
+        for e in entries:
+            if bin_files and bin_size + e.size_bytes > cap:
+                if len(bin_files) > 1:
+                    plans.append(MergePlan(partition_dir, lv, bin_files))
+                bin_files, bin_size = [], 0
+            bin_files.append(e.name)
+            bin_size += e.size_bytes
+        if len(bin_files) > 1:
+            plans.append(MergePlan(partition_dir, lv, bin_files))
+    return plans
+
+
+class Compactor:
+    def __init__(self, spark, table: Table, drop_delay_s: float = 30.0, max_workers: int = 10):
+        self.spark = spark
+        self.table = table
+        self.drop_delay_s = drop_delay_s
+        self.max_workers = max_workers
+        self._last_run: dict[int, float] = {}
+
+    def due_levels(self, now: float | None = None, timeout_s: float = MERGE_TIMEOUT_S) -> list[int]:
+        """Levels whose cadence elapsed ({T,10T,100T,420T})."""
+        now = now if now is not None else time.time()
+        due = []
+        for lv, mult in CADENCE.items():
+            if lv >= MAX_LEVEL:
+                continue
+            if now - self._last_run.get(lv, 0.0) >= timeout_s * mult:
+                due.append(lv)
+                self._last_run[lv] = now
+        return due
+
+    def run_once(self, levels: list[int] | None = None) -> list[str]:
+        """Plan + execute all merges for this table; returns output files."""
+        plans: list[MergePlan] = []
+        for pdir in self.table.partition_dirs():
+            plans.extend(plan_merges(pdir, levels))
+        if not plans:
+            return []
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            return [f for f in pool.map(self._execute, plans) if f]
+
+    def _execute(self, plan: MergePlan) -> str | None:
+        """One sorted rewrite: inputs → tmp single file → rename →
+        index swap → delayed delete of inputs."""
+        paths = [os.path.join(plan.partition_dir, f) for f in plan.files]
+        paths = [p for p in paths if os.path.exists(p)]
+        if len(paths) < 2:
+            return None
+        tcol = self.table.order_by[0] if self.table.order_by else "__timestamp"
+        df = (
+            self.spark.read.option("mergeSchema", "true")  # union_by_name parity,
+            # merge_service_fs.go:215 (dynamic schema across runs)
+            .parquet(*paths)
+            .sort(*self.table.order_by)
+            .coalesce(1)
+        )
+        stage_dir = os.path.join(self.table.tmp_dir(), f"merge-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage_dir)
+        part = next(
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        )
+        newname = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
+        dst = os.path.join(plan.partition_dir, newname)
+        os.replace(os.path.join(stage_dir, part), dst)
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+        import pyarrow.parquet as pq
+
+        from quackpipe_spark.writer import _footer_min_max
+
+        meta = pq.read_metadata(dst)
+        tmin, tmax = _footer_min_max(meta, tcol)
+        idx = PartitionIndex.load(plan.partition_dir)
+        idx.add(
+            FileEntry(
+                name=newname,
+                size_bytes=os.path.getsize(dst),
+                row_count=meta.num_rows,
+                min_time=tmin,
+                max_time=tmax,
+            )
+        )
+        idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
+        idx.reap()
+        idx.save()
+        return dst

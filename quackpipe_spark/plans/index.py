@@ -1,0 +1,91 @@
+"""Per-partition file index — metadata.json compat artifact (SURVEY §2A A15).
+
+The reference keeps a JSON index per hive partition listing every live
+parquet file with size, row count, and min/max of the order-by key, plus a
+drop queue for deferred deletes (json_index.go:16-47,312-416; written
+atomically via bak+rename). Spark itself relies on parquet footer stats and
+partition pruning — this artifact exists for (a) query-time file pruning by
+time range without touching footers, and (b) on-disk compatibility with the
+reference's layout. Shape is approximated from the reference's described
+behavior, not copied.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class FileEntry:
+    name: str
+    size_bytes: int
+    row_count: int
+    min_time: int | None = None
+    max_time: int | None = None
+
+
+@dataclass
+class PartitionIndex:
+    """Index of one hive partition directory (…/date=D/hour=H)."""
+
+    path: str  # partition dir
+    files: dict[str, FileEntry] = field(default_factory=dict)
+    drop_queue: dict[str, float] = field(default_factory=dict)  # name → drop-after unix ts
+
+    INDEX_NAME = "metadata.json"
+
+    @classmethod
+    def load(cls, partition_dir: str) -> "PartitionIndex":
+        p = os.path.join(partition_dir, cls.INDEX_NAME)
+        idx = cls(path=partition_dir)
+        if os.path.exists(p):
+            with open(p) as f:
+                raw = json.load(f)
+            idx.files = {k: FileEntry(**v) for k, v in raw.get("files", {}).items()}
+            idx.drop_queue = raw.get("drop_queue", {})
+        return idx
+
+    def save(self) -> None:
+        """Atomic write: tmp + rename (parity with the bak-rename dance,
+        json_index.go:335-414)."""
+        p = os.path.join(self.path, self.INDEX_NAME)
+        tmp = p + ".tmp"
+        payload = {
+            "files": {k: asdict(v) for k, v in self.files.items()},
+            "drop_queue": self.drop_queue,
+        }
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, p)
+
+    def add(self, entry: FileEntry) -> None:
+        self.files[entry.name] = entry
+
+    def remove(self, names: list[str], drop_delay_s: float = 30.0) -> None:
+        """Move files to the drop queue (delayed delete — tombstone cleanup
+        parity, merge_service_fs.go:241-252)."""
+        now = time.time()
+        for n in names:
+            self.files.pop(n, None)
+            self.drop_queue[n] = now + drop_delay_s
+
+    def reap(self) -> list[str]:
+        """Delete queue entries whose delay elapsed; returns deleted names."""
+        now = time.time()
+        gone = []
+        for n, due in list(self.drop_queue.items()):
+            if due <= now:
+                fp = os.path.join(self.path, n)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                del self.drop_queue[n]
+                gone.append(n)
+        return gone
+
+    def time_range(self) -> tuple[int | None, int | None]:
+        mins = [f.min_time for f in self.files.values() if f.min_time is not None]
+        maxs = [f.max_time for f in self.files.values() if f.max_time is not None]
+        return (min(mins) if mins else None, max(maxs) if maxs else None)

@@ -1,0 +1,113 @@
+"""Query path: SQL → pruned file list → Spark SQL → rows (SURVEY §3.2).
+
+Parity with the gigapi-querier flow (ARCHITECTURE.md:2075-2083): resolve
+the table's parquet files from the metadata catalog **and the query's time
+range**, then execute the SQL against that file list. Two pruning layers:
+
+1. **Index pruning (ours, driver-side)** — `__timestamp` bounds extracted
+   from the SQL select only the files whose [min_time, max_time] overlap
+   (the reference's "resolve data location based on database, table and
+   timerange", README.md:115). At 100 TB this keeps the Spark file listing
+   itself small — partition pruning can't help if the driver enumerates
+   a million files first.
+2. **Catalyst pruning (built-in)** — remaining predicates push into the
+   parquet scan (footer stats, partition columns date/hour).
+
+Reading via the index file list (not directory glob) is also what makes
+compaction safe for readers: during the tombstone window both the merged
+output and its inputs exist on disk; the index lists exactly one
+generation (json_index.go drop-queue semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quackpipe_spark.catalog import Catalog, Table
+from quackpipe_spark.functions.dialect import register_dialect, rewrite_sql
+from quackpipe_spark.plans.index import PartitionIndex
+
+_TS_BOUND = re.compile(
+    r"__timestamp\s*(>=|<=|>|<)\s*(\d+)", re.IGNORECASE
+)
+_TS_BETWEEN = re.compile(
+    r"__timestamp\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", re.IGNORECASE
+)
+
+
+def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
+    """Best-effort [lo, hi] from literal __timestamp predicates. Bounds are
+    conservative: unparseable predicates simply skip pruning (correctness
+    never depends on this — Catalyst still filters rows)."""
+    lo, hi = None, None
+    for op, lit in _TS_BOUND.findall(sql):
+        v = int(lit)
+        if op in (">=", ">"):
+            lo = v if lo is None else max(lo, v)
+        else:
+            hi = v if hi is None else min(hi, v)
+    m = _TS_BETWEEN.search(sql)
+    if m:
+        lo = int(m.group(1)) if lo is None else max(lo, int(m.group(1)))
+        hi = int(m.group(2)) if hi is None else min(hi, int(m.group(2)))
+    return lo, hi
+
+
+class QueryEngine:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        register_dialect(spark)
+
+    def table_files(
+        self, table: Table, lo: int | None = None, hi: int | None = None
+    ) -> list[str]:
+        """Live files from the per-partition indexes, pruned by time range."""
+        out = []
+        for pdir in table.partition_dirs():
+            idx = PartitionIndex.load(pdir)
+            for entry in idx.files.values():
+                if lo is not None and entry.max_time is not None and entry.max_time < lo:
+                    continue
+                if hi is not None and entry.min_time is not None and entry.min_time > hi:
+                    continue
+                out.append(os.path.join(pdir, entry.name))
+        return out
+
+    def table_df(self, table: Table, lo: int | None = None, hi: int | None = None) -> DataFrame:
+        files = self.table_files(table, lo, hi)
+        if not files:
+            # empty relation with the table's known schema
+            from quackpipe_spark.types import CANONICAL
+
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [StructField(c, CANONICAL[t], True) for c, t in table.schema.items()]
+            )
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("mergeSchema", "true")  # union_by_name parity
+            .option("basePath", table.path)
+            .parquet(*files)
+        )
+
+    def sql(self, query: str, db: str = "default") -> DataFrame:
+        """Execute dialect-rewritten SQL with tables resolved to pruned
+        scans (POST /query handler semantics, README.md:117-133)."""
+        query = rewrite_sql(query)
+        lo, hi = extract_time_bounds(query)
+        for t in self.catalog.tables(db):
+            if re.search(rf"\b{re.escape(t.name)}\b", query):
+                self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
+        return self.spark.sql(query)
+
+
+def rows_as_json(df: DataFrame, limit: int | None = None) -> dict:
+    """Serialize to the reference's HTTP response shape
+    {"results": [...]} (ARCHITECTURE.md:1864-1894)."""
+    rows = df.limit(limit).collect() if limit else df.collect()
+    return {"results": [r.asDict(recursive=True) for r in rows]}

@@ -1,0 +1,304 @@
+"""InfluxDB line-protocol source (SURVEY §2A A1-A3).
+
+Behavior parity with /root/reference/merge/parsers/lineproto_parser.go:26-167:
+
+- streaming parse of ``measurement[,tags] fields [timestamp]`` lines into
+  **columnar** batches (dict of name → list),
+- tags are strings; field types are inferred (float default, ``123i`` int,
+  ``123u`` uint, quoted string, bool),
+- a batch is split whenever the (tag-keys + field-name/type) fingerprint
+  changes, so every emitted batch is schema-homogeneous
+  (getSchemaId, lineproto_parser.go:40-64),
+- the fingerprint is **order-invariant** (commutative sum/xor over per-key
+  hashes) and moves a key between tags and fields changes it only via the
+  type code — same invariants as lineproto_parser_test.go:8-54,
+- timestamps normalize to int64 epoch **nanoseconds** honoring the
+  ``precision`` query param (ns default; insert_into.go:34-37).
+
+Two execution paths:
+
+- ``parse_lines`` — driver-side, used by the HTTP ingest endpoint
+  (micro-batches; the reference parses on one node too).
+- ``parse_lines_df`` — distributed: a DataFrame of raw lines is parsed
+  per-partition with mapInPandas for bulk backfills, producing one
+  DataFrame per schema fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+_PRECISION_NS = {"ns": 1, "us": 1_000, "u": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+_MASK64 = (1 << 64) - 1
+
+
+@dataclass
+class ParsedBatch:
+    """Mirror of ParserResponse (lineproto_parser.go:95-105): one
+    schema-homogeneous columnar batch bound for (database, table)."""
+
+    database: str
+    table: str
+    schema_id: int
+    data: dict[str, list] = field(default_factory=dict)
+
+    def num_rows(self) -> int:
+        return len(next(iter(self.data.values()))) if self.data else 0
+
+
+def _hash64(s: str) -> int:
+    # Any stable 64-bit hash works; the reference uses CityHash64 — only
+    # the commutative-combination property matters, not the exact values.
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def schema_id(tag_keys: list[str], field_types: dict[str, str]) -> int:
+    """Order-invariant schema fingerprint (parity: getSchemaId,
+    lineproto_parser.go:40-64 — commutative sum over key+typecode hashes)."""
+    acc = 0
+    for k in tag_keys:
+        acc = (acc + _hash64(f"{k}\x00VARCHAR")) & _MASK64
+    for name, typ in field_types.items():
+        acc = (acc + _hash64(f"{name}\x00{typ}")) & _MASK64
+    return acc
+
+
+def _split_escaped(s: str, sep: str) -> list[str]:
+    """Split on sep honoring backslash escapes (line-protocol escaping)."""
+    out, cur, i = [], [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == sep:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a line into measurement+tags / fields / timestamp on unescaped,
+    unquoted spaces."""
+    parts, cur, i, in_quote = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(c)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_quote = not in_quote
+            cur.append(c)
+        elif c == " " and not in_quote:
+            if cur:
+                parts.append("".join(cur))
+                cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _split_fields(s: str) -> list[str]:
+    """Split the field section on unquoted, unescaped commas."""
+    out, cur, i, in_quote = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(c)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_quote = not in_quote
+            cur.append(c)
+        elif c == "," and not in_quote:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _parse_field_value(raw: str) -> tuple[str, object]:
+    """→ (canonical type, python value). Float default; 123i int; 123u uint;
+    quoted string; t/T/true/TRUE/f/... bool (line-protocol spec; parity with
+    models.Point field parsing used at lineproto_parser.go:76-91)."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        body = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        return "VARCHAR", body
+    if raw.endswith("i"):
+        return "INT8", int(raw[:-1])
+    if raw.endswith("u"):
+        return "UBIGINT", int(raw[:-1])
+    if raw in ("t", "T", "true", "True", "TRUE"):
+        return "BOOLEAN", True
+    if raw in ("f", "F", "false", "False", "FALSE"):
+        return "BOOLEAN", False
+    return "FLOAT8", float(raw)
+
+
+def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, str]], list[tuple[str, str, object]], int | None]:
+    """Parse one line → (measurement, tags, fields, ts_ns|None)."""
+    mult = _PRECISION_NS.get(precision)
+    if mult is None:
+        raise ValueError(f"unknown precision {precision!r}")
+    parts = _split_top(line.strip())
+    if len(parts) < 2:
+        raise ValueError(f"malformed line (need measurement and fields): {line!r}")
+    head = _split_escaped(parts[0], ",")
+    measurement = head[0]
+    if not measurement:
+        raise ValueError(f"empty measurement: {line!r}")
+    tags = []
+    for t in head[1:]:
+        k, _, v = t.partition("=")
+        if not _:
+            raise ValueError(f"malformed tag {t!r} in {line!r}")
+        tags.append((k, v))
+    fields = []
+    for f in _split_fields(parts[1]):
+        k, sep, v = f.partition("=")
+        if not sep:
+            raise ValueError(f"malformed field {f!r} in {line!r}")
+        typ, val = _parse_field_value(v)
+        fields.append((k, typ, val))
+    ts_ns = None
+    if len(parts) >= 3:
+        ts_ns = int(parts[2]) * mult
+    return measurement, tags, fields, ts_ns
+
+
+def parse_lines(
+    text_or_lines,
+    database: str = "default",
+    precision: str = "ns",
+    time_column: str = "time",
+) -> list[ParsedBatch]:
+    """Parse many lines into schema-homogeneous columnar batches.
+
+    Batches split on (table, schema_id) change, preserving arrival order
+    within a batch — parity with the channel-streamed ParserResponse
+    (lineproto_parser.go:142-146). Lines with no timestamp get server
+    clock ns (merge_tree_service.go:268-290 AutoTimestamp semantics are
+    applied later in ingest; here we stamp at parse time like the
+    reference's ``time`` from line protocol).
+    """
+    if isinstance(text_or_lines, str):
+        lines = text_or_lines.splitlines()
+    else:
+        lines = text_or_lines
+    batches: list[ParsedBatch] = []
+    cur: ParsedBatch | None = None
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        table, tags, fields, ts_ns = parse_line(line, precision)
+        if ts_ns is None:
+            ts_ns = time.time_ns()
+        ftypes = {name: typ for name, typ, _ in fields}
+        sid = schema_id([k for k, _ in tags], ftypes)
+        if cur is None or cur.table != table or cur.schema_id != sid:
+            cur = ParsedBatch(database=database, table=table, schema_id=sid)
+            for k, _ in tags:
+                cur.data[k] = []
+            for name, _, _ in fields:
+                cur.data[name] = []
+            cur.data[time_column] = []
+            batches.append(cur)
+        for k, v in tags:
+            cur.data[k].append(v)
+        for name, _, v in fields:
+            cur.data[name].append(v)
+        cur.data[time_column].append(ts_ns)
+    return batches
+
+
+def parse_lines_df(spark, lines_df, database: str = "default", precision: str = "ns"):
+    """Distributed bulk parse: DataFrame[value: string] → list of
+    (table, schema_id, DataFrame) per fingerprint.
+
+    Discovery pass finds the distinct (table, schema_id, schema) set from a
+    sample-free full scan (cheap: fingerprints only), then one mapInPandas
+    pass per fingerprint materializes typed columns. Designed for backfill
+    jobs where the line corpus is large but the schema set is small.
+    """
+    import pandas as pd
+
+    from quackpipe_spark.types import CANONICAL, resolve
+
+    def fingerprint_iter(it):
+        for pdf in it:
+            rows = []
+            for line in pdf["value"]:
+                line = (line or "").strip()
+                if not line or line.startswith("#"):
+                    continue
+                table, tags, fields, _ = parse_line(line, precision)
+                ftypes = {n: t for n, t, _ in fields}
+                sid = schema_id([k for k, _ in tags], ftypes)
+                schema_desc = ",".join(
+                    sorted([f"{k}:VARCHAR" for k, _ in tags] + [f"{n}:{t}" for n, t in ftypes.items()])
+                )
+                rows.append((table, sid, schema_desc))
+            yield pd.DataFrame(rows, columns=["table", "schema_id", "schema_desc"])
+
+    finger = lines_df.mapInPandas(
+        fingerprint_iter, "table string, schema_id decimal(20,0), schema_desc string"
+    )
+    shapes = finger.distinct().collect()
+
+    out = []
+    for row in shapes:
+        table, sid, desc = row["table"], int(row["schema_id"]), row["schema_desc"]
+        cols = [c.split(":") for c in desc.split(",")] if desc else []
+        spark_fields = ", ".join(
+            f"`{name}` {_spark_ddl(resolve(typ))}" for name, typ in cols
+        ) + ", `time` bigint"
+
+        def make_parser(want_table, want_sid, colnames):
+            def parse_iter(it):
+                for pdf in it:
+                    recs = []
+                    for line in pdf["value"]:
+                        line = (line or "").strip()
+                        if not line or line.startswith("#"):
+                            continue
+                        t, tags, fields, ts = parse_line(line, precision)
+                        ftypes = {n: ty for n, ty, _ in fields}
+                        if t != want_table or schema_id([k for k, _ in tags], ftypes) != want_sid:
+                            continue
+                        rec = dict(tags)
+                        rec.update({n: v for n, _, v in fields})
+                        rec["time"] = ts if ts is not None else time.time_ns()
+                        recs.append([rec.get(c) for c in colnames])
+                    yield pd.DataFrame(recs, columns=colnames)
+
+            return parse_iter
+
+        colnames = [name for name, _ in cols] + ["time"]
+        df = lines_df.mapInPandas(make_parser(table, sid, colnames), spark_fields)
+        out.append((table, sid, df))
+    return out
+
+
+def _spark_ddl(canonical: str) -> str:
+    from quackpipe_spark.types import CANONICAL
+
+    return CANONICAL[canonical].simpleString()

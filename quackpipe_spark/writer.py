@@ -1,0 +1,182 @@
+"""Hive-partitioned parquet writer (SURVEY §2A A7, A9-A14).
+
+The reference's flush path: columnar buffer → Arrow record → one
+``tmp/{uuid}.1.parquet`` per partition → atomic rename into
+``date=…/hour=…/`` → metadata.json update (hive_partition.go:116-177,
+save_service_fs.go:65-113). Here the same contract is expressed Spark-first:
+
+- date/hour derive from the table's time column **in the data** (true
+  hourly bucketing — deliberately fixing the reference's day-bucket id /
+  hour-label mismatch, registry.go:107-131; SURVEY §7.5),
+- rows are sorted by the table's order-by before write so every file is
+  a sorted run with tight row-group stats (merge_service_fs.go:215-217
+  parity; footer min/max then powers scan pruning),
+- Spark's ``partitionBy`` replaces the bitmask scatter machinery
+  (AppendByMask, column.go:124-159) — the shuffle IS the scatter,
+- the tmp-write-then-rename protocol is kept (staging dir + ``os.replace``)
+  so readers never see half-written files.
+
+Driver-side renames assume a posix-rename filesystem (local/NFS/HDFS-style;
+on S3 you'd swap the commit step for a manifest commit — same structure the
+reference has with its fs vs s3 save services).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackpipe_spark.catalog import Catalog, Table
+from quackpipe_spark.plans.index import FileEntry, PartitionIndex
+from quackpipe_spark.types import CANONICAL, infer_canonical
+
+NS_PER_DAY = 86_400_000_000_000
+
+# Parquet row-group length parity (save_service_fs.go:83).
+ROW_GROUP_ROWS = 8124
+
+
+def columnar_to_df(spark: SparkSession, data: dict[str, list]) -> DataFrame:
+    """Columnar dict (name → python list) → DataFrame via Arrow.
+
+    Length validation parity with VerifyData (data_store.go:32-43).
+    """
+    import pandas as pd
+
+    lengths = {k: len(v) for k, v in data.items()}
+    if len(set(lengths.values())) > 1:
+        raise ValueError(f"ragged columns: {lengths}")
+    pdf = pd.DataFrame(data)
+    fields = []
+    from pyspark.sql.types import StructField, StructType
+
+    for col in pdf.columns:
+        sample = next((v for v in data[col] if v is not None), None)
+        canon = infer_canonical(sample) if sample is not None else "VARCHAR"
+        fields.append(StructField(col, CANONICAL[canon], True))
+    return spark.createDataFrame(pdf, StructType(fields))
+
+
+def infer_schema(data: dict[str, list]) -> dict[str, str]:
+    out = {}
+    for col, vals in data.items():
+        sample = next((v for v in vals if v is not None), None)
+        out[col] = infer_canonical(sample) if sample is not None else "VARCHAR"
+    return out
+
+
+class HiveWriter:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def time_column(self, table: Table) -> str:
+        return table.order_by[0] if table.order_by else "__timestamp"
+
+    def write_columnar(self, db: str, name: str, data: dict[str, list]) -> list[str]:
+        """Full ingest path for one schema-homogeneous batch: auto-create
+        table, validate/evolve schema, auto-timestamp, partition, write."""
+        schema = infer_schema(data)
+        table = self.catalog.get_or_create(db, name, fields=schema)
+        # Auto-timestamp (merge_tree_service.go:268-290): whole batch gets
+        # arrival ns when the column is absent.
+        tcol = self.time_column(table)
+        n = len(next(iter(data.values()))) if data else 0
+        if table.auto_timestamp and tcol not in data:
+            now = time.time_ns()
+            data = dict(data)
+            data[tcol] = [now] * n
+            schema = dict(schema)
+            schema[tcol] = "INT8"
+        self.catalog.update_schema(table, schema)
+        df = columnar_to_df(self.spark, data)
+        return self.write_df(table, df, level=1, one_file_per_partition=True)
+
+    def write_df(
+        self,
+        table: Table,
+        df: DataFrame,
+        level: int = 1,
+        one_file_per_partition: bool = True,
+    ) -> list[str]:
+        """Partition + sorted write + rename-commit + index update."""
+        tcol = self.time_column(table)
+        if dict(df.dtypes).get(tcol) != "bigint":
+            raise TypeError(f"time column {tcol!r} must be int64 epoch ns")
+        ts = F.timestamp_seconds(F.expr(f"`{tcol}` DIV 1000000000"))
+        staged = (
+            df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
+            .withColumn("hour", F.date_format(ts, "HH"))
+        )
+        if one_file_per_partition:
+            # one sorted file per flush per partition (reference parity:
+            # one .1.parquet per Save, hive_partition.go:116-177)
+            staged = staged.repartition("date", "hour")
+        staged = staged.sortWithinPartitions(*[F.asc(c) for c in table.order_by])
+
+        stage_dir = os.path.join(table.tmp_dir(), uuid.uuid4().hex)
+        (
+            staged.write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .option("spark.sql.files.maxRecordsPerFile", 0)
+            .partitionBy("date", "hour")
+            .parquet(stage_dir)
+        )
+        written = self._commit(table, stage_dir, level, tcol)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return written
+
+    def _commit(self, table: Table, stage_dir: str, level: int, tcol: str) -> list[str]:
+        """Move staged part-files into live partition dirs as
+        {uuid}.{level}.parquet + upsert the partition index."""
+        written = []
+        for root, _dirs, files in os.walk(stage_dir):
+            parts = [f for f in files if f.endswith(".parquet")]
+            if not parts:
+                continue
+            rel = os.path.relpath(root, stage_dir)  # date=…/hour=…
+            live_dir = os.path.join(table.path, rel)
+            os.makedirs(live_dir, exist_ok=True)
+            idx = PartitionIndex.load(live_dir)
+            for fname in parts:
+                src = os.path.join(root, fname)
+                newname = f"{uuid.uuid4().hex}.{level}.parquet"
+                dst = os.path.join(live_dir, newname)
+                meta = pq.read_metadata(src)
+                tmin, tmax = _footer_min_max(meta, tcol)
+                os.replace(src, dst)
+                idx.add(
+                    FileEntry(
+                        name=newname,
+                        size_bytes=os.path.getsize(dst),
+                        row_count=meta.num_rows,
+                        min_time=tmin,
+                        max_time=tmax,
+                    )
+                )
+                written.append(dst)
+            idx.save()
+        return written
+
+
+def _footer_min_max(meta, col: str) -> tuple[int | None, int | None]:
+    """Min/max of a column from parquet footer stats (GetMinMax parity,
+    column.go:67-72 — except we read it back instead of tracking in-memory)."""
+    try:
+        names = meta.schema.names
+        ci = names.index(col)
+    except ValueError:
+        return None, None
+    mins, maxs = [], []
+    for rg in range(meta.num_row_groups):
+        stats = meta.row_group(rg).column(ci).statistics
+        if stats is not None and stats.has_min_max:
+            mins.append(stats.min)
+            maxs.append(stats.max)
+    return (min(mins) if mins else None, max(maxs) if maxs else None)

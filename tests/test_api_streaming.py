@@ -1,0 +1,128 @@
+"""HTTP API route parity + streaming ingest/window tests."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import time
+import urllib.request
+
+import pytest
+
+from quackpipe_spark.api import GigapiServer
+
+
+@pytest.fixture
+def server(spark, tmp_path):
+    srv = GigapiServer(spark, str(tmp_path / "root"), port=0)
+    # port=0 → pick free port; grab the real one after start
+    srv.start()
+    srv.base = f"http://127.0.0.1:{srv._httpd.server_address[1]}"
+    yield srv
+    srv.stop()
+
+
+def _post(url: str, body: bytes, headers: dict | None = None):
+    req = urllib.request.Request(url, data=body, headers=headers or {}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_write_then_query(server):
+    status, _ = _post(
+        server.base + "/write?db=mydb&precision=s",
+        b"weather,location=us-east temperature=75 1717405200\n"
+        b"weather,location=us-west temperature=48 1717408800",
+    )
+    assert status == 204
+    status, body = _post(
+        server.base + "/query?db=mydb",
+        json.dumps({"query": "SELECT count() AS n, round(avg(temperature), 1) AS t FROM weather"}).encode(),
+    )
+    assert status == 200
+    [row] = json.loads(body)["results"]
+    assert row == {"n": 2, "t": 61.5}
+
+
+def test_http_gzip_and_influx_routes(server):
+    payload = gzip.compress(b"m v=1i 1717405200")
+    for route in ("/api/v2/write?db=d2&precision=s", "/gigapi/write/d2?precision=s"):
+        status, _ = _post(server.base + route, payload, {"Content-Encoding": "gzip"})
+        assert status == 204
+    status, body = _post(
+        server.base + "/query?db=d2", json.dumps({"query": "SELECT count() n FROM m"}).encode()
+    )
+    assert json.loads(body)["results"][0]["n"] == 2
+
+
+def test_http_create_health_ping_errors(server):
+    status, _ = _post(
+        server.base + "/gigapi/create",
+        json.dumps(
+            {"database": "dd", "table": "tt", "fields": {"v": "BIGINT"}, "order_by": ["__timestamp"]}
+        ).encode(),
+    )
+    assert status == 200
+    assert server.catalog.get("dd", "tt").schema == {"v": "INT8"}
+
+    with urllib.request.urlopen(server.base + "/health", timeout=10) as r:
+        assert r.status == 200 and json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(server.base + "/ping", timeout=10) as r:
+        assert r.status == 204
+
+    status, body = _post(server.base + "/query", json.dumps({"query": "SELEKT nope"}).encode())
+    assert status == 400 and "error" in json.loads(body)
+
+
+def test_streaming_file_source_ingest(spark, tmp_path):
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.streaming import stream_lines_to_table
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "batch1.lp").write_text(
+        "sensors,zone=a temp=20 1717405200000000000\n"
+        "sensors,zone=b temp=30 1717405201000000000\n"
+    )
+    catalog = Catalog(str(tmp_path / "root"))
+    stream = spark.readStream.format("text").load(str(src))
+    q = stream_lines_to_table(
+        spark, catalog, stream, db="iot",
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_seconds=0.5,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            t = catalog.get("iot", "sensors")
+            if t and any(t.partition_dirs()):
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qe = QueryEngine(spark, catalog)
+    rows = qe.sql("SELECT count() n, round(avg(temp),1) t FROM sensors", db="iot").collect()
+    assert rows[0]["n"] == 2 and rows[0]["t"] == 25.0
+
+
+def test_windowed_counts_batch_parity(spark, duck):
+    # the windowed op runs identically on a batch DF; oracle via duckdb
+    from quackpipe_spark.streaming import windowed_counts
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_frames_match
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = windowed_counts(ev, window="1 hour", watermark="0 seconds")
+    rel = duck.sql(
+        """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+               CAST(epoch(date_trunc('hour', ts)) + 3600 AS BIGINT) AS window_end_s,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+        """
+    )
+    assert_frames_match(df, rel, "windowed_counts")

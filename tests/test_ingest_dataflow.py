@@ -1,0 +1,179 @@
+"""End-to-end dataflow tests: ingest → hive layout → query → compaction.
+
+Covers the reference's own test scenarios (SURVEY §5): dynamic-schema
+union with missing columns (TestMerge, merge_test.go:13-48), flush/write
+(examples/mil_rows), compaction row preservation, plus the hive layout
+and index contracts."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from quackpipe_spark.catalog import Catalog
+from quackpipe_spark.ingest import IngestService, ingest_lines
+from quackpipe_spark.plans.compactor import Compactor, plan_merges
+from quackpipe_spark.plans.index import PartitionIndex
+from quackpipe_spark.query import QueryEngine
+
+NS = 10**9
+T0 = 1_700_000_000 * NS  # 2023-11-14 22:13:20 UTC
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    catalog = Catalog(str(tmp_path / "gigadata"))
+    svc = IngestService(spark, catalog, save_timeout_s=3600)  # manual flush
+    return svc, catalog, QueryEngine(spark, catalog)
+
+
+def test_lineproto_to_query_roundtrip(engine):
+    svc, catalog, qe = engine
+    lines = "\n".join(
+        f"weather,location=us-{d},season=summer temperature={60 + i} {T0 + i * NS}"
+        for i, d in enumerate(["midwest", "east", "west", "midwest"])
+    )
+    promises = ingest_lines(svc, lines, db="mydb")
+    svc.flush()
+    assert all(p.result(5) for p in promises)
+
+    df = qe.sql("SELECT count(*) AS n, round(avg(temperature), 2) AS avg_t FROM weather", db="mydb")
+    row = df.collect()[0]
+    assert row["n"] == 4 and row["avg_t"] == 61.5
+
+    by_loc = qe.sql(
+        "SELECT location, count() cnt FROM weather GROUP BY location ORDER BY cnt DESC",
+        db="mydb",
+    ).collect()
+    assert by_loc[0]["location"] == "us-midwest" and by_loc[0]["cnt"] == 2
+
+
+def test_hive_layout_and_index(engine):
+    svc, catalog, qe = engine
+    # rows spanning two hours → two partition dirs, true hourly bucketing
+    h0, h1 = T0, T0 + 3600 * NS
+    svc.store("d", "t", {"v": [1, 2], "__timestamp": [h0, h0 + NS]})
+    svc.store("d", "t", {"v": [3], "__timestamp": [h1]})
+    svc.flush()
+    t = catalog.get("d", "t")
+    pdirs = t.partition_dirs()
+    assert len(pdirs) == 2
+    assert all("date=2023-11-1" in p and "hour=" in p for p in pdirs)
+    hours = sorted(p.split("hour=")[-1] for p in pdirs)
+    assert hours == ["22", "23"]
+    for pdir in pdirs:
+        idx = PartitionIndex.load(pdir)
+        assert idx.files, "index must list the flushed file"
+        for entry in idx.files.values():
+            assert entry.name.endswith(".1.parquet")
+            assert entry.row_count >= 1
+            assert entry.min_time >= T0
+    # files on disk match the index
+    disk = {os.path.basename(p) for p in glob.glob(os.path.join(t.path, "date=*/hour=*/*.parquet"))}
+    listed = {e for pdir in pdirs for e in PartitionIndex.load(pdir).files}
+    assert disk == listed
+
+
+def test_dynamic_schema_union_null_fill(engine):
+    # TestMerge scenario: alternating batches {a,b} and {b} — readers see
+    # NULL a for the rows that lacked it (merge_test.go:29-40).
+    svc, catalog, qe = engine
+    svc.store("d", "m", {"a": [1, 2], "b": ["x", "y"], "__timestamp": [T0, T0]})
+    svc.store("d", "m", {"b": ["z"], "__timestamp": [T0]})
+    svc.flush()
+    rows = qe.sql("SELECT a, b FROM m", db="d").collect()
+    assert len(rows) == 3
+    assert sorted([(r["a"], r["b"]) for r in rows], key=str) == sorted(
+        [(1, "x"), (2, "y"), (None, "z")], key=str
+    )
+
+
+def test_type_conflict_rejected(engine):
+    svc, catalog, qe = engine
+    svc.store("d", "c", {"v": [1], "__timestamp": [T0]})
+    with pytest.raises(TypeError, match="type conflict"):
+        svc.store("d", "c", {"v": ["not an int"], "__timestamp": [T0]})
+
+
+def test_boolean_supported(engine):
+    # strict superset: reference errors on bool ingest (SURVEY §1.2)
+    svc, catalog, qe = engine
+    svc.store("d", "flags", {"ok": [True, False, None], "__timestamp": [T0] * 3})
+    svc.flush()
+    rows = qe.sql("SELECT count(*) AS n FROM flags WHERE ok", db="d").collect()
+    assert rows[0]["n"] == 1
+
+
+def test_compaction_preserves_and_levels(engine, spark):
+    svc, catalog, qe = engine
+    # 5 flushes → 5 level-1 files in one partition
+    for i in range(5):
+        svc.store("d", "cmp", {"v": [i * 10 + j for j in range(10)], "__timestamp": [T0 + j for j in range(10)]})
+        svc.flush()
+    t = catalog.get("d", "cmp")
+    [pdir] = t.partition_dirs()
+    before = PartitionIndex.load(pdir)
+    assert len(before.files) == 5
+    total_before = qe.sql("SELECT count(*) n, sum(v) s FROM cmp", db="d").collect()[0]
+
+    comp = Compactor(spark, t, drop_delay_s=0.0)
+    out = comp.run_once(levels=[1])
+    assert len(out) == 1 and out[0].endswith(".2.parquet")
+
+    after = PartitionIndex.load(pdir)
+    assert len(after.files) == 1
+    [entry] = after.files.values()
+    assert entry.row_count == 50
+    # tombstoned inputs deleted (drop_delay 0)
+    assert not after.drop_queue
+    disk = glob.glob(os.path.join(pdir, "*.parquet"))
+    assert len(disk) == 1
+
+    total_after = qe.sql("SELECT count(*) n, sum(v) s FROM cmp", db="d").collect()[0]
+    assert total_after == total_before
+
+    # merged file is sorted by __timestamp
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(disk[0], columns=["__timestamp"])["__timestamp"].to_pylist()
+    assert ts == sorted(ts)
+
+    # idempotence: nothing left to merge
+    assert comp.run_once(levels=[1]) == []
+
+
+def test_query_time_pruning_uses_index(engine):
+    svc, catalog, qe = engine
+    svc.store("d", "pr", {"v": [1], "__timestamp": [T0]})
+    svc.store("d", "pr", {"v": [2], "__timestamp": [T0 + 7200 * NS]})
+    svc.flush()
+    t = catalog.get("d", "pr")
+    all_files = qe.table_files(t)
+    assert len(all_files) == 2
+    pruned = qe.table_files(t, lo=T0 + 7000 * NS, hi=None)
+    assert len(pruned) == 1
+    rows = qe.sql(
+        f"SELECT count(*) AS n FROM pr WHERE __timestamp >= {T0 + 7000 * NS}", db="d"
+    ).collect()
+    assert rows[0]["n"] == 1
+
+
+def test_auto_timestamp_added(engine):
+    svc, catalog, qe = engine
+    svc.store("d", "auto", {"v": [5]})
+    svc.flush()
+    rows = qe.sql("SELECT __timestamp FROM auto", db="d").collect()
+    assert rows[0]["__timestamp"] > 1_600_000_000 * NS
+
+
+def test_create_table_ddl_types():
+    # explicit CREATE TABLE surface (A25): alias resolution + rejection
+    from quackpipe_spark.types import resolve
+
+    assert resolve("BIGINT") == "INT8"
+    assert resolve("UInt64") == "UBIGINT"
+    assert resolve("text") == "VARCHAR"
+    with pytest.raises(ValueError):
+        resolve("GEOMETRY")

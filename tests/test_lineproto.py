@@ -1,0 +1,109 @@
+"""Line-protocol parser unit tests — ports the reference's fingerprint
+invariants (lineproto_parser_test.go:8-54) plus format-edge coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from quackpipe_spark.sources.lineproto import (
+    parse_line,
+    parse_lines,
+    schema_id,
+)
+
+
+def test_parse_readme_weather_line():
+    # README.md:71-75 canonical demo line
+    m, tags, fields, ts = parse_line(
+        "weather,location=us-midwest,season=summer temperature=82 1465839830100400200"
+    )
+    assert m == "weather"
+    assert tags == [("location", "us-midwest"), ("season", "summer")]
+    assert fields == [("temperature", "FLOAT8", 82.0)]
+    assert ts == 1465839830100400200
+
+
+def test_field_types():
+    _, _, fields, _ = parse_line('m v_f=1.5,v_i=7i,v_u=8u,v_s="hi there",v_b=true')
+    assert dict((n, (t, v)) for n, t, v in fields) == {
+        "v_f": ("FLOAT8", 1.5),
+        "v_i": ("INT8", 7),
+        "v_u": ("UBIGINT", 8),
+        "v_s": ("VARCHAR", "hi there"),
+        "v_b": ("BOOLEAN", True),
+    }
+
+
+def test_escaping():
+    m, tags, fields, _ = parse_line(
+        'my\\ table,tag\\ key=va\\,lue str="quote \\" and \\\\ slash" 1'
+    )
+    assert m == "my table"
+    assert tags == [("tag key", "va,lue")]
+    assert fields[0][2] == 'quote " and \\ slash'
+
+
+def test_precision_scaling():
+    for prec, mult in [("s", 10**9), ("ms", 10**6), ("us", 10**3), ("ns", 1)]:
+        _, _, _, ts = parse_line("m v=1 5", precision=prec)
+        assert ts == 5 * mult
+
+
+def test_malformed_lines_raise():
+    for bad in ["", "justname", "m novalue", "m ,=broken"]:
+        with pytest.raises(ValueError):
+            parse_line(bad)
+
+
+# -- schema fingerprint invariants (TestGetSchemaId parity) -----------------
+
+def test_schema_id_order_invariant():
+    a = schema_id(["t1", "t2"], {"f1": "FLOAT8", "f2": "INT8"})
+    b = schema_id(["t2", "t1"], {"f2": "INT8", "f1": "FLOAT8"})
+    assert a == b
+
+
+def test_schema_id_type_sensitive():
+    a = schema_id(["t"], {"f": "FLOAT8"})
+    b = schema_id(["t"], {"f": "INT8"})
+    assert a != b
+
+
+def test_schema_id_tag_vs_field_move():
+    # a key moving between tags and fields keeps the id only if its type
+    # stays VARCHAR (tags are strings) — the reference's hash combines
+    # key+typecode exactly the same way for both (getSchemaId).
+    as_tag = schema_id(["k"], {"f": "FLOAT8"})
+    as_str_field = schema_id([], {"k": "VARCHAR", "f": "FLOAT8"})
+    as_int_field = schema_id([], {"k": "INT8", "f": "FLOAT8"})
+    assert as_tag == as_str_field
+    assert as_tag != as_int_field
+
+
+def test_batch_split_on_schema_change():
+    lines = "\n".join(
+        [
+            "weather,loc=a temperature=1 1",
+            "weather,loc=b temperature=2 2",
+            "weather,loc=c temperature=3i 3",  # type change → new batch
+            "weather temperature=4 4",  # tag set change → new batch
+            "other,loc=d temperature=5 5",  # table change → new batch
+        ]
+    )
+    batches = parse_lines(lines)
+    assert [b.num_rows() for b in batches] == [2, 1, 1, 1]
+    assert batches[0].table == "weather" and batches[-1].table == "other"
+    assert batches[0].data["loc"] == ["a", "b"]
+    assert batches[0].data["time"] == [1, 2]
+
+
+def test_batch_interleave_resplit():
+    # alternating schemas never merge (order matters — stream semantics)
+    lines = ["m a=1 1", "m b=2 2", "m a=3 3"]
+    batches = parse_lines(lines)
+    assert len(batches) == 3
+
+
+def test_auto_timestamp_when_missing():
+    batches = parse_lines("m v=1")
+    assert batches[0].data["time"][0] > 1_600_000_000 * 10**9  # plausible ns
