@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+
+- **cosine** is pure JVM expression work: zip_with product + aggregate
+  fold in double precision — no UDF, stays in codegen.
+- **brute-force top-k** broadcasts the (small) query set against the
+  corpus: the corpus never shuffles, each partition ranks locally and
+  only k rows per query survive the final TakeOrdered.
+- **blocked/IVF-ish variant** equi-joins on a partition key (here the
+  `label` column; in a real pipeline a coarse-quantizer cell id) so the
+  pair space is per-block, not n².
+- **LSH variant** buckets by random-hyperplane sign bits derived from
+  md5 (deterministic across engines/runs), then searches within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b) -> Column:
+    """Σ a_i·b_i in double (ordered fold → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (the correctness baseline).
+
+    The query set is broadcast; ranking keys round the cosine (so results
+    are reproducible across engines) and tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def blocked_near_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.45,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs within blocks (IVF-style pruning): only pairs
+    sharing `block_col` are compared — the equi-join keeps the pair space
+    linear in block size instead of n²."""
+    a = corpus.select(
+        F.col(id_col).alias("a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (the scale path).
+
+    Hyperplane p's component for dimension i is a deterministic ±1 from
+    md5(p|i) — reproducible everywhere with no stored model. sign bit p =
+    (Σ_i v_i·h_pi) ≥ 0; bucket = Σ bit_p<<p. Cosine-near vectors agree on
+    most sign bits, so candidate search = same-bucket (or near-bucket)
+    membership."""
+    v = F.col(vec_col)
+
+    def signed_term(plane: int):
+        # captured via factory, NOT a default arg — Spark derives the
+        # lambda arity from the signature, so (x, i, p=p) would break.
+        def term(x, i):
+            sign_bit = (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{plane}|"), i.cast("string"))), 1, 4),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .bitwiseAND(1)
+            )
+            return x.cast("double") * F.when(sign_bit == 1, 1.0).otherwise(-1.0)
+
+        return term
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(v, signed_term(p)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
+    bucket = bits[0]
+    for t in bits[1:]:
+        bucket = bucket + t
+    return corpus.select(F.col(id_col), v.alias(vec_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket.
+
+    At 100 TB the bucket join replaces the broadcast-cross-product; with
+    2^n_planes buckets the compared fraction is ~2^-n_planes (recall is
+    tunable via n_planes / multi-probe)."""
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes)
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

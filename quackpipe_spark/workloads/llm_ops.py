@@ -1,13 +1,352 @@
-"""LLM training-data pipeline operators as named workloads.
+"""LLM training-data pipeline workloads (north-star operators).
 
-Dedup (exact / minhash-LSH / simhash / n-gram jaccard / embedding-cosine),
-similarity search, text analysis, multimodal plumbing — over the
-``documents`` and ``embeddings`` tables. Implementations live in
-``quackpipe_spark.operators``; this module wires them to the driver
-contract with DuckDB oracles where SQL-expressible.
+Each query wires an operator from ``quackpipe_spark.operators`` to the
+driver contract, with a DuckDB oracle that mirrors the SAME deterministic
+algorithm (md5-derived hashes, identical tokenization) — so dedup
+candidates, signatures, and similarity scores are bit-comparable across
+engines, not just "similar".
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackpipe_spark.operators import dedup as D
+from quackpipe_spark.operators import multimodal as M
+from quackpipe_spark.operators import similarity as S
+from quackpipe_spark.operators import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared oracle CTEs: tokenization + 3-gram shingles, mirroring
+# dedup.tokenize / dedup.shingles exactly (trim+lower+\s+; k=3 distinct).
+_SH_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+         )) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+# --- dedup: exact ----------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- dedup: minhash + LSH + jaccard verify --------------------------------
+
+_NUM_HASHES, _BANDS, _ROWS = 16, 4, 4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.8
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    bands = ",\n         ".join(
+        "md5(" + " || ".join(f"h{b * _ROWS + i}" for i in range(_ROWS)) + f") AS bh{b}"
+        for b in range(_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM bands" for b in range(_BANDS)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {bands} FROM sigs
+),
+banded AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cands c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.8
+"""
+
+
+# --- dedup: rare-shingle blocking + exact n-gram jaccard -------------------
+
+_RARE_MAX_DOCS = 5
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup with rare-shingle blocking: only pairs
+    sharing a shingle that occurs in ≤5 docs are compared (bounds the pair
+    space; near-identical docs always share rare shingles)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.shingle_table(docs)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= _RARE_MAX_DOCS)
+        .select("shingle")
+    )
+    rare_sh = sh.join(rare, "shingle")
+    pairs = (
+        rare_sh.alias("l")
+        .join(rare_sh.alias("r"), "shingle")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    return D.jaccard_verify(docs, pairs, threshold=0.8)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SH_CTE},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) <= {_RARE_MAX_DOCS}
+),
+rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rs l JOIN rs r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cands c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.8
+"""
+
+
+# --- dedup: simhash --------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+    return D.simhash_near_pairs(sigs, bits=_SIMHASH_BITS, max_hamming=1)
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    bandsel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS bv FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS th FROM toks
+),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums),
+banded AS ({bandsel}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 1
+"""
+
+
+# --- dedup: embedding cosine ----------------------------------------------
+
+_COS_ORACLE_EXPR = """
+round(
+  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4)
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.blocked_near_pairs(_emb(spark, sf_dir), threshold=0.40)
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS a, b.vec_id AS b, {_COS_ORACLE_EXPR} AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_ORACLE_EXPR} >= 0.40
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+_COS_QC = _COS_ORACLE_EXPR.replace("a.embedding", "q.embedding").replace(
+    "b.embedding", "c.embedding"
+).replace(", 4)", ", 6)")
+
+ANN_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_QC} AS cos
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM ranked WHERE rank <= 10
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant (bucketed search) — rows-only check: the oracle
+    would just restate the same LSH; the interesting property (recall vs
+    brute force) is asserted in tests/test_llm_ops.py instead."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, k=10, n_planes=4)
+
+
+# --- text analysis ---------------------------------------------------------
+
+def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.analyze(_docs(spark, sf_dir))
+
+
+def _text_oracle() -> str:
+    sw = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in T.STOPWORDS.items()}
+    hits = ", ".join(
+        f"len(list_intersect(dt, {sw[lang]})) AS hit_{lang}" for lang in T.STOPWORDS
+    )
+    best = "greatest(" + ", ".join(f"hit_{lang}" for lang in T.STOPWORDS) + ")"
+    langs = list(T.STOPWORDS)
+    lang_case = "CASE " + " ".join(
+        f"WHEN hit_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS t,
+         regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g') AS stripped,
+         regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g') AS norm
+  FROM documents
+), ext AS (
+  SELECT doc_id, text, t,
+         list_distinct(t) AS dt,
+         length(text) AS n_chars,
+         len(t) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens_est,
+         round((length(text) - length(stripped)) / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+         list_sort(list_distinct(string_split_regex(trim(norm), '\\s+'))) AS norm_toks
+  FROM base
+), scored AS (
+  SELECT *, {hits},
+         round(len(list_intersect(dt, {sw['en']})) / greatest(len(dt), 1)::DOUBLE, 4) AS stopword_ratio_en,
+         (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN n_chars / greatest(n_tokens, 1)::DOUBLE BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END) / 3.0 AS q_raw
+  FROM ext
+), best_cte AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_en,
+       round(q_raw, 4) AS quality,
+       {lang_case} AS lang_detected,
+       md5(array_to_string(norm_toks, ' ')) AS fingerprint
+FROM best_cte
+"""
+
+
+# --- multimodal ------------------------------------------------------------
+
+def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.media_summary(media)
+
+
+MULTIMODAL_SUMMARY_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 2) AS avg_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing (stubbed decode, real Arrow/mapInPandas path) —
+    rows-only check; byte-identical behavior is covered by unit tests."""
+    media = M.attach_binary(_docs(spark, sf_dir))
+    return M.decode_media(media, fake=True)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "text_analyze": text_analyze,
+    "multimodal_summary": multimodal_summary,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "ann_topk_bruteforce": ANN_TOPK_SQL,
+    "text_analyze": _text_oracle(),
+    "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
+    # ann_topk_lsh, multimodal_decode: rows-only (see docstrings)
+}

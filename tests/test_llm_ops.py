@@ -1,0 +1,158 @@
+"""Operator-quality tests for the LLM-pipeline operators — beyond oracle
+parity (covered in test_oracle_parity), these assert the *semantics*:
+near-dup recall on planted duplicates, LSH vs brute-force agreement,
+multimodal plumbing determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from quackpipe_spark.operators import dedup as D
+from quackpipe_spark.operators import multimodal as M
+from quackpipe_spark.operators import similarity as S
+from quackpipe_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def planted_pairs(duck):
+    """The generator plants near-dups as docs sharing a 50-char prefix."""
+    rows = duck.sql(
+        """
+        SELECT list(doc_id ORDER BY doc_id) ids FROM documents
+        GROUP BY substr(text, 1, 50) HAVING count(*) > 1
+        """
+    ).fetchall()
+    return {(r[0][0], r[0][1]) for r in rows}
+
+
+def test_minhash_finds_planted_dups(docs, duck):
+    planted = planted_pairs(duck)
+    found = {
+        (r["a"], r["b"])
+        for r in D.minhash_dedup(docs, threshold=0.8).collect()
+    }
+    # LSH is probabilistic-by-construction (deterministic here, but banding
+    # can drop borderline pairs); require ≥90% recall of planted dups.
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}: {planted - found}"
+    # and high precision: verified jaccard ≥ 0.8 should not fire on
+    # unrelated random docs
+    assert all(a < b for a, b in found)
+
+
+def test_exact_dedup_survivors(spark, docs):
+    # duplicate the corpus with shifted ids → every text has exactly 2
+    # copies; survivor = original (smaller id)
+    doubled = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    out = D.exact_dedup(doubled)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("n_copies") != 2).count() == 0
+    assert out.filter(F.col("keep_id") >= 10_000).count() == 0
+
+
+def test_simhash_identical_and_perturbed(spark):
+    base = " ".join(f"w{i}" for i in range(120))
+    toks = base.split()
+    toks[5], toks[80] = "zz", "qq"  # exactly two tokens edited
+    rows = [
+        (1, base),
+        (2, base),  # identical → hamming 0
+        (3, " ".join(toks)),  # light edit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 < bin(sigs[1] ^ sigs[3]).count("1") <= 8  # near, not equal
+
+
+def test_lsh_topk_agrees_with_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, queries, k=10).collect()
+    lsh = S.lsh_topk(emb, queries, k=10, n_planes=4).collect()
+    bf_top = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    lsh_top = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    # The corpus is near-uniform (max cos ≈ 0.5), so same-bucket odds for a
+    # true neighbor are ~(1-θ/π)^planes ≈ 0.63^4 ≈ 0.16 — single-table LSH
+    # recall is intrinsically low on data with no cluster structure (real
+    # deployments multi-probe or use several tables). Assert non-degenerate.
+    assert len(lsh_top) > 0
+    overlap = len(bf_top & lsh_top) / len(bf_top)
+    assert overlap >= 0.05, f"LSH recall vs brute force too low: {overlap}"
+    # every LSH cos must be ≤ the brute-force max for that query (sanity)
+    bf_best = {}
+    for r in bf:
+        bf_best[r["query_id"]] = max(bf_best.get(r["query_id"], -2.0), r["cos"])
+    for r in lsh:
+        assert r["cos"] <= bf_best[r["query_id"]] + 1e-9
+
+
+def test_text_quality_and_langid(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a good day for the dog"),
+        (2, "der hund ist nicht mit der katze und das ist ein problem für alle"),
+        (3, "x" * 20_000),  # too long → quality penalty
+        (4, "!!! ??? ### $$$ %%%"),  # punctuation soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.analyze(df).collect()}
+    assert out[1]["lang_detected"] == "en"
+    assert out[2]["lang_detected"] == "de"
+    assert out[1]["quality"] > out[3]["quality"]
+    assert out[4]["punct_ratio"] > 0.5
+    assert out[1]["n_tokens"] == 15
+    # fingerprint is word-order-insensitive
+    df2 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in T.analyze(df2).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_multimodal_stub_and_plumbing(spark, docs):
+    media = M.attach_binary(docs.limit(30))
+    # real decode refuses without libs — the stub gate is explicit
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        M.decode_media(media, fake=False).collect()
+    decoded = M.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_frames"] >= 1
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1 and r["width"] >= 64
+    # determinism: same payload → same decode
+    again = {r["media_id"]: r for r in M.decode_media(media, fake=True).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r
+    # frame sampling: only videos, stride 10
+    frames = M.sample_frames(decoded, every_n=10).collect()
+    vids = {r["media_id"]: r["n_frames"] for r in rows if r["kind"] == "video"}
+    assert {f["media_id"] for f in frames} == set(vids)
+    for mid, nf in vids.items():
+        idxs = sorted(f["frame_idx"] for f in frames if f["media_id"] == mid)
+        assert idxs == list(range(0, nf, 10))
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = D.shingle_table(df).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in out}
+    assert 1 not in counts and 2 not in counts
+    assert counts[3] == 2  # "one two three", "two three four"
