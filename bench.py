@@ -44,6 +44,10 @@ def main() -> None:
             per_query[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # keep benching; report failures in the line
             failures[name] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            # drop intermediates persisted inside operator pipelines so a
+            # query's cache (and its GC) can't bleed into the next timing
+            spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)
     out = {

@@ -32,8 +32,10 @@ def tokenize(col) -> Column:
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array column (JVM-side:
-    transform+sequence+slice, no UDF). Guarded for size<k: Spark's
+    """Distinct k-word shingles as an array column (JVM-side, no UDF).
+
+    element_at (O(1)) rather than slice (O(n) copy per index — measured 6×
+    slower end-to-end on 300-token docs). Guarded for size<k: Spark's
     sequence(1, n) with n<1 infers a NEGATIVE step and produces garbage
     indices — short docs must short-circuit to an empty array."""
     return F.when(
@@ -41,20 +43,44 @@ def shingles(tokens: Column, k: int = 3) -> Column:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + off) for off in range(k)]
+                ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) pairs — the exploded form every stage shares."""
-    toks = tokenize(F.col(text_col))
-    return (
-        docs.select(F.col(id_col), shingles(toks, k).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(id_col, F.explode("sh").alias("shingle"))
+    """(id, shingle) pairs — the exploded form every stage shares.
+
+    Tokens are bound to a named column before shingling so the split runs
+    once per row (inlining the split expression into every element_at
+    would defeat common-subexpression elimination across the transform).
+
+    The input is repartitioned by id first: a small/compact parquet source
+    arrives as ONE scan split, which would single-thread every md5 in the
+    pipeline downstream — and hashing id-partitions the rows so the
+    per-doc groupBys that follow need no further shuffle.
+
+    Short docs are dropped by filtering on token count BEFORE building the
+    shingle array (not by wrapping the array expression in when()+filter —
+    projection collapse inlines that guarded expression into both the
+    filter and the generate and the plan goes ~25× slower)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, F.col(id_col))
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k)
     )
+    t = F.col("_toks")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(k)]),
+        )
+    )
+    return base.select(id_col, F.explode(sh).alias("shingle"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -72,13 +98,19 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per doc in ONE aggregation pass.
 
     minhash_i(doc) = min over shingles of md5('{i}|' + shingle) — the md5
     hex string ordering is the hash ordering (portable across engines).
+    Pass ``shingle_df`` to reuse a shared (persisted) shingle explode.
     """
-    sh = shingle_table(docs, id_col, text_col, shingle_k)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_table(docs, id_col, text_col, shingle_k)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -124,20 +156,26 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
     |A∩B| via a shingle join restricted (semi-join) to candidate ids;
     |A∪B| = |A|+|B|-|A∩B|. Output (a, b, jaccard) filtered to ≥ threshold.
+    Pass ``shingle_df`` (ideally persisted) to share the explode with an
+    upstream candidate stage instead of recomputing it per branch.
     """
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    sh = shingle_table(docs, id_col, text_col, shingle_k).join(
-        F.broadcast(cand_ids), id_col, "left_semi"
+    base_sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_table(docs, id_col, text_col, shingle_k)
     )
+    sh = base_sh.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -168,12 +206,43 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact-jaccard
-    verification. Returns (a, b, jaccard ≥ threshold)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidates(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
+    verification. Returns (a, b, jaccard ≥ threshold).
+
+    The shingle explode feeds both the signature and the verify stages.
+    It is NOT persisted by default: recomputing the (scan → split →
+    shingle) projection is pipeline work the codegen stage does at memory
+    speed, while caching the exploded form materializes a row-multiplied
+    intermediate and blocks pushdown through InMemoryRelation — measured
+    4× slower end-to-end. Set ``persist_shingles=True`` only when the
+    upstream scan itself is the expensive part (e.g. remote object store
+    with poor locality)."""
+    sh = shingle_table(docs, id_col, text_col, shingle_k)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # signatures: one short row per doc, consumed by BOTH sides of the
+    # banded self-join — cache eagerly so the 12-way md5 aggregation over
+    # the shingle explode runs once, not per join side.
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k, shingle_df=sh
+    ).persist()
+    sigs.count()
+    # Persist AND eagerly materialize the candidate set: it is tiny, but
+    # its lineage is the whole minhash+LSH pipeline, and jaccard_verify
+    # fans out into several concurrently-launched consumer branches
+    # (broadcast futures for cand_ids, the pair join, the size joins).
+    # A lazy persist loses the race — every branch starts before the
+    # cache fills and redundantly recomputes the pipeline (observed 9
+    # simultaneous copies). The blocking count() fills the cache first.
+    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+    cands.count()
+    return jaccard_verify(
+        docs, cands, id_col, text_col, shingle_k, threshold, shingle_df=sh
+    )
 
 
 # --- simhash ---------------------------------------------------------------
@@ -190,9 +259,12 @@ def simhash(
     """Per-doc SimHash: bit j of the signature is the sign of the sum of
     (2·bit_j(token_hash)−1) over tokens. One explode + one groupBy with
     `bits` conditional-sum aggregates — a single shuffle."""
-    toks = docs.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
-    ).withColumn("th", _token_hash32())
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par, F.col(id_col))  # parallelize single-split scans
+        .select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .withColumn("th", _token_hash32())
+    )
     sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -220,6 +292,11 @@ def simhash_near_pairs(
     concentrate — candidates join on (band, byte), verified by
     bit_count(xor). (Banding is a recall heuristic, same as the reference
     LSH trade-off; the verify step keeps precision exact.)"""
+    # the banded self-join consumes sigs on both sides — cache the (small:
+    # one long per doc) signature table eagerly so the signature
+    # aggregation runs once, not per join side
+    sigs = sigs.persist()
+    sigs.count()
     width = bits // bands
     mask = (1 << width) - 1
     band_vals = F.array(

@@ -56,8 +56,14 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
 def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 8) -> DataFrame:
     """mapInPandas decode/feature-extract: binary → (dims, frames, feature
-    vector). Real decode is stubbed (see module docstring)."""
+    vector). Real decode is stubbed (see module docstring).
+
+    Repartitions first: a compact single-file source would otherwise run
+    the whole Python decode in ONE Arrow worker — decode is the classic
+    embarrassingly-parallel stage, so spread it across the cluster."""
     import pandas as pd
+
+    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
 
     out_schema = (
         "media_id long, kind string, width int, height int, n_frames int, "

@@ -48,20 +48,30 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (the correctness baseline).
 
-    The query set is broadcast; ranking keys round the cosine (so results
-    are reproducible across engines) and tie-break on neighbor id.
+    The query set is broadcast; norms are computed once per row BEFORE the
+    pair join (pair space only pays the dot product); ranking keys round
+    the cosine (reproducible across engines) and tie-break on neighbor id.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cos"),
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+                round_to,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -84,10 +94,16 @@ def blocked_near_pairs(
     sharing `block_col` are compared — the equi-join keeps the pair space
     linear in block size instead of n²."""
     a = corpus.select(
-        F.col(id_col).alias("a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("a"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na_"),
     )
     b = corpus.select(
-        F.col(id_col).alias("b"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("b"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb_"),
     )
     return (
         a.join(b, "blk")
@@ -95,7 +111,10 @@ def blocked_near_pairs(
         .select(
             "a",
             "b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cos"),
+            # norms precomputed per row (linear), only the dot is pairwise
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), round_to
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -106,6 +125,7 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    dims: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (the scale path).
 
@@ -114,29 +134,27 @@ def hyperplane_buckets(
     (Σ_i v_i·h_pi) ≥ 0; bucket = Σ bit_p<<p. Cosine-near vectors agree on
     most sign bits, so candidate search = same-bucket (or near-bucket)
     membership."""
+    import hashlib
+
     v = F.col(vec_col)
 
-    def signed_term(plane: int):
-        # captured via factory, NOT a default arg — Spark derives the
-        # lambda arity from the signature, so (x, i, p=p) would break.
-        def term(x, i):
-            sign_bit = (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{plane}|"), i.cast("string"))), 1, 4),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .bitwiseAND(1)
-            )
-            return x.cast("double") * F.when(sign_bit == 1, 1.0).otherwise(-1.0)
-
-        return term
+    def plane_signs(plane: int) -> list[float]:
+        # ±1 component i of hyperplane p = low bit of md5('{p}|{i}') —
+        # computed DRIVER-side once and inlined as a literal array, so the
+        # executor does a plain zip_with product instead of re-hashing per
+        # row (same values any engine would derive from the same recipe).
+        return [
+            1.0 if hashlib.md5(f"{plane}|{i}".encode()).digest()[-1] & 1 else -1.0
+            for i in range(dims)
+        ]
 
     bits = []
     for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in plane_signs(p)])
         proj = F.aggregate(
-            F.transform(v, signed_term(p)), F.lit(0.0), lambda acc, x: acc + x
+            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
     bucket = bits[0]
@@ -153,14 +171,15 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     round_to: int = 6,
+    dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket.
 
     At 100 TB the bucket join replaces the broadcast-cross-product; with
     2^n_planes buckets the compared fraction is ~2^-n_planes (recall is
     tunable via n_planes / multi-probe)."""
-    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes)
-    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes).select(
+    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dims)
+    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dims).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
     scored = (

@@ -30,9 +30,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session, sf_dir, table) → DataFrame. Re-creating a scan per query costs
+# a driver round of file listing + footer schema reads; the DataFrame is
+# lazy, so sharing it shares only that metadata work, never results. The
+# cached entry also pins the session object, so id() keys can't collide.
+_SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _SCAN_CACHE.get(key)
+    if hit is None:
+        hit = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _SCAN_CACHE[key] = hit
+    return hit[1]
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every test table as a DataFrame keyed by name."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    return {t: table_df(spark, sf_dir, t) for t in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -19,11 +19,15 @@ from quackpipe_spark.operators import text as T
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from quackpipe_spark.sources.tables import table_df
+
+    return table_df(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from quackpipe_spark.sources.tables import table_df
+
+    return table_df(spark, sf_dir, "embeddings")
 
 
 # shared oracle CTEs: tokenization + 3-gram shingles, mirroring
@@ -55,7 +59,9 @@ FROM documents GROUP BY md5(text)
 
 # --- dedup: minhash + LSH + jaccard verify --------------------------------
 
-_NUM_HASHES, _BANDS, _ROWS = 16, 4, 4
+# 12 hashes in 4 bands of 3: P(candidate | jaccard .9) = 1-(1-.9³)⁴ ≈ .995,
+# higher recall AND 25% less hashing than 16/4×4.
+_NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,8 +131,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
+        .persist()  # tiny pair set, heavy lineage — see minhash_dedup
     )
-    return D.jaccard_verify(docs, pairs, threshold=0.8)
+    pairs.count()  # eager: verify's branches race a lazy cache (ditto)
+    return D.jaccard_verify(docs, pairs, threshold=0.8, shingle_df=sh)
 
 
 DEDUP_NGRAM_SQL = f"""

@@ -26,7 +26,9 @@ _DIALECT_SESSIONS: set[int] = set()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from quackpipe_spark.sources.tables import table_df
+
+    return table_df(spark, sf_dir, name)
 
 
 def _dialect(spark: SparkSession) -> None:
