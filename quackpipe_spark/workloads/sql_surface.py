@@ -723,6 +723,236 @@ FROM events WHERE user_id < 100 GROUP BY user_id
 """
 
 
+# --- extended function surface ---------------------------------------------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id (SQL path — also exercises
+    spark.sql over registered views, the /query endpoint's engine)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per group — both
+    engines use linear interpolation; rounded to absorb fp noise."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract,
+    so sort the array before joining — the deterministic-listagg idiom."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (the reference preloads DuckDB's json extension,
+    merge/merge.go:24) — get_json_object + from_json typed extraction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .filter(F.col("k_val") > 90)
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface; sqrt/power/mod are IEEE-exact, ln/exp rounded
+    to absorb libm ulp differences across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(-price).alias("abs_p"),
+        F.ceil(price).cast("long").alias("ceil_p"),
+        F.floor(price).cast("long").alias("floor_p"),
+        F.round(F.sqrt(price), 6).alias("sqrt_p"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 8).alias("pow_d"),
+        F.round(F.log(price), 8).alias("ln_p"),
+        F.round(F.log10(price), 8).alias("log10_p"),
+        (F.col("l_partkey") % 7).alias("mod_p"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
+    )
+
+
+MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(-l_extendedprice) AS abs_p,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+       round(sqrt(l_extendedprice), 6) AS sqrt_p,
+       round(pow(l_discount + 1.0, 2), 8) AS pow_d,
+       round(ln(l_extendedprice), 8) AS ln_p,
+       round(log10(l_extendedprice), 8) AS log10_p,
+       l_partkey % 7 AS mod_p,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface over order dates. Day-of-week uses the ISO
+    convention via weekday()+1 — Spark's dayofweek() counts Sunday=1 while
+    DuckDB's counts Sunday=0, so the portable form is ISO."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + 1).alias("isodow"),
+        F.quarter(d).alias("q"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).alias("days_to_98"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("q_start"),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y,
+       month(o_orderdate) AS m,
+       day(o_orderdate) AS dom,
+       CAST(isodow(o_orderdate) AS INT) AS isodow,
+       quarter(o_orderdate) AS q,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_98,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-by-name with missing-column null fill — the reader-facing
+    face of schema-on-write (data_store.go:94-141; readers use
+    union_by_name=true, merge_service_fs.go:215)."""
+    c = _t(spark, sf_dir, "customer")
+    old_gen = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    new_gen = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True)
+
+
+UNION_BY_NAME_SQL = """
+SELECT c_custkey, c_name, NULL::DOUBLE AS c_acctbal FROM customer WHERE c_custkey % 2 = 0
+UNION ALL BY NAME
+SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
+def intersect_all_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — duplicates preserved)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    b = li.filter(F.col("l_discount") > 0.02).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+INTERSECT_ALL_SQL = """
+SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+INTERSECT ALL
+SELECT l_orderkey FROM lineitem WHERE l_discount > 0.02
+"""
+
+
+def sql_cte_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause SQL through the raw SQL entry point (the /query path:
+    spark.sql over registered views, README.md:117-133)."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT o_custkey, count(*) AS n_big FROM orders
+          WHERE o_totalprice > 100000 GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(n_big) AS BIGINT) AS total_big_orders
+        FROM big JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+SQL_CTE_SQL = """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n_big FROM orders
+  WHERE o_totalprice > 100000 GROUP BY o_custkey
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(n_big) AS BIGINT) AS total_big_orders
+FROM big JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def approx_count_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL). Rows-only for the driver: HLL sketches
+    are engine-specific so exact output can't cross-match; the error-bound
+    contract (<5% vs exact) is asserted in tests/test_sql_extended.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -752,6 +982,16 @@ QUERIES = {
     "epoch_ns_range": epoch_ns_range,
     "ch_dialect_functions": ch_dialect_functions,
     "pivot_event_types": pivot_event_types,
+    "grouping_sets_orders": grouping_sets_orders,
+    "quantiles_by_group": quantiles_by_group,
+    "string_agg_ordered": string_agg_ordered,
+    "json_extract_props": json_extract_props,
+    "math_functions": math_functions,
+    "date_functions": date_functions,
+    "union_by_name_schema_evolution": union_by_name_schema_evolution,
+    "intersect_all_sets": intersect_all_sets,
+    "sql_cte_text": sql_cte_text,
+    "approx_count_distinct_events": approx_count_distinct_events,
 }
 
 ORACLE = {
@@ -783,4 +1023,14 @@ ORACLE = {
     "epoch_ns_range": EPOCH_NS_SQL,
     "ch_dialect_functions": CH_DIALECT_SQL,
     "pivot_event_types": PIVOT_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "quantiles_by_group": QUANTILES_SQL,
+    "string_agg_ordered": STRING_AGG_SQL,
+    "json_extract_props": JSON_EXTRACT_SQL,
+    "math_functions": MATH_SQL,
+    "date_functions": DATE_SQL,
+    "union_by_name_schema_evolution": UNION_BY_NAME_SQL,
+    "intersect_all_sets": INTERSECT_ALL_SQL,
+    "sql_cte_text": SQL_CTE_SQL,
+    # approx_count_distinct_events: rows-only (HLL engine-specific)
 }
