@@ -1,0 +1,126 @@
+"""As-of join and time-bucket gap-filling — time-series operators.
+
+The reference's surface has no ASOF (SURVEY §2B joins: "not part of the
+reference surface"), but its domain (time-series lakehouse) makes these
+the first things users reach for; both are offered Spark-first:
+
+- **asof_join**: the union+window formulation — tag both sides, union on
+  (key, time), and carry the latest right-side payload forward with
+  last(ignorenulls) over a time-ordered window. ONE shuffle on the key,
+  one in-partition sort; no per-group Python, no range explosion. This is
+  the formulation that survives 100 TB (pd.merge_asof via applyInPandas
+  is the fallback for exotic tolerances).
+- **gapfill**: dense bucket grid via sequence()+explode cross the key
+  domain, left-join the sparse aggregates, then zero-fill / LOCF (last
+  observation carried forward) with an ignore-nulls window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    right_time <= left_time (backward; 'forward' mirrors with >=).
+
+    Returns all left columns plus ``payload_cols`` (null when no match).
+    Right rows should be unique per (key, time) for determinism — same
+    contract DuckDB's ASOF JOIN has.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        payload,
+        F.lit(0).alias("_side"),  # right sorts before left at equal time → ties match
+    )
+    l_cols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        F.lit(1).alias("_side"),
+        *l_cols,
+    )
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_asof_payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.desc("_t"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_asof_payload", ignorenulls=True).over(w)
+
+    out = (
+        tagged.withColumn("_match", carried)
+        .filter(F.col("_side") == 1)
+        .select(
+            *l_cols,
+            *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+        )
+    )
+    return out
+
+
+def gapfill(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    bucket_step: int,
+    agg_cols: dict[str, str],
+    fill: dict[str, object] | None = None,
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a sparse (key, bucket) aggregate to a full grid.
+
+    ``df`` must already be aggregated per (key, bucket) with integer
+    buckets (e.g. epoch-hours). The grid spans [global min, global max]
+    per key — generated with sequence()+explode (JVM, no driver loop).
+    ``fill`` maps column → constant for zero-filling; ``locf_cols`` carry
+    the last non-null observation forward instead.
+    """
+    bounds = df.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    keys = df.select(F.col(key_col)).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(bucket_step))
+            ).alias(bucket_col),
+        )
+    )
+    dense = grid.join(df, [key_col, bucket_col], "left")
+    for col, const in (fill or {}).items():
+        dense = dense.withColumn(col, F.coalesce(F.col(col), F.lit(const)))
+    for col in locf_cols or []:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.asc(bucket_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dense = dense.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    return dense

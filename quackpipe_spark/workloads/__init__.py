@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quackpipe_spark.workloads import dataflow, llm_ops, sql_surface
+from quackpipe_spark.workloads import dataflow, llm_ops, sql_surface, timeseries
 
-_MODULES = [sql_surface, llm_ops, dataflow]
+_MODULES = [sql_surface, llm_ops, dataflow, timeseries]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -331,7 +331,7 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = _t(spark, sf_dir, "part")
     bands = spark.createDataFrame(
-        [("cheap", 0.0, 500.0), ("mid", 500.0, 1200.0), ("expensive", 1200.0, 1e12)],
+        [("cheap", 0.0, 906.0), ("mid", 906.0, 913.0), ("expensive", 913.0, 1e12)],
         "band string, lo double, hi double",
     )
     return (
@@ -343,7 +343,7 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_RANGE_SQL = """
 WITH bands(band, lo, hi) AS (
-  VALUES ('cheap', 0.0, 500.0), ('mid', 500.0, 1200.0), ('expensive', 1200.0, 1e12)
+  VALUES ('cheap', 0.0, 906.0), ('mid', 906.0, 913.0), ('expensive', 913.0, 1e12)
 )
 SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
@@ -540,15 +540,21 @@ GROUP BY o_orderstatus
 
 
 def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS (anti join): customers who never ordered."""
+    """NOT EXISTS (anti join): customers with no large (>350k) order.
+
+    (Plain "never ordered" is vacuous on this data — every customer has
+    orders — so the predicate includes a filter on the subquery side.)
+    """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350_000).select("o_custkey")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 SUBQUERY_NOT_EXISTS_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000
+)
 """
 
 
