@@ -29,15 +29,59 @@ _WRITE_PATHS = ("/gigapi/insert", "/gigapi/write", "/write", "/api/v2/write", "/
 
 
 class GigapiServer:
-    def __init__(self, spark, root: str, host: str = "127.0.0.1", port: int = 7971):
+    def __init__(
+        self,
+        spark,
+        root: str,
+        host: str = "127.0.0.1",
+        port: int = 7971,
+        merge_timeout_s: float | None = None,
+    ):
+        self.spark = spark
         self.catalog = Catalog(root)
         self.ingest = IngestService(spark, self.catalog)
         self.query = QueryEngine(spark, self.catalog)
         self.host, self.port = host, port
         self._httpd: ThreadingHTTPServer | None = None
+        # merge ticker parity (registry.go:27-62): every MERGE_TIMEOUT_S,
+        # run due compaction levels per table; NO_MERGES disables.
+        import os as _os
+
+        from quackpipe_spark.plans.compactor import MERGE_TIMEOUT_S
+
+        self.merge_timeout_s = (
+            merge_timeout_s
+            if merge_timeout_s is not None
+            else float(_os.environ.get("MERGE_TIMEOUT_S", MERGE_TIMEOUT_S))
+        )
+        self.merges_enabled = not _os.environ.get("NO_MERGES")
+        self._compactors: dict = {}
+        self._merge_stop = threading.Event()
+        self._merge_thread: threading.Thread | None = None
+
+    def _merge_loop(self) -> None:
+        from quackpipe_spark.plans.compactor import Compactor
+
+        while not self._merge_stop.wait(self.merge_timeout_s):
+            for t in self.catalog.tables():
+                comp = self._compactors.get((t.database, t.name))
+                if comp is None:
+                    comp = Compactor(self.spark, t)
+                    self._compactors[(t.database, t.name)] = comp
+                try:
+                    levels = comp.due_levels(timeout_s=self.merge_timeout_s)
+                    if levels:
+                        comp.run_once(levels)
+                except Exception:  # merge failure must not kill the ticker
+                    pass
 
     def start(self) -> None:
         self.ingest.start()
+        if self.merges_enabled:
+            self._merge_thread = threading.Thread(
+                target=self._merge_loop, daemon=True, name="merge-ticker"
+            )
+            self._merge_thread.start()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -85,12 +129,25 @@ class GigapiServer:
                         self._send(200, {"status": "created"})
                     elif any(path == p or path.startswith(p + "/") for p in _WRITE_PATHS):
                         db = q.get("db") or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "default")
-                        promises = ingest_lines(
-                            server.ingest,
-                            self._body().decode(),
-                            db=db,
-                            precision=q.get("precision", "ns"),
-                        )
+                        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                        if ctype == "application/x-ndjson":
+                            # content-type parser dispatch (parsers.go:30-46);
+                            # ndjson needs an explicit target table
+                            from quackpipe_spark.sources.ndjson import ingest_ndjson
+
+                            promises = ingest_ndjson(
+                                server.ingest,
+                                self._body().decode(),
+                                db=db,
+                                table=q.get("table", "default"),
+                            )
+                        else:  # default: influx line protocol
+                            promises = ingest_lines(
+                                server.ingest,
+                                self._body().decode(),
+                                db=db,
+                                precision=q.get("precision", "ns"),
+                            )
                         for p in promises:
                             p.result(30)
                         self.send_response(204)
@@ -111,6 +168,10 @@ class GigapiServer:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd = None
+        self._merge_stop.set()
+        if self._merge_thread:
+            self._merge_thread.join(timeout=30)
+            self._merge_thread = None
         self.ingest.stop()
 
 

@@ -112,9 +112,16 @@ class Compactor:
         return due
 
     def run_once(self, levels: list[int] | None = None) -> list[str]:
-        """Plan + execute all merges for this table; returns output files."""
+        """Plan + execute all merges for this table; returns output files.
+
+        Also reaps any due tombstones (delayed deletes from earlier
+        merges) so cleanup happens on the ticker cadence even for
+        partitions with nothing left to merge."""
         plans: list[MergePlan] = []
         for pdir in self.table.partition_dirs():
+            idx = PartitionIndex.load(pdir)
+            if idx.drop_queue and idx.reap():
+                idx.save()
             plans.extend(plan_merges(pdir, levels))
         if not plans:
             return []

@@ -1,0 +1,73 @@
+"""NDJSON insert source (SURVEY §2A A4).
+
+The reference registers ``application/x-ndjson`` but its parser is fully
+stubbed (merge/parsers/ndjson_insert_parser.go:17-90, all TODO) — this is
+a strict-superset implementation of that intended interface: one JSON
+object per line, columnarized into schema-homogeneous batches using the
+same order-invariant fingerprint/batch-split machinery as line protocol,
+with the stub's planned 10 MB batch cap honored.
+
+Bulk/distributed path: ``spark.read.json`` — Spark's native ndjson reader
+(schema inference, pushdown, partitioned scan) already covers backfills.
+"""
+
+from __future__ import annotations
+
+import json
+
+from quackpipe_spark.sources.lineproto import ParsedBatch, schema_id
+from quackpipe_spark.types import infer_canonical
+
+MAX_BATCH_BYTES = 10 * 1024 * 1024  # ndjson_insert_parser.go:40 (planned cap)
+
+
+def parse_ndjson(
+    text_or_lines,
+    database: str = "default",
+    table: str = "default",
+) -> list[ParsedBatch]:
+    """Parse ndjson text into columnar batches bound for (database, table).
+
+    Batches split when the (keys, types) fingerprint changes OR the 10 MB
+    cap is reached. Nested objects/arrays are rejected (the reference's
+    4-type system has no nested types); null values are allowed and keep
+    the column's type undetermined until a non-null appears.
+    """
+    if isinstance(text_or_lines, str):
+        lines = text_or_lines.splitlines()
+    else:
+        lines = text_or_lines
+    batches: list[ParsedBatch] = []
+    cur: ParsedBatch | None = None
+    cur_bytes = 0
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        obj = json.loads(line)
+        if not isinstance(obj, dict):
+            raise ValueError(f"ndjson line must be an object, got {type(obj).__name__}")
+        ftypes = {}
+        for k, v in obj.items():
+            if isinstance(v, (dict, list)):
+                raise TypeError(f"nested value for field {k!r} (4-type system)")
+            ftypes[k] = infer_canonical(v) if v is not None else "VARCHAR"
+        sid = schema_id([], ftypes)
+        if cur is None or cur.schema_id != sid or cur_bytes >= MAX_BATCH_BYTES:
+            cur = ParsedBatch(database=database, table=table, schema_id=sid)
+            for k in obj:
+                cur.data[k] = []
+            batches.append(cur)
+            cur_bytes = 0
+        for k in cur.data:
+            cur.data[k].append(obj.get(k))
+        cur_bytes += len(line)
+    return batches
+
+
+def ingest_ndjson(service, text: str, db: str = "default", table: str = "default"):
+    """NDJSON → buffered store (HTTP insert path; mirrors ingest_lines)."""
+    promises = []
+    for batch in parse_ndjson(text, database=db, table=table):
+        promises.append(service.store(batch.database, batch.table, batch.data))
+    return promises
