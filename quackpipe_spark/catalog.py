@@ -59,10 +59,13 @@ class Table:
             return cls(**json.load(f))
 
     def partition_dirs(self) -> list[str]:
-        """Live partition directories (…/date=D/hour=H)."""
+        """Live partition directories (…/date=D/hour=H), or the table root
+        for flat "Merge"-engine tables."""
         out = []
         if not os.path.isdir(self.path):
             return out
+        if not self.partition_by:
+            return [self.path]
         for dname in sorted(os.listdir(self.path)):
             dpath = os.path.join(self.path, dname)
             if not (os.path.isdir(dpath) and dname.startswith("date=")):

@@ -108,8 +108,14 @@ def rewrite_sql(sql: str) -> str:
     """Rewrite dialect constructs Spark can't express as functions.
 
     - ``count()`` → ``count(*)`` (ClickHouse zero-arg count).
-    - ``read_parquet('p')`` → ``parquet.`p``` (Spark path-table syntax).
+    - ``read_parquet('p')`` → ``parquet.`p``` (Spark path-table syntax);
+      http(s) URLs fetch through the local cache and s3:// normalizes to
+      s3a:// first (the reference's httpfs idiom, BENCHMARK.md:11).
     """
+    from quackpipe_spark.sources.remote import resolve_scan_path
+
     sql = _COUNT_NOARG.sub("count(*)", sql)
-    sql = _READ_PARQUET.sub(lambda m: f"parquet.`{m.group(1)}`", sql)
+    sql = _READ_PARQUET.sub(
+        lambda m: f"parquet.`{resolve_scan_path(m.group(1))}`", sql
+    )
     return sql

@@ -1,0 +1,68 @@
+"""Remote parquet sources: http(s) fetch-and-cache + s3a configuration.
+
+The reference reads parquet straight off HTTPS and S3 through DuckDB's
+httpfs (BENCHMARK.md:11 ``read_parquet('https://…')``;
+merge_service_s3.go:99-109 ``CREATE SECRET (TYPE S3, …)``). Spark has
+native ``s3a://`` support via hadoop-aws; plain http(s) it does not —
+those URLs are fetched once to a local cache (driver-side; the files in
+question are single benchmark/reference datasets, not table storage) and
+read from there. ``rewrite_sql``'s ``read_parquet('https://…')`` rewrite
+routes through this cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import urllib.request
+
+CACHE_DIR = os.environ.get("QPS_HTTP_CACHE", "/tmp/quackpipe_spark_http_cache")
+
+
+def fetch_to_cache(url: str, timeout: float = 120.0) -> str:
+    """Download an http(s) parquet once; return the local path (atomic:
+    tmp + rename, concurrent fetchers converge on the same file)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    name = hashlib.sha256(url.encode()).hexdigest()[:24] + ".parquet"
+    dst = os.path.join(CACHE_DIR, name)
+    if os.path.exists(dst):
+        return dst
+    tmp = dst + f".tmp.{os.getpid()}"
+    with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as f:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+    os.replace(tmp, dst)
+    return dst
+
+
+def resolve_scan_path(path: str) -> str:
+    """Map a user-facing scan URL to something Spark can read directly."""
+    if path.startswith(("http://", "https://")):
+        return fetch_to_cache(path)
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
+
+def configure_s3(
+    spark,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style: bool = True,
+) -> None:
+    """Set fs.s3a.* credentials on the session — the Spark analogue of the
+    reference's CREATE SECRET (TYPE S3) (merge_service_s3.go:99-109).
+    Requires the hadoop-aws jars on the classpath (cluster deployments);
+    this helper only sets configuration."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.path.style.access", "true" if path_style else "false")

@@ -109,25 +109,29 @@ class HiveWriter:
         tcol = self.time_column(table)
         if dict(df.dtypes).get(tcol) != "bigint":
             raise TypeError(f"time column {tcol!r} must be int64 epoch ns")
-        ts = F.timestamp_seconds(F.expr(f"`{tcol}` DIV 1000000000"))
-        staged = (
-            df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
-            .withColumn("hour", F.date_format(ts, "HH"))
-        )
+        partitioned = bool(table.partition_by)
+        if partitioned:
+            ts = F.timestamp_seconds(F.expr(f"`{tcol}` DIV 1000000000"))
+            staged = (
+                df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
+                .withColumn("hour", F.date_format(ts, "HH"))
+            )
+        else:
+            # "Merge" engine: flat directory, no hive dirs (registry.go:184-190)
+            staged = df
         if one_file_per_partition:
             # one sorted file per flush per partition (reference parity:
             # one .1.parquet per Save, hive_partition.go:116-177)
-            staged = staged.repartition("date", "hour")
+            staged = staged.repartition("date", "hour") if partitioned else staged.coalesce(1)
         staged = staged.sortWithinPartitions(*[F.asc(c) for c in table.order_by])
 
         stage_dir = os.path.join(table.tmp_dir(), uuid.uuid4().hex)
-        (
-            staged.write.mode("overwrite")
-            .option("parquet.block.size", 8 * 1024 * 1024)
-            .option("spark.sql.files.maxRecordsPerFile", 0)
-            .partitionBy("date", "hour")
-            .parquet(stage_dir)
+        writer = staged.write.mode("overwrite").option(
+            "parquet.block.size", 8 * 1024 * 1024
         )
+        if partitioned:
+            writer = writer.partitionBy("date", "hour")
+        writer.parquet(stage_dir)
         written = self._commit(table, stage_dir, level, tcol)
         shutil.rmtree(stage_dir, ignore_errors=True)
         return written
@@ -140,8 +144,8 @@ class HiveWriter:
             parts = [f for f in files if f.endswith(".parquet")]
             if not parts:
                 continue
-            rel = os.path.relpath(root, stage_dir)  # date=…/hour=…
-            live_dir = os.path.join(table.path, rel)
+            rel = os.path.relpath(root, stage_dir)  # date=…/hour=… or "." (flat)
+            live_dir = table.path if rel == "." else os.path.join(table.path, rel)
             os.makedirs(live_dir, exist_ok=True)
             idx = PartitionIndex.load(live_dir)
             for fname in parts:
