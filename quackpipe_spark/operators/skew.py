@@ -1,0 +1,44 @@
+"""Skew-handling join: salting for hot keys.
+
+AQE's skew-join splitting (on in session.py) handles most sort-merge skew
+at runtime; salting is the explicit tool for the cases AQE can't touch —
+aggregations over hot keys and joins where one side must replicate.
+
+``salted_join``: the big (skewed) side gets a random-ish salt in
+[0, salt) derived deterministically from row content; the small side is
+exploded ``salt`` times so every (key, salt) bucket finds its match. The
+hot key's rows spread over ``salt`` reducers instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join big⋈small on ``key`` with an added salt dimension.
+
+    Equivalent to ``big.join(small, key, how)`` for inner/left joins; the
+    salt column never leaks into the output. The big side's salt derives
+    from a hash of all its columns (deterministic, no rand() → plans stay
+    reproducible and retries are safe — rand() in a task retry would
+    re-salt differently and double/drop rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -959,6 +959,101 @@ def approx_count_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / first_value / nth_value — the
+    rest of the analytic-window family (SURVEY §2B windows)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_cheapest"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_order,
+       nth_value(o_orderkey, 2) OVER w AS second_cheapest
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace / rlike / count."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.regexp_count("p_name", F.lit("e")).cast("long").alias("n_e"),
+    )
+
+
+REGEXP_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+       CAST(len(regexp_extract_all(p_name, 'e')) AS BIGINT) AS n_e
+FROM part
+"""
+
+
+def explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (generator) surface: corpus word frequencies —
+    explode(split(text)) → groupBy — the unnest/flatten pattern."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+EXPLODE_WORDS_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+GROUP BY word HAVING count(*) >= 100
+"""
+
+
+def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: collect distinct sets, sort,
+    index, and size them (rendered to string for portability)."""
+    o = _t(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(statuses, "|").alias("statuses"),
+        F.size(statuses).cast("long").alias("n_statuses"),
+        F.element_at(statuses, 1).alias("first_status"),
+    )
+
+
+ARRAY_AGG_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS st
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       array_to_string(st, '|') AS statuses,
+       CAST(len(st) AS BIGINT) AS n_statuses,
+       st[1] AS first_status
+FROM agg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -998,6 +1093,10 @@ QUERIES = {
     "intersect_all_sets": intersect_all_sets,
     "sql_cte_text": sql_cte_text,
     "approx_count_distinct_events": approx_count_distinct_events,
+    "window_analytics_battery": window_analytics_battery,
+    "regexp_functions": regexp_functions,
+    "explode_word_frequencies": explode_word_frequencies,
+    "array_agg_ops": array_agg_ops,
 }
 
 ORACLE = {
@@ -1039,4 +1138,8 @@ ORACLE = {
     "intersect_all_sets": INTERSECT_ALL_SQL,
     "sql_cte_text": SQL_CTE_SQL,
     # approx_count_distinct_events: rows-only (HLL engine-specific)
+    "window_analytics_battery": WINDOW_ANALYTICS_SQL,
+    "regexp_functions": REGEXP_SQL,
+    "explode_word_frequencies": EXPLODE_WORDS_SQL,
+    "array_agg_ops": ARRAY_AGG_SQL,
 }
