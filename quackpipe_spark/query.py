@@ -30,12 +30,31 @@ from quackpipe_spark.catalog import Catalog, Table
 from quackpipe_spark.functions.dialect import register_dialect, rewrite_sql
 from quackpipe_spark.plans.index import PartitionIndex
 
+_TS_VALUE = r"(\d+|epoch_ns\(\s*(?:TIMESTAMP\s*)?'[^']+'(?:\s*::\s*TIMESTAMP)?\s*\))"
 _TS_BOUND = re.compile(
-    r"__timestamp\s*(>=|<=|>|<)\s*(\d+)", re.IGNORECASE
+    rf"__timestamp\s*(>=|<=|>|<)\s*{_TS_VALUE}", re.IGNORECASE
 )
 _TS_BETWEEN = re.compile(
-    r"__timestamp\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", re.IGNORECASE
+    rf"__timestamp\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
 )
+_EPOCH_NS_LIT = re.compile(r"'([^']+)'")
+
+
+def _ts_literal_ns(lit: str) -> int:
+    """A bound literal: raw ns integer, or the reference's documented
+    epoch_ns('…'::TIMESTAMP) idiom (README.md:121) → ns since epoch UTC."""
+    if lit.isdigit():
+        return int(lit)
+    from datetime import datetime, timezone
+
+    raw = _EPOCH_NS_LIT.search(lit).group(1)
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(raw, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp literal: {raw!r}")
 
 
 def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
@@ -44,15 +63,22 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     never depends on this — Catalyst still filters rows)."""
     lo, hi = None, None
     for op, lit in _TS_BOUND.findall(sql):
-        v = int(lit)
+        try:
+            v = _ts_literal_ns(lit)
+        except ValueError:
+            continue
         if op in (">=", ">"):
             lo = v if lo is None else max(lo, v)
         else:
             hi = v if hi is None else min(hi, v)
     m = _TS_BETWEEN.search(sql)
     if m:
-        lo = int(m.group(1)) if lo is None else max(lo, int(m.group(1)))
-        hi = int(m.group(2)) if hi is None else min(hi, int(m.group(2)))
+        try:
+            a, b = _ts_literal_ns(m.group(1)), _ts_literal_ns(m.group(2))
+            lo = a if lo is None else max(lo, a)
+            hi = b if hi is None else min(hi, b)
+        except ValueError:
+            pass
     return lo, hi
 
 
