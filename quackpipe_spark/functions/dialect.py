@@ -69,7 +69,9 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # (lcase/ucase are already Spark builtins with CH semantics — not shimmed)
     ("leftPad", "s STRING, n INT, p STRING", "STRING", "lpad(s, n, p)"),
     ("rightPad", "s STRING, n INT, p STRING", "STRING", "rpad(s, n, p)"),
-    ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", "split(s, sep)"),
+    # \Q…\E quotes the separator — Spark's split() takes a regex, and CH
+    # splitByChar semantics are literal (sep='.' must not match-any)
+    ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", r"split(s, concat('\\Q', sep, '\\E'))"),
     # time_bucket (DuckDB/Timescale style): align ts to a bucket width.
     (
         "time_bucket_s",

@@ -115,6 +115,9 @@ def minhash_signatures(
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    # shingle count rides along for free — downstream jaccard needs |A|,|B|
+    # and this saves it a whole second groupBy over the explode
+    aggs.append(F.count("*").alias("n_shingles"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -157,13 +160,16 @@ def jaccard_verify(
     shingle_k: int = 3,
     threshold: float = 0.8,
     shingle_df: DataFrame | None = None,
+    sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
     |A∩B| via a shingle join restricted (semi-join) to candidate ids;
     |A∪B| = |A|+|B|-|A∩B|. Output (a, b, jaccard) filtered to ≥ threshold.
     Pass ``shingle_df`` (ideally persisted) to share the explode with an
-    upstream candidate stage instead of recomputing it per branch.
+    upstream candidate stage, and ``sizes_df`` (id_col, n) when shingle
+    counts are already known (e.g. from the signature aggregation) to
+    skip the size groupBy entirely.
     """
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
@@ -176,7 +182,11 @@ def jaccard_verify(
         else shingle_table(docs, id_col, text_col, shingle_k)
     )
     sh = base_sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sizes = (
+        sizes_df
+        if sizes_df is not None
+        else sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    )
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -240,8 +250,10 @@ def minhash_dedup(
     # simultaneous copies). The blocking count() fills the cache first.
     cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
     cands.count()
+    sizes = sigs.select(id_col, F.col("n_shingles").alias("n"))
     return jaccard_verify(
-        docs, cands, id_col, text_col, shingle_k, threshold, shingle_df=sh
+        docs, cands, id_col, text_col, shingle_k, threshold,
+        shingle_df=sh, sizes_df=sizes,
     )
 
 
