@@ -1,1 +1,6 @@
-from quackpipe_spark.streaming.ingest import stream_lines_to_table, windowed_counts  # noqa: F401
+from quackpipe_spark.streaming.ingest import (  # noqa: F401
+    session_windows,
+    stream_lines_to_table,
+    windowed_counts,
+)
+from quackpipe_spark.streaming.stateful import running_totals  # noqa: F401

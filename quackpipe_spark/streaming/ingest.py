@@ -55,6 +55,31 @@ def stream_lines_to_table(
     return writer.start()
 
 
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (gap-merged) — works on batch and streaming
+    DataFrames; the streaming form adds a watermark upstream. Equivalent
+    to the lag+cumsum sessionization in the batch surface (cross-checked
+    in tests), but expressed with Spark's built-in session_window so the
+    streaming state store handles late-merge semantics."""
+    ts = F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+    return (
+        events.withColumn("_event_time", ts)
+        .groupBy(F.session_window("_event_time", gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",

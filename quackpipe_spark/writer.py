@@ -208,7 +208,13 @@ class HiveWriter:
             # one sorted file per flush per partition (reference parity:
             # one .1.parquet per Save, hive_partition.go:116-177)
             staged = staged.repartition("date", "hour") if partitioned else staged.coalesce(1)
-        staged = staged.sortWithinPartitions(*[F.asc(c) for c in table.order_by])
+        # partition cols lead the sort: the dynamic-partition writer re-sorts
+        # any task whose rows aren't clustered by partition value (and that
+        # sort is NOT stable on the remaining keys) — pre-sorting by
+        # (date, hour, order_by) satisfies its requirement so files keep
+        # the order-by clustering
+        sort_cols = (["date", "hour"] if partitioned else []) + list(table.order_by)
+        staged = staged.sortWithinPartitions(*[F.asc(c) for c in sort_cols])
 
         stage_dir = os.path.join(table.tmp_dir(), uuid.uuid4().hex)
         writer = staged.write.mode("overwrite").option(
