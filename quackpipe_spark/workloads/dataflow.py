@@ -111,7 +111,7 @@ def lineproto_parse_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINEPROTO_DISTRIBUTED_SQL = """
 SELECT * FROM (VALUES
-  ('us-midwest', 'summer', 82.0, NULL::DOUBLE, 1465839830100400200),
+  ('us-midwest', 'summer', 82.0::DOUBLE, NULL::DOUBLE, 1465839830100400200),
   ('us-east', 'summer', 75.0, NULL::DOUBLE, 1465839830100400201),
   ('us-west', 'winter', 48.0, 0.61, 1465839830100400202)
 ) AS t(location, season, temperature, humidity, "time")

@@ -286,8 +286,8 @@ WITH base AS (
 ), ext AS (
   SELECT doc_id, text, t,
          list_distinct(t) AS dt,
-         length(text) AS n_chars,
-         len(t) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(t) AS INT) AS n_tokens,
          CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens_est,
          round((length(text) - length(stripped)) / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
          list_sort(list_distinct(string_split_regex(trim(norm), '\\s+'))) AS norm_toks

@@ -367,7 +367,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_TOPK_SQL = """
 SELECT event_type, rn, event_id, value FROM (
   SELECT event_type, event_id, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS INT) AS rn
   FROM events
 ) WHERE rn <= 3
 """
@@ -624,7 +624,7 @@ EXPR_CASE_SQL = """
 SELECT p_partkey,
        lower(p_name) AS name_lower,
        substring(p_brand, 1, 5) AS brand5,
-       length(p_type) AS type_len,
+       CAST(length(p_type) AS INT) AS type_len,
        replace(p_type, ' ', '_') AS type_snake,
        CASE WHEN p_size >= 40 THEN 'XL' WHEN p_size >= 20 THEN 'L'
             WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class,
@@ -870,13 +870,13 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DATE_SQL = """
 SELECT o_orderkey,
-       year(o_orderdate) AS y,
-       month(o_orderdate) AS m,
-       day(o_orderdate) AS dom,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS dom,
        CAST(isodow(o_orderdate) AS INT) AS isodow,
-       quarter(o_orderdate) AS q,
+       CAST(quarter(o_orderdate) AS INT) AS q,
        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
-       date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_98,
+       CAST(date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS INT) AS days_to_98,
        strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
        strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start
 FROM orders WHERE o_orderkey < 200
@@ -977,7 +977,7 @@ def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_ANALYTICS_SQL = """
 SELECT o_custkey, o_orderkey,
-       ntile(4) OVER w AS quartile,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
        first_value(o_orderkey) OVER w AS cheapest_order,
