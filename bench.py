@@ -29,10 +29,15 @@ def main() -> None:
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
 
-    # Warm the JVM/codegen paths once so per-query numbers reflect steady
-    # state (the reference's baseline is a warm single-node process too).
+    # Warm the JVM/codegen paths AND the Python worker pool once so
+    # per-query numbers reflect steady state (the reference's baseline is
+    # a warm single-node process too; first mapInPandas otherwise pays
+    # ~32 interpreter spawns inside one query's timing).
     try:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        spark.range(1000).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
     except Exception as e:
         failures["_warmup"] = f"{type(e).__name__}: {e}"[:200]
     for name in sorted(qs):

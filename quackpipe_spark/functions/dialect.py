@@ -61,6 +61,10 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("toStartOfHour", "x TIMESTAMP", "TIMESTAMP", "date_trunc('HOUR', x)"),
     ("toStartOfMinute", "x TIMESTAMP", "TIMESTAMP", "date_trunc('MINUTE', x)"),
     ("toDate", "x TIMESTAMP", "DATE", "CAST(x AS DATE)"),
+    ("toYYYYMM", "x TIMESTAMP", "INT", "year(x) * 100 + month(x)"),
+    ("toYYYYMMDD", "x TIMESTAMP", "INT", "year(x) * 10000 + month(x) * 100 + day(x)"),
+    ("today", "", "DATE", "current_date()"),
+    ("yesterday", "", "DATE", "date_sub(current_date(), 1)"),
     ("toUnixTimestamp", "x TIMESTAMP", "BIGINT", "unix_seconds(x)"),
     ("toDateTime", "x BIGINT", "TIMESTAMP", "timestamp_seconds(x)"),
     # chsql string/url helpers.

@@ -163,6 +163,80 @@ def hyperplane_buckets(
     return corpus.select(F.col(id_col), v.alias(vec_col), bucket.cast("int").alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (Spark ML KMeans).
+
+    Index: KMeans cells over the corpus; every vector gets a cell id.
+    Search: each query probes its ``nprobe`` nearest cells and ranks only
+    those vectors — compared fraction ≈ nprobe/n_cells. The centroid set
+    is tiny and rides along as a broadcast; at 100 TB the corpus
+    assignment is one ML transform (a projection) and search is an
+    equi-join on cell id, the same shape as the LSH variant but with
+    data-adaptive cells (better recall on clustered corpora).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = array_to_vector(F.col(vec_col).cast("array<double>"))
+    c_feat = corpus.select(F.col(id_col), F.col(vec_col), feat.alias("_feat"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell").fit(
+        c_feat
+    )
+    assigned = model.transform(c_feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("_cell").alias("cell"),
+    )
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = queries.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # nprobe nearest cells per query (query set × centroids is tiny)
+    probed = (
+        q.crossJoin(F.broadcast(centers_df))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            cosine(F.col("qvec"), F.col("center")).alias("_ccos"),
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("_crank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

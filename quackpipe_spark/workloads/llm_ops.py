@@ -251,6 +251,14 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM ranked WHERE r
 """
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) approximate top-k — rows-only check;
+    recall vs brute force is asserted in tests/test_llm_ops.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant (bucketed search) — rows-only check: the oracle
     would just restate the same LSH; the interesting property (recall vs
@@ -342,6 +350,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "text_analyze": text_analyze,
     "multimodal_summary": multimodal_summary,
     "multimodal_decode": multimodal_decode,

@@ -36,8 +36,6 @@ from quackpipe_spark.catalog import Catalog, Table
 from quackpipe_spark.plans.index import FileEntry, PartitionIndex
 from quackpipe_spark.types import CANONICAL, infer_canonical
 
-NS_PER_DAY = 86_400_000_000_000
-
 # Parquet row-group length parity (save_service_fs.go:83).
 ROW_GROUP_ROWS = 8124
 

@@ -98,6 +98,19 @@ def test_lsh_topk_agrees_with_bruteforce(emb):
         assert r["cos"] <= bf_best[r["query_id"]] + 1e-9
 
 
+def test_ivf_topk_recall_beats_lsh(emb):
+    """IVF (data-adaptive cells) should out-recall single-table
+    hyperplane LSH at comparable probe fractions on this corpus."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, queries, k=10).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # every IVF result is a real corpus vector with a valid rank
+    ranks = [r["rank"] for r in S.ivf_topk(emb, queries, k=10).collect()]
+    assert all(1 <= r <= 10 for r in ranks)
+
+
 def test_text_quality_and_langid(spark):
     rows = [
         (1, "the cat sat on the mat and it is a good day for the dog"),
