@@ -96,7 +96,13 @@ class GigapiServer:
                 return raw
 
             def _send(self, code: int, payload: dict | None = None):
-                body = json.dumps(payload).encode() if payload is not None else b""
+                # timestamps/dates/decimals/bytes serialize via str — the
+                # reference's JSON rows render the same way
+                body = (
+                    json.dumps(payload, default=str).encode()
+                    if payload is not None
+                    else b""
+                )
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

@@ -21,6 +21,7 @@ generation (json_index.go drop-queue semantics).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -121,9 +122,24 @@ class QueryEngine:
             .parquet(*files)
         )
 
+    _RP_ARRAY = re.compile(
+        r"read_parquet\s*\(\s*ARRAY\s*\[([^\]]+)\]\s*(?:,[^)]*)?\)", re.IGNORECASE
+    )
+
     def sql(self, query: str, db: str = "default") -> DataFrame:
         """Execute dialect-rewritten SQL with tables resolved to pruned
         scans (POST /query handler semantics, README.md:117-133)."""
+        # read_parquet(ARRAY['f1','f2'], …) — the reference's multi-file
+        # scan form (merge_service_fs.go:215). Spark's path-table syntax
+        # is single-path, so the file list becomes a registered view.
+        def _rp_view(m: re.Match) -> str:
+            files = [f.strip().strip("'\"") for f in m.group(1).split(",")]
+            name = "_rp_" + hashlib.md5("|".join(files).encode()).hexdigest()[:12]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            df.createOrReplaceTempView(name)
+            return name
+
+        query = self._RP_ARRAY.sub(_rp_view, query)
         query = rewrite_sql(query)
         lo, hi = extract_time_bounds(query)
         for t in self.catalog.tables(db):

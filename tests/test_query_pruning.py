@@ -54,3 +54,50 @@ def test_partition_filter_pushdown_on_written_table(spark, tmp_path):
     files_all = qe.table_files(catalog.get("d", "pp"))
     files_pruned = qe.table_files(catalog.get("d", "pp"), lo=t0 + 86_000 * NS)
     assert len(files_all) == 2 and len(files_pruned) == 1
+
+
+def test_read_parquet_array_form(spark, tmp_path):
+    """The reference's read_parquet(ARRAY[...]) multi-file scan."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+
+    qe = QueryEngine(spark, Catalog(str(tmp_path / "root")))
+    f1 = "/root/testdata/sf0.001/region.parquet"
+    f2 = "/root/testdata/sf0.001/region.parquet"
+    df = qe.sql(f"SELECT count() AS n FROM read_parquet(ARRAY['{f1}', '{f2}'])")
+    assert df.collect()[0]["n"] == 10  # both files scanned
+
+
+def test_query_http_dialect(spark, tmp_path):
+    """ClickHouse dialect through the HTTP /query endpoint."""
+    import json
+    import urllib.request
+
+    from quackpipe_spark.api import GigapiServer
+
+    srv = GigapiServer(spark, str(tmp_path / "root"), port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv._httpd.server_address[1]}"
+    try:
+        body = (
+            b'weather,location=east temperature=70 1717405200\n'
+            b'weather,location=east temperature=80 1717405260\n'
+        )
+        req = urllib.request.Request(
+            base + "/write?db=d&precision=s", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 204
+        q = {
+            "query": "SELECT location, count() AS n, toInt64(round(avg(temperature))) AS t,"
+            " toStartOfMinute(from_epoch_ns(min(time))) AS m FROM weather GROUP BY location"
+        }
+        req = urllib.request.Request(
+            base + "/query?db=d", data=json.dumps(q).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            [row] = json.loads(r.read())["results"]
+        assert row["location"] == "east" and row["n"] == 2 and row["t"] == 75
+        assert row["m"].startswith("2024-06-03")
+    finally:
+        srv.stop()
