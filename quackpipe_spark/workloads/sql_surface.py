@@ -1137,6 +1137,64 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery: aggregates skip nulls, count(*) vs count(col),
+    coalesce/nullif, and null-safe equality (IS [NOT] DISTINCT FROM)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = n.join(c, n.n_nationkey == c.c_nationkey, "left")
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_acctbal").alias("n_nonnull"),
+        F.round(F.coalesce(F.avg("c_acctbal"), F.lit(-1.0)), 4).alias("avg_or_sentinel"),
+        F.sum(F.expr("CASE WHEN c_mktsegment IS DISTINCT FROM 'BUILDING' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_not_building_nullsafe"),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("n_nullif"),
+    )
+
+
+NULL_SEMANTICS_SQL = """
+SELECT n_name,
+       count(*) AS n_rows,
+       count(c_acctbal) AS n_nonnull,
+       round(coalesce(avg(c_acctbal), -1.0), 4) AS avg_or_sentinel,
+       CAST(sum(CASE WHEN c_mktsegment IS DISTINCT FROM 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_not_building_nullsafe,
+       count(nullif(c_mktsegment, 'BUILDING')) AS n_nullif
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def order_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering — the reference's comparator sorts
+    nulls first (column.go:87-89); Spark ASC defaults nulls-first while
+    DuckDB defaults nulls-last, so portability requires saying it."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    per_nation = (
+        c.groupBy("c_nationkey").agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+    return (
+        n.join(per_nation, n.n_nationkey == per_nation.c_nationkey, "left")
+        .select("n_name", "avg_bal")
+        .orderBy(F.asc_nulls_first("avg_bal"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+ORDER_NULLS_SQL = """
+SELECT n_name, avg_bal
+FROM nation LEFT JOIN (
+  SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal
+  FROM customer GROUP BY c_nationkey
+) p ON n_nationkey = p.c_nationkey
+ORDER BY avg_bal ASC NULLS FIRST, n_name ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -1183,6 +1241,8 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
+    "null_semantics": null_semantics,
+    "order_nulls_first": order_nulls_first,
 }
 
 ORACLE = {
@@ -1231,4 +1291,6 @@ ORACLE = {
     "q4_order_priority": Q4_SQL,
     "q12_shipmode_priority": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "null_semantics": NULL_SEMANTICS_SQL,
+    "order_nulls_first": ORDER_NULLS_SQL,
 }
