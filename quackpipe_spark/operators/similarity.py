@@ -189,9 +189,17 @@ def ivf_topk(
 
     feat = array_to_vector(F.col(vec_col).cast("array<double>"))
     c_feat = corpus.select(F.col(id_col), F.col(vec_col), feat.alias("_feat"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell").fit(
-        c_feat
-    )
+    # a coarse quantizer doesn't need convergence — a few Lloyd iterations
+    # give cells good enough for routing, at a fraction of the training jobs
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=5,
+        initMode="random",  # k-means|| init costs several extra passes;
+        # random init + a few iterations is plenty for cell routing
+        featuresCol="_feat",
+        predictionCol="_cell",
+    ).fit(c_feat)
     assigned = model.transform(c_feat).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
