@@ -1,0 +1,44 @@
+"""User extension point: vectorized Python functions.
+
+The reference's extensibility is DuckDB extensions + SQL macros
+(aliases.sql, chsql); ours is twofold:
+
+- SQL scalar functions (functions/dialect.py) for anything expressible
+  as an expression — zero-cost, stays in codegen; ALWAYS prefer this.
+- Arrow-vectorized pandas UDFs, registered here, for logic that truly
+  needs Python (models, tokenizers, third-party scoring). Batches cross
+  the JVM/Python boundary as Arrow columns — ~10-100× the row-at-a-time
+  UDF path, and the only Python pattern allowed in operator hot paths.
+
+``register_example_udfs`` ships a working sample (a compression-ratio
+text scorer — a real LLM-data quality signal that genuinely needs
+Python's zlib) and doubles as the registration template for users.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def compression_ratio(text: pd.Series) -> pd.Series:
+    """zlib-compressed size / raw size per document — low ratios flag
+    repetitive/templated text (a standard corpus-quality heuristic that
+    has no SQL-expression equivalent). Vectorized per Arrow batch."""
+    import zlib
+
+    def ratio(s) -> float:
+        if not s:
+            return 1.0
+        raw = s.encode("utf-8", "ignore")
+        return len(zlib.compress(raw, 6)) / max(len(raw), 1)
+
+    return text.map(ratio).astype("float64")
+
+
+def register_example_udfs(spark: SparkSession) -> None:
+    """Make the sample UDFs callable from SQL (spark.sql / the /query
+    endpoint) as well as the DataFrame API."""
+    spark.udf.register("compression_ratio", compression_ratio)
