@@ -342,6 +342,54 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(media, fake=True)
 
 
+# --- flagship composition: end-to-end corpus cleaning ----------------------
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleanup in one declarative pipeline:
+    quality-score every doc, detect near-duplicates (minhash→LSH→jaccard),
+    keep the smaller id of each dup pair, and emit the surviving corpus
+    with its quality metadata. This is the query a reference user runs to
+    produce a training shard — every stage is the oracle-verified operator
+    from above, composed."""
+    docs = _docs(spark, sf_dir)
+    scored = T.analyze(docs).select("doc_id", "quality", "lang_detected", "n_tokens")
+    dups = D.minhash_dedup(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.8
+    ).select(F.col("b").alias("doc_id"))  # drop the larger id of each pair
+    return (
+        scored.join(dups, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id", "quality", "lang_detected", "n_tokens")
+    )
+
+
+def _corpus_clean_oracle() -> str:
+    minhash = _minhash_oracle().strip()
+    text = _text_oracle().strip()
+    # wrap both full oracles as CTE-able subqueries
+    return f"""
+WITH dup_pairs AS ({minhash}),
+scored AS ({text})
+SELECT doc_id, quality, lang_detected, n_tokens
+FROM scored
+WHERE quality >= 0.6
+  AND doc_id NOT IN (SELECT b FROM dup_pairs)
+"""
+
+
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas-UDF scoring (the python extension point) —
+    rows-only: zlib ratios are deterministic but not SQL-expressible."""
+    from quackpipe_spark.functions.extensions import compression_ratio
+
+    docs = _docs(spark, sf_dir)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return docs.select(
+        "doc_id",
+        F.round(compression_ratio("text"), 4).alias("compression_ratio"),
+    ).filter(F.col("compression_ratio") < 0.5)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -354,6 +402,8 @@ QUERIES = {
     "text_analyze": text_analyze,
     "multimodal_summary": multimodal_summary,
     "multimodal_decode": multimodal_decode,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
+    "text_compression_quality": text_compression_quality,
 }
 
 ORACLE = {
@@ -365,5 +415,6 @@ ORACLE = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "text_analyze": _text_oracle(),
     "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
-    # ann_topk_lsh, multimodal_decode: rows-only (see docstrings)
+    "corpus_clean_pipeline": _corpus_clean_oracle(),
+    # ann_topk_lsh/ivf, multimodal_decode, text_compression_quality: rows-only
 }
