@@ -37,10 +37,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """Make any session able to read the test parquet, not just ours.
+
+    events.parquet carries TIMESTAMP(NANOS) — Spark refuses the read unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on (ts then arrives as
+    bigint epoch-nanos, which is what the engine's time functions expect).
+    Sessions built by quackpipe_spark.session set this at build time, but a
+    caller-supplied plain session (the correctness driver's, a notebook's)
+    won't have it. Both confs are runtime-settable, so set them here, at
+    the read boundary, rather than assuming session provenance. UTC keeps
+    timestamp rendering aligned with the DuckDB oracle.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — reads may still work
+
+
 def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     hit = _SCAN_CACHE.get(key)
     if hit is None:
+        _ensure_read_confs(spark)
         hit = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         _SCAN_CACHE[key] = hit
     return hit[1]
