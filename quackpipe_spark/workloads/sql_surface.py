@@ -38,6 +38,72 @@ def _dialect(spark: SparkSession) -> None:
         _DIALECT_SESSIONS.add(key)
 
 
+# --- battery digests ---------------------------------------------------------
+#
+# The driver verifies the first 50 registry entries; to keep EVERY capability
+# inside that window, related sub-queries are merged into "battery" queries.
+# Each sub-result collapses to one (part, n, chk) row where chk is the sum of
+# a 32-bit md5 prefix over a canonical row string — order-insensitive, pure
+# map-side work plus one scalar aggregate (no collect_list, no ordered agg),
+# so a battery costs exactly its sub-plans plus k single-row unions at any
+# scale. The canonical form is engine-portable:
+#   * double/float → floor(x*1e6 + 0.5) as BIGINT: IEEE multiply/add/floor are
+#     bit-deterministic in both Spark and DuckDB at any magnitude (a decimal
+#     cast is NOT: DuckDB's double→DECIMAL scales in double arithmetic and
+#     drifts above 2^33).
+#   * everything else → CAST AS STRING (verified identical for int/bigint/
+#     string/boolean), NULL → '<null>'.
+#   * hex→int via Spark conv(substr(md5(r),1,8),16,10) ≡ DuckDB
+#     ('0x'||substr(md5(r),1,8))::BIGINT.
+
+_NULL_TOKEN = "<null>"
+
+
+def _digest(df: DataFrame, part: str) -> DataFrame:
+    cols = []
+    for name, dtype in sorted(df.dtypes):
+        col = F.col(name)
+        if dtype in ("double", "float"):
+            col = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+        cols.append(F.coalesce(col.cast("string"), F.lit(_NULL_TOKEN)))
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
+        )
+        .select(F.lit(part).alias("part"), F.col("n"), F.col("chk"))
+    )
+
+
+def _union_digests(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    out = None
+    for part, df in parts:
+        d = _digest(df, part)
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _digest_sql(part: str, sub_sql: str, cols: list[tuple[str, str]]) -> str:
+    """DuckDB mirror of _digest. cols = [(name, kind)]; kind 'f' marks
+    double/float columns (fixed-point canon), anything else casts to VARCHAR."""
+    exprs = []
+    for name, kind in sorted(cols):
+        if kind == "f":
+            exprs.append(
+                f"coalesce(CAST(floor(({name}) * 1e6 + 0.5) AS BIGINT)::VARCHAR, '{_NULL_TOKEN}')"
+            )
+        else:
+            exprs.append(f"coalesce(({name})::VARCHAR, '{_NULL_TOKEN}')")
+    return (
+        f"SELECT '{part}' AS part, count(*) AS n,\n"
+        f"       CAST(coalesce(sum(('0x' || substr(md5(rowstr), 1, 8))::BIGINT), 0) AS BIGINT) AS chk\n"
+        f"FROM (SELECT concat_ws(chr(31), {', '.join(exprs)}) AS rowstr\n"
+        f"      FROM ({sub_sql}))"
+    )
+
+
 # --- aggregation -----------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,47 +1261,279 @@ LIMIT 10
 """
 
 
+# --- batteries ---------------------------------------------------------------
+# Each battery folds a family of sub-queries into one digest result so the
+# whole 50-entry registry fits the driver's correctness window. Sub-queries
+# keep their standalone functions (unit tests and plan tests still exercise
+# them directly); the battery is the driver-facing aggregation.
+
+
+def join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + SEMI/ANTI + CROSS join family (SURVEY §2B joins)."""
+    return _union_digests(
+        [
+            ("left_outer", join_left_outer(spark, sf_dir)),
+            ("semi_anti", join_semi_anti(spark, sf_dir)),
+            ("cross", join_cross(spark, sf_dir)),
+        ]
+    )
+
+
+JOIN_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql(
+            "left_outer",
+            JOIN_LEFT_SQL,
+            [("n_name", "s"), ("n_customers", "s"), ("total_bal", "f")],
+        ),
+        _digest_sql("semi_anti", JOIN_SEMI_ANTI_SQL, [("p_partkey", "s"), ("status", "s")]),
+        _digest_sql("cross", JOIN_CROSS_SQL, [("r_name", "s"), ("n_name", "s")]),
+    ]
+)
+
+
+def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT (+ALL) + DISTINCT family (SURVEY §2B set ops)."""
+    return _union_digests(
+        [
+            ("set_ops", set_operations(spark, sf_dir)),
+            ("distinct", distinct_values(spark, sf_dir)),
+            ("intersect_all", intersect_all_sets(spark, sf_dir)),
+        ]
+    )
+
+
+SET_OPS_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql("set_ops", SET_OPS_SQL, [("c_custkey", "s")]),
+        _digest_sql(
+            "distinct", DISTINCT_SQL, [("o_orderstatus", "s"), ("o_orderpriority", "s")]
+        ),
+        _digest_sql("intersect_all", INTERSECT_ALL_SQL, [("l_orderkey", "s")]),
+    ]
+)
+
+
+def subquery_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT EXISTS / scalar / correlated subquery family (SURVEY §2B)."""
+    return _union_digests(
+        [
+            ("in", subquery_in(spark, sf_dir)),
+            ("not_exists", subquery_not_exists(spark, sf_dir)),
+            ("scalar", subquery_scalar(spark, sf_dir)),
+            ("correlated", subquery_correlated(spark, sf_dir)),
+        ]
+    )
+
+
+SUBQUERY_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql("in", SUBQUERY_IN_SQL, [("o_orderstatus", "s"), ("n", "s")]),
+        _digest_sql(
+            "not_exists", SUBQUERY_NOT_EXISTS_SQL, [("c_custkey", "s"), ("c_name", "s")]
+        ),
+        _digest_sql(
+            "scalar", SUBQUERY_SCALAR_SQL, [("l_returnflag", "s"), ("n_above_avg", "s")]
+        ),
+        _digest_sql(
+            "correlated", SUBQUERY_CORRELATED_SQL, [("o_orderpriority", "s"), ("n", "s")]
+        ),
+    ]
+)
+
+
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking / lag-lead / running-frame / analytic window family
+    (SURVEY §2B windows; sessionize_events stays standalone)."""
+    return _union_digests(
+        [
+            ("topk", window_topk_per_group(spark, sf_dir)),
+            ("lag_delta", window_lag_delta(spark, sf_dir)),
+            ("running", window_running_frame(spark, sf_dir)),
+            ("analytics", window_analytics_battery(spark, sf_dir)),
+        ]
+    )
+
+
+WINDOW_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql(
+            "topk",
+            WINDOW_TOPK_SQL,
+            [("event_type", "s"), ("rn", "s"), ("event_id", "s"), ("value", "f")],
+        ),
+        _digest_sql(
+            "lag_delta",
+            WINDOW_LAG_SQL,
+            [("user_id", "s"), ("event_id", "s"), ("delta_prev", "f"), ("next_type", "s")],
+        ),
+        _digest_sql(
+            "running",
+            WINDOW_RUNNING_SQL,
+            [("o_custkey", "s"), ("o_orderkey", "s"), ("running_total", "f")],
+        ),
+        _digest_sql(
+            "analytics",
+            WINDOW_ANALYTICS_SQL,
+            [
+                ("o_custkey", "s"),
+                ("o_orderkey", "s"),
+                ("quartile", "s"),
+                ("pct_rank", "f"),
+                ("cume", "f"),
+                ("cheapest_order", "s"),
+                ("second_cheapest", "s"),
+            ],
+        ),
+    ]
+)
+
+
+def grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP / CUBE / GROUPING SETS family — Catalyst Expand, one shuffle
+    per sub-plan for all grouping sets (SURVEY §2B aggregations)."""
+    return _union_digests(
+        [
+            ("rollup", rollup_orders(spark, sf_dir)),
+            ("cube", cube_lineitem(spark, sf_dir)),
+            ("gsets", grouping_sets_orders(spark, sf_dir)),
+        ]
+    )
+
+
+GROUPING_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql(
+            "rollup",
+            ROLLUP_SQL,
+            [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("n", "s"), ("total", "f")],
+        ),
+        _digest_sql(
+            "cube",
+            CUBE_SQL,
+            [("l_returnflag", "s"), ("l_linestatus", "s"), ("n", "s"), ("avg_disc", "f")],
+        ),
+        _digest_sql(
+            "gsets",
+            GROUPING_SETS_SQL,
+            [
+                ("o_orderstatus", "s"),
+                ("o_orderpriority", "s"),
+                ("g_status", "s"),
+                ("g_prio", "s"),
+                ("n", "s"),
+            ],
+        ),
+    ]
+)
+
+
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/string, math, date, regex scalar-function families — all pure
+    JVM whole-stage-codegen expressions (SURVEY §2B functions)."""
+    return _union_digests(
+        [
+            ("case_strings", expr_case_strings(spark, sf_dir)),
+            ("math", math_functions(spark, sf_dir)),
+            ("date", date_functions(spark, sf_dir)),
+            ("regexp", regexp_functions(spark, sf_dir)),
+        ]
+    )
+
+
+SCALAR_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql(
+            "case_strings",
+            EXPR_CASE_SQL,
+            [
+                ("p_partkey", "s"),
+                ("name_lower", "s"),
+                ("brand5", "s"),
+                ("type_len", "s"),
+                ("type_snake", "s"),
+                ("size_class", "s"),
+                ("is_green", "s"),
+            ],
+        ),
+        _digest_sql(
+            "math",
+            MATH_SQL,
+            [
+                ("l_orderkey", "s"),
+                ("l_linenumber", "s"),
+                ("abs_p", "f"),
+                ("ceil_p", "s"),
+                ("floor_p", "s"),
+                ("sqrt_p", "f"),
+                ("pow_d", "f"),
+                ("ln_p", "f"),
+                ("log10_p", "f"),
+                ("mod_p", "s"),
+                ("sign_d", "f"),
+            ],
+        ),
+        _digest_sql(
+            "date",
+            DATE_SQL,
+            [
+                ("o_orderkey", "s"),
+                ("y", "s"),
+                ("m", "s"),
+                ("dom", "s"),
+                ("isodow", "s"),
+                ("q", "s"),
+                ("month_end", "s"),
+                ("days_to_98", "s"),
+                ("due_date", "s"),
+                ("q_start", "s"),
+            ],
+        ),
+        _digest_sql(
+            "regexp",
+            REGEXP_SQL,
+            [
+                ("p_partkey", "s"),
+                ("first_word", "s"),
+                ("devoweled", "s"),
+                ("is_finished", "s"),
+                ("n_e", "s"),
+            ],
+        ),
+    ]
+)
+
+
+# Registry note: the driver records CORRECTNESS rows for the first 50
+# queries() entries across ALL workload modules; related sub-queries are
+# merged into the *_battery entries so the full surface (this module +
+# llm_ops + dataflow + timeseries = 50 keys) is driver-verified every round.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
     "agg_distinct": agg_distinct,
-    "rollup_orders": rollup_orders,
-    "cube_lineitem": cube_lineitem,
+    "grouping_battery": grouping_battery,
     "having_filter": having_filter,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_volume": q5_regional_volume,
-    "join_left_outer": join_left_outer,
-    "join_semi_anti": join_semi_anti,
-    "join_cross": join_cross,
+    "join_battery": join_battery,
     "join_range_nonequi": join_range_nonequi,
-    "window_topk_per_group": window_topk_per_group,
-    "window_lag_delta": window_lag_delta,
-    "window_running_frame": window_running_frame,
+    "window_battery": window_battery,
     "sessionize_events": sessionize_events,
     "topk_orders": topk_orders,
-    "set_operations": set_operations,
-    "distinct_values": distinct_values,
-    "subquery_in": subquery_in,
-    "subquery_not_exists": subquery_not_exists,
-    "subquery_scalar": subquery_scalar,
-    "subquery_correlated": subquery_correlated,
-    "expr_case_strings": expr_case_strings,
+    "set_ops_battery": set_ops_battery,
+    "subquery_battery": subquery_battery,
+    "scalar_battery": scalar_battery,
     "time_bucket_events": time_bucket_events,
     "epoch_ns_range": epoch_ns_range,
     "ch_dialect_functions": ch_dialect_functions,
     "pivot_event_types": pivot_event_types,
-    "grouping_sets_orders": grouping_sets_orders,
     "quantiles_by_group": quantiles_by_group,
     "string_agg_ordered": string_agg_ordered,
     "json_extract_props": json_extract_props,
-    "math_functions": math_functions,
-    "date_functions": date_functions,
     "union_by_name_schema_evolution": union_by_name_schema_evolution,
-    "intersect_all_sets": intersect_all_sets,
     "sql_cte_text": sql_cte_text,
     "approx_count_distinct_events": approx_count_distinct_events,
-    "window_analytics_battery": window_analytics_battery,
-    "regexp_functions": regexp_functions,
     "explode_word_frequencies": explode_word_frequencies,
     "array_agg_ops": array_agg_ops,
     "q4_order_priority": q4_order_priority,
@@ -1249,43 +1547,28 @@ ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "agg_distinct": AGG_DISTINCT_SQL,
-    "rollup_orders": ROLLUP_SQL,
-    "cube_lineitem": CUBE_SQL,
+    "grouping_battery": GROUPING_BATTERY_SQL,
     "having_filter": HAVING_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_regional_volume": Q5_SQL,
-    "join_left_outer": JOIN_LEFT_SQL,
-    "join_semi_anti": JOIN_SEMI_ANTI_SQL,
-    "join_cross": JOIN_CROSS_SQL,
+    "join_battery": JOIN_BATTERY_SQL,
     "join_range_nonequi": JOIN_RANGE_SQL,
-    "window_topk_per_group": WINDOW_TOPK_SQL,
-    "window_lag_delta": WINDOW_LAG_SQL,
-    "window_running_frame": WINDOW_RUNNING_SQL,
+    "window_battery": WINDOW_BATTERY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "topk_orders": TOPK_SQL,
-    "set_operations": SET_OPS_SQL,
-    "distinct_values": DISTINCT_SQL,
-    "subquery_in": SUBQUERY_IN_SQL,
-    "subquery_not_exists": SUBQUERY_NOT_EXISTS_SQL,
-    "subquery_scalar": SUBQUERY_SCALAR_SQL,
-    "subquery_correlated": SUBQUERY_CORRELATED_SQL,
-    "expr_case_strings": EXPR_CASE_SQL,
+    "set_ops_battery": SET_OPS_BATTERY_SQL,
+    "subquery_battery": SUBQUERY_BATTERY_SQL,
+    "scalar_battery": SCALAR_BATTERY_SQL,
     "time_bucket_events": TIME_BUCKET_SQL,
     "epoch_ns_range": EPOCH_NS_SQL,
     "ch_dialect_functions": CH_DIALECT_SQL,
     "pivot_event_types": PIVOT_SQL,
-    "grouping_sets_orders": GROUPING_SETS_SQL,
     "quantiles_by_group": QUANTILES_SQL,
     "string_agg_ordered": STRING_AGG_SQL,
     "json_extract_props": JSON_EXTRACT_SQL,
-    "math_functions": MATH_SQL,
-    "date_functions": DATE_SQL,
     "union_by_name_schema_evolution": UNION_BY_NAME_SQL,
-    "intersect_all_sets": INTERSECT_ALL_SQL,
     "sql_cte_text": SQL_CTE_SQL,
     # approx_count_distinct_events: rows-only (HLL engine-specific)
-    "window_analytics_battery": WINDOW_ANALYTICS_SQL,
-    "regexp_functions": REGEXP_SQL,
     "explode_word_frequencies": EXPLODE_WORDS_SQL,
     "array_agg_ops": ARRAY_AGG_SQL,
     "q4_order_priority": Q4_SQL,

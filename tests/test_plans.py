@@ -55,7 +55,7 @@ def test_topk_rewrite(spark):
 
 
 def test_semi_anti_join_physical(spark):
-    p = plan_text(S.QUERIES["join_semi_anti"](spark, SF_DIR))
+    p = plan_text(S.join_semi_anti(spark, SF_DIR))
     assert "LeftSemi" in p and "LeftAnti" in p
 
 
