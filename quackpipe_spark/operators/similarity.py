@@ -165,6 +165,7 @@ def blocked_near_pairs(
     n_cells: int = 32,
     probes: int = 2,
     round_to: int = 4,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs blocked by quantizer cell: only pairs sharing
     one of their ``probes`` nearest cells are compared, so the pair space
@@ -173,21 +174,37 @@ def blocked_near_pairs(
     block is quadratic). Multi-probe assignment recovers pairs that
     straddle a cell boundary. Exact cosine ≥ threshold verifies every
     candidate, so precision is exact; recall is the standard IVF trade-off
-    tuned by (n_cells, probes)."""
+    tuned by (n_cells, probes).
+
+    Scale: ``n_cells`` bounds the PAIR SPACE and should grow with the
+    corpus (pairs ≈ n²·probes²/n_cells); ``salt_buckets`` bounds TASK
+    parallelism independently — the self-join key (cell, salt) has
+    n_cells·salt_buckets values, so the heaviest stage is never capped at
+    n_cells tasks. Salting replicates one join side salt_buckets× but
+    does not change the result set, so the oracle is unaffected."""
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
+    # persist + eager count: BOTH self-join sides read this subtree; lazy
+    # persist loses the race and the assignment (crossJoin + window rank)
+    # recomputes once per side (see operators/dedup.py minhash_dedup).
     assigned = assign_cells(
         fan_out(corpus), centers, id_col, vec_col, probes=probes
-    )
+    ).persist()
+    assigned.count()
+    if salt_buckets is None:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        salt_buckets = max(1, (4 * par) // n_cells)
     a = assigned.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
         F.col("nrm").alias("na_"), "cell",
+    ).withColumn(
+        "_salt", F.pmod(F.crc32(F.col("a").cast("string")), F.lit(salt_buckets)).cast("int")
     )
     b = assigned.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
         F.col("nrm").alias("nb_"), "cell",
-    )
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "_salt"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a",
@@ -279,14 +296,19 @@ def ivf_search(
 ) -> DataFrame:
     """Search a built index: probe each query's ``nprobe`` nearest cells,
     rank only vectors in those cells (compared fraction ≈ nprobe/n_cells)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),  # once per query, not per pair
+    )
     probed = (
         q.crossJoin(F.broadcast(index.centers_df))
         .select(
             "query_id",
             "qvec",
+            "_qnorm",
             "cell",
-            cosine(F.col("qvec"), F.col("center")).alias("_ccos"),
+            (dot(F.col("qvec"), F.col("center")) / (F.col("_qnorm") * norm(F.col("center")))).alias("_ccos"),
         )
         .withColumn(
             "_crank",
@@ -295,7 +317,7 @@ def ivf_search(
             ),
         )
         .filter(F.col("_crank") <= nprobe)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "_qnorm", "cell")
     )
     scored = (
         index.assigned.join(F.broadcast(probed), "cell")
@@ -304,7 +326,7 @@ def ivf_search(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qvec"), F.col("cvec")) / (norm(F.col("qvec")) * F.col("cnorm")),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("_qnorm") * F.col("cnorm")),
                 round_to,
             ).alias("cos"),
         )
@@ -352,28 +374,42 @@ def hyperplane_buckets(
 
     v = F.col(vec_col)
 
-    def plane_signs(plane: int) -> list[float]:
+    def plane_sign(plane: int, i: int) -> float:
         # ±1 component i of hyperplane p = low bit of md5('{p}|{i}') —
         # computed DRIVER-side once and inlined as a literal array, so the
-        # executor does a plain zip_with product instead of re-hashing per
-        # row (same values any engine would derive from the same recipe).
-        return [
-            1.0 if hashlib.md5(f"{plane}|{i}".encode()).digest()[-1] & 1 else -1.0
+        # executor does a plain fold instead of re-hashing per row (same
+        # values any engine would derive from the same recipe).
+        return 1.0 if hashlib.md5(f"{plane}|{i}".encode()).digest()[-1] & 1 else -1.0
+
+    # All n_planes projections in ONE pass over the vector: fold with an
+    # n_planes-wide accumulator against a dims×n_planes literal sign matrix
+    # (one fold of dims steps ~ n_planes× fewer array traversals than a fold
+    # per plane). Per plane p the partial sums still accumulate in i order,
+    # so the doubles are bit-identical to the per-plane fold.
+    signs_by_dim = F.array(
+        *[
+            F.array(*[F.lit(plane_sign(p, i)) for p in range(n_planes)])
             for i in range(dims)
         ]
-
-    bits = []
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in plane_signs(p)])
-        proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
-    bucket = bits[0]
-    for t in bits[1:]:
-        bucket = bucket + t
+    )
+    projs = F.aggregate(
+        F.zip_with(
+            v,
+            signs_by_dim,
+            lambda x, srow: F.transform(srow, lambda s: x.cast("double") * s),
+        ),
+        F.array(*[F.lit(0.0)] * n_planes),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            projs,
+            F.array(*[F.lit(1 << p) for p in range(n_planes)]),
+            lambda proj, w: F.when(proj >= 0, w).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return corpus.select(F.col(id_col), v.alias(vec_col), bucket.cast("int").alias("bucket"))
 
 
@@ -392,9 +428,16 @@ def lsh_topk(
     At 100 TB the bucket join replaces the broadcast-cross-product; with
     2^n_planes buckets the compared fraction is ~2^-n_planes (recall is
     tunable via n_planes / multi-probe)."""
-    cb = hyperplane_buckets(fan_out(corpus), id_col, vec_col, n_planes, dims)
+    # norms once per row BEFORE the bucket join (the brute_force_topk
+    # pattern): the pair space pays one dot, not dot + two norm re-folds.
+    cb = hyperplane_buckets(fan_out(corpus), id_col, vec_col, n_planes, dims).withColumn(
+        "_cnorm", norm(F.col(vec_col))
+    )
     qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dims).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "bucket",
+        norm(F.col(vec_col)).alias("_qnorm"),
     )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
@@ -402,7 +445,10 @@ def lsh_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), round_to).alias("cos"),
+            F.round(
+                dot(F.col("qvec"), F.col(vec_col)) / (F.col("_qnorm") * F.col("_cnorm")),
+                round_to,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -17,6 +17,12 @@ def fan_out(df: DataFrame, cols=None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    try:
+        # JVM-internal RDD: same partition count as .rdd but skips the
+        # Python RDD wrapper (serializer setup + toJavaRDD conversion).
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # private-API guard: fall back to the public path
+        nparts = df.rdd.getNumPartitions()
+    if nparts >= par:
         return df
     return df.repartition(par, *cols) if cols else df.repartition(par)

@@ -66,3 +66,33 @@ def test_scan_reuse_cache(spark):
     a = table_df(spark, SF_DIR, "lineitem")
     b = table_df(spark, SF_DIR, "lineitem")
     assert a is b
+
+
+def test_blocked_near_pairs_persisted_and_salted(spark):
+    """The cell self-join must (a) read the persisted assignment on BOTH
+    sides — the assignment subtree (crossJoin + window rank) is expensive
+    and must not recompute per side — and (b) join on (cell, salt) so task
+    parallelism is not capped at n_cells."""
+    from quackpipe_spark.operators import similarity as S2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = S2.blocked_near_pairs(emb, threshold=0.40, n_cells=8, probes=2,
+                                  salt_buckets=4)
+    p = plan_text(pairs)
+    assert p.count("InMemoryTableScan") >= 2, "self-join sides must hit the cache"
+    assert "_salt" in p, "join key must carry the salt column"
+    # cleanup: drop the persisted assignment this plan pinned
+    spark.catalog.clearCache()
+
+
+def test_lsh_and_ivf_score_without_norm_refold(spark):
+    """Pair scoring must divide by precomputed norms — a norm() re-fold in
+    the pair space costs 2 extra array folds per candidate at any scale."""
+    from quackpipe_spark.operators import similarity as S2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    p = plan_text(S2.lsh_topk(emb, q, k=5, n_planes=4))
+    # one aggregate fold (the dot) in the post-join projection: the scoring
+    # project should reference _qnorm/_cnorm, not recompute sqrt(dot(v,v))
+    assert "_qnorm" in p and "_cnorm" in p
