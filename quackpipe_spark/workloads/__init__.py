@@ -32,3 +32,13 @@ def all_oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLE)
     return out
+
+
+def all_prebuilds() -> dict[str, Callable[[SparkSession, str], None]]:
+    """name → warmup hook for queries that search a prebuilt artifact
+    (e.g. the IVF index): benches must run the hook OUTSIDE the timing,
+    mirroring a long-lived engine where the index is built once."""
+    out: dict[str, Callable[[SparkSession, str], None]] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "PREBUILD", {}))
+    return out

@@ -464,6 +464,11 @@ QUERIES = {
     "text_compression_quality": text_compression_quality,
 }
 
+# queries whose timing contract assumes a prebuilt artifact (bench runs the
+# hook untimed after each cache clear; the driver's correctness run doesn't
+# need it — ivf_index_for self-heals after a clearCache)
+PREBUILD = {"ann_topk_ivf": prebuild}
+
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
