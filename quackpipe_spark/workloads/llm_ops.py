@@ -469,6 +469,19 @@ QUERIES = {
 # need it — ivf_index_for self-heals after a clearCache)
 PREBUILD = {"ann_topk_ivf": prebuild}
 
+# queries that persist+count intermediates (or build an index) during plan
+# construction: the registry's plan cache must rebuild these per call —
+# their eager materialization is part of the query, and a memoized plan
+# would race a cleared cache lazily on the next action.
+STATEFUL = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_ivf",
+    "corpus_clean_pipeline",
+}
+
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
