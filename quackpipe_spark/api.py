@@ -182,6 +182,20 @@ class GigapiServer:
 
 
 def _parse_create(body: bytes) -> dict:
-    """create_table.go accepts yaml or json; we accept json (yaml lib not
-    guaranteed in-container — json is a yaml subset the reference docs use)."""
-    return json.loads(body)
+    """create_table.go:20-38 unmarshals the body as yaml (json is a yaml
+    subset, so both content types land here, like the reference). Accepts
+    the reference's key spelling (``create_table``) and ours (``table``)."""
+    text = body.decode()
+    try:
+        spec = json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - yaml ships in-container
+            raise ValueError("body is not JSON and no yaml parser is available") from e
+        spec = yaml.safe_load(text)
+    if not isinstance(spec, dict):
+        raise ValueError("create body must be a mapping")
+    if "table" not in spec and "create_table" in spec:
+        spec["table"] = spec["create_table"]
+    return spec

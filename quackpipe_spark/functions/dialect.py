@@ -107,7 +107,15 @@ def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) 
 
 
 _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
-_READ_PARQUET = re.compile(r"\bread_parquet\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+# Single-path form, optionally with DuckDB-style options. Spark's
+# path-table syntax can't carry reader options, so this engine-less
+# rewrite keeps the path and drops the options — QueryEngine.sql (the
+# /query path) intercepts the call first and honors union_by_name /
+# hive_partitioning / filename through a configured reader view.
+_READ_PARQUET = re.compile(
+    r"\bread_parquet\s*\(\s*'([^']+)'(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\w+))*\s*\)",
+    re.IGNORECASE,
+)
 
 
 def rewrite_sql(sql: str) -> str:

@@ -298,6 +298,40 @@ def build_ivf_index(
     return IvfIndex(centers=centers, assigned=assigned)
 
 
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Materialize a built index to storage: the postings (corpus rows with
+    precomputed norms) land as parquet PARTITIONED BY cell — a search that
+    probes nprobe cells then reads only those directories (partition
+    pruning), which is the on-disk analogue of the persisted-DataFrame
+    bucket join. The centroids are a second (tiny) parquet table. At
+    100 TB the postings write is the index's one full-corpus pass; every
+    later session pays only `load` (centers collect + lazy scan)."""
+    spark = index.assigned.sparkSession
+    index.assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    spark.createDataFrame(
+        [(c, v) for c, v in index.centers], "cell INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+
+
+def load_ivf_index(spark, path: str, pin: bool = True) -> IvfIndex:
+    """Reopen a written index. ``pin=True`` persists+counts the postings
+    (a serving session searching many times); ``pin=False`` leaves the scan
+    lazy so a single search reads only its probed cell partitions."""
+    centers = sorted(
+        (r["cell"], [float(x) for x in r["center"]])
+        for r in spark.read.parquet(f"{path}/centers").collect()
+    )
+    assigned = spark.read.parquet(f"{path}/postings").select(
+        "neighbor_id", "cvec", "cnorm", F.col("cell").cast("int").alias("cell")
+    )
+    if pin:
+        assigned = assigned.persist()
+        assigned.count()
+    return IvfIndex(centers=centers, assigned=assigned)
+
+
 def ivf_search(
     index: IvfIndex,
     queries: DataFrame,

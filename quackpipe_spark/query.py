@@ -122,24 +122,59 @@ class QueryEngine:
             .parquet(*files)
         )
 
-    _RP_ARRAY = re.compile(
-        r"read_parquet\s*\(\s*ARRAY\s*\[([^\]]+)\]\s*(?:,[^)]*)?\)", re.IGNORECASE
+    # read_parquet(<ARRAY[...] | 'path'> [, key = value ...]) — the
+    # reference's scan idiom in both forms (merge_service_fs.go:215:
+    # read_parquet(ARRAY['…'], hive_partitioning = false,
+    # union_by_name = true); README/BENCHMARK single-path form).
+    _RP_CALL = re.compile(
+        r"read_parquet\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
+        r"((?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\w+))*)\s*\)",
+        re.IGNORECASE,
     )
+    _RP_OPT = re.compile(r"(\w+)\s*=\s*('[^']*'|\w+)")
 
     def sql(self, query: str, db: str = "default") -> DataFrame:
         """Execute dialect-rewritten SQL with tables resolved to pruned
         scans (POST /query handler semantics, README.md:117-133)."""
-        # read_parquet(ARRAY['f1','f2'], …) — the reference's multi-file
-        # scan form (merge_service_fs.go:215). Spark's path-table syntax
-        # is single-path, so the file list becomes a registered view.
+        # Spark's path-table syntax (parquet.`p`) is single-path and takes
+        # no options, so every read_parquet() call becomes a registered
+        # view over a reader configured from the DuckDB-style options:
+        #   union_by_name  → mergeSchema (default true: the reference
+        #                    always reads its stores union_by_name)
+        #   hive_partitioning=false → recursiveFileLookup (disables
+        #                    partition-column discovery, like DuckDB)
+        #   filename       → input_file_name() projected as `filename`
         def _rp_view(m: re.Match) -> str:
-            files = [f.strip().strip("'\"") for f in m.group(1).split(",")]
-            name = "_rp_" + hashlib.md5("|".join(files).encode()).hexdigest()[:12]
-            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            from quackpipe_spark.sources.remote import resolve_scan_path
+
+            src = m.group(1).strip()
+            opts = {
+                k.lower(): v.strip("'").lower()
+                for k, v in self._RP_OPT.findall(m.group(2) or "")
+            }
+            if src.upper().startswith("ARRAY"):
+                inner = src[src.index("[") + 1 : src.rindex("]")]
+                files = [f.strip().strip("'\"") for f in inner.split(",")]
+            else:
+                files = [src.strip("'")]
+            files = [resolve_scan_path(f) for f in files]
+            reader = self.spark.read.option(
+                "mergeSchema", opts.get("union_by_name", "true")
+            )
+            if opts.get("hive_partitioning") == "false":
+                reader = reader.option("recursiveFileLookup", "true")
+            df = reader.parquet(*files)
+            if opts.get("filename") == "true":
+                from pyspark.sql import functions as F
+
+                df = df.withColumn("filename", F.input_file_name())
+            name = "_rp_" + hashlib.md5(
+                ("|".join(files) + repr(sorted(opts.items()))).encode()
+            ).hexdigest()[:12]
             df.createOrReplaceTempView(name)
             return name
 
-        query = self._RP_ARRAY.sub(_rp_view, query)
+        query = self._RP_CALL.sub(_rp_view, query)
         query = rewrite_sql(query)
         lo, hi = extract_time_bounds(query)
         for t in self.catalog.tables(db):

@@ -27,6 +27,7 @@ def stream_lines_to_table(
     precision: str = "ns",
     trigger_seconds: float = 1.0,
     checkpoint_dir: str | None = None,
+    driver_path_max_rows: int = 50_000,
 ):
     """Attach a foreachBatch hive-writer to a streaming DataFrame of raw
     line-protocol text (column ``value``). Returns the StreamingQuery.
@@ -34,17 +35,34 @@ def stream_lines_to_table(
     Each micro-batch runs the exact same parse→partition→write path as the
     HTTP ingest, so the on-disk contract (levels, index, sorting) is
     identical whichever ingest door the data came through.
+
+    Size gate: steady-state micro-batches (≤ ``driver_path_max_rows``)
+    take the driver-side Arrow fast path — lowest latency, same as the
+    reference's RecordBuilder flush. A larger batch (a backfill burst, a
+    recovered source replaying hours of data) parses with mapInPandas and
+    writes with the distributed sorted writer instead: collecting it would
+    put the whole burst in driver memory at once.
     """
     from quackpipe_spark.ingest import IngestService, ingest_lines
+    from quackpipe_spark.sources.lineproto import parse_lines_df
 
     service = IngestService(spark, catalog, save_timeout_s=3600)  # flush per batch
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select("value").collect()
-        text = "\n".join(r["value"] for r in rows if r["value"])
-        if text:
-            ingest_lines(service, text, db=db, precision=precision)
-            service.flush()
+        n = batch_df.count()
+        if n == 0:
+            return
+        if n <= driver_path_max_rows:
+            rows = batch_df.select("value").collect()
+            text = "\n".join(r["value"] for r in rows if r["value"])
+            if text:
+                ingest_lines(service, text, db=db, precision=precision)
+                service.flush()
+            return
+        for table, _sid, df in parse_lines_df(
+            spark, batch_df.select("value"), database=db, precision=precision
+        ):
+            service.writer.write_parsed_df(db, table, df)
 
     writer = (
         lines_stream.writeStream.foreachBatch(handle_batch)

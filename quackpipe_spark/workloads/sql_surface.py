@@ -1066,7 +1066,7 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REGEXP_SQL = """
+REGEXP_SQL = r"""
 SELECT p_partkey,
        regexp_extract(p_type, '^(\w+)', 1) AS first_word,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
@@ -1088,7 +1088,7 @@ def explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXPLODE_WORDS_SQL = """
+EXPLODE_WORDS_SQL = r"""
 SELECT word, count(*) AS n
 FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
 GROUP BY word HAVING count(*) >= 100

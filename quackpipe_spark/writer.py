@@ -181,6 +181,32 @@ class HiveWriter:
             written.append(dst)
         return written
 
+    _SPARK_TO_CANONICAL = {
+        "bigint": "INT8",
+        "double": "FLOAT8",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+    }
+
+    def write_parsed_df(self, db: str, name: str, df: DataFrame) -> list[str]:
+        """write_columnar's contract for an already-distributed DataFrame
+        (the bulk/backfill ingest door): auto-create + validate/evolve
+        schema + auto-timestamp + sorted hive write — without the rows
+        ever visiting the driver."""
+        schema = {
+            c: self._SPARK_TO_CANONICAL[t] for c, t in df.dtypes if t in self._SPARK_TO_CANONICAL
+        }
+        table = self.catalog.get_or_create(db, name, fields=schema)
+        tcol = self.time_column(table)
+        if table.auto_timestamp and tcol not in df.columns:
+            # whole batch stamped with arrival ns (merge_tree_service.go:
+            # 268-290), matching the driver-side write_columnar path
+            df = df.withColumn(tcol, F.lit(time.time_ns()).cast("long"))
+            schema = dict(schema)
+            schema[tcol] = "INT8"
+        self.catalog.update_schema(table, schema)
+        return self.write_df(table, df, level=1, one_file_per_partition=True)
+
     def write_df(
         self,
         table: Table,

@@ -126,3 +126,40 @@ def test_windowed_counts_batch_parity(spark, duck):
         """
     )
     assert_frames_match(df, rel, "windowed_counts")
+
+
+def test_streaming_bulk_batch_distributed_path(spark, tmp_path):
+    """A micro-batch above driver_path_max_rows must take the distributed
+    parse+write path (mapInPandas → sorted hive write), never collect() —
+    and produce the same on-disk table contract as the driver path."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.streaming import stream_lines_to_table
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    n = 200
+    lines = [
+        f"bulk,zone=z{i % 4} temp={20 + (i % 7)} {1717405200000000000 + i * 10**9}"
+        for i in range(n)
+    ]
+    (src / "backfill.lp").write_text("\n".join(lines) + "\n")
+    catalog = Catalog(str(tmp_path / "root"))
+    stream = spark.readStream.format("text").load(str(src))
+    q = stream_lines_to_table(
+        spark, catalog, stream, db="iot",
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_seconds=0.5,
+        driver_path_max_rows=10,  # force the distributed path
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = catalog.get("iot", "bulk")
+    assert t is not None and t.schema["temp"] == "FLOAT8"
+    assert t.schema["__timestamp"] == "INT8"  # auto-timestamp applied
+    qe = QueryEngine(spark, catalog)
+    rows = qe.sql(
+        "SELECT zone, count() AS n FROM bulk GROUP BY zone ORDER BY zone", db="iot"
+    ).collect()
+    assert [r["n"] for r in rows] == [50, 50, 50, 50]

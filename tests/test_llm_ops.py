@@ -111,6 +111,37 @@ def test_ivf_topk_recall_beats_lsh(emb):
     assert all(1 <= r <= 10 for r in ranks)
 
 
+def test_ivf_index_parquet_roundtrip(spark, emb, tmp_path):
+    """build → write → load → search must equal in-session search exactly
+    (postings parquet partitioned by cell; centers as a second table)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = S.build_ivf_index(emb, n_cells=16, seed=42)
+    in_session = sorted(
+        tuple(r) for r in S.ivf_search(idx, queries, k=10, nprobe=4).collect()
+    )
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(idx, path)
+    idx.unpersist()
+
+    loaded = S.load_ivf_index(spark, path, pin=True)
+    assert loaded.centers == idx.centers
+    from_disk = sorted(
+        tuple(r) for r in S.ivf_search(loaded, queries, k=10, nprobe=4).collect()
+    )
+    assert from_disk == in_session
+    loaded.unpersist()
+
+    # pin=False: single-search sessions keep the scan lazy so partition
+    # pruning on the probed cells reaches the parquet reader
+    lazy = S.load_ivf_index(spark, path, pin=False)
+    assert sorted(
+        tuple(r) for r in S.ivf_search(lazy, queries, k=10, nprobe=4).collect()
+    ) == in_session
+    # cell must survive as a partition directory (pruning-capable layout)
+    import os
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/postings"))
+
+
 def test_text_quality_and_langid(spark):
     rows = [
         (1, "the cat sat on the mat and it is a good day for the dog"),

@@ -101,3 +101,52 @@ def test_query_http_dialect(spark, tmp_path):
         assert row["m"].startswith("2024-06-03")
     finally:
         srv.stop()
+
+
+def test_read_parquet_options_forms(spark, tmp_path):
+    """read_parquet('path', union_by_name=…, hive_partitioning=…,
+    filename=…) — the reference's own scan idiom
+    (merge_service_fs.go:215 uses the ARRAY form with both options)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+
+    # two schema generations in one directory → union_by_name territory
+    d = tmp_path / "store"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        str(d / "g1.parquet")
+    )
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double").write.parquet(
+        str(d / "g2.parquet")
+    )
+    qe = QueryEngine(spark, Catalog(str(tmp_path / "root")))
+
+    df = qe.sql(
+        f"SELECT id, name, score FROM read_parquet('{d}/*', union_by_name = true) ORDER BY id"
+    )
+    rows = df.collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] is None and rows[1]["score"] == 9.5
+
+    # ARRAY form with the reference's exact option spelling
+    f1, f2 = str(d / "g1.parquet"), str(d / "g2.parquet")
+    df = qe.sql(
+        "SELECT count() AS n FROM read_parquet("
+        f"ARRAY['{f1}', '{f2}'], hive_partitioning = false, union_by_name = true)"
+    )
+    assert df.collect()[0]["n"] == 2
+
+    # filename=true projects the source file (DuckDB semantics)
+    df = qe.sql(
+        f"SELECT DISTINCT filename FROM read_parquet('{f1}', filename = true)"
+    )
+    assert all("g1.parquet" in r["filename"] for r in df.collect())
+
+
+def test_rewrite_sql_tolerates_options():
+    """The engine-less rewriter must not choke on the options tail."""
+    from quackpipe_spark.functions.dialect import rewrite_sql
+
+    out = rewrite_sql(
+        "SELECT count() FROM read_parquet('/x/y.parquet', union_by_name = true)"
+    )
+    assert out == "SELECT count(*) FROM parquet.`/x/y.parquet`"
