@@ -76,6 +76,53 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # \Q…\E quotes the separator — Spark's split() takes a regex, and CH
     # splitByChar semantics are literal (sep='.' must not match-any)
     ("splitByChar", "sep STRING, s STRING", "ARRAY<STRING>", r"split(s, concat('\\Q', sep, '\\E'))"),
+    # chsql URL family (public chsql extension surface, Dockerfile:11) —
+    # all inline to Hive parse_url / regexp, JVM-side. CH semantics:
+    # missing query/fragment → NULL; missing port → 0; topLevelDomain of
+    # a dotted host is its last label.
+    ("protocol", "url STRING", "STRING", "parse_url(url, 'PROTOCOL')"),
+    ("domain", "url STRING", "STRING", "parse_url(url, 'HOST')"),
+    (
+        "domainWithoutWWW",
+        "url STRING",
+        "STRING",
+        r"regexp_replace(parse_url(url, 'HOST'), '^www\\.', '')",
+    ),
+    (
+        "topLevelDomain",
+        "url STRING",
+        "STRING",
+        r"regexp_extract(parse_url(url, 'HOST'), '\\.([^.]+)$', 1)",
+    ),
+    (
+        "port",
+        "url STRING",
+        "INT",
+        r"coalesce(try_cast(regexp_extract(parse_url(url, 'AUTHORITY'), ':(\\d+)$', 1) AS INT), 0)",
+    ),
+    ("path", "url STRING", "STRING", "parse_url(url, 'PATH')"),
+    # FILE = path + '?' + query when a query is present (CH pathFull)
+    ("pathFull", "url STRING", "STRING", "parse_url(url, 'FILE')"),
+    ("queryString", "url STRING", "STRING", "parse_url(url, 'QUERY')"),
+    ("fragment", "url STRING", "STRING", "parse_url(url, 'REF')"),
+    # chsql IPv4 helpers: dotted-quad ↔ uint32, pure bit math.
+    (
+        "IPv4NumToString",
+        "n BIGINT",
+        "STRING",
+        "concat_ws('.', CAST(shiftright(n, 24) & 255 AS STRING),"
+        " CAST(shiftright(n, 16) & 255 AS STRING),"
+        " CAST(shiftright(n, 8) & 255 AS STRING), CAST(n & 255 AS STRING))",
+    ),
+    (
+        "IPv4StringToNum",
+        "s STRING",
+        "BIGINT",
+        r"CAST(split(s, '\\.')[0] AS BIGINT) * 16777216"
+        r" + CAST(split(s, '\\.')[1] AS BIGINT) * 65536"
+        r" + CAST(split(s, '\\.')[2] AS BIGINT) * 256"
+        r" + CAST(split(s, '\\.')[3] AS BIGINT)",
+    ),
     # time_bucket (DuckDB/Timescale style): align ts to a bucket width.
     (
         "time_bucket_s",

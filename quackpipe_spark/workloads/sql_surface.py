@@ -741,24 +741,69 @@ GROUP BY event_type
 """
 
 
+# Synthesized URL per part, covering the variant space: http/https,
+# www prefix, multi-label tld, explicit port, query, fragment — each
+# present on a deterministic subset of rows so every NULL/default branch
+# of the URL functions is exercised.
+_CH_URL_SPARK = (
+    "concat(CASE WHEN p_partkey % 2 = 0 THEN 'https' ELSE 'http' END, '://',"
+    " CASE WHEN p_partkey % 4 = 0 THEN 'www.' ELSE '' END,"
+    " 'shop-', CAST(p_partkey % 5 AS STRING),"
+    " CASE WHEN p_partkey % 2 = 0 THEN '.example.co.uk' ELSE '.example.com' END,"
+    " CASE WHEN p_partkey % 3 = 0 THEN ':8443' ELSE '' END,"
+    " '/part/', CAST(p_partkey AS STRING),"
+    " CASE WHEN p_partkey % 2 = 1 THEN concat('?color=', CAST(p_size AS STRING)) ELSE '' END,"
+    " CASE WHEN p_partkey % 5 = 0 THEN '#spec' ELSE '' END)"
+)
+
+
 def ch_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse alias functions (aliases.sql:1-36 parity): casts,
-    OrZero/OrNull, intDiv(=plain / — reference quirk), match(=LIKE)."""
+    OrZero/OrNull, intDiv(=plain / — reference quirk), match(=LIKE),
+    plus the chsql URL/IPv4 families (chsql community extension,
+    Dockerfile:11) — all Catalyst-inlined SQL functions, no UDFs."""
     _dialect(spark)
     p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.expr("toString(p_size)").alias("size_str"),
-        F.expr("toInt64(toString(p_size))").alias("size_i64"),
-        F.expr("toFloat64(toString(p_retailprice))").alias("price_f64"),
-        F.expr("toInt32OrZero(p_type)").alias("bad_cast_zero"),
-        F.expr("toInt32OrNull(p_type)").alias("bad_cast_null"),
-        F.expr("round(intDiv(p_retailprice, 100.0), 4)").alias("price_div"),
-        F.expr("match(p_name, '%red%')").alias("is_red"),
+    return (
+        p.withColumn("url", F.expr(_CH_URL_SPARK))
+        .withColumn("ip_num", F.expr("CAST(p_partkey AS BIGINT) * 7919 % 4294967296"))
+        .select(
+            "p_partkey",
+            F.expr("toString(p_size)").alias("size_str"),
+            F.expr("toInt64(toString(p_size))").alias("size_i64"),
+            F.expr("toFloat64(toString(p_retailprice))").alias("price_f64"),
+            F.expr("toInt32OrZero(p_type)").alias("bad_cast_zero"),
+            F.expr("toInt32OrNull(p_type)").alias("bad_cast_null"),
+            F.expr("round(intDiv(p_retailprice, 100.0), 4)").alias("price_div"),
+            F.expr("match(p_name, '%red%')").alias("is_red"),
+            F.expr("protocol(url)").alias("url_protocol"),
+            F.expr("domain(url)").alias("url_domain"),
+            F.expr("domainWithoutWWW(url)").alias("url_domain_no_www"),
+            F.expr("topLevelDomain(url)").alias("url_tld"),
+            F.expr("port(url)").alias("url_port"),
+            F.expr("path(url)").alias("url_path"),
+            F.expr("pathFull(url)").alias("url_path_full"),
+            F.expr("queryString(url)").alias("url_query"),
+            F.expr("fragment(url)").alias("url_fragment"),
+            F.expr("IPv4NumToString(ip_num)").alias("ip_str"),
+            F.expr("IPv4StringToNum(IPv4NumToString(ip_num))").alias("ip_roundtrip"),
+        )
     )
 
 
-CH_DIALECT_SQL = """
+_CH_URL_DUCK = _CH_URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+CH_DIALECT_SQL = f"""
+WITH u AS (
+  SELECT *, {_CH_URL_DUCK} AS url,
+         CAST(p_partkey AS BIGINT) * 7919 % 4294967296 AS ip_num
+  FROM part
+),
+h AS (
+  SELECT *, regexp_extract(url, '://([^/?#]+)', 1) AS authority,
+         regexp_extract(url, '://([^/:?#]+)', 1) AS host
+  FROM u
+)
 SELECT p_partkey,
        CAST(p_size AS VARCHAR) AS size_str,
        CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_i64,
@@ -766,8 +811,20 @@ SELECT p_partkey,
        coalesce(try_cast(p_type AS INT), 0) AS bad_cast_zero,
        try_cast(p_type AS INT) AS bad_cast_null,
        round(p_retailprice / 100.0, 4) AS price_div,
-       p_name LIKE '%red%' AS is_red
-FROM part
+       p_name LIKE '%red%' AS is_red,
+       regexp_extract(url, '^([a-z]+)://', 1) AS url_protocol,
+       host AS url_domain,
+       regexp_replace(host, '^www\\.', '') AS url_domain_no_www,
+       regexp_extract(host, '\\.([^.]+)$', 1) AS url_tld,
+       coalesce(try_cast(regexp_extract(authority, ':([0-9]+)$', 1) AS INT), 0) AS url_port,
+       regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS url_path,
+       regexp_extract(url, '://[^/?#]+([^#]*)', 1) AS url_path_full,
+       nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS url_query,
+       nullif(regexp_extract(url, '#(.*)$', 1), '') AS url_fragment,
+       CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' || CAST((ip_num >> 16) & 255 AS VARCHAR)
+         || '.' || CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' || CAST(ip_num & 255 AS VARCHAR) AS ip_str,
+       ip_num AS ip_roundtrip
+FROM h
 """
 
 
