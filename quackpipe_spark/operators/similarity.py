@@ -182,7 +182,6 @@ def blocked_near_pairs(
     n_cells: int = 32,
     probes: int = 2,
     round_to: int = 4,
-    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs blocked by quantizer cell: only pairs sharing
     one of their ``probes`` nearest cells are compared, so the pair space
@@ -193,44 +192,56 @@ def blocked_near_pairs(
     candidate, so precision is exact; recall is the standard IVF trade-off
     tuned by (n_cells, probes).
 
-    Scale: ``n_cells`` bounds the PAIR SPACE and should grow with the
-    corpus (pairs ≈ n²·probes²/n_cells); ``salt_buckets`` bounds TASK
-    parallelism independently — the self-join key (cell, salt) has
-    n_cells·salt_buckets values, so the heaviest stage is never capped at
-    n_cells tasks. Salting replicates one join side salt_buckets× but
-    does not change the result set, so the oracle is unaffected."""
+    The within-cell scoring is ONE applyInPandas pass: each cell's rows
+    arrive as an Arrow batch (linear in corpus size — never the pair
+    space) and all pairwise dots are computed as ``dims`` vectorized
+    rank-1 accumulations in numpy. Accumulation runs in ascending
+    dimension order on float64, so every cosine is BIT-IDENTICAL to the
+    sequential JVM/DuckDB list-fold the oracle uses — vectorized across
+    pairs, not reordered within one. (A previous version self-joined the
+    assignment and paid an interpreted 64-step fold per pair: ~3× slower
+    at equal results, plus a persist to stop double-computation.)
+
+    Scale: ``n_cells`` bounds BOTH the pair space (≈ n²·probes²/n_cells)
+    and the stage's parallelism (one task per cell), so it must grow with
+    the corpus — ≥ 4× cluster parallelism and small enough per-cell rows
+    that an O(cell²) score matrix fits an executor (cells of 20k rows →
+    3.2 GB matrix; target ≤ ~5k rows/cell). Oversized hot cells are the
+    quantizer's skew case: raise n_cells or probes rather than salting,
+    which cannot split an all-pairs block without a triangle join."""
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
-    # persist + eager count: BOTH self-join sides read this subtree; lazy
-    # persist loses the race and the assignment (crossJoin + window rank)
-    # recomputes once per side (see operators/dedup.py minhash_dedup).
-    assigned = assign_cells(
-        fan_out(corpus), centers, id_col, vec_col, probes=probes
-    ).persist()
-    assigned.count()
-    if salt_buckets is None:
-        par = corpus.sparkSession.sparkContext.defaultParallelism
-        salt_buckets = max(1, (4 * par) // n_cells)
-    a = assigned.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na_"), "cell",
-    ).withColumn(
-        "_salt", F.pmod(F.crc32(F.col("a").cast("string")), F.lit(salt_buckets)).cast("int")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb_"), "cell",
-    ).withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
-    return (
-        a.join(b, ["cell", "_salt"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            # norms precomputed per row (linear), only the dot is pairwise
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_")), round_to
-            ).alias("cos"),
+    assigned = assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=probes)
+    # emit with slack below threshold, round+filter JVM-side: np.round is
+    # half-to-even while Spark/DuckDB round() is half-up, so the EXACT
+    # rounding that decides threshold membership must not happen in numpy
+    slack = threshold - 10.0 ** (-round_to) / 2 - 1e-12
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = len(pdf)
+        if p < 2:
+            return pd.DataFrame({"a": [], "b": [], "_rawcos": []}).astype(
+                {"a": "int64", "b": "int64", "_rawcos": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)  # position order = id order → a < b
+        ids = pdf[id_col].to_numpy()
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        S = np.zeros((p, p))
+        for i in range(M.shape[1]):  # ascending-dim rank-1 accumulation
+            col = M[:, i]
+            S += col[:, None] * col[None, :]
+        C = S / (nr[:, None] * nr[None, :])
+        ai, bi = np.triu_indices(p, 1)
+        keep = C[ai, bi] >= slack
+        return pd.DataFrame(
+            {"a": ids[ai[keep]], "b": ids[bi[keep]], "_rawcos": C[ai, bi][keep]}
         )
+
+    scored = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, schema=f"a {dict(corpus.dtypes)[id_col]}, b {dict(corpus.dtypes)[id_col]}, _rawcos double"
+    )
+    return (
+        scored.select("a", "b", F.round(F.col("_rawcos"), round_to).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()  # pairs sharing 2 probe cells appear twice, same cos
     )

@@ -68,21 +68,19 @@ def test_scan_reuse_cache(spark):
     assert a is b
 
 
-def test_blocked_near_pairs_persisted_and_salted(spark):
-    """The cell self-join must (a) read the persisted assignment on BOTH
-    sides — the assignment subtree (crossJoin + window rank) is expensive
-    and must not recompute per side — and (b) join on (cell, salt) so task
-    parallelism is not capped at n_cells."""
+def test_blocked_near_pairs_single_pass_no_selfjoin(spark):
+    """Within-cell scoring must be ONE grouped-Arrow pass over the
+    assignment (linear data movement), not a self-join whose interpreted
+    per-pair fold and double-computed subtree were the old plan's cost:
+    exactly one shuffle (the cell groupBy), one FlatMapGroupsInPandas,
+    and no join in the plan."""
     from quackpipe_spark.operators import similarity as S2
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    pairs = S2.blocked_near_pairs(emb, threshold=0.40, n_cells=8, probes=2,
-                                  salt_buckets=4)
+    pairs = S2.blocked_near_pairs(emb, threshold=0.40, n_cells=8, probes=2)
     p = plan_text(pairs)
-    assert p.count("InMemoryTableScan") >= 2, "self-join sides must hit the cache"
-    assert "_salt" in p, "join key must carry the salt column"
-    # cleanup: drop the persisted assignment this plan pinned
-    spark.catalog.clearCache()
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p, "pair scoring must not self-join the assignment"
 
 
 def test_lsh_and_ivf_score_without_norm_refold(spark):
