@@ -159,50 +159,42 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    shingle_df: DataFrame | None = None,
-    sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
-    |A∩B| via a shingle join restricted (semi-join) to candidate ids;
-    |A∪B| = |A|+|B|-|A∩B|. Output (a, b, jaccard) filtered to ≥ threshold.
-    Pass ``shingle_df`` (ideally persisted) to share the explode with an
-    upstream candidate stage, and ``sizes_df`` (id_col, n) when shingle
-    counts are already known (e.g. from the signature aggregation) to
-    skip the size groupBy entirely.
-    """
+    The semi-join lands on ``docs`` BEFORE the shingle explode, so verify
+    work is proportional to the CANDIDATE set, not the corpus — the
+    blocking/LSH stage already paid one full-corpus explode; re-exploding
+    all docs here (the previous plan) doubles the heaviest stage at scale
+    for no reason. Each candidate doc's shingles are then collected into
+    one array (no shuffle: shingle_table is id-partitioned) and
+    |A∩B| is a JVM ``array_intersect`` per pair; |A∪B| = |A|+|B|-|A∩B|.
+    Output (a, b, jaccard) filtered to ≥ threshold.
+
+    Scale: broadcasting cand_ids assumes candidates ≪ corpus — that is
+    the contract of any blocking scheme worth running (ids only, ~8 B/row);
+    a doc in many pairs replicates its array per pair, same row growth as
+    the exploded-join alternative."""
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    base_sh = (
-        shingle_df
-        if shingle_df is not None
-        else shingle_table(docs, id_col, text_col, shingle_k)
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sets = (
+        shingle_table(cand_docs, id_col, text_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shset"))
     )
-    sh = base_sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sizes = (
-        sizes_df
-        if sizes_df is not None
-        else sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    )
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
-        pairs.join(sa, "a").join(sb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    j = pairs.join(
+        sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa")), "a"
+    ).join(sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb")), "b")
+    inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
-        .select(
+        j.select(
             "a",
             "b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 3
-            ).alias("jaccard"),
+            F.round(inter / (F.size("sa") + F.size("sb") - inter), 3).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -221,14 +213,15 @@ def minhash_dedup(
     """Full near-dup pipeline: minhash → LSH candidates → exact-jaccard
     verification. Returns (a, b, jaccard ≥ threshold).
 
-    The shingle explode feeds both the signature and the verify stages.
-    It is NOT persisted by default: recomputing the (scan → split →
-    shingle) projection is pipeline work the codegen stage does at memory
-    speed, while caching the exploded form materializes a row-multiplied
-    intermediate and blocks pushdown through InMemoryRelation — measured
-    4× slower end-to-end. Set ``persist_shingles=True`` only when the
-    upstream scan itself is the expensive part (e.g. remote object store
-    with poor locality)."""
+    The shingle explode feeds only the signature stage (verify re-shingles
+    just the candidate docs — see jaccard_verify). It is NOT persisted by
+    default: recomputing the (scan → split → shingle) projection is
+    pipeline work the codegen stage does at memory speed, while caching
+    the exploded form materializes a row-multiplied intermediate and
+    blocks pushdown through InMemoryRelation — measured 4× slower
+    end-to-end. Set ``persist_shingles=True`` only when the upstream scan
+    itself is the expensive part (e.g. remote object store with poor
+    locality)."""
     sh = shingle_table(docs, id_col, text_col, shingle_k)
     if persist_shingles:
         from pyspark import StorageLevel
@@ -250,11 +243,7 @@ def minhash_dedup(
     # simultaneous copies). The blocking count() fills the cache first.
     cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
     cands.count()
-    sizes = sigs.select(id_col, F.col("n_shingles").alias("n"))
-    return jaccard_verify(
-        docs, cands, id_col, text_col, shingle_k, threshold,
-        shingle_df=sh, sizes_df=sizes,
-    )
+    return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
 
 
 # --- simhash ---------------------------------------------------------------

@@ -134,7 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # tiny pair set, heavy lineage — see minhash_dedup
     )
     pairs.count()  # eager: verify's branches race a lazy cache (ditto)
-    return D.jaccard_verify(docs, pairs, threshold=0.8, shingle_df=sh)
+    return D.jaccard_verify(docs, pairs, threshold=0.8)
 
 
 DEDUP_NGRAM_SQL = f"""
