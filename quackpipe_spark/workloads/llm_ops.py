@@ -118,18 +118,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     space; near-identical docs always share rare shingles)."""
     docs = _docs(spark, sf_dir)
     sh = D.shingle_table(docs)
-    rare = (
+    # one groupBy builds each rare shingle's sorted doc list AND emits its
+    # pairs from the array — two shuffles total (agg, distinct) where the
+    # rare-filter + rare⋈sh + self-join formulation pays four; sort_array
+    # makes position order = id order, so every emitted pair has a < b
+    grouped = (
         sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") <= _RARE_MAX_DOCS)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _RARE_MAX_DOCS))
     )
-    rare_sh = sh.join(rare, "shingle")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        rare_sh.alias("l")
-        .join(rare_sh.alias("r"), "shingle")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
         .persist()  # tiny pair set, heavy lineage — see minhash_dedup
     )
