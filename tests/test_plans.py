@@ -83,6 +83,33 @@ def test_blocked_near_pairs_single_pass_no_selfjoin(spark):
     assert "Join" not in p, "pair scoring must not self-join the assignment"
 
 
+def test_jaccard_verify_shingles_candidates_only(spark):
+    """Verify work must be proportional to the CANDIDATE set: the semi-join
+    against candidate ids must land on the docs scan BEFORE the shingle
+    explode (a full-corpus re-explode doubles the heaviest stage at scale),
+    and |A∩B| must be one array_intersect per pair, not a pair×shingle
+    join."""
+    from quackpipe_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = docs.limit(2).select(
+        (docs.doc_id * 0).alias("a"), (docs.doc_id * 0 + 1).alias("b")
+    ).distinct()
+    p = plan_text(D.jaccard_verify(docs, pairs))
+    assert "array_intersect" in p
+    # the explode (Generate) must sit ABOVE the semi-join so it consumes
+    # already-filtered docs — formatted explain numbers operators bottom-up
+    # (leaves smallest), so every Generate's id must exceed the lowest
+    # semi-join id; a regression to explode-then-filter puts the Generate
+    # below the join and flips the inequality
+    lines = p.splitlines()
+    gen_ids = [int(l.split("(")[1].split(")")[0]) for l in lines if "Generate" in l and "(" in l]
+    semi_ids = [int(l.split("(")[1].split(")")[0]) for l in lines
+                if "Join" in l and "LeftSemi" in l and "(" in l]
+    assert gen_ids and semi_ids
+    assert min(gen_ids) > min(semi_ids), "explode must consume semi-joined docs"
+
+
 def test_lsh_and_ivf_score_without_norm_refold(spark):
     """Pair scoring must divide by precomputed norms — a norm() re-fold in
     the pair space costs 2 extra array folds per candidate at any scale."""
