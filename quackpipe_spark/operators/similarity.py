@@ -103,6 +103,21 @@ def brute_force_topk(
 Centers = list[tuple[int, list[float]]]
 
 
+def auto_cells(corpus: DataFrame, target_rows_per_cell: int = 4096) -> int:
+    """Scale-safe default cell count for the quantizer-blocked operators.
+
+    Two constraints, take the max: ≥ 4× cluster parallelism (the
+    within-cell stage runs one task per cell, so fewer cells caps the
+    cluster), and ≤ ``target_rows_per_cell`` rows per cell so an
+    O(cell²) pairwise score block stays executor-sized (4096² doubles =
+    134 MB). One count() job is the price of a default that still holds
+    at 1000× the corpus; gate queries pin n_cells explicitly instead so
+    their oracle SQL (which inlines the literal) stays valid."""
+    n = corpus.count()
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return max(4 * par, -(-n // target_rows_per_cell))
+
+
 def seeded_centers(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -179,7 +194,7 @@ def blocked_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     probes: int = 2,
     round_to: int = 4,
 ) -> DataFrame:
@@ -204,11 +219,13 @@ def blocked_near_pairs(
 
     Scale: ``n_cells`` bounds BOTH the pair space (≈ n²·probes²/n_cells)
     and the stage's parallelism (one task per cell), so it must grow with
-    the corpus — ≥ 4× cluster parallelism and small enough per-cell rows
-    that an O(cell²) score matrix fits an executor (cells of 20k rows →
-    3.2 GB matrix; target ≤ ~5k rows/cell). Oversized hot cells are the
+    the corpus; the default (None) derives it via :func:`auto_cells` —
+    ≥ 4× cluster parallelism and small enough per-cell rows that the
+    O(cell²) score matrix fits an executor. Oversized hot cells are the
     quantizer's skew case: raise n_cells or probes rather than salting,
     which cannot split an all-pairs block without a triangle join."""
+    if n_cells is None:
+        n_cells = auto_cells(corpus)
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
     assigned = assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=probes)
     # emit with slack below threshold, round+filter JVM-side: np.round is
@@ -268,7 +285,7 @@ def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     sample_n: int = 10_000,
     iters: int = 8,
@@ -278,10 +295,14 @@ def build_ivf_index(
     Train on a bounded driver-side sample with numpy spherical k-means
     (the FAISS recipe: quantizers train on a subset, never the full
     corpus) — on a 100 TB corpus this is `limit(sample_n)` + a few ms of
-    numpy, instead of per-iteration distributed jobs for a 16-cell model.
-    The full corpus is touched exactly once, by the assignment pass.
+    numpy, instead of per-iteration distributed jobs for a small-cell
+    model. ``n_cells=None`` sizes the cell count to the corpus and the
+    cluster via :func:`auto_cells` (clamped to sample_n: k-means can't
+    make more centers than training rows). The full corpus is touched
+    exactly once, by the assignment pass.
     """
-
+    if n_cells is None:
+        n_cells = min(auto_cells(corpus), sample_n)
     rows = corpus.select(vec_col).limit(sample_n).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -200,3 +200,22 @@ def test_shingles_short_doc_guard(spark):
     counts = {r["doc_id"]: r["count"] for r in out}
     assert 1 not in counts and 2 not in counts
     assert counts[3] == 2  # "one two three", "two three four"
+
+
+def test_auto_cells_scales_with_corpus_and_cluster(spark, emb):
+    """The default cell count must grow with BOTH the corpus (bounded
+    rows per cell → the O(cell²) score block stays executor-sized) and
+    the cluster (≥4× parallelism → the per-cell stage never caps task
+    parallelism), so the quantizer-blocked operators hold at 1000×."""
+    par = spark.sparkContext.defaultParallelism
+    n = emb.count()
+    cells = S.auto_cells(emb)
+    assert cells >= 4 * par
+    assert cells >= -(-n // 4096)
+    # shrinking the per-cell budget (≡ growing the corpus) must grow the
+    # cell count proportionally — one cell per row at budget 1
+    assert S.auto_cells(emb, target_rows_per_cell=1) >= n
+    # the None default reaches the operator (no crash, sane output cols)
+    pairs = S.blocked_near_pairs(emb.limit(200), threshold=0.40, probes=1)
+    assert pairs.columns == ["a", "b", "cos"]
+    assert pairs.count() >= 0
