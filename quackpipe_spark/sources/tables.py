@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -56,12 +57,35 @@ def _ensure_read_confs(spark: SparkSession) -> None:
         pass  # conf locked down (e.g. Spark Connect policy) — reads may still work
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Pin the engine's time domain: ``ts`` is int64 epoch-nanoseconds.
+
+    The driver's testdata has shipped ``events.ts`` as both
+    TIMESTAMP(NANOS) (rounds 1-3; nanosAsLong delivers bigint directly)
+    and TIMESTAMP(MICROS) (round 4+; arrives as timestamp/timestamp_ntz).
+    Convert the timestamp forms to epoch-ns here so every downstream
+    operator sees one type. The cast + multiply is a Catalyst expression
+    folded into the scan projection — no extra pass. Session timezone is
+    UTC (set in _ensure_read_confs), so NTZ values convert as UTC, which
+    matches how the DuckDB oracle's epoch()/epoch_us() treat naive
+    timestamps.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        df = df.withColumn("ts", ns)
+    return df
+
+
 def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     hit = _SCAN_CACHE.get(key)
     if hit is None:
         _ensure_read_confs(spark)
-        hit = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_event_time(df)
+        hit = (spark, df)
         _SCAN_CACHE[key] = hit
     return hit[1]
 

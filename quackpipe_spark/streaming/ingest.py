@@ -73,6 +73,16 @@ def stream_lines_to_table(
     return writer.start()
 
 
+def _event_time(events: DataFrame, ts_col: str):
+    """Event-time column tolerant of the two time encodings users feed us:
+    int64 epoch-nanos (the engine's native domain) or a parquet/stream
+    timestamp[_ntz] (truncated to µs, Spark's timestamp resolution)."""
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.col(ts_col).cast("timestamp")
+    return F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+
+
 def session_windows(
     events: DataFrame,
     ts_col: str = "ts",
@@ -84,7 +94,7 @@ def session_windows(
     to the lag+cumsum sessionization in the batch surface (cross-checked
     in tests), but expressed with Spark's built-in session_window so the
     streaming state store handles late-merge semantics."""
-    ts = F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+    ts = _event_time(events, ts_col)
     return (
         events.withColumn("_event_time", ts)
         .groupBy(F.session_window("_event_time", gap).alias("w"), F.col(key_col))
@@ -107,9 +117,9 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts — the streaming extension the
     reference can't express (its late data just lands in old partitions).
-    ``ts_col`` is int64 epoch ns (our time domain); works on both batch
-    and streaming DataFrames."""
-    ts = F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+    ``ts_col`` is int64 epoch ns (our time domain) or a native timestamp;
+    works on both batch and streaming DataFrames."""
+    ts = _event_time(events, ts_col)
     return (
         events.withColumn("_event_time", ts)
         .withWatermark("_event_time", watermark)
