@@ -8,11 +8,18 @@ uses a count action so results are computed but not shipped to the driver.
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 MEDIAN: single-pass timings on this box carry ±7 s of transient system
 noise (measured r02→r03 with zero code change), so one-shot numbers can't
-attribute regressions. The cache is cleared between repetitions so no rep
-is warmed by the previous one's persisted intermediates; queries that
-search a prebuilt artifact (ann_topk_ivf's index) re-run their prebuild
-hook untimed after each clear, mirroring a long-lived engine where the
-index is built once, not per query.
+attribute regressions. Repetitions are interleaved as full SWEEPS over
+the query list (rep 1 of every query, then rep 2, …) rather than
+back-to-back per query: the noise is bursty (multi-second system stalls
+covering several consecutive timings — measured reps of [1.8, 5.0, 7.7] s
+for one unchanged query), so back-to-back reps of a query all land inside
+one burst and the median is poisoned; sweep-separated reps are ~20 s
+apart and at most one rep per query falls in any burst. The cache is
+cleared between repetitions so no rep is warmed by the previous one's
+persisted intermediates; queries that search a prebuilt artifact
+(ann_topk_ivf's index) re-run their prebuild hook untimed after each
+clear, mirroring a long-lived engine where the index is built once, not
+per query.
 """
 
 from __future__ import annotations
@@ -53,9 +60,11 @@ def main() -> None:
     except Exception as e:
         failures["_warmup"] = f"{type(e).__name__}: {e}"[:200]
 
-    for name in sorted(qs):
-        times: list[float] = []
-        for _ in range(reps):
+    times: dict[str, list[float]] = {name: [] for name in sorted(qs)}
+    for _ in range(reps):
+        for name in sorted(qs):
+            if name in failures:
+                continue
             # drop intermediates persisted inside operator pipelines so one
             # rep's cache (and its GC) can't bleed into the next timing
             spark.catalog.clearCache()
@@ -67,12 +76,12 @@ def main() -> None:
                 df = qs[name](spark, sf_dir)
                 n = df.count()
                 assert n >= 0
-                times.append(time.perf_counter() - t0)
+                times[name].append(time.perf_counter() - t0)
             except Exception as e:  # keep benching; report in the line
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
-                break
-        if times:
-            per_query[name] = round(statistics.median(times), 4)
+    for name, ts in times.items():
+        if ts:
+            per_query[name] = round(statistics.median(ts), 4)
     spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)

@@ -28,6 +28,28 @@ def test_events_read_under_plain_session(spark):
     assert ev.limit(5).count() > 0
 
 
+def test_normalize_event_time_both_encodings(spark):
+    """The testdata has shipped events.ts as TIMESTAMP(NANOS) (rounds 1-3)
+    and TIMESTAMP(MICROS) (round 4+). _normalize_event_time must map both
+    to the engine's int64 epoch-ns domain — and produce the same nanos for
+    the same instant regardless of encoding."""
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.sources.tables import _normalize_event_time
+
+    ns = 1_700_000_000_123_456_000  # µs-aligned so both encodings hold it
+    as_long = spark.range(1).select(F.lit(ns).alias("ts"))
+    as_tstamp = spark.range(1).select(
+        F.timestamp_micros(F.lit(ns // 1000)).alias("ts")
+    )
+    as_ntz = as_tstamp.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+    for df in (as_long, as_tstamp, as_ntz):
+        out = _normalize_event_time(df)
+        assert dict(out.dtypes)["ts"] == "bigint"
+        assert out.collect()[0]["ts"] == ns
+
+
 def test_gate_query_under_plain_session(spark):
     plain = spark.newSession()
     plain.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
