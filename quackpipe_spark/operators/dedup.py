@@ -8,8 +8,9 @@ Designed for the 100 TB regime:
   minhashes as k aggregates (ONE shuffle, map-side partial min) → band
   hashes → self-join on (band, hash). Join cardinality is bounded by
   bucket sizes, not n²; skewed buckets are handled by AQE skew-join.
-- **simhash**: token explode → one groupBy(doc) with per-bit signed sums
-  → byte-banded self-join for hamming candidates.
+- **simhash**: per-row fold over the token array with a bits-wide signed
+  accumulator (no explode, no shuffle) → byte-banded self-join for
+  hamming candidates.
 - **jaccard verify**: candidate pairs only (never all pairs) — shingle
   semi-joined to the candidate set before the intersection count.
 
@@ -248,37 +249,53 @@ def minhash_dedup(
 
 # --- simhash ---------------------------------------------------------------
 
-def _token_hash32() -> Column:
+def _token_hash32(token: Column) -> Column:
     """32-bit int from the first 8 md5 hex chars of the token (portable:
     conv() here, ('0x'||…)::BIGINT in the oracle)."""
-    return F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
 
 
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash: bit j of the signature is the sign of the sum of
-    (2·bit_j(token_hash)−1) over tokens. One explode + one groupBy with
-    `bits` conditional-sum aggregates — a single shuffle."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(par, F.col(id_col))  # parallelize single-split scans
-        .select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
-        .withColumn("th", _token_hash32())
+    (2·bit_j(token_hash)−1) over tokens.
+
+    The signature is per-row state, so it needs NO explode and NO shuffle:
+    one fold over tokenize(text) with a ``bits``-wide integer accumulator
+    (the hyperplane_buckets pattern), then the sign/weight reduction —
+    all inside one whole-stage-codegen projection. (The previous
+    explode+groupBy formulation paid a full shuffle of every token row for
+    per-doc state; integer sums are order-independent, so the fold is
+    value-identical to the oracle's grouped conditional sums.) The fold
+    output feeds the sign reduction through a single zip_with reference —
+    NOT an intermediate column fanned into ``bits`` element_at projections,
+    which projection collapse would inline into ``bits`` copies of the
+    whole fold (the shingle_table lesson)."""
+    from quackpipe_spark.operators.util import fan_out
+
+    hashes = F.transform(tokenize(F.col(text_col)), _token_hash32)
+    sums = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + F.when(F.shiftright(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+                for j in range(bits)
+            ]
+        ),
     )
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
+    sig = F.aggregate(
+        F.zip_with(
+            sums,
+            F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
-        sig = term if sig is None else sig + term
-    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return fan_out(docs).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -292,24 +309,37 @@ def simhash_near_pairs(
     hamming ≤ 6 share at least one of 4 bytes whenever the differing bits
     concentrate — candidates join on (band, byte), verified by
     bit_count(xor). (Banding is a recall heuristic, same as the reference
-    LSH trade-off; the verify step keeps precision exact.)"""
+    LSH trade-off; the verify step keeps precision exact.)
+
+    A pair matching in several bands is emitted once by keeping only its
+    FIRST matching band: both simhashes ride through the join, so "an
+    earlier band also matches" is a plain column predicate — dedup becomes
+    a stateless filter instead of a DISTINCT shuffle over the candidate
+    pair set. No broadcast hint: the banded table is corpus-sized, so the
+    planner must pick broadcast-vs-SMJ from stats (it broadcasts the
+    persisted table at small scale, shuffles at 100 TB)."""
     # the banded self-join consumes sigs on both sides — cache the (small:
-    # one long per doc) signature table eagerly so the signature
-    # aggregation runs once, not per join side
+    # one long per doc) signature table eagerly so the per-row signature
+    # fold runs once, not per join side
     sigs = sigs.persist()
     sigs.count()
     width = bits // bands
     mask = (1 << width) - 1
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
-            for b in range(bands)
-        ]
-    )
+
+    def band_of(col: Column, b: int) -> Column:
+        return F.shiftright(col, b * width).bitwiseAND(mask)
+
+    band_vals = F.array(*[band_of(F.col("simhash"), b) for b in range(bands)])
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "bv")
     )
     l, r = banded.alias("l"), banded.alias("r")
+    earlier_match = None
+    for b in range(bands - 1):
+        cond = (F.col("l.band") > b) & (
+            band_of(F.col("l.simhash"), b) == band_of(F.col("r.simhash"), b)
+        )
+        earlier_match = cond if earlier_match is None else (earlier_match | cond)
     return (
         l.join(
             r,
@@ -317,6 +347,7 @@ def simhash_near_pairs(
             & (F.col("l.bv") == F.col("r.bv"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(~earlier_match)
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
@@ -324,6 +355,5 @@ def simhash_near_pairs(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).cast("int").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

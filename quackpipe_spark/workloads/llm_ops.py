@@ -326,13 +326,71 @@ def prebuild(spark: SparkSession, sf_dir: str) -> None:
     ivf_index_for(spark, sf_dir)
 
 
+_LSH_PLANES, _LSH_DIMS = 4, 64
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant (bucketed search) — rows-only check: the oracle
-    would just restate the same LSH; the interesting property (recall vs
-    brute force) is asserted in tests/test_llm_ops.py instead."""
+    """Approximate top-k via random-hyperplane buckets. The hyperplanes are
+    md5-derived ±1 literals (similarity.hyperplane_buckets), so the oracle
+    restates the identical recipe in SQL; recall vs brute force is asserted
+    separately in tests/test_llm_ops.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, k=10, n_planes=4)
+    return S.lsh_topk(emb, queries, k=10, n_planes=_LSH_PLANES, dims=_LSH_DIMS)
+
+
+def _lsh_oracle(n_planes: int = _LSH_PLANES, dims: int = _LSH_DIMS) -> str:
+    """The lsh_topk recipe restated for DuckDB: hyperplane p's component i
+    is the same driver-side md5 literal Spark inlines (low bit of
+    md5('{p}|{i}')), projections fold in ascending-dim order (list_sum ==
+    the JVM fold, bit-identical), bucket = Σ sign_bit<<p."""
+    import hashlib
+
+    def sign(p: int, i: int) -> str:
+        up = hashlib.md5(f"{p}|{i}".encode()).digest()[-1] & 1
+        return "1.0" if up else "-1.0"
+
+    plane_lists = ",\n         ".join(
+        "[" + ", ".join(sign(p, i) for i in range(dims)) + f"] AS s{p}"
+        for p in range(n_planes)
+    )
+    projs = ",\n         ".join(
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> embedding[i]::DOUBLE * s{p}[i])) AS p{p}"
+        for p in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN p{p} >= 0 THEN {1 << p} ELSE 0 END" for p in range(n_planes)
+    )
+    qc_dot = f"list_sum(list_transform(range(1, {dims + 1}), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+    return f"""
+WITH planes AS (
+  SELECT {plane_lists}
+),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(range(1, {dims + 1}),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm,
+         {projs}
+  FROM embeddings CROSS JOIN planes
+),
+bucketed AS (
+  SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM base
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({qc_dot} / (q.nrm * c.nrm), 6) AS cos
+  FROM bucketed q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+FROM ranked WHERE rank <= 10
+"""
 
 
 # --- text analysis ---------------------------------------------------------
@@ -403,10 +461,47 @@ FROM documents GROUP BY 1
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode plumbing (stubbed decode, real Arrow/mapInPandas path) —
-    rows-only check; byte-identical behavior is covered by unit tests."""
+    """Decode plumbing (stubbed decode, real Arrow/mapInPandas path).
+
+    The gate projection is scalar-only: ``decode_media`` keeps its
+    ``feature array<float>`` output for library users, but the driver
+    canonicalizer sorts every result column and list cells are unhashable
+    in pandas — so the gate emits the sha256-derived decode profile
+    (width/height/n_frames, DuckDB-reproducible) plus the feature
+    dimensionality as the plumbing witness."""
     media = M.attach_binary(_docs(spark, sf_dir))
-    return M.decode_media(media, fake=True)
+    decoded = M.decode_media(media, fake=True)
+    return decoded.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+# mirrors multimodal._fake_decode exactly: struct.unpack('>HHH', sha256[:6])
+# = three big-endian uint16 = hex chars [1..4], [5..8], [9..12] of the digest
+MULTIMODAL_DECODE_SQL = """
+WITH parts AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         ('0x' || substr(sha256(text), 1, 4))::INT AS a,
+         ('0x' || substr(sha256(text), 5, 4))::INT AS b,
+         ('0x' || substr(sha256(text), 9, 4))::INT AS c
+  FROM documents
+)
+SELECT media_id, kind,
+       CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + a % 1024 END AS INT) AS width,
+       CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + b % 1024 END AS INT) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1
+                 WHEN kind = 'video' THEN 1 + c % 300
+                 ELSE 1 + c % 100 END AS INT) AS n_frames,
+       CAST(8 AS INT) AS feature_dim
+FROM parts
+"""
 
 
 # --- flagship composition: end-to-end corpus cleaning ----------------------
@@ -498,8 +593,11 @@ ORACLE = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
+    "ann_topk_lsh": _lsh_oracle(),
     "text_analyze": _text_oracle(),
     "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "corpus_clean_pipeline": _corpus_clean_oracle(),
-    # ann_topk_lsh/ivf, multimodal_decode, text_compression_quality: rows-only
+    # ann_topk_ivf (engine-private k-means index; recall asserted in tests)
+    # and text_compression_quality (zlib): rows-only by design
 }
