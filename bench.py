@@ -79,7 +79,16 @@ def main() -> None:
                 times[name].append(time.perf_counter() - t0)
             except Exception as e:  # keep benching; report in the line
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
+    # a query that failed in ANY sweep is excluded from per_query/total —
+    # a partial median (fewer reps, possibly pre-failure warm reps only)
+    # must not blend into the headline number; its rep count is recorded
+    # alongside the failure so the partial data is visible, not implied
+    partial_reps: dict[str, int] = {}
     for name, ts in times.items():
+        if name in failures:
+            if ts:
+                partial_reps[name] = len(ts)
+            continue
         if ts:
             per_query[name] = round(statistics.median(ts), 4)
     spark.catalog.clearCache()
@@ -95,6 +104,8 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+        if partial_reps:
+            out["partial_reps"] = partial_reps
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,110 @@
+"""DuckDB-oracle timing harness — the OFFICIAL denominator for the
+"within 2x of DuckDB at the same SF" bar (BASELINE.md).
+
+The bar is sensitive to what "run the oracle" means, so this script pins
+it (see BASELINE.md "Harness definition"):
+
+- **DuckDB side (this script)**: warm connection, the test tables
+  registered as views, every oracle-covered query executed with
+  ``fetchall()`` — results fully MATERIALIZED, matching what a client of
+  either engine actually receives. Median of N interleaved sweeps
+  (default 3), same rep scheme as bench.py. The count-pruned variant
+  (``SELECT count(*) FROM (<q>)``), which lets DuckDB skip result
+  construction and ordering work, is also recorded for transparency but
+  is NOT the official number.
+- **Spark side**: ``bench.py``'s per-query medians (``df.count()`` — the
+  full result is computed but not shipped to the driver; a count action
+  is the closest Spark analogue of fetchall-without-printing, and the
+  asymmetry favors neither engine on these result sizes: every gate
+  query returns ≤ ~10k short rows).
+- **Ratio**: sum of Spark medians over the oracle-covered subset divided
+  by the sum of DuckDB materialized medians, matching query-for-query.
+
+Usage:
+    python oracle_bench.py [--sf-dir /root/testdata/sf0.1] \
+        [--bench BENCH_rNN.json] [--reps 3]
+
+Prints one JSON line: per-query DuckDB seconds (materialized and
+count-pruned), totals, and — when a bench file is given — the official
+ratio over the matched subset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--bench", default=None, help="BENCH_rNN.json (or bench.py stdout) to compute the ratio against")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    oracle = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    # warm the buffer pool so rep medians measure query work, not cold IO
+    for t in TABLES:
+        con.execute(f"SELECT count(*) FROM {t}").fetchall()
+
+    mat: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
+    cnt: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
+    for _ in range(args.reps):
+        for name in sorted(oracle):
+            t0 = time.perf_counter()
+            con.sql(oracle[name]).fetchall()
+            mat[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.sql(f"SELECT count(*) FROM ({oracle[name]})").fetchall()
+            cnt[name].append(time.perf_counter() - t0)
+
+    per_mat = {n: round(statistics.median(ts), 4) for n, ts in mat.items()}
+    per_cnt = {n: round(statistics.median(ts), 4) for n, ts in cnt.items()}
+    out = {
+        "metric": "duckdb_oracle_wall",
+        "unit": "sec",
+        "reps": args.reps,
+        "sf_dir": args.sf_dir,
+        "materialized": per_mat,
+        "materialized_total": round(sum(per_mat.values()), 4),
+        "count_pruned": per_cnt,
+        "count_pruned_total": round(sum(per_cnt.values()), 4),
+    }
+
+    if args.bench:
+        with open(args.bench) as f:
+            bench = json.load(f)
+        if "parsed" in bench:  # driver BENCH_rNN.json wrapper
+            bench = bench["parsed"]
+        spark_q = bench.get("queries", {})
+        matched = sorted(set(spark_q) & set(per_mat))
+        spark_total = round(sum(spark_q[n] for n in matched), 4)
+        duck_total = round(sum(per_mat[n] for n in matched), 4)
+        out["matched_queries"] = len(matched)
+        out["spark_oracle_subset_total"] = spark_total
+        out["ratio_official"] = round(spark_total / duck_total, 3) if duck_total else None
+        duck_cnt_total = round(sum(per_cnt[n] for n in matched), 4)
+        out["ratio_vs_count_pruned"] = (
+            round(spark_total / duck_cnt_total, 3) if duck_cnt_total else None
+        )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

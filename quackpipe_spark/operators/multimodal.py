@@ -58,12 +58,17 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
     """mapInPandas decode/feature-extract: binary → (dims, frames, feature
     vector). Real decode is stubbed (see module docstring).
 
-    Repartitions first: a compact single-file source would otherwise run
-    the whole Python decode in ONE Arrow worker — decode is the classic
-    embarrassingly-parallel stage, so spread it across the cluster."""
+    Fans out first (gated): a compact single-file source would otherwise
+    run the whole Python decode in ONE Arrow worker — decode is the
+    classic embarrassingly-parallel stage. On an already-split input the
+    gate skips the shuffle entirely (payload bytes are the widest column
+    in the table; re-shuffling them at 100 TB for no parallelism gain is
+    pure waste)."""
     import pandas as pd
 
-    media = media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+    from quackpipe_spark.operators.util import fan_out
+
+    media = fan_out(media)
 
     out_schema = (
         "media_id long, kind string, width int, height int, n_frames int, "

@@ -65,15 +65,29 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
     and TIMESTAMP(MICROS) (round 4+; arrives as timestamp/timestamp_ntz).
     Convert the timestamp forms to epoch-ns here so every downstream
     operator sees one type. The cast + multiply is a Catalyst expression
-    folded into the scan projection — no extra pass. Session timezone is
-    UTC (set in _ensure_read_confs), so NTZ values convert as UTC, which
-    matches how the DuckDB oracle's epoch()/epoch_us() treat naive
-    timestamps.
+    folded into the scan projection — no extra pass.
+
+    Timezone independence: the NTZ branch must NOT cast NTZ→timestamp —
+    that cast evaluates with whatever session timezone is current at
+    ACTION time (this DataFrame is memoized in _SCAN_CACHE, so a later
+    spark.conf.set would silently shift every cached scan, and a
+    locked-down non-UTC session would be wrong from the start). Instead,
+    naive wall time is mapped to the epoch with timestampdiff against the
+    NTZ epoch literal — a pure calendar subtraction with no timezone
+    input, i.e. naive == UTC by construction, matching how the DuckDB
+    oracle's epoch()/epoch_us() treat naive timestamps. The tz-aware
+    branch uses unix_micros directly (an instant; also tz-independent).
     """
     dtype = dict(df.dtypes).get("ts")
-    if dtype in ("timestamp", "timestamp_ntz"):
-        ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
-        df = df.withColumn("ts", ns)
+    if dtype == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        df = df.withColumn("ts", (us * F.lit(1000)).cast("long"))
+    elif dtype == "timestamp":
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
     return df
 
 

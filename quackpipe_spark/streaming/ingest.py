@@ -76,10 +76,23 @@ def stream_lines_to_table(
 def _event_time(events: DataFrame, ts_col: str):
     """Event-time column tolerant of the two time encodings users feed us:
     int64 epoch-nanos (the engine's native domain) or a parquet/stream
-    timestamp[_ntz] (truncated to µs, Spark's timestamp resolution)."""
+    timestamp[_ntz] (truncated to µs, Spark's timestamp resolution).
+
+    NTZ is mapped to an instant via timestampdiff against the NTZ epoch
+    literal — a calendar subtraction with no timezone input, so naive
+    wall time means UTC regardless of the caller's session timezone (a
+    plain NTZ→timestamp cast would shift event times and every tumbling
+    window boundary by the session offset, diverging from the int64
+    epoch-ns domain and the DuckDB oracle)."""
     dtype = dict(events.dtypes).get(ts_col)
-    if dtype in ("timestamp", "timestamp_ntz"):
-        return F.col(ts_col).cast("timestamp")
+    if dtype == "timestamp":
+        return F.col(ts_col)
+    if dtype == "timestamp_ntz":
+        return F.timestamp_micros(
+            F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+            )
+        )
     return F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
 
 

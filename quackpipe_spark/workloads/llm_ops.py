@@ -543,9 +543,9 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized pandas-UDF scoring (the python extension point) —
     rows-only: zlib ratios are deterministic but not SQL-expressible."""
     from quackpipe_spark.functions.extensions import compression_ratio
+    from quackpipe_spark.operators.util import fan_out
 
-    docs = _docs(spark, sf_dir)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = fan_out(_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
         F.round(compression_ratio("text"), 4).alias("compression_ratio"),

@@ -396,9 +396,12 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a tiny band table at any scale.
     """
     p = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("cheap", 0.0, 906.0), ("mid", 906.0, 913.0), ("expensive", 913.0, 1e12)],
-        "band string, lo double, hi double",
+    # literal VALUES via the SQL parser: a createDataFrame here pays py4j
+    # round-trips + driver-side Arrow conversion on every plan build; the
+    # parsed inline relation is pure Catalyst metadata
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('cheap', 0.0D, 906.0D), ('mid', 906.0D, 913.0D), "
+        "('expensive', 913.0D, 1e12D) AS bands(band, lo, hi)"
     )
     return (
         p.join(F.broadcast(bands), (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))

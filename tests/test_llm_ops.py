@@ -202,6 +202,43 @@ def test_shingles_short_doc_guard(spark):
     assert counts[3] == 2  # "one two three", "two three four"
 
 
+def test_blocked_near_pairs_recall_at_auto_scale(spark):
+    """The gate query pins n_cells=32 for oracle parity; this proves the
+    auto-scaled path (auto_cells → ~128 cells on a 100k corpus, well past
+    the old 32-task cap) still finds planted near-duplicates.
+
+    Corpus: 100k deterministic pseudo-random 64-dim vectors built JVM-side
+    (md5-derived components, no driver-side data). Ids 200000..200099 are
+    near-copies of ids 0..99 (component-wise +1% perturbation, cos ≈ 1),
+    everything else is near-orthogonal noise."""
+    dims = 64
+    comp = (
+        "(cast(conv(substr(md5(concat(id, '|', d)), 1, 8), 16, 10) as double) "
+        "% 1000) / 1000.0 - 0.5"
+    )
+    base = spark.range(100_000).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, {dims - 1}), d -> {comp}) as embedding",
+    )
+    clones = spark.range(100).selectExpr(
+        "id + 200000 as vec_id",
+        # additive alternating-sign noise (not a scalar multiple): cos < 1
+        # but well above threshold — a genuine near-duplicate
+        f"transform(sequence(0, {dims - 1}), "
+        f"d -> ({comp}) + 0.02 * (case when d % 2 = 0 then 1 else -1 end)) as embedding",
+    )
+    corpus = base.unionAll(clones)
+    cells = S.auto_cells(corpus)
+    assert cells > 32  # genuinely past the gate query's pinned cell count
+    pairs = S.blocked_near_pairs(
+        corpus, threshold=0.9, n_cells=cells, probes=2
+    )
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {(i, i + 200_000) for i in range(100)}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"auto-scale recall {recall}"
+
+
 def test_auto_cells_scales_with_corpus_and_cluster(spark, emb):
     """The default cell count must grow with BOTH the corpus (bounded
     rows per cell → the O(cell²) score block stays executor-sized) and
