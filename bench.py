@@ -5,10 +5,12 @@ and print ONE JSON line with per-query wall seconds.
 Timing excludes SparkSession startup (BASELINE.md: warm-JVM comparison) and
 uses a count action so results are computed but not shipped to the driver.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 5) and reports the
 MEDIAN: single-pass timings on this box carry ±7 s of transient system
-noise (measured r02→r03 with zero code change), so one-shot numbers can't
-attribute regressions. Repetitions are interleaved as full SWEEPS over
+noise (measured r02→r03 with zero code change; still the dominant
+variance in r05 — the same query swings 2-4x between interleaved sweeps),
+so one-shot numbers can't attribute regressions, and a median of 5
+rejects up to two burst-hit reps per query where 3 rejects one. Repetitions are interleaved as full SWEEPS over
 the query list (rep 1 of every query, then rep 2, …) rather than
 back-to-back per query: the noise is bursty (multi-second system stalls
 covering several consecutive timings — measured reps of [1.8, 5.0, 7.7] s
@@ -34,7 +36,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
     from quackpipe_spark.session import get_spark
     from quackpipe_spark.workloads import all_prebuilds
