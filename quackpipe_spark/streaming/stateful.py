@@ -49,3 +49,61 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_STATE_SCHEMA = "keep_id LONG, n_copies LONG"
+DEDUP_OUTPUT_SCHEMA = "fingerprint STRING, keep_id LONG, n_copies LONG, is_new BOOLEAN"
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins per content fingerprint,
+    ACROSS micro-batches — the incremental form of
+    ``operators.dedup.exact_dedup`` for a continuously-ingesting corpus.
+
+    Keyed by md5(text); state per fingerprint = (keep_id, n_copies) —
+    constant size, so the state store scales with DISTINCT content, not
+    stream volume. Each batch emits one row per touched fingerprint with
+    ``is_new`` marking first sightings (the survivors a downstream
+    training-shard writer appends) and the updated lifetime copy count
+    (the same (fingerprint, keep_id, n_copies) triple the batch operator
+    produces). Survivor choice matches the batch semantics: the smallest
+    id seen so far — so replaying the same corpus through either path
+    keeps identical survivors (determinism contract, dedup.py module
+    docstring).
+
+    Scale: the groupBy shuffles one short row per incoming doc (id +
+    fingerprint — the text is dropped before the shuffle), and Spark's
+    HDFS-backed state store handles fingerprint-cardinality state the
+    same way streaming dropDuplicates does; for bounded-retention
+    pipelines add a watermark upstream and an EventTimeTimeout eviction.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("_id"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        keep_id, n_copies = state.get if state.exists else (None, 0)
+        is_new = not state.exists
+        for pdf in pdfs:
+            n_copies += len(pdf)
+            batch_min = int(pdf["_id"].min())
+            keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
+        state.update((keep_id, n_copies))
+        yield pd.DataFrame(
+            [(key[0], keep_id, n_copies, is_new)],
+            columns=["fingerprint", "keep_id", "n_copies", "is_new"],
+        )
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -110,6 +110,58 @@ def test_jaccard_verify_shingles_candidates_only(spark):
     assert min(gen_ids) > min(semi_ids), "explode must consume semi-joined docs"
 
 
+def test_simhash_per_row_no_explode_no_shuffle(spark):
+    """The simhash signature is per-row state: the plan must contain NO
+    Generate (token explode) and NO aggregation — one projection with the
+    fold. (The old explode+groupBy paid a full token-row shuffle for
+    per-doc state.)"""
+    from quackpipe_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(D.simhash(docs))
+    assert "Generate" not in p, "signature must not explode tokens"
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+    # at most the fan_out repartition moves data (each node prints
+    # twice in formatted explain: tree + detail header)
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+
+
+def test_simhash_near_pairs_no_distinct(spark):
+    """Cross-band pair dedup must be the first-matching-band FILTER, not a
+    DISTINCT shuffle over the candidate pair set (the pair set scales with
+    corpus × bucket density; a stateless predicate does not shuffle it)."""
+    from quackpipe_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = D.simhash_near_pairs(D.simhash(docs), bits=32, max_hamming=1)
+    p = plan_text(out)
+    # no aggregation anywhere: dedup-by-distinct would plan HashAggregate
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+
+
+def test_minhash_signatures_explode_never_shuffles(spark):
+    """The signature groupBy must be satisfied by the pre-explode hash
+    partitioning: exactly ONE exchange in the plan (compact doc rows),
+    with the Generate (shingle explode) ABOVE it — the row-multiplied
+    shingle table itself never crosses the wire."""
+    from quackpipe_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(D.minhash_signatures(docs, num_hashes=12))
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (
+        "only the doc repartition may shuffle"
+    )
+    lines = p.splitlines()
+    gen_ids = [int(l.split("(")[1].split(")")[0]) for l in lines if "Generate" in l and "(" in l]
+    ex_ids = [int(l.split("(")[1].split(")")[0]) for l in lines if "Exchange" in l and "(" in l]
+    assert gen_ids and ex_ids
+    # formatted explain numbers bottom-up: the Generate consuming the
+    # exchanged docs has a higher id than the exchange
+    assert min(gen_ids) > min(ex_ids), "explode must sit above the doc shuffle"
+
+
 def test_lsh_and_ivf_score_without_norm_refold(spark):
     """Pair scoring must divide by precomputed norms — a norm() re-fold in
     the pair space costs 2 extra array folds per candidate at any scale."""

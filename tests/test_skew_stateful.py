@@ -78,3 +78,70 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert latest[1] == (3, 17.0)  # 10+5 in b1, +2 in b2 — state carried
     assert latest[2] == (1, 1.0)
     assert latest[3] == (1, 7.0)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-batch dedup state: a text re-sent in a later batch must NOT
+    be new, its copy count must accumulate, and the survivor must be the
+    smallest id across ALL batches — identical semantics to the batch
+    exact_dedup on the concatenated stream."""
+    import json
+
+    from quackpipe_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    b1 = [(10, "alpha"), (11, "beta"), (12, "alpha")]
+    b2 = [(5, "alpha"), (13, "gamma"), (14, "beta")]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in b1)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["fingerprint"]: r
+            for r in spark.sql("SELECT * FROM stream_dedup_test").collect()
+        }
+        assert all(r["is_new"] for r in first.values())
+        (src / "b2.json").write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in b2)
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_dedup_test").collect()
+    finally:
+        q.stop()
+
+    import hashlib
+
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()
+    latest = {}
+    for r in rows:  # keep the last update per fingerprint
+        latest[r["fingerprint"]] = (r["keep_id"], r["n_copies"], r["is_new"])
+    # alpha: ids 10,12 in b1, then 5 in b2 → survivor 5, 3 copies, not new
+    assert latest[fp("alpha")] == (5, 3, False)
+    # beta re-sent in b2 → 2 copies, survivor 11, not new
+    assert latest[fp("beta")] == (11, 2, False)
+    # gamma first seen in b2 → new
+    assert latest[fp("gamma")] == (13, 1, True)
+
+    # batch-parity: same corpus through the batch operator → same triples
+    from quackpipe_spark.operators.dedup import exact_dedup
+
+    batch = exact_dedup(
+        spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    ).collect()
+    batch_map = {r["fingerprint"]: (r["keep_id"], r["n_copies"]) for r in batch}
+    assert {k: v[:2] for k, v in latest.items()} == batch_map
