@@ -291,7 +291,14 @@ def simhash(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return fan_out(docs).select(F.col(id_col), sig.alias("simhash"))
+    # NULL-text parity with the grouped form (and the oracle's unnest):
+    # explode emitted no row for a NULL token array, so the fold must not
+    # emit a NULL-signature row either
+    return (
+        fan_out(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), sig.alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -330,12 +337,12 @@ def simhash_near_pairs(
         F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "bv")
     )
     l, r = banded.alias("l"), banded.alias("r")
-    earlier_match = None
+    earlier_match = F.lit(False)  # bands=1: nothing earlier can match
     for b in range(bands - 1):
         cond = (F.col("l.band") > b) & (
             band_of(F.col("l.simhash"), b) == band_of(F.col("r.simhash"), b)
         )
-        earlier_match = cond if earlier_match is None else (earlier_match | cond)
+        earlier_match = earlier_match | cond
     return (
         l.join(
             r,

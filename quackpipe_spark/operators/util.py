@@ -17,12 +17,25 @@ def fan_out(df: DataFrame, cols=None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
+
+    def _repartition():
+        return df.repartition(par, *cols) if cols else df.repartition(par)
+
     try:
+        qe = df._jdf.queryExecution()
+        # Under AQE (any plan with an exchange), building the RDD runs the
+        # upstream query stages EAGERLY and then discards them — the probe
+        # would execute half the pipeline at plan-build time and the real
+        # action would run it again. Only scan-shaped plans (no adaptive
+        # root) are safe/cheap to probe; anything else takes the
+        # unconditional repartition, which is the pre-probe behavior.
+        if "AdaptiveSparkPlanExec" in qe.executedPlan().getClass().getSimpleName():
+            return _repartition()
         # JVM-internal RDD: same partition count as .rdd but skips the
         # Python RDD wrapper (serializer setup + toJavaRDD conversion).
-        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:  # private-API guard: fall back to the public path
-        nparts = df.rdd.getNumPartitions()
+        nparts = qe.toRdd().getNumPartitions()
+    except Exception:  # private-API guard: fall back to repartitioning
+        return _repartition()
     if nparts >= par:
         return df
-    return df.repartition(par, *cols) if cols else df.repartition(par)
+    return _repartition()

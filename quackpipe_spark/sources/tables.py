@@ -67,19 +67,35 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
     operator sees one type. The cast + multiply is a Catalyst expression
     folded into the scan projection — no extra pass.
 
-    Timezone independence: the NTZ branch must NOT cast NTZ→timestamp —
-    that cast evaluates with whatever session timezone is current at
-    ACTION time (this DataFrame is memoized in _SCAN_CACHE, so a later
-    spark.conf.set would silently shift every cached scan, and a
-    locked-down non-UTC session would be wrong from the start). Instead,
-    naive wall time is mapped to the epoch with timestampdiff against the
-    NTZ epoch literal — a pure calendar subtraction with no timezone
-    input, i.e. naive == UTC by construction, matching how the DuckDB
-    oracle's epoch()/epoch_us() treat naive timestamps. The tz-aware
-    branch uses unix_micros directly (an instant; also tz-independent).
+    Timezone handling: the NTZ branch must NOT silently depend on a
+    non-UTC session — a plain NTZ→timestamp cast evaluates with whatever
+    session timezone is current at ACTION time (this DataFrame is
+    memoized in _SCAN_CACHE, so a later spark.conf.set would silently
+    shift every cached scan). Naive wall time maps to the epoch with
+    timestampdiff against the NTZ epoch literal, which under a UTC
+    session is an exact calendar subtraction (UTC has no DST gaps), so
+    naive == UTC, matching how the DuckDB oracle's epoch()/epoch_us()
+    treat naive timestamps. Spark injects the session timezone into
+    timestampdiff's NTZ casts at analysis time, so this is NOT fully
+    tz-independent (DST-gap wall times would shift under e.g.
+    America/New_York) — therefore the branch VERIFIES the UTC conf that
+    _ensure_read_confs set actually took effect and fails loudly on a
+    locked-down non-UTC session instead of being silently wrong. The
+    tz-aware branch uses unix_micros directly (an instant;
+    tz-independent).
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "timestamp_ntz":
+        spark = df.sparkSession
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                "events.ts is TIMESTAMP_NTZ and the session timezone is "
+                f"{tz!r}: naive event times can only be pinned to the "
+                "engine's UTC epoch-ns domain under a UTC session, and "
+                "this session rejected spark.sql.session.timeZone=UTC. "
+                "Set it before reading, or re-encode ts as int64 epoch-ns."
+            )
         us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         )

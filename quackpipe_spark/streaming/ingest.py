@@ -79,15 +79,25 @@ def _event_time(events: DataFrame, ts_col: str):
     timestamp[_ntz] (truncated to µs, Spark's timestamp resolution).
 
     NTZ is mapped to an instant via timestampdiff against the NTZ epoch
-    literal — a calendar subtraction with no timezone input, so naive
-    wall time means UTC regardless of the caller's session timezone (a
-    plain NTZ→timestamp cast would shift event times and every tumbling
-    window boundary by the session offset, diverging from the int64
-    epoch-ns domain and the DuckDB oracle)."""
+    literal, exact under a UTC session (no DST gaps) — which this branch
+    REQUIRES: Spark injects the session timezone into timestampdiff's
+    NTZ casts at analysis time, so under e.g. America/New_York a plain
+    cast shifts every event time and window boundary by the session
+    offset and even timestampdiff shifts DST-gap wall times. A non-UTC
+    session therefore fails loudly here rather than producing silently
+    shifted windows."""
     dtype = dict(events.dtypes).get(ts_col)
     if dtype == "timestamp":
         return F.col(ts_col)
     if dtype == "timestamp_ntz":
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"{ts_col!r} is TIMESTAMP_NTZ and the session timezone is "
+                f"{tz!r}: naive event times require "
+                "spark.sql.session.timeZone=UTC (set it on the session, "
+                "or feed int64 epoch-ns / tz-aware timestamps instead)"
+            )
         return F.timestamp_micros(
             F.expr(
                 f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"

@@ -92,8 +92,10 @@ def streaming_exact_dedup(
         is_new = not state.exists
         for pdf in pdfs:
             n_copies += len(pdf)
-            batch_min = int(pdf["_id"].min())
-            keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
+            batch_min = pdf["_id"].min()  # skips NULL ids (NaN); NaN if all
+            if pd.notna(batch_min):
+                batch_min = int(batch_min)
+                keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
         state.update((keep_id, n_copies))
         yield pd.DataFrame(
             [(key[0], keep_id, n_copies, is_new)],

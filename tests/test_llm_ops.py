@@ -62,6 +62,19 @@ def test_exact_dedup_survivors(spark, docs):
     assert out.filter(F.col("keep_id") >= 10_000).count() == 0
 
 
+def test_simhash_null_text_and_single_band(spark):
+    """NULL-text docs must produce NO signature row (grouped-form/oracle
+    parity), and bands=1 must not crash the first-match-band filter."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    sigs = D.simhash(df)
+    assert {r["doc_id"] for r in sigs.collect()} == {1, 3}
+    pairs = D.simhash_near_pairs(sigs, bands=1, max_hamming=0).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 3)}
+
+
 def test_simhash_identical_and_perturbed(spark):
     base = " ".join(f"w{i}" for i in range(120))
     toks = base.split()
@@ -228,7 +241,9 @@ def test_blocked_near_pairs_recall_at_auto_scale(spark):
         f"d -> ({comp}) + 0.02 * (case when d % 2 = 0 then 1 else -1 end)) as embedding",
     )
     corpus = base.unionAll(clones)
-    cells = S.auto_cells(corpus)
+    # 1024-row cell budget → ≥98 cells at any SPARK_GRAFT_CPUS (the
+    # 4×parallelism floor alone would stop at 32 on an 8-cpu box)
+    cells = S.auto_cells(corpus, target_rows_per_cell=1024)
     assert cells > 32  # genuinely past the gate query's pinned cell count
     pairs = S.blocked_near_pairs(
         corpus, threshold=0.9, n_cells=cells, probes=2

@@ -91,6 +91,10 @@ def test_jaccard_verify_shingles_candidates_only(spark):
     join."""
     from quackpipe_spark.operators import dedup as D
 
+    # pin the COLD plan: persisted fragments from earlier tests otherwise
+    # substitute as InMemoryTableScan, whose cached-plan detail text
+    # carries extra Exchange/Aggregate lines
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     pairs = docs.limit(2).select(
         (docs.doc_id * 0).alias("a"), (docs.doc_id * 0 + 1).alias("b")
@@ -117,6 +121,10 @@ def test_simhash_per_row_no_explode_no_shuffle(spark):
     per-doc state.)"""
     from quackpipe_spark.operators import dedup as D
 
+    # pin the COLD plan: persisted fragments from earlier tests otherwise
+    # substitute as InMemoryTableScan, whose cached-plan detail text
+    # carries extra Exchange/Aggregate lines
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan_text(D.simhash(docs))
     assert "Generate" not in p, "signature must not explode tokens"
@@ -133,6 +141,10 @@ def test_simhash_near_pairs_no_distinct(spark):
     corpus × bucket density; a stateless predicate does not shuffle it)."""
     from quackpipe_spark.operators import dedup as D
 
+    # pin the COLD plan: persisted fragments from earlier tests otherwise
+    # substitute as InMemoryTableScan, whose cached-plan detail text
+    # carries extra Exchange/Aggregate lines
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = D.simhash_near_pairs(D.simhash(docs), bits=32, max_hamming=1)
     p = plan_text(out)
@@ -147,6 +159,10 @@ def test_minhash_signatures_explode_never_shuffles(spark):
     shingle table itself never crosses the wire."""
     from quackpipe_spark.operators import dedup as D
 
+    # pin the COLD plan: persisted fragments from earlier tests otherwise
+    # substitute as InMemoryTableScan, whose cached-plan detail text
+    # carries extra Exchange/Aggregate lines
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan_text(D.minhash_signatures(docs, num_hashes=12))
     import re

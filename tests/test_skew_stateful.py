@@ -4,9 +4,29 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+
+
+def test_ntz_event_time_requires_utc_session(spark):
+    """Naive (NTZ) event times are only meaningful under a UTC session —
+    a non-UTC session must fail loudly (a silent session-tz cast would
+    shift every window boundary), and under UTC the mapping is the exact
+    naive==UTC epoch."""
+    from quackpipe_spark.streaming.ingest import _event_time
+
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2021-01-01 00:00:00' AS ts")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(RuntimeError, match="UTC"):
+            _event_time(df, "ts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    out = df.select(F.unix_micros(_event_time(df, "ts")).alias("us")).collect()
+    assert out[0]["us"] == 1609459200000000
 
 
 def test_salted_join_matches_plain_join(spark):
