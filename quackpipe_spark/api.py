@@ -72,8 +72,20 @@ class GigapiServer:
                     levels = comp.due_levels(timeout_s=self.merge_timeout_s)
                     if levels:
                         comp.run_once(levels)
-                except Exception:  # merge failure must not kill the ticker
-                    pass
+                except Exception:
+                    # merge failure must not kill the ticker, but a
+                    # persistently failing compaction (corrupt file,
+                    # permissions) must be visible, not a silent no-op
+                    # while small files pile up
+                    import sys
+                    import traceback
+
+                    print(
+                        f"[merge-ticker] compaction failed for "
+                        f"{t.database}.{t.name}:",
+                        file=sys.stderr,
+                    )
+                    traceback.print_exc()
 
     def start(self) -> None:
         self.ingest.start()

@@ -72,8 +72,7 @@ class IngestService:
         n = lengths.pop()
         # Validate/evolve schema up front so a type conflict rejects the
         # write (not the flush) — reference semantics.
-        t = self.catalog.get_or_create(db, table, fields=infer_schema(data))
-        self.catalog.update_schema(t, infer_schema(data))
+        self.validate_schema(db, table, data)
         promise: Future = Future()
         flush_now = False
         with self._lock:
@@ -85,6 +84,17 @@ class IngestService:
         if flush_now:
             self.flush()
         return promise
+
+    def validate_schema(self, db: str, table: str, data: dict[str, list]) -> None:
+        """Auto-create + evolve/validate the table schema for one batch
+        (raises TypeError on conflict, buffering nothing). Exposed so a
+        multi-batch request can pre-validate EVERY batch before the first
+        store() — otherwise a conflict in batch k returns an error while
+        batches 1..k-1 are already buffered and get written anyway."""
+        from quackpipe_spark.writer import effective_schema
+
+        t = self.catalog.get_or_create(db, table, fields=infer_schema(data))
+        self.catalog.update_schema(t, effective_schema(t, data))
 
     def flush(self) -> int:
         """Flush all buffers; returns rows written. Synchronous ack:
@@ -127,10 +137,19 @@ class IngestService:
 
 def ingest_lines(service: IngestService, text: str, db: str = "default", precision: str = "ns"):
     """HTTP /write body → parsed batches → buffered store. Returns the
-    list of per-batch promises (handler awaits all, insert_into.go:58-80)."""
+    list of per-batch promises (handler awaits all, insert_into.go:58-80).
+
+    Schema validation runs for EVERY batch before the first store(), so a
+    request whose later batch carries a type conflict rejects atomically:
+    no rows buffer, the client's retry cannot duplicate the early
+    batches. (Schema EVOLUTION from validated batches may persist — new
+    nullable columns with zero rows — which is harmless and matches the
+    reference's schema-on-write monotonicity.)"""
     from quackpipe_spark.sources.lineproto import parse_lines
 
-    promises = []
-    for batch in parse_lines(text, database=db, precision=precision):
-        promises.append(service.store(batch.database, batch.table, batch.data))
-    return promises
+    batches = list(parse_lines(text, database=db, precision=precision))
+    for batch in batches:
+        service.validate_schema(batch.database, batch.table, batch.data)
+    return [
+        service.store(batch.database, batch.table, batch.data) for batch in batches
+    ]

@@ -32,7 +32,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from quackpipe_spark.catalog import Table
-from quackpipe_spark.plans.index import FileEntry, PartitionIndex
+from quackpipe_spark.plans.index import FileEntry, PartitionIndex, locked_index
 
 MAX_LEVEL = 4
 # level (1-based) → max merged output size, merge_service_fs.go:81-106.
@@ -73,8 +73,10 @@ def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[Mer
             by_level.setdefault(lv, []).append(entry)
     plans: list[MergePlan] = []
     for lv in levels or sorted(by_level):
-        if lv >= MAX_LEVEL:
-            continue
+        if lv > MAX_LEVEL:
+            continue  # MAX_LEVEL itself self-merges (out_level clamps to 4):
+        # the reference's 4th tier runs at 420T and re-packs level-4 files
+        # among themselves, bounding the terminal level's file count
         entries = sorted(by_level.get(lv, []), key=lambda e: -e.size_bytes)
         cap = MAX_SIZES[lv]
         bin_files: list[str] = []
@@ -103,9 +105,7 @@ class Compactor:
         """Levels whose cadence elapsed ({T,10T,100T,420T})."""
         now = now if now is not None else time.time()
         due = []
-        for lv, mult in CADENCE.items():
-            if lv >= MAX_LEVEL:
-                continue
+        for lv, mult in CADENCE.items():  # includes the 420T level-4 self-merge
             if now - self._last_run.get(lv, 0.0) >= timeout_s * mult:
                 due.append(lv)
                 self._last_run[lv] = now
@@ -119,9 +119,9 @@ class Compactor:
         partitions with nothing left to merge."""
         plans: list[MergePlan] = []
         for pdir in self.table.partition_dirs():
-            idx = PartitionIndex.load(pdir)
-            if idx.drop_queue and idx.reap():
-                idx.save()
+            if PartitionIndex.load(pdir).drop_queue:
+                with locked_index(pdir) as idx:
+                    idx.reap()
             plans.extend(plan_merges(pdir, levels))
         if not plans:
             return []
@@ -161,17 +161,19 @@ class Compactor:
 
         meta = pq.read_metadata(dst)
         tmin, tmax = _footer_min_max(meta, tcol)
-        idx = PartitionIndex.load(plan.partition_dir)
-        idx.add(
-            FileEntry(
-                name=newname,
-                size_bytes=os.path.getsize(dst),
-                row_count=meta.num_rows,
-                min_time=tmin,
-                max_time=tmax,
+        # the index swap is the only critical section — the heavy sorted
+        # rewrite above ran outside the lock, so concurrent flushes to the
+        # same partition serialize only on this metadata update
+        with locked_index(plan.partition_dir) as idx:
+            idx.add(
+                FileEntry(
+                    name=newname,
+                    size_bytes=os.path.getsize(dst),
+                    row_count=meta.num_rows,
+                    min_time=tmin,
+                    max_time=tmax,
+                )
             )
-        )
-        idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
-        idx.reap()
-        idx.save()
+            idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
+            idx.reap()
         return dst

@@ -14,8 +14,40 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
+
+# Per-partition-dir locks serializing every index read-modify-write in
+# this process: the ingest flush thread, the merge ticker's plan/execute,
+# and any concurrent MergePlans in one partition all mutate the same
+# metadata.json — unserialized, the last save() wins and silently drops
+# the other writer's entries (files become invisible to every query).
+# The engine is single-process like the reference, so a threading lock is
+# the right scope; a multi-writer deployment would move the index into a
+# transactional store. READS (query-time table_files) stay lock-free:
+# save() is atomic tmp+rename, so readers always see a complete index.
+_DIR_LOCKS: dict[str, threading.Lock] = {}
+_DIR_LOCKS_GUARD = threading.Lock()
+
+
+def _dir_lock(partition_dir: str) -> threading.Lock:
+    key = os.path.abspath(partition_dir)
+    with _DIR_LOCKS_GUARD:
+        return _DIR_LOCKS.setdefault(key, threading.Lock())
+
+
+@contextmanager
+def locked_index(partition_dir: str):
+    """load → mutate → save as one critical section. Every WRITER of a
+    partition index must go through this (writer flush, compaction,
+    tombstone reap); the index is re-loaded under the lock so no writer
+    ever saves a stale copy."""
+    with _dir_lock(partition_dir):
+        idx = PartitionIndex.load(partition_dir)
+        yield idx
+        idx.save()
 
 
 @dataclass

@@ -32,13 +32,19 @@ from quackpipe_spark.functions.dialect import register_dialect, rewrite_sql
 from quackpipe_spark.plans.index import PartitionIndex
 
 _TS_VALUE = r"(\d+|epoch_ns\(\s*(?:TIMESTAMP\s*)?'[^']+'(?:\s*::\s*TIMESTAMP)?\s*\))"
+# the column must be exactly __timestamp: no preceding word char (else
+# event__timestamp matches) and no table/alias qualifier (a qualified
+# predicate binds to ONE table of a join — the pruner applies bounds to
+# every table, so qualified forms must not prune)
+_TS_COL = r"(?<![A-Za-z0-9_.])__timestamp"
 _TS_BOUND = re.compile(
-    rf"__timestamp\s*(>=|<=|>|<)\s*{_TS_VALUE}", re.IGNORECASE
+    rf"{_TS_COL}\s*(>=|<=|>|<)\s*{_TS_VALUE}", re.IGNORECASE
 )
 _TS_BETWEEN = re.compile(
-    rf"__timestamp\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
+    rf"{_TS_COL}\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
 )
 _EPOCH_NS_LIT = re.compile(r"'([^']+)'")
+_HAS_OR = re.compile(r"\bOR\b", re.IGNORECASE)
 
 
 def _ts_literal_ns(lit: str) -> int:
@@ -59,9 +65,14 @@ def _ts_literal_ns(lit: str) -> int:
 
 
 def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
-    """Best-effort [lo, hi] from literal __timestamp predicates. Bounds are
-    conservative: unparseable predicates simply skip pruning (correctness
-    never depends on this — Catalyst still filters rows)."""
+    """Best-effort [lo, hi] from literal __timestamp predicates. Bounds
+    must be CONSERVATIVE in both directions: unparseable predicates skip
+    pruning, and any OR in the query disables it entirely — the extractor
+    ANDs every bound it sees, which is wrong for disjunctive time ranges
+    (WHERE ts < a OR ts > b would prune to the empty intersection).
+    Wrong pruning is silent missing rows; no pruning is just slower."""
+    if _HAS_OR.search(sql):
+        return None, None
     lo, hi = None, None
     for op, lit in _TS_BOUND.findall(sql):
         try:
@@ -88,6 +99,19 @@ class QueryEngine:
         self.spark = spark
         self.catalog = catalog
         register_dialect(spark)
+        # epoch_ns('…') literals evaluate in the SESSION timezone inside
+        # Catalyst while the pruner parses them as UTC — pin UTC (the
+        # engine's time domain) so both agree; if the session rejects the
+        # conf (locked-down) and sits non-UTC, disable index pruning
+        # rather than prune with mismatched bounds.
+        from quackpipe_spark.sources.tables import _ensure_read_confs
+
+        _ensure_read_confs(spark)
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+        except Exception:
+            tz = ""
+        self._prune_ok = tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
 
     def table_files(
         self, table: Table, lo: int | None = None, hi: int | None = None
@@ -176,10 +200,25 @@ class QueryEngine:
 
         query = self._RP_CALL.sub(_rp_view, query)
         query = rewrite_sql(query)
-        lo, hi = extract_time_bounds(query)
-        for t in self.catalog.tables(db):
-            if re.search(rf"\b{re.escape(t.name)}\b", query):
-                self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
+        refs = [
+            t
+            for t in self.catalog.tables(db)
+            if re.search(rf"\b{re.escape(t.name)}\b", query)
+        ]
+        # Index pruning applies only when it is provably safe: UTC session
+        # (bound literals parse as UTC), a SINGLE referenced table (an
+        # unqualified bound in a join cannot be attributed to one side),
+        # and that table's index min/max actually track __timestamp (a
+        # custom order_by indexes a different column — comparing time
+        # bounds against it would prune the wrong files).
+        lo, hi = (None, None)
+        if self._prune_ok and len(refs) == 1:
+            t = refs[0]
+            tracks_ts = (t.order_by[0] if t.order_by else "__timestamp") == "__timestamp"
+            if tracks_ts:
+                lo, hi = extract_time_bounds(query)
+        for t in refs:
+            self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
         return self.spark.sql(query)
 
 

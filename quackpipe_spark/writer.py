@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackpipe_spark.catalog import Catalog, Table
-from quackpipe_spark.plans.index import FileEntry, PartitionIndex
+from quackpipe_spark.plans.index import FileEntry, locked_index
 from quackpipe_spark.types import CANONICAL, infer_canonical
 
 # Parquet row-group length parity (save_service_fs.go:83).
@@ -81,6 +81,20 @@ def infer_schema(data: dict[str, list]) -> dict[str, str]:
     return out
 
 
+def effective_schema(table: Table, data: dict[str, list]) -> dict[str, str]:
+    """infer_schema, but an ALL-NULL column carries no type evidence: it
+    inherits the table's existing type instead of defaulting to VARCHAR —
+    otherwise a typed column receiving a batch of nulls raises a spurious
+    type conflict in update_schema AND would be written as a string
+    column, breaking the union-by-name read (null is a legal value for
+    any type; the reference null-fills)."""
+    schema = infer_schema(data)
+    for col, vals in data.items():
+        if col in table.schema and all(v is None for v in vals):
+            schema[col] = table.schema[col]
+    return schema
+
+
 class HiveWriter:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
@@ -100,16 +114,30 @@ class HiveWriter:
     def write_columnar(self, db: str, name: str, data: dict[str, list]) -> list[str]:
         """Full ingest path for one schema-homogeneous batch: auto-create
         table, validate/evolve schema, auto-timestamp, partition, write."""
-        schema = infer_schema(data)
-        table = self.catalog.get_or_create(db, name, fields=schema)
+        table = self.catalog.get_or_create(db, name, fields=infer_schema(data))
+        schema = effective_schema(table, data)
         # Auto-timestamp (merge_tree_service.go:268-290): whole batch gets
         # arrival ns when the column is absent.
         tcol = self.time_column(table)
         n = len(next(iter(data.values()))) if data else 0
-        if table.auto_timestamp and tcol not in data:
+        if tcol not in data:
+            if not table.auto_timestamp:
+                raise ValueError(f"time column {tcol!r} missing and auto_timestamp is off")
             now = time.time_ns()
             data = dict(data)
             data[tcol] = [now] * n
+            schema = dict(schema)
+            schema[tcol] = "INT8"
+        elif any(v is None for v in data[tcol]):
+            # per-row null times: fill with arrival ns (the reference
+            # stamps arrival time) BEFORE pandas sees the column — a
+            # None-mixed int column otherwise becomes float64, which NaNs
+            # the hour bucket and rounds epoch-ns values (2^63 ≫ 2^53)
+            if not table.auto_timestamp:
+                raise ValueError(f"null values in time column {tcol!r} with auto_timestamp off")
+            now = time.time_ns()
+            data = dict(data)
+            data[tcol] = [v if v is not None else now for v in data[tcol]]
             schema = dict(schema)
             schema[tcol] = "INT8"
         self.catalog.update_schema(table, schema)
@@ -167,17 +195,16 @@ class HiveWriter:
             dst = os.path.join(live_dir, newname)
             os.replace(tmp, dst)
             tvals = g[tcol].dropna() if tcol in g else None
-            idx = PartitionIndex.load(live_dir)
-            idx.add(
-                FileEntry(
-                    name=newname,
-                    size_bytes=os.path.getsize(dst),
-                    row_count=len(g),
-                    min_time=int(tvals.min()) if tvals is not None and len(tvals) else None,
-                    max_time=int(tvals.max()) if tvals is not None and len(tvals) else None,
+            with locked_index(live_dir) as idx:
+                idx.add(
+                    FileEntry(
+                        name=newname,
+                        size_bytes=os.path.getsize(dst),
+                        row_count=len(g),
+                        min_time=int(tvals.min()) if tvals is not None and len(tvals) else None,
+                        max_time=int(tvals.max()) if tvals is not None and len(tvals) else None,
+                    )
                 )
-            )
-            idx.save()
             written.append(dst)
         return written
 
@@ -193,9 +220,16 @@ class HiveWriter:
         (the bulk/backfill ingest door): auto-create + validate/evolve
         schema + auto-timestamp + sorted hive write — without the rows
         ever visiting the driver."""
-        schema = {
-            c: self._SPARK_TO_CANONICAL[t] for c, t in df.dtypes if t in self._SPARK_TO_CANONICAL
-        }
+        unmapped = [(c, t) for c, t in df.dtypes if t not in self._SPARK_TO_CANONICAL]
+        if unmapped:
+            # reject loudly: silently dropping a column from the catalog
+            # while still writing it to parquet gives the table a schema
+            # that depends on which files a query happens to scan
+            raise TypeError(
+                f"columns outside the engine's type system {unmapped}: cast to "
+                f"one of {sorted(self._SPARK_TO_CANONICAL)} before ingest"
+            )
+        schema = {c: self._SPARK_TO_CANONICAL[t] for c, t in df.dtypes}
         table = self.catalog.get_or_create(db, name, fields=schema)
         tcol = self.time_column(table)
         if table.auto_timestamp and tcol not in df.columns:
@@ -262,25 +296,24 @@ class HiveWriter:
             rel = os.path.relpath(root, stage_dir)  # date=…/hour=… or "." (flat)
             live_dir = table.path if rel == "." else os.path.join(table.path, rel)
             os.makedirs(live_dir, exist_ok=True)
-            idx = PartitionIndex.load(live_dir)
-            for fname in parts:
-                src = os.path.join(root, fname)
-                newname = f"{uuid.uuid4().hex}.{level}.parquet"
-                dst = os.path.join(live_dir, newname)
-                meta = pq.read_metadata(src)
-                tmin, tmax = _footer_min_max(meta, tcol)
-                os.replace(src, dst)
-                idx.add(
-                    FileEntry(
-                        name=newname,
-                        size_bytes=os.path.getsize(dst),
-                        row_count=meta.num_rows,
-                        min_time=tmin,
-                        max_time=tmax,
+            with locked_index(live_dir) as idx:
+                for fname in parts:
+                    src = os.path.join(root, fname)
+                    newname = f"{uuid.uuid4().hex}.{level}.parquet"
+                    dst = os.path.join(live_dir, newname)
+                    meta = pq.read_metadata(src)
+                    tmin, tmax = _footer_min_max(meta, tcol)
+                    os.replace(src, dst)
+                    idx.add(
+                        FileEntry(
+                            name=newname,
+                            size_bytes=os.path.getsize(dst),
+                            row_count=meta.num_rows,
+                            min_time=tmin,
+                            max_time=tmax,
+                        )
                     )
-                )
-                written.append(dst)
-            idx.save()
+                    written.append(dst)
         return written
 
 

@@ -1,0 +1,176 @@
+"""Regression tests for the round-5 hardening review findings: index
+write races, over-eager time pruning, null/edge ingest crashes, and
+multi-batch atomicity."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from quackpipe_spark.query import extract_time_bounds
+
+
+def test_time_bounds_ignore_or_queries():
+    """ANDing bounds from OR branches prunes to the (often empty)
+    intersection — any OR must disable index pruning entirely."""
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE __timestamp < 100 OR __timestamp > 200"
+    ) == (None, None)
+
+
+def test_time_bounds_require_exact_unqualified_column():
+    # a different column that merely ends in __timestamp must not prune
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE event__timestamp >= 500"
+    ) == (None, None)
+    # a qualified predicate binds to one table of a join — the pruner
+    # can't attribute it, so it must not extract
+    assert extract_time_bounds(
+        "SELECT * FROM a JOIN b ON a.k = b.k WHERE a.__timestamp >= 500"
+    ) == (None, None)
+    # the plain form still prunes
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE __timestamp >= 500 AND __timestamp < 900"
+    ) == (500, 900)
+
+
+def test_locked_index_concurrent_writers(tmp_path):
+    """Two threads upserting the same partition index must not lose
+    updates (the unlocked read-modify-write dropped whichever writer
+    saved first)."""
+    from quackpipe_spark.plans.index import FileEntry, PartitionIndex, locked_index
+
+    pdir = str(tmp_path)
+    n_per_thread = 30
+
+    def writer(tag: str):
+        for i in range(n_per_thread):
+            with locked_index(pdir) as idx:
+                idx.add(FileEntry(name=f"{tag}-{i}.1.parquet", size_bytes=1, row_count=1))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b", "c")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = PartitionIndex.load(pdir)
+    assert len(final.files) == 3 * n_per_thread
+
+
+def test_ingest_null_timestamps_filled_not_crashed(spark, tmp_path):
+    """Per-row NULL __timestamp: auto_timestamp fills with arrival ns as
+    exact ints (a None-mixed column in pandas becomes float64, which NaNs
+    the hour bucket and rounds epoch-ns values)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    w = HiveWriter(spark, cat)
+    ts = 1_700_000_000_000_000_123  # sub-µs bits would round away in float64
+    w.write_columnar(
+        "db", "t", {"__timestamp": [ts, None], "a": [1, 2]}
+    )
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet")  # skip metadata.json
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "data" / "db" / "t"))
+    )
+    vals = sorted(r["__timestamp"] for r in back.select("__timestamp").collect())
+    assert ts in vals and all(v is not None for v in vals)  # exact, filled
+
+
+def test_all_null_batch_for_typed_column_accepted(spark, tmp_path):
+    """A batch whose values for a typed column are all NULL must not
+    raise a type conflict (null carries no type evidence) and must not
+    write the column as VARCHAR."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    w = HiveWriter(spark, cat)
+    t0 = 1_700_000_000_000_000_000
+    w.write_columnar("db", "t", {"__timestamp": [t0], "a": [5]})
+    w.write_columnar("db", "t", {"__timestamp": [t0 + 1], "a": [None]})  # was a 400
+    assert cat.get("db", "t").schema["a"] == "INT8"
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet")  # skip metadata.json
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "data" / "db" / "t"))
+    )
+    rows = {r["__timestamp"]: r["a"] for r in back.collect()}
+    assert rows[t0] == 5 and rows[t0 + 1] is None
+
+
+def test_custom_order_by_table_not_time_pruned(spark, tmp_path):
+    """A table ordered by a non-time column indexes THAT column's min/max;
+    a __timestamp bound must not prune its files (the domains are
+    incomparable — pruning dropped every file)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    cat.get_or_create("default", "byuser", fields=None, engine="Merge", order_by=["user_id"])
+    w = HiveWriter(spark, cat)
+    w.write_columnar(
+        "default",
+        "byuser",
+        {"user_id": [1, 2, 3], "__timestamp": [10**18, 10**18 + 1, 10**18 + 2]},
+    )
+    qe = QueryEngine(spark, cat)
+    out = qe.sql(
+        "SELECT count(*) AS n FROM byuser WHERE __timestamp >= 1000000000000000000"
+    ).collect()
+    assert out[0]["n"] == 3
+
+
+def test_multi_batch_write_rejects_atomically(spark, tmp_path):
+    """A /write body whose LATER batch carries a type conflict must buffer
+    nothing: pre-validation runs for every batch before the first store."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService, ingest_lines
+
+    cat = Catalog(str(tmp_path / "data"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    ingest_lines(svc, "m1,tag=a v=1i 1700000000000000000")
+    svc.flush()
+    body = (
+        "m2,tag=b v=2i 1700000000000000001\n"
+        'm1,tag=c v="now a string" 1700000000000000002'  # conflicts with m1.v int
+    )
+    with pytest.raises(TypeError, match="conflict"):
+        ingest_lines(svc, body)
+    assert svc.flush() == 0  # the valid first batch was NOT buffered
+
+
+def test_level4_files_self_merge(tmp_path):
+    """Level-4 (terminal) files re-pack among themselves — the 420T tier;
+    previously lv>=MAX_LEVEL skipped them forever."""
+    from quackpipe_spark.plans.compactor import plan_merges
+    from quackpipe_spark.plans.index import FileEntry, locked_index
+
+    pdir = str(tmp_path)
+    with locked_index(pdir) as idx:
+        for i in range(3):
+            idx.add(FileEntry(name=f"f{i}.4.parquet", size_bytes=1 << 20, row_count=10))
+    plans = plan_merges(pdir)
+    assert plans and plans[0].level == 4 and plans[0].out_level == 4
+    assert len(plans[0].files) == 3
+
+
+def test_write_parsed_df_rejects_unmapped_dtype(spark, tmp_path):
+    """Columns outside the 4-type system must reject loudly, not silently
+    vanish from the catalog while still landing in the parquet files."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    w = HiveWriter(spark, cat)
+    df = spark.sql(
+        "SELECT CAST(1 AS INT) AS c, CAST(1700000000000000000 AS BIGINT) AS __timestamp"
+    )
+    with pytest.raises(TypeError, match="type system"):
+        w.write_parsed_df("db", "t", df)
