@@ -42,7 +42,13 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
-    r = right.select(
+    # NULL-key / NULL-time right rows can never match under ASOF equality
+    # semantics (NULL = NULL is not a match in DuckDB's ASOF JOIN) — drop
+    # them before the union, else the window's null-key partition would
+    # happily carry their payload onto null-key left rows
+    r = right.filter(
+        F.col(key).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         payload,
@@ -72,6 +78,10 @@ def asof_join(
         )
         carried = F.last("_asof_payload", ignorenulls=True).over(w)
 
+    # a NULL left time has no defined as-of position (desc ordering sorts
+    # nulls last, where the window would span every right row) — such
+    # rows keep all left columns but match nothing, like DuckDB
+    carried = F.when(F.col("_t").isNull(), F.lit(None)).otherwise(carried)
     out = (
         tagged.withColumn("_match", carried)
         .filter(F.col("_side") == 1)
@@ -88,7 +98,6 @@ def gapfill(
     key_col: str,
     bucket_col: str,
     bucket_step: int,
-    agg_cols: dict[str, str],
     fill: dict[str, object] | None = None,
     locf_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -99,6 +108,11 @@ def gapfill(
     per key — generated with sequence()+explode (JVM, no driver loop).
     ``fill`` maps column → constant for zero-filling; ``locf_cols`` carry
     the last non-null observation forward instead.
+
+    The join is FULL OUTER: an input row whose bucket is off the
+    lo-anchored grid (mixed-alignment sources, non-multiple step) stays
+    in the output with its values — a left join from the grid silently
+    dropped such rows. For grid-aligned input the result is identical.
     """
     bounds = df.agg(
         F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
@@ -113,7 +127,7 @@ def gapfill(
             ).alias(bucket_col),
         )
     )
-    dense = grid.join(df, [key_col, bucket_col], "left")
+    dense = grid.join(df, [key_col, bucket_col], "full_outer")
     for col, const in (fill or {}).items():
         dense = dense.withColumn(col, F.coalesce(F.col(col), F.lit(const)))
     for col in locf_cols or []:

@@ -27,15 +27,20 @@ def salted_join(
 
     Equivalent to ``big.join(small, key, how)`` for inner/left joins; the
     salt column never leaks into the output. The big side's salt derives
-    from a hash of all its columns (deterministic, no rand() → plans stay
-    reproducible and retries are safe — rand() in a task retry would
-    re-salt differently and double/drop rows).
+    from the row's POSITION (monotonically_increasing_id), not its
+    content: a content hash gives identical rows identical salts, so a
+    hot key whose rows are duplicates (heartbeats, low-cardinality
+    payloads) would still pile onto one reducer — exactly the straggler
+    this operator exists to remove. Position is stable within a task
+    attempt (no rand(): a task retry re-derives the same salts, so rows
+    are neither doubled nor dropped), and join RESULTS are salt-invariant
+    anyway — the salt only spreads the work.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     big_s = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

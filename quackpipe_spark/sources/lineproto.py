@@ -67,11 +67,16 @@ def schema_id(tag_keys: list[str], field_types: dict[str, str]) -> int:
 
 
 def _split_escaped(s: str, sep: str) -> list[str]:
-    """Split on sep honoring backslash escapes (line-protocol escaping)."""
+    """Split on unescaped sep, KEEPING backslash escapes in the pieces —
+    stripping them here would make a later '=' partition unable to tell
+    an escaped '\\=' inside a key from the real key/value separator
+    (key 'host\\=1' parsed as key 'host', value '1=…'). Pieces are
+    unescaped individually AFTER their own structural split."""
     out, cur, i = [], [], 0
     while i < len(s):
         c = s[i]
         if c == "\\" and i + 1 < len(s):
+            cur.append(c)
             cur.append(s[i + 1])
             i += 2
             continue
@@ -83,6 +88,31 @@ def _split_escaped(s: str, sep: str) -> list[str]:
         i += 1
     out.append("".join(cur))
     return out
+
+
+def _partition_unescaped(s: str, sep: str) -> tuple[str, str | None]:
+    """(head, tail) around the first UNESCAPED sep; tail None if absent."""
+    i = 0
+    while i < len(s):
+        if s[i] == "\\":
+            i += 2
+            continue
+        if s[i] == sep:
+            return s[:i], s[i + 1 :]
+        i += 1
+    return s, None
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 def _split_top(s: str) -> list[str]:
@@ -162,25 +192,36 @@ def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, s
     if len(parts) < 2:
         raise ValueError(f"malformed line (need measurement and fields): {line!r}")
     head = _split_escaped(parts[0], ",")
-    measurement = head[0]
+    measurement = _unescape(head[0])
     if not measurement:
         raise ValueError(f"empty measurement: {line!r}")
     tags = []
     for t in head[1:]:
-        k, _, v = t.partition("=")
-        if not _:
+        k, v = _partition_unescaped(t, "=")
+        if v is None:
             raise ValueError(f"malformed tag {t!r} in {line!r}")
-        tags.append((k, v))
+        tags.append((_unescape(k), _unescape(v)))
     fields = []
     for f in _split_fields(parts[1]):
-        k, sep, v = f.partition("=")
-        if not sep:
+        k, v = _partition_unescaped(f, "=")
+        if v is None:
             raise ValueError(f"malformed field {f!r} in {line!r}")
         typ, val = _parse_field_value(v)
-        fields.append((k, typ, val))
+        fields.append((_unescape(k), typ, val))
     ts_ns = None
     if len(parts) >= 3:
         ts_ns = int(parts[2]) * mult
+    # 'time' is the reserved timestamp column, and a name appearing twice
+    # (two tags, two fields, or a tag shadowing a field) would misalign
+    # the columnar batch append — both are protocol errors, rejected here
+    # so every consumer (streaming parse included) fails loudly instead
+    # of producing a ragged batch
+    names = [k for k, _ in tags] + [n for n, _, _ in fields]
+    if "time" in names:
+        raise ValueError(f"'time' is the reserved timestamp column: {line!r}")
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate tag/field name(s) {dupes} in {line!r}")
     return measurement, tags, fields, ts_ns
 
 
@@ -253,7 +294,9 @@ def parse_lines_df(spark, lines_df, database: str = "default", precision: str = 
                 table, tags, fields, _ = parse_line(line, precision)
                 ftypes = {n: t for n, t, _ in fields}
                 sid = schema_id([k for k, _ in tags], ftypes)
-                schema_desc = ",".join(
+                # unit-separator joined, name(:type) rsplit on the LAST
+                # colon — tag/field names may legally contain ':' or ','
+                schema_desc = "\x1f".join(
                     sorted([f"{k}:VARCHAR" for k, _ in tags] + [f"{n}:{t}" for n, t in ftypes.items()])
                 )
                 rows.append((table, sid, schema_desc))
@@ -267,7 +310,7 @@ def parse_lines_df(spark, lines_df, database: str = "default", precision: str = 
     out = []
     for row in shapes:
         table, sid, desc = row["table"], int(row["schema_id"]), row["schema_desc"]
-        cols = [c.split(":") for c in desc.split(",")] if desc else []
+        cols = [c.rsplit(":", 1) for c in desc.split("\x1f")] if desc else []
         spark_fields = ", ".join(
             f"`{name}` {_spark_ddl(resolve(typ))}" for name, typ in cols
         ) + ", `time` bigint"

@@ -30,8 +30,13 @@ def parse_ndjson(
 
     Batches split when the (keys, types) fingerprint changes OR the 10 MB
     cap is reached. Nested objects/arrays are rejected (the reference's
-    4-type system has no nested types); null values are allowed and keep
-    the column's type undetermined until a non-null appears.
+    4-type system has no nested types). Null values carry no type
+    evidence, so a null-valued key is treated exactly like an ABSENT key:
+    it does not enter the fingerprint (runs of null-bearing lines share
+    one fingerprint instead of one per type flip) and is dropped from the
+    batch data (the buffer's union-by-name null-fills it back) — typing
+    it VARCHAR would create new columns as VARCHAR and then reject the
+    first real typed value as a conflict.
     """
     if isinstance(text_or_lines, str):
         lines = text_or_lines.splitlines()
@@ -51,7 +56,9 @@ def parse_ndjson(
         for k, v in obj.items():
             if isinstance(v, (dict, list)):
                 raise TypeError(f"nested value for field {k!r} (4-type system)")
-            ftypes[k] = infer_canonical(v) if v is not None else "VARCHAR"
+            if v is not None:
+                ftypes[k] = infer_canonical(v)
+        obj = {k: v for k, v in obj.items() if v is not None}
         sid = schema_id([], ftypes)
         if cur is None or cur.schema_id != sid or cur_bytes >= MAX_BATCH_BYTES:
             cur = ParsedBatch(database=database, table=table, schema_id=sid)

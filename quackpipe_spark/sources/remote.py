@@ -28,13 +28,22 @@ def fetch_to_cache(url: str, timeout: float = 120.0) -> str:
     if os.path.exists(dst):
         return dst
     tmp = dst + f".tmp.{os.getpid()}"
-    with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as f:
-        while True:
-            chunk = resp.read(1 << 20)
-            if not chunk:
-                break
-            f.write(chunk)
-    os.replace(tmp, dst)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dst)
+    except BaseException:
+        # a failed/interrupted download must not leave a partial .tmp
+        # accumulating in the cache dir (retries use a fresh pid suffix)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return dst
 
 

@@ -57,6 +57,27 @@ def _ensure_read_confs(spark: SparkSession) -> None:
         pass  # conf locked down (e.g. Spark Connect policy) — reads may still work
 
 
+def ntz_epoch_us_expr(col: str) -> str:
+    """Epoch-µs of a TIMESTAMP_NTZ column, CALENDAR-PURE: built only from
+    wall-clock field extraction (date, hour, minute, fractional second),
+    which never consults the session timezone — so naive means UTC by
+    construction, at build time AND at action time, under any session.
+
+    The obvious alternatives are all session-tz-dependent at analysis
+    time: a NTZ→timestamp cast shifts by the whole zone offset, and even
+    timestampdiff against an NTZ epoch literal resolves its operands
+    through session-zone casts (measured: a wall time inside the zone's
+    DST spring-forward gap shifts by +1h under America/New_York). Field
+    extraction has no such seam.
+    """
+    q = f"`{col}`"
+    return (
+        f"(cast(unix_date(cast({q} as date)) as bigint) * 86400 "
+        f"+ hour({q}) * 3600 + minute({q}) * 60) * 1000000 "
+        f"+ cast(extract(SECOND from {q}) * 1000000 as bigint)"
+    )
+
+
 def _normalize_event_time(df: DataFrame) -> DataFrame:
     """Pin the engine's time domain: ``ts`` is int64 epoch-nanoseconds.
 
@@ -67,38 +88,18 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
     operator sees one type. The cast + multiply is a Catalyst expression
     folded into the scan projection — no extra pass.
 
-    Timezone handling: the NTZ branch must NOT silently depend on a
-    non-UTC session — a plain NTZ→timestamp cast evaluates with whatever
-    session timezone is current at ACTION time (this DataFrame is
-    memoized in _SCAN_CACHE, so a later spark.conf.set would silently
-    shift every cached scan). Naive wall time maps to the epoch with
-    timestampdiff against the NTZ epoch literal, which under a UTC
-    session is an exact calendar subtraction (UTC has no DST gaps), so
-    naive == UTC, matching how the DuckDB oracle's epoch()/epoch_us()
-    treat naive timestamps. Spark injects the session timezone into
-    timestampdiff's NTZ casts at analysis time, so this is NOT fully
-    tz-independent (DST-gap wall times would shift under e.g.
-    America/New_York) — therefore the branch VERIFIES the UTC conf that
-    _ensure_read_confs set actually took effect and fails loudly on a
-    locked-down non-UTC session instead of being silently wrong. The
-    tz-aware branch uses unix_micros directly (an instant;
-    tz-independent).
+    Timezone handling: NTZ converts via the calendar-pure expression
+    (see ntz_epoch_us_expr) — correct under ANY session timezone, which
+    matters doubly here because this DataFrame is memoized in
+    _SCAN_CACHE and a session-tz-dependent expression would re-resolve
+    under whatever zone is current when a cached scan is finally
+    collected. Naive == UTC matches how the DuckDB oracle's
+    epoch()/epoch_us() treat naive timestamps. The tz-aware branch uses
+    unix_micros directly (an instant; tz-independent).
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "timestamp_ntz":
-        spark = df.sparkSession
-        tz = spark.conf.get("spark.sql.session.timeZone", "")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-            raise RuntimeError(
-                "events.ts is TIMESTAMP_NTZ and the session timezone is "
-                f"{tz!r}: naive event times can only be pinned to the "
-                "engine's UTC epoch-ns domain under a UTC session, and "
-                "this session rejected spark.sql.session.timeZone=UTC. "
-                "Set it before reading, or re-encode ts as int64 epoch-ns."
-            )
-        us = F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        )
+        us = F.expr(ntz_epoch_us_expr("ts"))
         df = df.withColumn("ts", (us * F.lit(1000)).cast("long"))
     elif dtype == "timestamp":
         df = df.withColumn(

@@ -78,31 +78,19 @@ def _event_time(events: DataFrame, ts_col: str):
     int64 epoch-nanos (the engine's native domain) or a parquet/stream
     timestamp[_ntz] (truncated to µs, Spark's timestamp resolution).
 
-    NTZ is mapped to an instant via timestampdiff against the NTZ epoch
-    literal, exact under a UTC session (no DST gaps) — which this branch
-    REQUIRES: Spark injects the session timezone into timestampdiff's
-    NTZ casts at analysis time, so under e.g. America/New_York a plain
-    cast shifts every event time and window boundary by the session
-    offset and even timestampdiff shifts DST-gap wall times. A non-UTC
-    session therefore fails loudly here rather than producing silently
-    shifted windows."""
+    NTZ is mapped to an instant via the calendar-pure field-extraction
+    expression (sources.tables.ntz_epoch_us_expr): naive wall time means
+    UTC under ANY session timezone — a plain NTZ→timestamp cast (or even
+    timestampdiff against an NTZ epoch literal) resolves through
+    session-zone casts at analysis time and would shift event times and
+    every tumbling window boundary on a non-UTC session."""
     dtype = dict(events.dtypes).get(ts_col)
     if dtype == "timestamp":
         return F.col(ts_col)
     if dtype == "timestamp_ntz":
-        tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
-            raise RuntimeError(
-                f"{ts_col!r} is TIMESTAMP_NTZ and the session timezone is "
-                f"{tz!r}: naive event times require "
-                "spark.sql.session.timeZone=UTC (set it on the session, "
-                "or feed int64 epoch-ns / tz-aware timestamps instead)"
-            )
-        return F.timestamp_micros(
-            F.expr(
-                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
-            )
-        )
+        from quackpipe_spark.sources.tables import ntz_epoch_us_expr
+
+        return F.timestamp_micros(F.expr(ntz_epoch_us_expr(ts_col)))
     return F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
 
 

@@ -83,7 +83,6 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="event_type",
         bucket_col="bucket_s",
         bucket_step=3600,
-        agg_cols={"n": "count", "avg_value": "avg"},
         fill={"n": 0},
         locf_cols=["avg_value"],
     )

@@ -161,6 +161,103 @@ def test_level4_files_self_merge(tmp_path):
     assert len(plans[0].files) == 3
 
 
+def test_lineproto_reserved_and_duplicate_names_rejected():
+    """A field/tag named 'time' (the reserved timestamp column) or a
+    duplicated name must fail at parse — previously both silently built a
+    ragged batch with wrong num_rows."""
+    from quackpipe_spark.sources.lineproto import parse_lines
+
+    with pytest.raises(ValueError, match="reserved"):
+        parse_lines("cpu time=1,val=2 100")
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_lines("cpu,host=a host=2i 100")  # tag and field share a name
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_lines("cpu v=1,v=2 100")
+
+
+def test_lineproto_escaped_equals_and_separators_in_keys():
+    """Escaped '=' in a tag key must stay part of the key; field keys
+    unescape like tag keys; ':' and ',' in names survive the distributed
+    parse's schema round-trip."""
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    _, tags, _, _ = parse_line(r"cpu,host\=1=a val=1 100")
+    assert tags == [("host=1", "a")]
+    _, _, fields, _ = parse_line(r"cpu a\,b=3 100")
+    assert fields[0][0] == "a,b"  # unescaped, same as a tag key would be
+
+
+def test_lineproto_distributed_handles_colon_in_keys(spark):
+    """A tag key containing ':' previously crashed parse_lines_df's
+    schema_desc round-trip ('too many values to unpack')."""
+    from quackpipe_spark.sources.lineproto import parse_lines_df
+
+    lines_df = spark.createDataFrame(
+        [("cpu,a:b=x val=1 100",)], "value string"
+    )
+    frames = parse_lines_df(spark, lines_df)
+    assert len(frames) == 1
+    rows = frames[0][2].collect()
+    assert rows[0]["a:b"] == "x" and rows[0]["val"] == 1.0
+
+
+def test_ndjson_null_values_do_not_split_or_mistype():
+    """Null values are typeless: null/non-null alternation must stay ONE
+    batch (union-by-name null-fills), and an all-null first batch must
+    not pin a new column to VARCHAR."""
+    from quackpipe_spark.sources.ndjson import parse_ndjson
+
+    # runs of null lines share the EMPTY fingerprint (one batch, not one
+    # per line), and no batch ever types 'a' as VARCHAR
+    batches = parse_ndjson('{"a": null}\n{"a": null}\n{"a": 1}')
+    assert len(batches) == 2
+    for b in batches:
+        for v in b.data.get("a", []):
+            assert v is not None and isinstance(v, int)
+
+
+def test_asof_join_null_keys_and_times_match_nothing(spark):
+    """NULL keys/times never match (DuckDB ASOF equality semantics):
+    null-key left rows and null-time left rows keep NULL payloads, and
+    null right rows are never carried."""
+    from quackpipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), ("k", None), ("k", 10)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "viaNullKey"), ("k", None, "viaNullTime"), ("k", 5, "real")],
+        "k string, t long, p string",
+    )
+    out = {
+        (r["k"], r["t"]): r["p"]
+        for r in asof_join(left, right, "k", "t", "t", ["p"]).collect()
+    }
+    assert out[(None, 10)] is None
+    assert out[("k", None)] is None
+    assert out[("k", 10)] == "real"
+    # forward direction: null left time must also match nothing
+    fwd = {
+        (r["k"], r["t"]): r["p"]
+        for r in asof_join(left, right, "k", "t", "t", ["p"], direction="forward").collect()
+    }
+    assert fwd[("k", None)] is None
+
+
+def test_gapfill_keeps_off_grid_rows(spark):
+    """An input bucket off the lo-anchored grid must survive densification
+    (was silently dropped by the left join from the grid)."""
+    from quackpipe_spark.operators.asof import gapfill
+
+    df = spark.createDataFrame(
+        [("k", 100, 1), ("k", 250, 2), ("k", 400, 3)], "key string, b long, n int"
+    )
+    out = gapfill(df, "key", "b", bucket_step=100, fill={"n": 0})
+    rows = {r["b"]: r["n"] for r in out.collect()}
+    assert rows[250] == 2  # off-grid row preserved with its value
+    assert rows[200] == 0 and rows[300] == 0  # grid still densified
+
+
 def test_write_parsed_df_rejects_unmapped_dtype(spark, tmp_path):
     """Columns outside the 4-type system must reject loudly, not silently
     vanish from the catalog while still landing in the parquet files."""

@@ -50,6 +50,13 @@ def render_field(v) -> str:
     ts=st.integers(min_value=0, max_value=2**62),
 )
 def test_render_parse_roundtrip(tags, fields, ts):
+    # a name shared between a tag and a field (or named 'time') is now a
+    # parse-time protocol error (ragged-batch guard) — keep the generated
+    # line valid
+    fields = {k: v for k, v in fields.items() if k not in tags and k != "time"}
+    tags = {k: v for k, v in tags.items() if k != "time"}
+    if not fields:
+        fields = {("v" if "v" not in tags else "v__"): 1}
     line = "m"
     for k, v in tags.items():
         line += f",{k}={v}"

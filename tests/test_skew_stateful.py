@@ -10,23 +10,38 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
-def test_ntz_event_time_requires_utc_session(spark):
-    """Naive (NTZ) event times are only meaningful under a UTC session —
-    a non-UTC session must fail loudly (a silent session-tz cast would
-    shift every window boundary), and under UTC the mapping is the exact
-    naive==UTC epoch."""
+def test_ntz_event_time_timezone_independent(spark):
+    """Naive (NTZ) event times must mean UTC under ANY session timezone —
+    the calendar-pure conversion never consults the zone, so neither a
+    non-UTC session nor a tz change after plan construction shifts event
+    times or window boundaries. Includes a DST spring-forward-gap wall
+    time, which even timestampdiff-based conversions shift by +1h."""
     from quackpipe_spark.streaming.ingest import _event_time
 
-    df = spark.sql("SELECT TIMESTAMP_NTZ '2021-01-01 00:00:00' AS ts")
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2021-01-01 00:00:00' AS ts"
+        " UNION ALL SELECT TIMESTAMP_NTZ '2023-03-12 02:30:00.123456'"
+    )
+    want = {1609459200000000, 1678588200123456}
     old = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        with pytest.raises(RuntimeError, match="UTC"):
-            _event_time(df, "ts")
+        got = {
+            r["us"]
+            for r in df.select(
+                F.unix_micros(_event_time(df, "ts")).alias("us")
+            ).collect()
+        }
+        # unix_micros reads an instant — tz-independent — so comparing
+        # under the non-UTC session is valid
+        assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
-    out = df.select(F.unix_micros(_event_time(df, "ts")).alias("us")).collect()
-    assert out[0]["us"] == 1609459200000000
+    got = {
+        r["us"]
+        for r in df.select(F.unix_micros(_event_time(df, "ts")).alias("us")).collect()
+    }
+    assert got == want
 
 
 def test_salted_join_matches_plain_join(spark):
