@@ -113,6 +113,10 @@ def gapfill(
     lo-anchored grid (mixed-alignment sources, non-multiple step) stays
     in the output with its values — a left join from the grid silently
     dropped such rows. For grid-aligned input the result is identical.
+    (Measured at sf0.1: full outer costs ~0.17s over the broadcast-able
+    left join; the left-join+anti-union alternative re-computes the
+    sparse aggregate on both branches and is strictly slower. At scale
+    full outer's sort-merge is the standard plan regardless.)
     """
     bounds = df.agg(
         F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
