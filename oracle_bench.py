@@ -15,8 +15,9 @@ it (see BASELINE.md "Harness definition"):
 - **Spark side**: ``bench.py``'s per-query medians (``df.count()`` — the
   full result is computed but not shipped to the driver; a count action
   is the closest Spark analogue of fetchall-without-printing, and the
-  asymmetry favors neither engine on these result sizes: every gate
-  query returns ≤ ~10k short rows).
+  asymmetry favors Spark by at most the oracle's Python-object
+  materialization over ≤ ~40k short rows on the largest gate results —
+  single-digit milliseconds, noise at the totals being compared).
 - **Ratio**: sum of Spark medians over the oracle-covered subset divided
   by the sum of DuckDB materialized medians, matching query-for-query.
 
@@ -36,10 +37,7 @@ import json
 import statistics
 import time
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from quackpipe_spark.sources.tables import TABLES  # single source of truth
 
 
 def main() -> None:
@@ -48,6 +46,7 @@ def main() -> None:
     ap.add_argument("--bench", default=None, help="BENCH_rNN.json (or bench.py stdout) to compute the ratio against")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    args.reps = max(1, args.reps)  # same clamp as bench.py's env var
 
     import duckdb
 
@@ -58,9 +57,12 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
-    # warm the buffer pool so rep medians measure query work, not cold IO
-    for t in TABLES:
-        con.execute(f"SELECT count(*) FROM {t}").fetchall()
+    # warm-up: one UNTIMED full sweep of the actual queries — a
+    # count(*) per table would be answered from parquet footer metadata
+    # without reading a single data page, leaving the first timed sweep
+    # cold
+    for name in sorted(oracle):
+        con.sql(oracle[name]).fetchall()
 
     mat: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
     cnt: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
@@ -91,6 +93,13 @@ def main() -> None:
             bench = json.load(f)
         if "parsed" in bench:  # driver BENCH_rNN.json wrapper
             bench = bench["parsed"]
+        sf_from_dir = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        bench_sf = str(bench.get("sf", ""))
+        if bench_sf and sf_from_dir and bench_sf != sf_from_dir:
+            raise SystemExit(
+                f"bench file is sf={bench_sf} but --sf-dir is sf{sf_from_dir}: "
+                "the ratio would divide timings from different scale factors"
+            )
         spark_q = bench.get("queries", {})
         matched = sorted(set(spark_q) & set(per_mat))
         spark_total = round(sum(spark_q[n] for n in matched), 4)

@@ -79,6 +79,8 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
         for pdf in batches:
             rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    continue  # nothing to decode — skip like a corrupt blob
                 if not fake:
                     raise NotImplementedError(
                         "media decode requires image/audio libraries not present "

@@ -82,9 +82,16 @@ def streaming_exact_dedup(
     import pandas as pd
     from pyspark.sql import functions as F
 
+    # NULL ids are coalesced to int64-max SPARK-side: one None in a chunk
+    # makes pandas store _id as float64, where ids above 2^53 round and
+    # the recorded survivor could be an id that exists in no document —
+    # the sentinel keeps the column exact int64 end to end. (An id
+    # legitimately equal to 2^63-1 would be indistinguishable from NULL;
+    # accepted — it is not a plausible doc id.)
+    _NULL_ID = (1 << 63) - 1
     keyed = docs.select(
         F.md5(F.col(text_col)).alias("fingerprint"),
-        F.col(id_col).cast("long").alias("_id"),
+        F.coalesce(F.col(id_col).cast("long"), F.lit(_NULL_ID)).alias("_id"),
     )
 
     def update(key, pdfs, state: GroupState):
@@ -92,9 +99,8 @@ def streaming_exact_dedup(
         is_new = not state.exists
         for pdf in pdfs:
             n_copies += len(pdf)
-            batch_min = pdf["_id"].min()  # skips NULL ids (NaN); NaN if all
-            if pd.notna(batch_min):
-                batch_min = int(batch_min)
+            batch_min = int(pdf["_id"].min())
+            if batch_min != _NULL_ID:
                 keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
         state.update((keep_id, n_copies))
         yield pd.DataFrame(

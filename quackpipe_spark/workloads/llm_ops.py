@@ -333,8 +333,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane buckets. The hyperplanes are
     md5-derived ±1 literals (similarity.hyperplane_buckets), so the oracle
     restates the identical recipe in SQL; recall vs brute force is asserted
-    separately in tests/test_llm_ops.py."""
-    emb = _emb(spark, sf_dir)
+    separately in tests/test_llm_ops.py.
+
+    Both engines pre-filter to exactly-64-dim non-null vectors: for NULL
+    or short embeddings the engines' fold semantics diverge (Spark's
+    zip_with propagates NULL → NULL bucket → row drops; DuckDB's
+    list_sum SKIPS nulls → partial projection → bucket 0-ish), so the
+    contract excludes them explicitly rather than differing silently."""
+    emb = _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _LSH_DIMS)
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, k=10, n_planes=_LSH_PLANES, dims=_LSH_DIMS)
 
@@ -373,6 +381,7 @@ base AS (
               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm,
          {projs}
   FROM embeddings CROSS JOIN planes
+  WHERE embedding IS NOT NULL AND len(embedding) = {dims}
 ),
 bucketed AS (
   SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM base
@@ -482,7 +491,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mirrors multimodal._fake_decode exactly: struct.unpack('>HHH', sha256[:6])
-# = three big-endian uint16 = hex chars [1..4], [5..8], [9..12] of the digest
+# = three big-endian uint16 = hex chars [1..4], [5..8], [9..12] of the digest;
+# NULL-text rows have no payload and decode_media skips them, so the
+# oracle excludes them too
 MULTIMODAL_DECODE_SQL = """
 WITH parts AS (
   SELECT doc_id AS media_id,
@@ -492,6 +503,7 @@ WITH parts AS (
          ('0x' || substr(sha256(text), 5, 4))::INT AS b,
          ('0x' || substr(sha256(text), 9, 4))::INT AS c
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT media_id, kind,
        CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + a % 1024 END AS INT) AS width,
