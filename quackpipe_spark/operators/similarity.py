@@ -330,6 +330,37 @@ def build_ivf_index(
     return IvfIndex(centers=centers, assigned=assigned)
 
 
+def build_seeded_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> IvfIndex:
+    """Zero-iteration IVF: the coarse quantizer is the deterministic
+    md5-seeded center set (:func:`seeded_centers`) instead of a trained
+    k-means — random-init IVF-flat, the FAISS degenerate case that is
+    already a valid blocking quantizer (cells stable and balanced-ish,
+    not optimal). Because the centers are derivable from the data alone
+    by ANY engine, a search over this index is fully oracle-checkable:
+    the DuckDB mirror re-derives the identical index and must reproduce
+    the same approximate result set bit-for-bit. Same build shape as
+    :func:`build_ivf_index` — one bounded driver collect for centers,
+    one full-corpus assignment pass, persisted."""
+    centers = seeded_centers(corpus, id_col, vec_col, n_cells)
+    assigned = (
+        assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            F.col("nrm").alias("cnorm"),
+            "cell",
+        )
+        .persist()
+    )
+    assigned.count()  # eager: search must never re-run the assignment
+    return IvfIndex(centers=centers, assigned=assigned)
+
+
 def write_ivf_index(index: IvfIndex, path: str) -> None:
     """Materialize a built index to storage: the postings (corpus rows with
     precomputed norms) land as parquet PARTITIONED BY cell — a search that

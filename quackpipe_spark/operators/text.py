@@ -83,6 +83,54 @@ def detect_language(text: Column) -> Column:
     return result
 
 
+def dup_token_ratio(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that repeat an
+    earlier token (1 − distinct/total). Row-local JVM expression — rides
+    the scan stage like every other per-row metric."""
+    toks = tokenize(text)
+    return F.round(
+        1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 4
+    )
+
+
+def bigram_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top_bigram_ratio): occurrences of the most frequent word
+    2-gram over total 2-grams — the Gopher top-n-gram repetition filter
+    (boilerplate/spam detector).
+
+    Per-doc mode-frequency is computed by explode + two groupBys, NOT a
+    per-row fold: the input is id-repartitioned BEFORE the explode (the
+    shingle_table lesson), so both groupBys cluster on already-satisfied
+    partitioning — Catalyst inserts no exchange, the gram rows never
+    cross the wire, and the count/max/sum aggregates stay inside
+    whole-stage codegen. (A per-row distinct×filter formulation is
+    O(n·d) interpreted lambda steps per doc — quadratic in doc length.)
+    Docs with <2 tokens emit no row; callers left-join and coalesce."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return _top_bigram(docs.repartition(par, F.col(id_col)), id_col, text_col)
+
+
+def _top_bigram(base: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gram counting over an ALREADY id-partitioned input (see
+    bigram_repetition for the plan rationale)."""
+    toks = (
+        base.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+    )
+    t = F.col("_toks")
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    grams = toks.select(id_col, F.explode(bg).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 over lowercased, punctuation-free,
     whitespace-collapsed, sorted-token text — catches shuffled/reformatted
@@ -93,16 +141,29 @@ def fingerprint(text: Column) -> Column:
 
 
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """The full text-analysis projection in one pass."""
+    """The full text-analysis battery: one row-local projection pass for
+    the per-row metrics, plus the grouped repetition signal joined back on
+    id. ONE exchange total: the input is id-repartitioned once and both
+    sides derive from it — the projection preserves the partitioning, the
+    gram groupBys cluster on it, and the final join is co-partitioned, so
+    neither the grams nor the metrics rows ever shuffle. Docs too short
+    for a bigram get ratio 0.0."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, F.col(id_col))
     t = F.col(text_col)
-    return docs.select(
+    proj = base.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
         bpe_estimate(t).alias("bpe_tokens_est"),
         punct_ratio(t).alias("punct_ratio"),
         stopword_ratio(t, "en").alias("stopword_ratio_en"),
+        dup_token_ratio(t).alias("dup_token_ratio"),
         quality_score(t).alias("quality"),
         detect_language(t).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),
+    )
+    rep = _top_bigram(base, id_col, text_col)
+    return proj.join(rep, id_col, "left").withColumn(
+        "top_bigram_ratio", F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0))
     )

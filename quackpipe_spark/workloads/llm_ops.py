@@ -299,12 +299,14 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM ranked WHERE r
 # assignment, re-pin it (one assignment pass — "index load", not retrain).
 _IVF_CACHE: dict[tuple[int, str], "S.IvfIndex"] = {}
 
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
 
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> "S.IvfIndex":
     key = (id(spark), sf_dir)
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        idx = S.build_ivf_index(_emb(spark, sf_dir), n_cells=16, seed=42)
+        idx = S.build_seeded_ivf_index(_emb(spark, sf_dir), n_cells=_IVF_CELLS)
         _IVF_CACHE[key] = idx
     elif not (idx.assigned.storageLevel.useMemory or idx.assigned.storageLevel.useDisk):
         idx.assigned.persist()
@@ -313,11 +315,67 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> "S.IvfIndex":
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k over a built index (build once, search many) —
-    rows-only check; recall vs brute force is asserted in tests."""
+    """IVF approximate top-k over a built index (build once, search many).
+
+    The gate pins the ZERO-ITERATION seeded quantizer
+    (similarity.build_seeded_ivf_index: centers = first n_cells vectors in
+    md5(id) order, the dedup_embedding_cosine recipe) so the DuckDB oracle
+    can re-derive the identical index and hash-verify the whole
+    probe→cell-join→rank search path. The trained k-means build
+    (build_ivf_index) stays the library default and is recall- and
+    roundtrip-tested in tests/test_llm_ops.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_search(ivf_index_for(spark, sf_dir), queries, k=10, nprobe=4)
+    return S.ivf_search(
+        ivf_index_for(spark, sf_dir), queries, k=10, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE) -> str:
+    """The seeded-IVF search restated for DuckDB: identical center seeding
+    (md5(id) order), identical probes-nearest-cell assignment (cosine
+    rounded to 6, tie-break on cell id — the assign_cells contract), then
+    rank within probed cells only. Approximate result, exactly mirrored."""
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+         embedding AS center
+  FROM embeddings
+  QUALIFY cell <= {n_cells}
+),
+base AS (
+  SELECT vec_id, embedding, sqrt({_emb_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+cell_scores AS (
+  SELECT b.vec_id, b.embedding, b.nrm, s.cell,
+         round({_emb_dot('b.embedding', 's.center')}
+               / (b.nrm * sqrt({_emb_dot('s.center', 's.center')})), 6) AS _ccos
+  FROM base b CROSS JOIN seeds s
+),
+corpus_assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM cell_scores
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY _ccos DESC, cell ASC) <= 1
+),
+query_probed AS (
+  SELECT vec_id, embedding, nrm, cell FROM cell_scores
+  WHERE vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY _ccos DESC, cell ASC) <= {nprobe}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_emb_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cos
+  FROM query_probed q
+  JOIN corpus_assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+FROM ranked WHERE rank <= 10
+"""
 
 
 def prebuild(spark: SparkSession, sf_dir: str) -> None:
@@ -443,12 +501,22 @@ WITH base AS (
   FROM ext
 ), best_cte AS (
   SELECT *, {best} AS best FROM scored
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM base WHERE len(t) >= 2
+), gcounts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), rep AS (
+  SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_ratio
+  FROM gcounts GROUP BY doc_id
 )
-SELECT doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_en,
+SELECT b.doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_en,
+       round(1 - len(dt) / greatest(len(t), 1)::DOUBLE, 4) AS dup_token_ratio,
        round(q_raw, 4) AS quality,
        {lang_case} AS lang_detected,
-       md5(array_to_string(norm_toks, ' ')) AS fingerprint
-FROM best_cte
+       md5(array_to_string(norm_toks, ' ')) AS fingerprint,
+       coalesce(r.top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM best_cte b LEFT JOIN rep r ON r.doc_id = b.doc_id
 """
 
 
@@ -606,10 +674,12 @@ ORACLE = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_lsh": _lsh_oracle(),
+    "ann_topk_ivf": _ivf_oracle(),
     "text_analyze": _text_oracle(),
     "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "corpus_clean_pipeline": _corpus_clean_oracle(),
-    # ann_topk_ivf (engine-private k-means index; recall asserted in tests)
-    # and text_compression_quality (zlib): rows-only by design
+    # text_compression_quality (zlib UDF) stays rows-only by design; the
+    # k-means IVF build is recall-tested in tests (the gate pins the
+    # seeded quantizer so its oracle above is exact)
 }

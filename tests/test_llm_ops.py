@@ -178,6 +178,48 @@ def test_text_quality_and_langid(spark):
     assert fps[0] == fps[1] and fps[0] != fps[2]
 
 
+def test_repetition_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),      # one token repeated
+        (2, "alpha beta gamma delta"),         # no repetition
+        (3, "go stop go stop go stop"),        # alternating bigrams
+        (4, "single"),                         # too short for a bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.analyze(df).collect()}
+    # dup_token_ratio = 1 - distinct/total
+    assert out[1]["dup_token_ratio"] == round(1 - 1 / 5, 4)
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[4]["dup_token_ratio"] == 0.0
+    # "spam spam" ×4 of 4 bigrams → 1.0
+    assert out[1]["top_bigram_ratio"] == 1.0
+    # all 3 bigrams distinct → 1/3
+    assert out[2]["top_bigram_ratio"] == round(1 / 3, 4)
+    # "go stop" ×3 of 5 bigrams → 0.6
+    assert out[3]["top_bigram_ratio"] == 0.6
+    # short doc: no bigram → coalesced 0.0
+    assert out[4]["top_bigram_ratio"] == 0.0
+
+
+def test_seeded_ivf_matches_trained_shape_and_recall(emb):
+    """The gate's zero-iteration seeded IVF: assignment covers the whole
+    corpus, and nprobe search keeps useful recall vs brute force."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    idx = S.build_seeded_ivf_index(emb, n_cells=16)
+    assert idx.assigned.count() == emb.count()  # probes=1: every vector in exactly one cell
+    assert len(idx.centers) == 16
+    got = S.ivf_search(idx, queries, k=10, nprobe=4).collect()
+    recall = len(bf & {(r["query_id"], r["neighbor_id"]) for r in got}) / len(bf)
+    assert recall >= 0.3, f"seeded-IVF recall too low: {recall}"
+    ranks = {(r["query_id"], r["rank"]) for r in got}
+    assert len(ranks) == len(got)  # ranks unique per query
+    idx.unpersist()
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     media = M.attach_binary(docs.limit(30))
     # real decode refuses without libs — the stub gate is explicit
