@@ -83,6 +83,21 @@ def detect_language(text: Column) -> Column:
     return result
 
 
+# PII / boilerplate surface signals. Patterns restricted to syntax that
+# means the same thing in Java regex (Spark) and DuckDB's RE2 — both
+# sides must count identical matches for the oracle to hash-match.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^\s]+"
+
+
+def email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_RE)).cast("int")
+
+
+def url_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(URL_RE)).cast("int")
+
+
 def dup_token_ratio(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of tokens that repeat an
     earlier token (1 − distinct/total). Row-local JVM expression — rides
@@ -159,6 +174,8 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         punct_ratio(t).alias("punct_ratio"),
         stopword_ratio(t, "en").alias("stopword_ratio_en"),
         dup_token_ratio(t).alias("dup_token_ratio"),
+        email_count(t).alias("n_emails"),
+        url_count(t).alias("n_urls"),
         quality_score(t).alias("quality"),
         detect_language(t).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),

@@ -512,6 +512,8 @@ WITH base AS (
 )
 SELECT b.doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_en,
        round(1 - len(dt) / greatest(len(t), 1)::DOUBLE, 4) AS dup_token_ratio,
+       CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.URL_RE}')) AS INT) AS n_urls,
        round(q_raw, 4) AS quality,
        {lang_case} AS lang_detected,
        md5(array_to_string(norm_toks, ' ')) AS fingerprint,
@@ -586,26 +588,35 @@ FROM parts
 
 # --- flagship composition: end-to-end corpus cleaning ----------------------
 
+_SHARD_FRACTION, _SHARD_SALT = 0.9, "shard0"
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleanup in one declarative pipeline:
     quality-score every doc, detect near-duplicates (minhash→LSH→jaccard),
-    keep the smaller id of each dup pair, and emit the surviving corpus
-    with its quality metadata. This is the query a reference user runs to
-    produce a training shard — every stage is the oracle-verified operator
-    from above, composed."""
+    keep the smaller id of each dup pair, emit the surviving corpus with
+    its quality metadata, and hash-sample the final deterministic training
+    shard (reproducible at any parallelism — operators/sampling.py). This
+    is the query a reference user runs to produce a training shard —
+    every stage is the oracle-verified operator from above, composed."""
+    from quackpipe_spark.operators.sampling import hash_sample
+
     docs = _docs(spark, sf_dir)
     scored = T.analyze(docs).select("doc_id", "quality", "lang_detected", "n_tokens")
     dups = D.minhash_dedup(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.8
     ).select(F.col("b").alias("doc_id"))  # drop the larger id of each pair
-    return (
+    kept = (
         scored.join(dups, "doc_id", "left_anti")
         .filter(F.col("quality") >= 0.6)
         .select("doc_id", "quality", "lang_detected", "n_tokens")
     )
+    return hash_sample(kept, "doc_id", _SHARD_FRACTION, salt=_SHARD_SALT)
 
 
 def _corpus_clean_oracle() -> str:
+    from quackpipe_spark.operators.sampling import hash_sample_sql
+
     minhash = _minhash_oracle().strip()
     text = _text_oracle().strip()
     # wrap both full oracles as CTE-able subqueries
@@ -616,6 +627,7 @@ SELECT doc_id, quality, lang_detected, n_tokens
 FROM scored
 WHERE quality >= 0.6
   AND doc_id NOT IN (SELECT b FROM dup_pairs)
+  AND {hash_sample_sql('doc_id', _SHARD_FRACTION, _SHARD_SALT)}
 """
 
 

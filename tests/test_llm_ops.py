@@ -220,6 +220,67 @@ def test_seeded_ivf_matches_trained_shape_and_recall(emb):
     idx.unpersist()
 
 
+def test_pii_signals(spark):
+    rows = [
+        (1, "contact me at alice@example.com or https://example.com/x?q=1 today"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c.d@e-f.org and http://plain.url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.analyze(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_urls"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_urls"]) == (2, 1)
+
+
+def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
+    from quackpipe_spark.operators import sampling as SM
+
+    kept1 = {r["doc_id"] for r in SM.hash_sample(docs, "doc_id", 0.5, "s").collect()}
+    # re-run and repartitioned runs keep EXACTLY the same rows
+    kept2 = {r["doc_id"] for r in SM.hash_sample(docs, "doc_id", 0.5, "s").collect()}
+    kept3 = {
+        r["doc_id"]
+        for r in SM.hash_sample(docs.repartition(7), "doc_id", 0.5, "s").collect()
+    }
+    assert kept1 == kept2 == kept3
+    n = docs.count()
+    assert 0.4 * n < len(kept1) < 0.6 * n  # ~fraction, md5-uniform
+    # different salt → a different (still deterministic) subset
+    kept_other = {r["doc_id"] for r in SM.hash_sample(docs, "doc_id", 0.5, "t").collect()}
+    assert kept_other != kept1
+    # fraction edges
+    assert SM.hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert SM.hash_sample(docs, "doc_id", 1.0).count() == n
+    # DuckDB mirror keeps the identical rows
+    import duckdb
+
+    con = duckdb.connect()
+    dk = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet(?) WHERE "
+            + SM.hash_sample_sql("doc_id", 0.5, "s"),
+            [f"{SF_DIR}/documents.parquet"],
+        ).fetchall()
+    }
+    assert dk == kept1
+
+
+def test_split_by_hash_partitions_rows(spark, docs):
+    from quackpipe_spark.operators import sampling as SM
+
+    out = SM.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n  # every row labeled exactly once
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # labels are stable across runs
+    again = SM.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     media = M.attach_binary(docs.limit(30))
     # real decode refuses without libs — the stub gate is explicit
