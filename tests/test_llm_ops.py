@@ -281,6 +281,36 @@ def test_split_by_hash_partitions_rows(spark, docs):
     assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
 
 
+def test_pack_sequences(spark, docs):
+    from quackpipe_spark.operators import packing as P
+
+    toks = T.analyze(docs).select("doc_id", "n_tokens")
+    budget = 256
+    packed = P.pack_sequences(toks, budget=budget, n_shards=8, salt="p")
+    rows = packed.collect()
+    assert len(rows) == toks.count()  # every doc packed exactly once
+    # no pack exceeds budget by more than one doc's tokens (docs unsplit)
+    stats = {r["pack_id"]: r for r in P.pack_stats(packed).collect()}
+    max_doc = max(r["n_tokens"] for r in rows)
+    for s in stats.values():
+        assert s["n_tokens"] < budget + max_doc
+    # deterministic and partition-invariant
+    again = P.pack_sequences(toks.repartition(13), budget=budget, n_shards=8, salt="p")
+    assert (
+        packed.select("doc_id", "pack_id").subtract(again.select("doc_id", "pack_id")).count()
+        == 0
+    )
+    # contiguous fill keeps packs usefully full
+    eff = P.packing_efficiency(packed, budget).collect()[0]["efficiency"]
+    assert eff > 0.5, f"packing efficiency too low: {eff}"
+    # an oversized doc is never split; it pushes the next doc to a new pack
+    big = spark.createDataFrame([(1, 10_000), (2, 10), (3, 12)], "doc_id long, n_tokens long")
+    bp = P.pack_sequences(big, budget=100, n_shards=1)
+    by_id = {r["doc_id"]: r["pack_id"] for r in bp.collect()}
+    assert len(set(by_id.values())) >= 2
+    assert len(by_id) == 3
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     media = M.attach_binary(docs.limit(30))
     # real decode refuses without libs — the stub gate is explicit
