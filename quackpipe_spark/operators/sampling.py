@@ -22,8 +22,15 @@ _BUCKETS = 10_000  # 0.01% sampling granularity
 
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 10000) from md5('{salt}|' + key)."""
-    h = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
+    """Deterministic bucket in [0, 10000) from md5('{salt}|' + key).
+
+    NULL keys hash as the sentinel '\\x00null' rather than propagating
+    NULL — otherwise hash_sample would silently drop null-key rows while
+    split_by_hash routed them to the fallback label (inconsistent, and
+    both invisible). With the sentinel every row gets one deterministic
+    bucket regardless of key nullability."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(F.lit(f"{salt}|"), s))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS).cast("int")
 
 
@@ -73,7 +80,8 @@ def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""
     cut = int(round(max(0.0, min(1.0, fraction)) * _BUCKETS))
+    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
     return (
-        f"('0x' || substr(md5('{salt}|' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT "
+        f"('0x' || substr(md5('{salt}|' || {key}), 1, 8))::BIGINT "
         f"% {_BUCKETS} < {cut}"
     )

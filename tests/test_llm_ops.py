@@ -252,6 +252,15 @@ def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
     # fraction edges
     assert SM.hash_sample(docs, "doc_id", 0.0).count() == 0
     assert SM.hash_sample(docs, "doc_id", 1.0).count() == n
+    # null keys are neither silently dropped nor all-kept: they hash as a
+    # sentinel, one bucket for all nulls — and both engines agree on it
+    withnull = spark.createDataFrame(
+        [(None, "x"), (1, "y"), (2, "z")], "k int, v string"
+    )
+    kept_n = SM.hash_sample(withnull, "k", 1.0).count()
+    assert kept_n == 3
+    null_bucket = SM.hash_sample(withnull.filter(F.col("k").isNull()), "k", 0.5, "s").count()
+    assert null_bucket in (0, 1)  # deterministic either way, never an error
     # DuckDB mirror keeps the identical rows
     import duckdb
 
@@ -309,6 +318,67 @@ def test_pack_sequences(spark, docs):
     by_id = {r["doc_id"]: r["pack_id"] for r in bp.collect()}
     assert len(set(by_id.values())) >= 2
     assert len(by_id) == 3
+
+
+def test_bm25_search_matches_duckdb(spark, docs):
+    """fts.bm25_search vs the identical BM25 restated in DuckDB SQL —
+    same top-k ids/ranks, scores equal to 1e-6 (double fold order)."""
+    import duckdb
+
+    from quackpipe_spark.operators import fts
+
+    postings = fts.build_postings(docs)
+    query = "spark merge table"
+    got = fts.bm25_search(postings, query, topk=10).collect()
+    assert len(got) == 10
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+    terms = "', '".join(sorted(query.split()))
+    con = duckdb.connect()
+    exp = con.execute(f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM read_parquet('{SF_DIR}/documents.parquet')
+), tfrows AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM tfrows GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl
+  FROM (SELECT doc_id, first(dl) AS dl FROM postings GROUP BY doc_id)
+), matched AS (
+  SELECT * FROM postings WHERE term IN ('{terms}')
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY term
+), scored AS (
+  SELECT m.doc_id,
+         sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+             * m.tf * (1.2 + 1.0)
+             / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl))) AS score
+  FROM matched m CROSS JOIN stats s JOIN dfreq d ON d.term = m.term
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""").fetchall()
+    assert [r["doc_id"] for r in got] == [e[0] for e in exp]
+    for r, e in zip(got, exp):
+        assert abs(r["score"] - e[1]) < 1e-6
+
+
+def test_postings_index_roundtrip(spark, docs, tmp_path):
+    from quackpipe_spark.operators import fts
+
+    postings = fts.build_postings(docs)
+    path = str(tmp_path / "fts_index")
+    fts.write_postings(postings, path, n_buckets=16)
+    loaded = fts.load_postings(spark, path)
+    assert loaded.count() == postings.count()
+    # search over the on-disk index agrees with the in-memory one
+    a = fts.bm25_search(postings, "spark merge", topk=5).collect()
+    b = fts.bm25_search(loaded, "spark merge", topk=5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in a] == [(r["doc_id"], r["rank"]) for r in b]
 
 
 def test_multimodal_stub_and_plumbing(spark, docs):
