@@ -249,6 +249,10 @@ def test_hash_sampling_deterministic_and_partition_invariant(spark, docs):
     # different salt → a different (still deterministic) subset
     kept_other = {r["doc_id"] for r in SM.hash_sample(docs, "doc_id", 0.5, "t").collect()}
     assert kept_other != kept1
+    # fractions nest: a 30% sample is a subset of the 50% sample (same
+    # salt) — growing a shard never reshuffles what was already in it
+    kept_30 = {r["doc_id"] for r in SM.hash_sample(docs, "doc_id", 0.3, "s").collect()}
+    assert kept_30 < kept1
     # fraction edges
     assert SM.hash_sample(docs, "doc_id", 0.0).count() == 0
     assert SM.hash_sample(docs, "doc_id", 1.0).count() == n

@@ -189,3 +189,55 @@ def test_lsh_and_ivf_score_without_norm_refold(spark):
     # one aggregate fold (the dot) in the post-join projection: the scoring
     # project should reference _qnorm/_cnorm, not recompute sqrt(dot(v,v))
     assert "_qnorm" in p and "_cnorm" in p
+
+
+def test_text_analyze_single_logical_shuffle(spark):
+    """analyze(): both the metric projection and the gram counting derive
+    from ONE id-repartition; the closing join must not add an exchange of
+    its own (co-partitioned SMJ at scale, broadcast under AQE at test
+    scale — either way ≤ 2 Exchange nodes: one per subtree, reusable)."""
+    import re
+
+    from quackpipe_spark.operators import text as T2
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(T2.analyze(docs))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_fts_postings_single_shuffle_and_pushdown(spark, tmp_path):
+    """build_postings: one exchange (the doc repartition) — the exploded
+    token rows never shuffle. bm25_search over an on-disk index pushes
+    the term filter into the parquet scan (q-term read, not a full scan)."""
+    import re
+
+    from quackpipe_spark.operators import fts
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    postings = fts.build_postings(docs)
+    p = plan_text(postings)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, (
+        "only the doc repartition may shuffle"
+    )
+    path = str(tmp_path / "ix")
+    fts.write_postings(postings, path, n_buckets=8)
+    p2 = plan_text(fts.bm25_search(fts.load_postings(spark, path), "spark merge", topk=5))
+    assert "In(term, [merge,spark])" in p2, "term filter must reach the scan"
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """pack_sequences: the sharded window is the only exchange — no global
+    sort anywhere in the plan."""
+    import re
+
+    from quackpipe_spark.operators import packing as P2
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.selectExpr("doc_id", "length(text) as n_tokens")
+    p = plan_text(P2.pack_sequences(toks, n_shards=8))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # partitioned window, not a global one
+    assert "SinglePartition" not in p
