@@ -130,6 +130,42 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
         "TIMESTAMP",
         "timestamp_seconds(CAST(floor(unix_seconds(x) / width_s) * width_s AS BIGINT))",
     ),
+    # Training-pipeline primitives (our extensions) — the SQL spellings of
+    # operators/sampling.py and operators/text.py, so /query users can
+    # hash-sample and quality-filter without the Python API. Bodies are
+    # the EXACT same md5/tokenize recipes (tested equal in
+    # test_sql_extended); NULL keys hash as the chr(0)||'null' sentinel,
+    # matching sampling.hash_bucket.
+    (
+        "hash_bucket",
+        "key STRING, salt STRING",
+        "INT",
+        "CAST(CAST(conv(substring(md5(concat(salt, '|',"
+        " coalesce(key, concat(chr(0), 'null')))), 1, 8), 16, 10) AS BIGINT)"
+        " % 10000 AS INT)",
+    ),
+    (
+        "hash_sample_keep",
+        "key STRING, fraction DOUBLE, salt STRING",
+        "BOOLEAN",
+        "CAST(CAST(conv(substring(md5(concat(salt, '|',"
+        " coalesce(key, concat(chr(0), 'null')))), 1, 8), 16, 10) AS BIGINT)"
+        " % 10000 AS INT)"
+        " < CAST(round(least(greatest(fraction, 0.0D), 1.0D) * 10000) AS INT)",
+    ),
+    (
+        "token_count",
+        "s STRING",
+        "INT",
+        r"size(split(trim(lower(s)), '\\s+'))",
+    ),
+    (
+        "dup_token_ratio",
+        "s STRING",
+        "DOUBLE",
+        r"round(1 - size(array_distinct(split(trim(lower(s)), '\\s+')))"
+        r" / greatest(size(split(trim(lower(s)), '\\s+')), 1), 4)",
+    ),
 ]
 
 

@@ -790,6 +790,10 @@ def ch_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("fragment(url)").alias("url_fragment"),
             F.expr("IPv4NumToString(ip_num)").alias("ip_str"),
             F.expr("IPv4StringToNum(IPv4NumToString(ip_num))").alias("ip_roundtrip"),
+            F.expr("hash_bucket(CAST(p_partkey AS STRING), 's0')").alias("hb"),
+            F.expr("hash_sample_keep(CAST(p_partkey AS STRING), 0.25, 's0')").alias("keep25"),
+            F.expr("token_count(p_name)").alias("name_tokens"),
+            F.expr("dup_token_ratio(p_name)").alias("name_dup_ratio"),
         )
     )
 
@@ -826,7 +830,12 @@ SELECT p_partkey,
        nullif(regexp_extract(url, '#(.*)$', 1), '') AS url_fragment,
        CAST((ip_num >> 24) & 255 AS VARCHAR) || '.' || CAST((ip_num >> 16) & 255 AS VARCHAR)
          || '.' || CAST((ip_num >> 8) & 255 AS VARCHAR) || '.' || CAST(ip_num & 255 AS VARCHAR) AS ip_str,
-       ip_num AS ip_roundtrip
+       ip_num AS ip_roundtrip,
+       CAST(('0x' || substr(md5('s0|' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS hb,
+       ('0x' || substr(md5('s0|' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2500 AS keep25,
+       CAST(len(string_split_regex(trim(lower(p_name)), '\\s+')) AS INT) AS name_tokens,
+       round(1 - len(list_distinct(string_split_regex(trim(lower(p_name)), '\\s+')))
+             / greatest(len(string_split_regex(trim(lower(p_name)), '\\s+')), 1)::DOUBLE, 4) AS name_dup_ratio
 FROM h
 """
 

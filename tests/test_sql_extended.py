@@ -22,3 +22,35 @@ def test_approx_count_distinct_error_bound(spark):
     for k, n in exact.items():
         rel_err = abs(approx[k] - n) / max(n, 1)
         assert rel_err < 0.05, f"{k}: approx {approx[k]} vs exact {n} (err {rel_err:.3f})"
+
+
+def test_sql_pipeline_functions_match_python_operators(spark):
+    """The dialect layer's hash_bucket / hash_sample_keep / token_count /
+    dup_token_ratio SQL functions must stay value-identical to the Python
+    Column implementations they mirror (drift guard)."""
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.functions.dialect import register_dialect
+    from quackpipe_spark.operators import sampling as SM
+    from quackpipe_spark.operators import text as T
+
+    register_dialect(spark)
+    df = spark.createDataFrame(
+        [(1, "The cat  sat on the mat"), (2, "a a a"), (None, None)],
+        "k int, s string",
+    )
+    out = df.select(
+        SM.hash_bucket(F.col("k"), "z").alias("py_hb"),
+        F.expr("hash_bucket(CAST(k AS STRING), 'z')").alias("sql_hb"),
+        (SM.hash_bucket(F.col("k"), "z") < F.lit(2500)).alias("py_keep"),
+        F.expr("hash_sample_keep(CAST(k AS STRING), 0.25, 'z')").alias("sql_keep"),
+        T.token_count(F.col("s")).alias("py_tc"),
+        F.expr("token_count(s)").alias("sql_tc"),
+        T.dup_token_ratio(F.col("s")).alias("py_dr"),
+        F.expr("dup_token_ratio(s)").alias("sql_dr"),
+    ).collect()
+    for r in out:
+        assert r["py_hb"] == r["sql_hb"]
+        assert r["py_keep"] == r["sql_keep"]
+        assert r["py_tc"] == r["sql_tc"]
+        assert r["py_dr"] == r["sql_dr"]
