@@ -56,3 +56,66 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert first_window[0]["n"] == 1  # the late row was DROPPED, not merged
     # the on-time 01:00 window did emit once the watermark passed it
     assert any(r["window_start_s"] == T0 // NS + 3600 and r["n"] == 1 for r in rows)
+
+
+def test_streaming_corpus_curation(spark, tmp_path):
+    """The curation primitives are row-local, so they lift onto a stream
+    unchanged: quality-score + PII-count + deterministic hash-sample a
+    document stream, and the kept set is EXACTLY the batch pipeline's
+    kept set (same md5 decisions) regardless of micro-batch boundaries."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators import sampling as SM
+    from quackpipe_spark.operators import text as T
+
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    docs = [(i, f"doc number {i} with some repeated words words {'x ' * (i % 7)}") for i in range(40)]
+    # two micro-batches split mid-corpus: the sample decision must not care
+    for name, chunk in (("b1.json", docs[:23]), ("b2.json", docs[23:])):
+        with open(src / name, "w") as f:
+            for i, text in chunk:
+                f.write(_json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    def curate(df):
+        return SM.hash_sample(
+            df.select(
+                "doc_id",
+                T.quality_score(F.col("text")).alias("quality"),
+                T.dup_token_ratio(F.col("text")).alias("dup_ratio"),
+                T.email_count(F.col("text")).alias("n_emails"),
+            ),
+            "doc_id",
+            0.6,
+            salt="cur",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("SELECT * FROM curated_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = curate(spark.createDataFrame(docs, "doc_id long, text string"))
+    exp = {r["doc_id"]: r for r in batch.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k]
+    assert 10 < len(exp) < 35  # the 60% sample actually sampled
