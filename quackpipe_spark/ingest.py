@@ -60,19 +60,43 @@ class IngestService:
 
     # -- write path ---------------------------------------------------------
 
-    def store(self, db: str, table: str, data: dict[str, list]) -> Future:
-        """Append one schema-homogeneous batch; resolves at flush."""
+    def store(
+        self,
+        db: str,
+        table: str,
+        data: dict[str, list],
+        n_rows: int | None = None,
+        pre_validated: bool = False,
+    ) -> Future:
+        """Append one schema-homogeneous batch; resolves at flush.
+
+        ``n_rows`` carries the row count for column-less batches (all
+        values null): those rows buffer with zero columns and flush as
+        auto-timestamped rows — without it an all-null write would ack
+        success while writing nothing. ``pre_validated`` skips the
+        schema pass for callers that already ran validate_schema on every
+        batch of the request (the multi-batch atomicity pattern) — the
+        duplicate pass costs a catalog lock + schema inference per batch
+        on the hot HTTP path."""
         if not data:
-            f: Future = Future()
-            f.set_result([])
-            return f
-        lengths = {len(v) for v in data.values()}
-        if len(lengths) != 1:
-            raise ValueError(f"ragged batch: { {k: len(v) for k, v in data.items()} }")
-        n = lengths.pop()
+            if not n_rows:
+                f: Future = Future()
+                f.set_result([])
+                return f
+            n = n_rows
+        else:
+            lengths = {len(v) for v in data.values()}
+            if len(lengths) != 1:
+                raise ValueError(
+                    f"ragged batch: { {k: len(v) for k, v in data.items()} }"
+                )
+            n = lengths.pop()
+            if n_rows is not None and n_rows != n:
+                raise ValueError(f"n_rows={n_rows} disagrees with column length {n}")
         # Validate/evolve schema up front so a type conflict rejects the
         # write (not the flush) — reference semantics.
-        self.validate_schema(db, table, data)
+        if not pre_validated:
+            self.validate_schema(db, table, data)
         promise: Future = Future()
         flush_now = False
         with self._lock:
@@ -105,7 +129,7 @@ class IngestService:
         written = 0
         for (db, table), buf in todo.items():
             try:
-                self.writer.write_columnar(db, table, buf.columns)
+                self.writer.write_columnar(db, table, buf.columns, n_rows=buf.rows)
                 written += buf.rows
                 for p in buf.promises:
                     p.set_result(buf.rows)
@@ -151,5 +175,6 @@ def ingest_lines(service: IngestService, text: str, db: str = "default", precisi
     for batch in batches:
         service.validate_schema(batch.database, batch.table, batch.data)
     return [
-        service.store(batch.database, batch.table, batch.data) for batch in batches
+        service.store(batch.database, batch.table, batch.data, pre_validated=True)
+        for batch in batches
     ]

@@ -11,13 +11,19 @@ Scale design:
   BEFORE the token explode (the shingle_table lesson), so the per-doc
   term-frequency groupBy clusters on already-satisfied partitioning —
   the exploded token rows never shuffle; only compact (term, doc, tf)
-  rows leave the stage. Materialize with `write_postings` partitioned
-  by a term hash bucket: a query touching q terms then prunes to q
-  buckets of the index instead of scanning it.
-- **search** never scans the corpus: query terms are a driver-side
-  literal list, so the postings filter (`term IN (...)`) pushes into
-  the scan; document frequencies for idf aggregate over just those
-  terms' postings; scoring is one small groupBy over candidate docs.
+  rows leave the stage.
+- **the on-disk index** (`write_postings`) partitions by an md5 term
+  bucket (`sampling.hash_mod` — reproducible driver-side, so the search
+  path can name its buckets without a Spark job) and stores the corpus
+  stats (N, avgdl, n_buckets) beside it, paid once at build time.
+- **search** (`search_postings_index`) reads ONLY the query terms'
+  buckets (partition pruning via an explicit `term_bucket IN` filter),
+  never re-aggregates corpus stats, aggregates idf over matched terms
+  only, and ranks via distributed TakeOrdered — a q-term query touches
+  q/n_buckets of the index and nothing else. The in-memory
+  `bm25_search` keeps the same scoring but derives stats from its
+  postings frame (one aggregation — fine for a pinned index, wrong for
+  per-query use over a 100 TB on-disk index; use the indexed path).
 
 Scoring is classic BM25 (Robertson/Spärck Jones):
     idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
@@ -28,11 +34,14 @@ restatable in any engine (tests mirror it in DuckDB SQL verbatim).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from quackpipe_spark.operators.dedup import tokenize
+from quackpipe_spark.operators.sampling import hash_mod, hash_mod_py
 
 
 def build_postings(
@@ -40,8 +49,8 @@ def build_postings(
 ) -> DataFrame:
     """(term, id, tf) inverted postings plus per-doc length ``dl``.
 
-    One exchange total (the id-repartition); the explode and both
-    aggregates run exchange-free on top of it."""
+    One exchange total (the id-repartition); the explode and the
+    aggregate run exchange-free on top of it."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
         docs.repartition(par, F.col(id_col))
@@ -53,48 +62,56 @@ def build_postings(
     )
 
 
-def write_postings(postings: DataFrame, path: str, n_buckets: int = 64) -> None:
-    """Materialize the index partitioned by term hash bucket — a q-term
-    query reads q directories (partition pruning), the on-disk analogue
-    of the in-memory `isin` pushdown."""
-    out = postings.withColumn(
-        "term_bucket", F.abs(F.hash("term")) % F.lit(n_buckets)
+def write_postings(
+    postings: DataFrame, path: str, id_col: str = "doc_id", n_buckets: int = 64
+) -> None:
+    """Materialize the index: postings partitioned by md5 term bucket
+    (a q-term query prunes to q directories) plus the corpus stats
+    (N, avgdl, n_buckets) — computed ONCE here so no search ever pays a
+    full-index aggregation for them."""
+    spark = postings.sparkSession
+    out = postings.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
+    out.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        f"{path}/postings"
     )
-    out.write.partitionBy("term_bucket").mode("overwrite").parquet(path)
+    st = (
+        postings.groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)],
+        "N BIGINT, avgdl DOUBLE, n_buckets INT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def load_postings(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("term_bucket")
+    """Reopen the postings table (all buckets — for re-aggregation or
+    in-memory pinning; the per-query path is search_postings_index)."""
+    return spark.read.parquet(f"{path}/postings").drop("term_bucket")
 
 
-def bm25_search(
-    postings: DataFrame,
-    query: str,
-    id_col: str = "doc_id",
-    topk: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """Top-k docs for a keyword query, scored by BM25.
-
-    Corpus stats (N, avg_len) aggregate over the postings' per-doc rows;
-    df per term over just the matched postings. Returns
-    (id, score, rank) with deterministic tie-breaks on id."""
-    import re
-
+def _terms(query: str) -> list[str]:
     # driver-side tokenization MUST mirror dedup.tokenize (trim+lower+\s+)
     # so a query term matches the postings' term domain exactly
     terms = sorted({t for t in re.split(r"\s+", query.strip().lower()) if t})
     if not terms:
         raise ValueError("empty query")
-    # N and avg_len: one tiny agg over distinct docs (dl repeats per term row)
-    stats = postings.select(id_col, "dl").groupBy(id_col).agg(F.first("dl").alias("dl"))
-    g = stats.agg(
-        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = g["N"], float(g["avgdl"] or 1.0)
+    return terms
 
-    matched = postings.filter(F.col("term").isin(terms))
+
+def _bm25_rank(
+    matched: DataFrame,
+    id_col: str,
+    n_docs: int,
+    avgdl: float,
+    topk: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Score matched postings and return (id, rank, score) — document
+    frequencies aggregate over just the matched terms' rows."""
     dfreq = matched.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -115,3 +132,51 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "score"
     )
+
+
+def bm25_search(
+    postings: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs for a keyword query over an in-memory postings frame.
+
+    Corpus stats aggregate over the postings' per-doc rows each call —
+    acceptable for a pinned/cached index; for a materialized 100 TB
+    index use :func:`search_postings_index`, which reads stats from the
+    build artifact and prunes to the query terms' buckets."""
+    terms = _terms(query)
+    stats = postings.select(id_col, "dl").groupBy(id_col).agg(F.first("dl").alias("dl"))
+    g = stats.agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl")).collect()[0]
+    matched = postings.filter(F.col("term").isin(terms))
+    return _bm25_rank(
+        matched, id_col, g["N"], float(g["avgdl"] or 1.0), topk, k1, b
+    )
+
+
+def search_postings_index(
+    spark,
+    path: str,
+    query: str,
+    id_col: str = "doc_id",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Search a written index the scale-correct way: corpus stats come
+    from the build artifact (no full-index aggregation), and the scan is
+    pre-filtered to the query terms' md5 buckets — partition pruning
+    reads ≤ q of n_buckets directories for a q-term query."""
+    terms = _terms(query)
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
+    matched = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("term_bucket")
+    )
+    return _bm25_rank(matched, id_col, st["N"], float(st["avgdl"]), topk, k1, b)

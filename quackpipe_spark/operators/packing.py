@@ -9,7 +9,7 @@ across runs and engines.
 
 Scale design: a single global running-sum window would serialize the
 whole corpus through ONE task — instead the corpus is first scattered
-into ``n_shards`` deterministic md5 buckets (`sampling.hash_bucket`),
+into ``n_shards`` deterministic md5 buckets (`sampling.hash_mod`),
 and the running sum + pack assignment run per shard (window PARTITION BY
 shard), so parallelism is n_shards regardless of corpus size and the
 only shuffle is the one hash exchange the window needs anyway. Pack ids
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from quackpipe_spark.operators.sampling import hash_bucket
+from quackpipe_spark.operators.sampling import hash_mod
 
 _SEQ_BITS = 40  # packs per shard headroom: 2^40 ≈ 1e12
 
@@ -49,7 +49,12 @@ def pack_sequences(
     md5(salt|id), tie-broken by id."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    shard = hash_bucket(F.col(id_col), salt) % F.lit(n_shards)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")  # % 0 would NULL every shard
+    # shard straight from the md5 domain — squeezing through the 10000-
+    # bucket sampling granularity would cap parallelism at 10000 shards
+    # and skew shard sizes whenever 10000 % n_shards != 0
+    shard = hash_mod(F.col(id_col), n_shards, salt)
     okey = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     w = (
         Window.partitionBy("shard")

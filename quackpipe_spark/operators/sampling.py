@@ -15,14 +15,29 @@ filter pushes down past column pruning like any other predicate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000  # 0.01% sampling granularity
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 10000) from md5('{salt}|' + key).
+def _cut(fraction: float) -> int:
+    """fraction → bucket cutoff, rounded HALF-UP — matching SQL round()
+    (Spark's hash_sample_keep and DuckDB both round half-up; Python's
+    built-in round() is half-even and would keep a different row set for
+    fractions landing exactly on a half-bucket)."""
+    f = max(0.0, min(1.0, fraction))
+    return int(math.floor(f * _BUCKETS + 0.5))
+
+
+def hash_mod(key: Column, n: int, salt: str = "") -> Column:
+    """Deterministic value in [0, n) from the 32-bit md5('{salt}|'+key)
+    prefix — the base primitive for any keyed scatter (sampling buckets,
+    packing shards). The conv() result is non-negative, so plain % stays
+    in-domain; modulo bias over 2^32 is ≤ n/2^32 (irrelevant for any
+    practical n).
 
     NULL keys hash as the sentinel '\\x00null' rather than propagating
     NULL — otherwise hash_sample would silently drop null-key rows while
@@ -31,7 +46,24 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     bucket regardless of key nullability."""
     s = F.coalesce(key.cast("string"), F.lit("\x00null"))
     h = F.md5(F.concat(F.lit(f"{salt}|"), s))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS).cast("int")
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n).cast("int")
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic sampling bucket in [0, 10000): hash_mod at the
+    sampling granularity (see hash_mod for NULL-key semantics)."""
+    return hash_mod(key, _BUCKETS, salt)
+
+
+def hash_mod_py(key: str | None, n: int, salt: str = "") -> int:
+    """Driver-side twin of :func:`hash_mod` — the same md5 recipe in pure
+    Python, so a caller can name a key's bucket without a Spark job
+    (e.g. fts maps query terms to index buckets for partition pruning).
+    Tested value-equal to the Column version."""
+    import hashlib
+
+    s = "\x00null" if key is None else str(key)
+    return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:8], 16) % n
 
 
 def hash_sample(
@@ -42,8 +74,7 @@ def hash_sample(
     Exactly the rows whose bucket < fraction·10000 survive — the same
     rows in any engine, at any parallelism, on any run. Granularity is
     1/10000; fraction is clamped to [0, 1]."""
-    cut = int(round(max(0.0, min(1.0, fraction)) * _BUCKETS))
-    return df.filter(hash_bucket(F.col(key_col), salt) < cut)
+    return df.filter(hash_bucket(F.col(key_col), salt) < _cut(fraction))
 
 
 def split_by_hash(
@@ -60,6 +91,10 @@ def split_by_hash(
     row's label is a pure function of (salt, key) — train/val membership
     never drifts between runs or engines, and a later re-shard cannot
     leak validation rows into training."""
+    if not weights:
+        raise ValueError("at least one split label required")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
@@ -69,7 +104,7 @@ def split_by_hash(
     labels = list(weights.items())
     for label, w in labels[:-1]:
         hi += w / total * _BUCKETS
-        cond = bucket < int(round(hi))
+        cond = bucket < int(math.floor(hi + 0.5))  # half-up, see _cut
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     last = F.lit(labels[-1][0])
     expr = last if expr is None else expr.otherwise(last)
@@ -79,9 +114,8 @@ def split_by_hash(
 def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""
-    cut = int(round(max(0.0, min(1.0, fraction)) * _BUCKETS))
     key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
     return (
         f"('0x' || substr(md5('{salt}|' || {key}), 1, 8))::BIGINT "
-        f"% {_BUCKETS} < {cut}"
+        f"% {_BUCKETS} < {_cut(fraction)}"
     )

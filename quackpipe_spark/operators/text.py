@@ -155,32 +155,50 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
-def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def analyze(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repetition: bool = True,
+) -> DataFrame:
     """The full text-analysis battery: one row-local projection pass for
-    the per-row metrics, plus the grouped repetition signal joined back on
-    id. ONE exchange total: the input is id-repartitioned once and both
-    sides derive from it — the projection preserves the partitioning, the
-    gram groupBys cluster on it, and the final join is co-partitioned, so
-    neither the grams nor the metrics rows ever shuffle. Docs too short
-    for a bigram get ratio 0.0."""
+    the per-row metrics, plus (with ``repetition``) the grouped
+    top-bigram signal joined back on id. ONE exchange total in that
+    mode: the input is id-repartitioned once and both sides derive from
+    it — the projection preserves the partitioning, the gram groupBys
+    cluster on it, and the final join is co-partitioned, so neither the
+    grams nor the metrics rows ever shuffle. Docs too short for a
+    bigram get ratio 0.0.
+
+    ``repetition=False`` skips the grouped signal AND the repartition —
+    a pure zero-shuffle scan-stage projection. Catalyst cannot eliminate
+    the left join when a caller drops top_bigram_ratio (no unique-key
+    inference for aggregated relations), so callers that don't need it
+    must opt out rather than rely on pruning (corpus_clean_pipeline
+    does)."""
+    t = F.col(text_col)
+
+    def _proj(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(id_col),
+            F.length(t).alias("n_chars"),
+            token_count(t).alias("n_tokens"),
+            bpe_estimate(t).alias("bpe_tokens_est"),
+            punct_ratio(t).alias("punct_ratio"),
+            stopword_ratio(t, "en").alias("stopword_ratio_en"),
+            dup_token_ratio(t).alias("dup_token_ratio"),
+            email_count(t).alias("n_emails"),
+            url_count(t).alias("n_urls"),
+            quality_score(t).alias("quality"),
+            detect_language(t).alias("lang_detected"),
+            fingerprint(t).alias("fingerprint"),
+        )
+
+    if not repetition:
+        return _proj(docs)
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.repartition(par, F.col(id_col))
-    t = F.col(text_col)
-    proj = base.select(
-        F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        bpe_estimate(t).alias("bpe_tokens_est"),
-        punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t, "en").alias("stopword_ratio_en"),
-        dup_token_ratio(t).alias("dup_token_ratio"),
-        email_count(t).alias("n_emails"),
-        url_count(t).alias("n_urls"),
-        quality_score(t).alias("quality"),
-        detect_language(t).alias("lang_detected"),
-        fingerprint(t).alias("fingerprint"),
-    )
     rep = _top_bigram(base, id_col, text_col)
-    return proj.join(rep, id_col, "left").withColumn(
+    return _proj(base).join(rep, id_col, "left").withColumn(
         "top_bigram_ratio", F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0))
     )

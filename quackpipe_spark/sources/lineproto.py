@@ -44,9 +44,13 @@ class ParsedBatch:
     table: str
     schema_id: int
     data: dict[str, list] = field(default_factory=dict)
+    # explicit count for column-less batches (an ndjson line whose values
+    # are ALL null yields a row with no typed columns — it must still
+    # write one auto-timestamped row, not vanish behind a success ack)
+    n_rows: int = 0
 
     def num_rows(self) -> int:
-        return len(next(iter(self.data.values()))) if self.data else 0
+        return len(next(iter(self.data.values()))) if self.data else self.n_rows
 
 
 def _hash64(s: str) -> int:

@@ -36,7 +36,10 @@ def parse_ndjson(
     one fingerprint instead of one per type flip) and is dropped from the
     batch data (the buffer's union-by-name null-fills it back) — typing
     it VARCHAR would create new columns as VARCHAR and then reject the
-    first real typed value as a conflict.
+    first real typed value as a conflict. A line whose values are ALL
+    null (or ``{}``) still counts as a row — the batch carries an
+    explicit row count and the writer emits one auto-timestamped row,
+    rather than acking success while writing nothing.
     """
     if isinstance(text_or_lines, str):
         lines = text_or_lines.splitlines()
@@ -68,13 +71,26 @@ def parse_ndjson(
             cur_bytes = 0
         for k in cur.data:
             cur.data[k].append(obj.get(k))
+        cur.n_rows += 1
         cur_bytes += len(line)
     return batches
 
 
 def ingest_ndjson(service, text: str, db: str = "default", table: str = "default"):
-    """NDJSON → buffered store (HTTP insert path; mirrors ingest_lines)."""
-    promises = []
-    for batch in parse_ndjson(text, database=db, table=table):
-        promises.append(service.store(batch.database, batch.table, batch.data))
-    return promises
+    """NDJSON → buffered store (HTTP insert path; mirrors ingest_lines,
+    including the multi-batch atomicity pattern: EVERY batch validates
+    before the first buffers, so a late type conflict rejects the whole
+    request instead of persisting its early batches)."""
+    batches = parse_ndjson(text, database=db, table=table)
+    for batch in batches:
+        service.validate_schema(batch.database, batch.table, batch.data)
+    return [
+        service.store(
+            batch.database,
+            batch.table,
+            batch.data,
+            n_rows=batch.num_rows(),
+            pre_validated=True,
+        )
+        for batch in batches
+    ]

@@ -466,7 +466,11 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.analyze(_docs(spark, sf_dir))
 
 
-def _text_oracle() -> str:
+def _text_oracle(repetition: bool = True) -> str:
+    """``repetition=False`` mirrors analyze(repetition=False): no gram
+    CTEs, no top_bigram_ratio column (used by the corpus-clean wrapper,
+    which only consumes row-local columns — keeps both engines' work
+    symmetric)."""
     sw = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in T.STOPWORDS.items()}
     hits = ", ".join(
         f"len(list_intersect(dt, {sw[lang]})) AS hit_{lang}" for lang in T.STOPWORDS
@@ -476,6 +480,21 @@ def _text_oracle() -> str:
     lang_case = "CASE " + " ".join(
         f"WHEN hit_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
     ) + " ELSE 'und' END"
+    rep_ctes = """, grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM base WHERE len(t) >= 2
+), gcounts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), rep AS (
+  SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_ratio
+  FROM gcounts GROUP BY doc_id
+)""" if repetition else ""
+    rep_col = (
+        ",\n       coalesce(r.top_bigram_ratio, 0.0) AS top_bigram_ratio"
+        if repetition
+        else ""
+    )
+    rep_join = "LEFT JOIN rep r ON r.doc_id = b.doc_id" if repetition else ""
     return f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -501,24 +520,15 @@ WITH base AS (
   FROM ext
 ), best_cte AS (
   SELECT *, {best} AS best FROM scored
-), grams AS (
-  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
-  FROM base WHERE len(t) >= 2
-), gcounts AS (
-  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
-), rep AS (
-  SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_ratio
-  FROM gcounts GROUP BY doc_id
-)
+){rep_ctes}
 SELECT b.doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_en,
        round(1 - len(dt) / greatest(len(t), 1)::DOUBLE, 4) AS dup_token_ratio,
        CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(text, '{T.URL_RE}')) AS INT) AS n_urls,
        round(q_raw, 4) AS quality,
        {lang_case} AS lang_detected,
-       md5(array_to_string(norm_toks, ' ')) AS fingerprint,
-       coalesce(r.top_bigram_ratio, 0.0) AS top_bigram_ratio
-FROM best_cte b LEFT JOIN rep r ON r.doc_id = b.doc_id
+       md5(array_to_string(norm_toks, ' ')) AS fingerprint{rep_col}
+FROM best_cte b {rep_join}
 """
 
 
@@ -602,7 +612,12 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackpipe_spark.operators.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
-    scored = T.analyze(docs).select("doc_id", "quality", "lang_detected", "n_tokens")
+    # repetition=False: the grouped bigram signal would be computed and
+    # discarded (Catalyst cannot prune the join) — the needed columns are
+    # all row-local
+    scored = T.analyze(docs, repetition=False).select(
+        "doc_id", "quality", "lang_detected", "n_tokens"
+    )
     dups = D.minhash_dedup(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.8
     ).select(F.col("b").alias("doc_id"))  # drop the larger id of each pair
@@ -618,7 +633,7 @@ def _corpus_clean_oracle() -> str:
     from quackpipe_spark.operators.sampling import hash_sample_sql
 
     minhash = _minhash_oracle().strip()
-    text = _text_oracle().strip()
+    text = _text_oracle(repetition=False).strip()
     # wrap both full oracles as CTE-able subqueries
     return f"""
 WITH dup_pairs AS ({minhash}),

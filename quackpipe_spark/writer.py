@@ -111,15 +111,21 @@ class HiveWriter:
     # distributed write path still serves bulk loads and compaction.
     ARROW_FAST_PATH_ROWS = 5_000_000
 
-    def write_columnar(self, db: str, name: str, data: dict[str, list]) -> list[str]:
+    def write_columnar(
+        self, db: str, name: str, data: dict[str, list], n_rows: int | None = None
+    ) -> list[str]:
         """Full ingest path for one schema-homogeneous batch: auto-create
-        table, validate/evolve schema, auto-timestamp, partition, write."""
+        table, validate/evolve schema, auto-timestamp, partition, write.
+        ``n_rows`` supplies the count when ``data`` has no columns (an
+        all-null ingest row becomes a pure auto-timestamp row)."""
         table = self.catalog.get_or_create(db, name, fields=infer_schema(data))
         schema = effective_schema(table, data)
         # Auto-timestamp (merge_tree_service.go:268-290): whole batch gets
         # arrival ns when the column is absent.
         tcol = self.time_column(table)
-        n = len(next(iter(data.values()))) if data else 0
+        n = len(next(iter(data.values()))) if data else (n_rows or 0)
+        if n == 0:
+            return []
         if tcol not in data:
             if not table.auto_timestamp:
                 raise ValueError(f"time column {tcol!r} missing and auto_timestamp is off")

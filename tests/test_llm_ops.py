@@ -372,17 +372,36 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 
 
 def test_postings_index_roundtrip(spark, docs, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
     from quackpipe_spark.operators import fts
+    from quackpipe_spark.operators.sampling import hash_mod_py
 
     postings = fts.build_postings(docs)
     path = str(tmp_path / "fts_index")
     fts.write_postings(postings, path, n_buckets=16)
     loaded = fts.load_postings(spark, path)
     assert loaded.count() == postings.count()
-    # search over the on-disk index agrees with the in-memory one
+    assert any(d.startswith("term_bucket=") for d in os.listdir(f"{path}/postings"))
+    # the scale path: stats from the build artifact + bucket-pruned scan
+    # agrees with the in-memory search exactly
     a = fts.bm25_search(postings, "spark merge", topk=5).collect()
-    b = fts.bm25_search(loaded, "spark merge", topk=5).collect()
-    assert [(r["doc_id"], r["rank"]) for r in a] == [(r["doc_id"], r["rank"]) for r in b]
+    b = fts.search_postings_index(spark, path, "spark merge", topk=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # driver-side bucket naming matches the column the writer used
+    from quackpipe_spark.operators.sampling import hash_mod
+
+    terms = ["spark", "merge", "weird.term", None]
+    jvm = {
+        r["term"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", hash_mod(F.col("term"), 16).alias("b"))
+        .collect()
+    }
+    for t in terms:
+        assert hash_mod_py(t, 16) == jvm[t]
 
 
 def test_multimodal_stub_and_plumbing(spark, docs):

@@ -28,6 +28,33 @@ def test_parse_ndjson_batching_and_types():
     assert batches[2].data["c"] == [True]
 
 
+def test_all_null_ndjson_row_still_writes(spark, tmp_path):
+    """An ndjson line whose values are ALL null must write one
+    auto-timestamped row, not vanish behind a success ack."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.sources.ndjson import ingest_ndjson
+
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    try:
+        # batch parse: the all-null line is a 1-row column-less batch
+        batches = parse_ndjson('{"a": null}\n{"a": 7}', table="t")
+        assert [b.num_rows() for b in batches] == [1, 1]
+        assert batches[0].data == {}
+        promises = ingest_ndjson(svc, '{"a": null}\n{"a": 7}', table="nulls")
+        svc.flush()
+        assert all(p.result(timeout=5) is not None for p in promises)
+        files = glob.glob(str(tmp_path / "root" / "default" / "nulls" / "**" / "*.parquet"), recursive=True)
+        assert files
+        df = spark.read.parquet(*files)
+        assert df.count() == 2  # both rows landed
+        assert df.filter("a IS NULL").count() == 1
+        assert df.filter("__timestamp IS NOT NULL").count() == 2
+    finally:
+        svc.stop()
+
+
 def test_parse_ndjson_rejects_nested_and_non_object():
     with pytest.raises(TypeError, match="nested"):
         parse_ndjson('{"a": {"deep": 1}}')

@@ -223,8 +223,14 @@ def test_fts_postings_single_shuffle_and_pushdown(spark, tmp_path):
     )
     path = str(tmp_path / "ix")
     fts.write_postings(postings, path, n_buckets=8)
-    p2 = plan_text(fts.bm25_search(fts.load_postings(spark, path), "spark merge", topk=5))
+    p2 = plan_text(fts.search_postings_index(spark, path, "spark merge", topk=5))
     assert "In(term, [merge,spark])" in p2, "term filter must reach the scan"
+    # the md5 bucket filter must land in PartitionFilters (directory
+    # pruning), not just as a data filter
+    part_lines = [l for l in p2.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("term_bucket" in l for l in part_lines), (
+        "bucket filter must prune partitions"
+    )
 
 
 def test_pack_sequences_single_shuffle(spark):
