@@ -243,6 +243,40 @@ def minhash_dedup(
     return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection (the GPT-3 recipe): flag corpus
+    docs sharing ≥ ``min_shared`` k-gram shingles with any benchmark doc.
+
+    Scale shape: the benchmark side is tiny by definition (an eval set),
+    so its DISTINCT shingles broadcast; the corpus pays exactly one
+    shingle pass (the same exchange-free explode as every dedup stage)
+    and an aggregate — no join ever touches corpus×corpus or shuffles
+    the exploded rows. Returns (id, n_shared) for flagged docs; the
+    caller anti-joins it to decontaminate.
+
+    k=8 (vs dedup's 3) follows the contamination literature: long grams
+    make coincidental overlap vanish while verbatim leakage survives."""
+    bench_shingles = (
+        shingle_table(benchmark, id_col, text_col, shingle_k)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_shingles = shingle_table(corpus, id_col, text_col, shingle_k)
+    return (
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 def _token_hash32(token: Column) -> Column:

@@ -11,6 +11,14 @@ All decisions derive from md5, the same recipe every oracle mirrors:
 bucket(key) = ('0x' || first 8 hex of md5('{salt}|' + key)) mod 10_000.
 Row-local JVM expressions — zero shuffles, ride the scan stage, and the
 filter pushes down past column pruning like any other predicate.
+
+Salt discipline: decisions with the same (salt, key) are IDENTICAL, so
+stages composed over the same keys must use DISTINCT salts unless
+correlation is intended. A pipeline that samples with salt s and then
+splits with the same s carves its val band out of exactly the bucket
+range the sampler already dropped — val comes out empty. (Intentional
+correlation is the nesting property: growing a sample fraction at one
+salt only ADDS rows.)
 """
 
 from __future__ import annotations

@@ -292,6 +292,14 @@ def test_split_by_hash_partitions_rows(spark, docs):
     # labels are stable across runs
     again = SM.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     assert out.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+    # salt discipline: sample-then-split with the SAME salt correlates —
+    # the val band is exactly what the sampler dropped (empty); distinct
+    # salts decorrelate and every label survives
+    sampled = SM.hash_sample(docs, "doc_id", 0.9, salt="v1")
+    same = SM.split_by_hash(sampled, "doc_id", {"train": 0.95, "val": 0.05}, salt="v1")
+    assert same.filter("split = 'val'").count() == 0
+    distinct = SM.split_by_hash(sampled, "doc_id", {"train": 0.95, "val": 0.05}, salt="w1")
+    assert distinct.filter("split = 'val'").count() > 0
 
 
 def test_pack_sequences(spark, docs):
@@ -322,6 +330,46 @@ def test_pack_sequences(spark, docs):
     by_id = {r["doc_id"]: r["pack_id"] for r in bp.collect()}
     assert len(set(by_id.values())) >= 2
     assert len(by_id) == 3
+
+
+def test_contamination_check(spark, docs, duck):
+    """Planted contamination: benchmark docs copied verbatim from the
+    corpus must be flagged; unrelated text must not. Differential vs the
+    identical 8-gram overlap in DuckDB."""
+    leaked = docs.orderBy("doc_id").limit(3).collect()
+    bench_rows = [(1000 + i, r["text"]) for i, r in enumerate(leaked)] + [
+        (2000, "completely unrelated benchmark question about nothing shared")
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    flagged = {r["doc_id"]: r["n_shared"] for r in D.contamination_check(docs, bench).collect()}
+    for r in leaked:
+        assert r["doc_id"] in flagged, f"verbatim leak {r['doc_id']} not flagged"
+    # differential: same recipe in DuckDB (8-gram distinct shingles)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute("CREATE TABLE bench (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    exp = dict(
+        con.execute(f"""
+WITH c AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t) - 6),
+    i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM read_parquet('{SF_DIR}/documents.parquet'))
+  WHERE len(t) >= 8
+), b AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, len(t) - 6),
+    i -> array_to_string(t[i:i+7], ' ')))) AS shingle
+  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM bench)
+  WHERE len(t) >= 8
+)
+SELECT c.doc_id, count(*) FROM c JOIN b USING (shingle) GROUP BY c.doc_id
+""").fetchall()
+    )
+    assert flagged == exp
 
 
 def test_bm25_search_matches_duckdb(spark, docs):
