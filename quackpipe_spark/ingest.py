@@ -78,6 +78,8 @@ class IngestService:
         batch of the request (the multi-batch atomicity pattern) — the
         duplicate pass costs a catalog lock + schema inference per batch
         on the hot HTTP path."""
+        if n_rows is not None and n_rows < 0:
+            raise ValueError(f"n_rows must be >= 0, got {n_rows}")
         if not data:
             if not n_rows:
                 f: Future = Future()

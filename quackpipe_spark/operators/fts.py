@@ -63,19 +63,23 @@ def build_postings(
 
 
 def write_postings(
-    postings: DataFrame, path: str, id_col: str = "doc_id", n_buckets: int = 64
+    postings: DataFrame, path: str, n_buckets: int = 64, id_col: str = "doc_id"
 ) -> None:
     """Materialize the index: postings partitioned by md5 term bucket
     (a q-term query prunes to q directories) plus the corpus stats
     (N, avgdl, n_buckets) — computed ONCE here so no search ever pays a
-    full-index aggregation for them."""
+    full-index aggregation for them. The stats aggregate reads the
+    just-written compact parquet rather than re-running the postings
+    lineage (a second explode over the raw corpus — the build must stay
+    ONE heavy pass)."""
     spark = postings.sparkSession
     out = postings.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
     out.write.partitionBy("term_bucket").mode("overwrite").parquet(
         f"{path}/postings"
     )
     st = (
-        postings.groupBy(id_col)
+        spark.read.parquet(f"{path}/postings")
+        .groupBy(id_col)
         .agg(F.first("dl").alias("dl"))
         .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
         .collect()[0]

@@ -52,6 +52,11 @@ def hash_mod(key: Column, n: int, salt: str = "") -> Column:
     split_by_hash routed them to the fallback label (inconsistent, and
     both invisible). With the sentinel every row gets one deterministic
     bucket regardless of key nullability."""
+    if n < 1:
+        # % 0 NULLs every bucket JVM-side, and a negative n flips the
+        # remainder SIGN between engines (JVM % is non-negative here,
+        # Python % is negative) — both corrupt downstream silently
+        raise ValueError("hash_mod modulus must be >= 1")
     s = F.coalesce(key.cast("string"), F.lit("\x00null"))
     h = F.md5(F.concat(F.lit(f"{salt}|"), s))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n).cast("int")
@@ -70,6 +75,8 @@ def hash_mod_py(key: str | None, n: int, salt: str = "") -> int:
     Tested value-equal to the Column version."""
     import hashlib
 
+    if n < 1:
+        raise ValueError("hash_mod modulus must be >= 1")
     s = "\x00null" if key is None else str(key)
     return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:8], 16) % n
 

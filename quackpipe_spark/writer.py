@@ -124,8 +124,6 @@ class HiveWriter:
         # arrival ns when the column is absent.
         tcol = self.time_column(table)
         n = len(next(iter(data.values()))) if data else (n_rows or 0)
-        if n == 0:
-            return []
         if tcol not in data:
             if not table.auto_timestamp:
                 raise ValueError(f"time column {tcol!r} missing and auto_timestamp is off")
@@ -147,6 +145,12 @@ class HiveWriter:
             schema = dict(schema)
             schema[tcol] = "INT8"
         self.catalog.update_schema(table, schema)
+        # zero-row batches still ran validation + schema evolution above
+        # (an empty batch may legitimately evolve the schema, and a
+        # missing time column must still error with auto_timestamp off) —
+        # only the physical write is skipped
+        if n == 0:
+            return []
         if n <= self.ARROW_FAST_PATH_ROWS:
             return self._write_columnar_arrow(table, data, schema)
         df = columnar_to_df(self.spark, data)

@@ -271,3 +271,46 @@ def test_write_parsed_df_rejects_unmapped_dtype(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="type system"):
         w.write_parsed_df("db", "t", df)
+
+
+def test_zero_row_batch_still_evolves_schema(spark, tmp_path):
+    """A zero-row batch skips only the physical write: schema evolution
+    persists and the missing-time-column validation still fires."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    w = HiveWriter(spark, cat)
+    w.write_columnar("db", "t", {"__timestamp": [1], "a": [5]})
+    assert w.write_columnar("db", "t", {"newcol": []}) == []
+    t = cat.get("db", "t")
+    assert "newcol" in t.schema  # evolution persisted despite zero rows
+
+
+def test_store_rejects_negative_n_rows(spark, tmp_path):
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+
+    svc = IngestService(spark, Catalog(str(tmp_path / "r")), save_timeout_s=3600)
+    try:
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="n_rows"):
+            svc.store("d", "t", {}, n_rows=-3)
+        with _pt.raises(ValueError, match="disagrees"):
+            svc.store("d", "t", {"a": [1, 2]}, n_rows=5)
+    finally:
+        svc.stop()
+
+
+def test_hash_mod_rejects_bad_modulus():
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators.sampling import hash_mod, hash_mod_py
+
+    for n in (0, -8):
+        with _pt.raises(ValueError, match="modulus"):
+            hash_mod(F.lit("x"), n)
+        with _pt.raises(ValueError, match="modulus"):
+            hash_mod_py("x", n)
