@@ -130,7 +130,12 @@ def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""
     key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
+    if any(ord(c) < 0x20 for c in salt):
+        # control chars (NUL especially) can't ride a SQL string literal;
+        # salts are builder-chosen constants — reject loudly
+        raise ValueError("salt must not contain control characters")
+    salt_sql = salt.replace("'", "''")  # the salt inlines as a SQL literal
     return (
-        f"('0x' || substr(md5('{salt}|' || {key}), 1, 8))::BIGINT "
+        f"('0x' || substr(md5('{salt_sql}|' || {key}), 1, 8))::BIGINT "
         f"% {_BUCKETS} < {_cut(fraction)}"
     )
