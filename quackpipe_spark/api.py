@@ -63,12 +63,23 @@ class GigapiServer:
         from quackpipe_spark.plans.compactor import Compactor
 
         while not self._merge_stop.wait(self.merge_timeout_s):
-            for t in self.catalog.tables():
-                comp = self._compactors.get((t.database, t.name))
-                if comp is None:
-                    comp = Compactor(self.spark, t)
-                    self._compactors[(t.database, t.name)] = comp
+            # the try must cover EVERYTHING in the tick — an exception
+            # escaping here (a bad table, a Compactor init failure) kills
+            # the daemon thread permanently and silently, which is the
+            # exact failure mode the inner handler exists to prevent
+            try:
+                tables = self.catalog.tables()  # lock-snapshotted copy
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                continue
+            for t in tables:
                 try:
+                    comp = self._compactors.get((t.database, t.name))
+                    if comp is None:
+                        comp = Compactor(self.spark, t)
+                        self._compactors[(t.database, t.name)] = comp
                     levels = comp.due_levels(timeout_s=self.merge_timeout_s)
                     if levels:
                         comp.run_once(levels)
@@ -90,6 +101,7 @@ class GigapiServer:
     def start(self) -> None:
         self.ingest.start()
         if self.merges_enabled:
+            self._merge_stop.clear()  # stop() sets it; a restart must reset
             self._merge_thread = threading.Thread(
                 target=self._merge_loop, daemon=True, name="merge-ticker"
             )
@@ -101,6 +113,15 @@ class GigapiServer:
                 pass
 
             def _body(self) -> bytes:
+                if self.headers.get("Content-Length") is None and self.headers.get(
+                    "Transfer-Encoding"
+                ):
+                    # chunked bodies aren't framed by this stdlib handler:
+                    # reading 0 bytes would ack 204 with nothing ingested
+                    # AND desync the keep-alive connection — reject loudly
+                    raise ValueError(
+                        "Transfer-Encoding bodies unsupported; send Content-Length"
+                    )
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
                 if self.headers.get("Content-Encoding") == "gzip" or raw[:2] == b"\x1f\x8b":
@@ -146,18 +167,32 @@ class GigapiServer:
                         )
                         self._send(200, {"status": "created"})
                     elif any(path == p or path.startswith(p + "/") for p in _WRITE_PATHS):
-                        db = q.get("db") or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "default")
+                        # a trailing slash ('/gigapi/write/') yields db='' —
+                        # which would create tables directly under the
+                        # catalog ROOT, where database dirs live
+                        db = (
+                            q.get("db")
+                            or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "")
+                            or "default"
+                        )
                         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                         if ctype == "application/x-ndjson":
                             # content-type parser dispatch (parsers.go:30-46);
-                            # ndjson needs an explicit target table
+                            # ndjson has no in-band table name, so a missing
+                            # ?table= would silently misroute rows to
+                            # db.default with a 204 — require it
                             from quackpipe_spark.sources.ndjson import ingest_ndjson
 
+                            table = q.get("table")
+                            if not table:
+                                raise ValueError(
+                                    "ndjson ingest requires an explicit ?table="
+                                )
                             promises = ingest_ndjson(
                                 server.ingest,
                                 self._body().decode(),
                                 db=db,
-                                table=q.get("table", "default"),
+                                table=table,
                             )
                         else:  # default: influx line protocol
                             promises = ingest_lines(

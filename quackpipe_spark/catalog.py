@@ -149,4 +149,9 @@ class Catalog:
                 t.save()
 
     def tables(self, db: str | None = None) -> list[Table]:
-        return [t for (d, _), t in sorted(self._tables.items()) if db is None or d == db]
+        # snapshot under the lock: HTTP handler threads insert via
+        # get_or_create while the merge ticker iterates — an unlocked
+        # iteration dies with "dictionary changed size during iteration"
+        with self._lock:
+            items = sorted(self._tables.items())
+        return [t for (d, _), t in items if db is None or d == db]

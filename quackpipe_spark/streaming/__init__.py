@@ -3,4 +3,7 @@ from quackpipe_spark.streaming.ingest import (  # noqa: F401
     stream_lines_to_table,
     windowed_counts,
 )
-from quackpipe_spark.streaming.stateful import running_totals  # noqa: F401
+from quackpipe_spark.streaming.stateful import (  # noqa: F401
+    running_totals,
+    streaming_exact_dedup,
+)

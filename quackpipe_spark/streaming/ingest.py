@@ -49,20 +49,33 @@ def stream_lines_to_table(
     service = IngestService(spark, catalog, save_timeout_s=3600)  # flush per batch
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            return
-        if n <= driver_path_max_rows:
-            rows = batch_df.select("value").collect()
-            text = "\n".join(r["value"] for r in rows if r["value"])
-            if text:
-                ingest_lines(service, text, db=db, precision=precision)
-                service.flush()
-            return
-        for table, _sid, df in parse_lines_df(
-            spark, batch_df.select("value"), database=db, precision=precision
-        ):
-            service.writer.write_parsed_df(db, table, df)
+        # persist: the size probe (count) and whichever write path follows
+        # both consume the batch — without a pin, a file source re-reads
+        # the batch's files once per action
+        batch_df = batch_df.select("value").persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            if n <= driver_path_max_rows:
+                rows = batch_df.collect()
+                text = "\n".join(r["value"] for r in rows if r["value"])
+                if text:
+                    promises = ingest_lines(service, text, db=db, precision=precision)
+                    service.flush()
+                    # flush() routes write failures to the promises and
+                    # swallows them otherwise — re-raise HERE so the
+                    # micro-batch fails and the checkpoint does NOT commit
+                    # a batch whose data never landed (silent loss)
+                    for p in promises:
+                        p.result(timeout=300)
+                return
+            for table, _sid, df in parse_lines_df(
+                spark, batch_df, database=db, precision=precision
+            ):
+                service.writer.write_parsed_df(db, table, df)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         lines_stream.writeStream.foreachBatch(handle_batch)

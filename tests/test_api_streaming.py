@@ -163,3 +163,26 @@ def test_streaming_bulk_batch_distributed_path(spark, tmp_path):
         "SELECT zone, count() AS n FROM bulk GROUP BY zone ORDER BY zone", db="iot"
     ).collect()
     assert [r["n"] for r in rows] == [50, 50, 50, 50]
+
+
+def test_http_write_edge_routing(server):
+    # trailing slash must not yield db='' (tables would land at the
+    # catalog ROOT, corrupting the db/table layout) — falls back to default
+    status, _ = _post(
+        server.base + "/gigapi/write/?precision=s", b"edge v=1i 1717405200"
+    )
+    assert status == 204
+    status, body = _post(
+        server.base + "/query?db=default",
+        json.dumps({"query": "SELECT count() AS n FROM edge"}).encode(),
+    )
+    assert json.loads(body)["results"][0]["n"] == 1
+    # ndjson without an explicit target table is a 400, not silent
+    # misrouting into db.default
+    status, body = _post(
+        server.base + "/write?db=d9",
+        b'{"a": 1}',
+        {"Content-Type": "application/x-ndjson"},
+    )
+    assert status == 400
+    assert "table" in json.loads(body)["error"]

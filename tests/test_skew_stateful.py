@@ -180,3 +180,88 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     ).collect()
     batch_map = {r["fingerprint"]: (r["keep_id"], r["n_copies"]) for r in batch}
     assert {k: v[:2] for k, v in latest.items()} == batch_map
+
+
+def test_streaming_exact_dedup_string_ids(spark, tmp_path):
+    """String doc ids: survivors are the lexicographic min (same semantics
+    as the batch operator's F.min), not silently-NULLed casts."""
+    import hashlib
+    import json
+
+    import pytest
+
+    from quackpipe_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "sdd_src"
+    src.mkdir()
+    rows = [("doc-b", "alpha"), ("doc-a", "alpha"), ("doc-c", "beta")]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+    )
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdd_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sdd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["fingerprint"]: (r["keep_id"], r["n_copies"])
+            for r in spark.sql("SELECT * FROM sdd_test").collect()
+        }
+    finally:
+        q.stop()
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert got[fp("alpha")] == ("doc-a", 2)
+    assert got[fp("beta")] == ("doc-c", 1)
+    # unsupported id types reject loudly instead of nulling survivors
+    bad = spark.createDataFrame([(1.5, "x")], "doc_id double, text string")
+    with pytest.raises(TypeError, match="integral or string"):
+        streaming_exact_dedup(bad)
+
+
+def test_running_totals_string_key(spark, tmp_path):
+    """The output schema derives from the key column — string keys work
+    and keep their name (the old hardcoded 'user_id LONG' crashed)."""
+    import json
+
+    from quackpipe_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "rt_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"host": h, "value": v})
+            for h, v in [("db-01", 2.0), ("db-01", 3.0), ("web-01", 1.0)]
+        )
+    )
+    stream = (
+        spark.readStream.schema("host string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_totals(stream, key_col="host")
+        .writeStream.format("memory")
+        .queryName("rt_str_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rt_str_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["host"]: (r["n"], r["total"])
+            for r in spark.sql("SELECT * FROM rt_str_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"db-01": (2, 5.0), "web-01": (1, 1.0)}
