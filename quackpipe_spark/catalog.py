@@ -56,7 +56,13 @@ class Table:
     @classmethod
     def load(cls, path: str) -> "Table":
         with open(os.path.join(path, cls.META_NAME)) as f:
-            return cls(**json.load(f))
+            meta = json.load(f)
+        # The DISCOVERED directory is authoritative, not the absolute path
+        # recorded at write time: after a root move/restore the stale path
+        # makes every query return empty AND resurrects the old directory
+        # on the next write (split-brain storage, no error anywhere).
+        meta["path"] = path
+        return cls(**meta)
 
     def partition_dirs(self) -> list[str]:
         """Live partition directories (…/date=D/hour=H), or the table root

@@ -49,6 +49,7 @@ class MergePlan:
     partition_dir: str
     level: int  # input level; output is min(level+1, MAX_LEVEL)
     files: list[str]  # file names within partition_dir
+    promote: bool = False  # single-file rename-promotion, no rewrite
 
     @property
     def out_level(self) -> int:
@@ -62,9 +63,16 @@ def file_level(name: str) -> int | None:
 
 def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[MergePlan]:
     """Greedy size-desc bin-packing per level (PlanMerge parity,
-    merge_service_fs.go:81-106). Single-file bins are skipped — promoting
-    a lone file buys nothing (the reference renames it; we leave it to
-    avoid churn, same end state for readers)."""
+    merge_service_fs.go:81-106).
+
+    Single-file bins: a lone file LARGER than cap/2 can never pack at
+    this level (any same-or-larger partner overflows the cap), so it is
+    rename-promoted to the next level where the bigger cap applies — the
+    reference's rename path. Without promotion, steady ~60 MB flushes
+    each strand in their own level-1 bin forever and the partition's
+    file count grows without bound. Lone files ≤ cap/2 stay put: they
+    can still pack with future arrivals, and promoting them early just
+    churns names."""
     idx = PartitionIndex.load(partition_dir)
     by_level: dict[int, list[FileEntry]] = {}
     for entry in idx.files.values():
@@ -79,17 +87,29 @@ def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[Mer
         # among themselves, bounding the terminal level's file count
         entries = sorted(by_level.get(lv, []), key=lambda e: -e.size_bytes)
         cap = MAX_SIZES[lv]
+        sizes = {e.name: e.size_bytes for e in entries}
+
+        def close_bin(bin_files: list[str]) -> None:
+            if len(bin_files) > 1:
+                plans.append(MergePlan(partition_dir, lv, bin_files))
+            elif (
+                bin_files
+                and lv < MAX_LEVEL
+                and sizes[bin_files[0]] > cap // 2
+            ):
+                plans.append(
+                    MergePlan(partition_dir, lv, bin_files, promote=True)
+                )
+
         bin_files: list[str] = []
         bin_size = 0
         for e in entries:
             if bin_files and bin_size + e.size_bytes > cap:
-                if len(bin_files) > 1:
-                    plans.append(MergePlan(partition_dir, lv, bin_files))
+                close_bin(bin_files)
                 bin_files, bin_size = [], 0
             bin_files.append(e.name)
             bin_size += e.size_bytes
-        if len(bin_files) > 1:
-            plans.append(MergePlan(partition_dir, lv, bin_files))
+        close_bin(bin_files)
     return plans
 
 
@@ -128,9 +148,45 @@ class Compactor:
         with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
             return [f for f in pool.map(self._execute, plans) if f]
 
+    def _promote(self, plan: MergePlan) -> str | None:
+        """Rename-promotion of a lone unpackable file to the next level —
+        metadata-only, no rewrite. Hard-link + tombstone (not a bare
+        rename): a reader that just listed the old name from the index
+        must still be able to open it until the drop delay elapses."""
+        old = plan.files[0]
+        src = os.path.join(plan.partition_dir, old)
+        if not os.path.exists(src):
+            return None
+        newname = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
+        dst = os.path.join(plan.partition_dir, newname)
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(src, dst)  # filesystems without hardlinks
+        with locked_index(plan.partition_dir) as idx:
+            e = idx.files.get(old)
+            if e is None:  # lost a race with another writer's swap
+                os.unlink(dst)
+                return None
+            idx.add(
+                FileEntry(
+                    name=newname,
+                    size_bytes=e.size_bytes,
+                    row_count=e.row_count,
+                    min_time=e.min_time,
+                    max_time=e.max_time,
+                )
+            )
+            idx.remove([old], drop_delay_s=self.drop_delay_s)
+        return dst
+
     def _execute(self, plan: MergePlan) -> str | None:
         """One sorted rewrite: inputs → tmp single file → rename →
         index swap → delayed delete of inputs."""
+        if plan.promote:
+            return self._promote(plan)
         paths = [os.path.join(plan.partition_dir, f) for f in plan.files]
         paths = [p for p in paths if os.path.exists(p)]
         if len(paths) < 2:

@@ -105,14 +105,23 @@ class PartitionIndex:
             self.drop_queue[n] = now + drop_delay_s
 
     def reap(self) -> list[str]:
-        """Delete queue entries whose delay elapsed; returns deleted names."""
+        """Delete queue entries whose delay elapsed; returns deleted names.
+
+        Failure-isolated per file: reap runs inside callers' locked_index
+        swaps, where an escaping OSError would abort the context manager
+        BEFORE save() — discarding the just-committed add/remove and
+        leaving the merged output invisible while the merge re-runs every
+        tick. An undeletable file simply stays queued and retries."""
         now = time.time()
         gone = []
         for n, due in list(self.drop_queue.items()):
             if due <= now:
                 fp = os.path.join(self.path, n)
-                if os.path.exists(fp):
-                    os.remove(fp)
+                try:
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                except OSError:
+                    continue  # keep queued; retried next cadence
                 del self.drop_queue[n]
                 gone.append(n)
         return gone

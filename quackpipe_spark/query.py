@@ -44,7 +44,20 @@ _TS_BETWEEN = re.compile(
     rf"{_TS_COL}\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
 )
 _EPOCH_NS_LIT = re.compile(r"'([^']+)'")
-_HAS_OR = re.compile(r"\bOR\b", re.IGNORECASE)
+# Constructs under which a textual __timestamp bound is NOT a conjunctive
+# top-level WHERE constraint — each would make ANDed bounds wrong:
+#   OR            — disjunctive ranges intersect to empty
+#   UNION/INTERSECT/EXCEPT — bounds from independent SELECT scopes
+#   NOT (         — negated group inverts the bound
+#   CASE          — a bound inside an expression constrains nothing
+# A second SELECT (subquery) likewise scopes its bounds away from the
+# outer scan. Conservative: no pruning is slower, wrong pruning is
+# silent missing rows.
+_PRUNE_UNSAFE = re.compile(
+    r"\bOR\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bNOT\s*\(|\bCASE\b",
+    re.IGNORECASE,
+)
+_SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
 
 
 def _ts_literal_ns(lit: str) -> int:
@@ -67,11 +80,11 @@ def _ts_literal_ns(lit: str) -> int:
 def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
     """Best-effort [lo, hi] from literal __timestamp predicates. Bounds
     must be CONSERVATIVE in both directions: unparseable predicates skip
-    pruning, and any OR in the query disables it entirely — the extractor
-    ANDs every bound it sees, which is wrong for disjunctive time ranges
-    (WHERE ts < a OR ts > b would prune to the empty intersection).
-    Wrong pruning is silent missing rows; no pruning is just slower."""
-    if _HAS_OR.search(sql):
+    pruning, and any construct that could make an ANDed bound wrong —
+    OR, set operations, NOT(...), CASE, subqueries — disables it
+    entirely (see _PRUNE_UNSAFE). Wrong pruning is silent missing rows;
+    no pruning is just slower."""
+    if _PRUNE_UNSAFE.search(sql) or len(_SELECT_KW.findall(sql)) > 1:
         return None, None
     lo, hi = None, None
     for op, lit in _TS_BOUND.findall(sql):
@@ -96,8 +109,17 @@ def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
 
 class QueryEngine:
     def __init__(self, spark: SparkSession, catalog: Catalog):
+        import threading
+
         self.spark = spark
         self.catalog = catalog
+        # sql() registers per-query pruned temp views under the BARE table
+        # name; concurrent /query handler threads would otherwise swap each
+        # other's file lists mid-flight (silent missing rows). The lock
+        # covers registration + spark.sql() only — Spark analyzes eagerly,
+        # so the view's file list is captured before the lock releases and
+        # execution/collect proceeds unlocked.
+        self._sql_lock = threading.Lock()
         register_dialect(spark)
         # epoch_ns('…') literals evaluate in the SESSION timezone inside
         # Catalyst while the pruner parses them as UTC — pin UTC (the
@@ -131,15 +153,28 @@ class QueryEngine:
     def table_df(self, table: Table, lo: int | None = None, hi: int | None = None) -> DataFrame:
         files = self.table_files(table, lo, hi)
         if not files:
-            # empty relation with the table's known schema
+            # empty relation with the table's known schema PLUS the hive
+            # partition columns a non-empty read would discover (date
+            # inferred DATE, hour inferred INT) — otherwise a query
+            # touching `date`/`hour` works only while files match and
+            # errors with UNRESOLVED_COLUMN once pruning empties the list
             from quackpipe_spark.types import CANONICAL
 
-            from pyspark.sql.types import StructField, StructType
-
-            schema = StructType(
-                [StructField(c, CANONICAL[t], True) for c, t in table.schema.items()]
+            from pyspark.sql.types import (
+                DateType,
+                IntegerType,
+                StructField,
+                StructType,
             )
-            return self.spark.createDataFrame([], schema)
+
+            fields = [
+                StructField(c, CANONICAL[t], True) for c, t in table.schema.items()
+            ]
+            have = set(table.schema)
+            for pcol, ptype in zip(table.partition_by, (DateType(), IntegerType())):
+                if pcol not in have:
+                    fields.append(StructField(pcol, ptype, True))
+            return self.spark.createDataFrame([], StructType(fields))
         return (
             self.spark.read.option("mergeSchema", "true")  # union_by_name parity
             .option("basePath", table.path)
@@ -217,13 +252,14 @@ class QueryEngine:
             tracks_ts = (t.order_by[0] if t.order_by else "__timestamp") == "__timestamp"
             if tracks_ts:
                 lo, hi = extract_time_bounds(query)
-        for t in refs:
-            self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
-        return self.spark.sql(query)
+        with self._sql_lock:
+            for t in refs:
+                self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
+            return self.spark.sql(query)
 
 
 def rows_as_json(df: DataFrame, limit: int | None = None) -> dict:
     """Serialize to the reference's HTTP response shape
     {"results": [...]} (ARCHITECTURE.md:1864-1894)."""
-    rows = df.limit(limit).collect() if limit else df.collect()
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
     return {"results": [r.asDict(recursive=True) for r in rows]}

@@ -15,19 +15,38 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.request
+import uuid
 
-CACHE_DIR = os.environ.get("QPS_HTTP_CACHE", "/tmp/quackpipe_spark_http_cache")
+# Per-user cache dir, created 0700: a SHARED world-writable /tmp path with
+# content-addressed names would let any local user pre-plant a file that
+# os.path.exists() then serves forever as the "fetched" dataset.
+CACHE_DIR = os.environ.get(
+    "QPS_HTTP_CACHE", f"/tmp/quackpipe_spark_http_cache_{os.getuid()}"
+)
+
+
+def _ensure_cache_dir() -> None:
+    os.makedirs(CACHE_DIR, mode=0o700, exist_ok=True)
+    st = os.stat(CACHE_DIR)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"http cache dir {CACHE_DIR} is owned by uid {st.st_uid}, not us — "
+            "refusing to serve files another user controls (set QPS_HTTP_CACHE)"
+        )
 
 
 def fetch_to_cache(url: str, timeout: float = 120.0) -> str:
     """Download an http(s) parquet once; return the local path (atomic:
-    tmp + rename, concurrent fetchers converge on the same file)."""
-    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp + rename; concurrent fetchers each write a UNIQUE tmp and the
+    last complete download wins the rename — a pid-keyed tmp would let
+    two threads in one process truncate each other mid-download and
+    publish interleaved bytes)."""
+    _ensure_cache_dir()
     name = hashlib.sha256(url.encode()).hexdigest()[:24] + ".parquet"
     dst = os.path.join(CACHE_DIR, name)
     if os.path.exists(dst):
         return dst
-    tmp = dst + f".tmp.{os.getpid()}"
+    tmp = dst + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         with urllib.request.urlopen(url, timeout=timeout) as resp, open(tmp, "wb") as f:
             while True:
@@ -38,7 +57,7 @@ def fetch_to_cache(url: str, timeout: float = 120.0) -> str:
         os.replace(tmp, dst)
     except BaseException:
         # a failed/interrupted download must not leave a partial .tmp
-        # accumulating in the cache dir (retries use a fresh pid suffix)
+        # accumulating in the cache dir (retries use a fresh unique suffix)
         try:
             os.unlink(tmp)
         except OSError:

@@ -28,8 +28,9 @@ def test_compression_ratio_udf(spark):
 
 def test_plan_merges_greedy_packing(tmp_path):
     """Pure planner logic: size-desc greedy bin packing under the level
-    cap, single-file bins skipped, levels independent (PlanMerge parity,
-    merge_service_fs.go:81-106)."""
+    cap; a lone file too big to ever pack (> cap/2) rename-promotes to
+    the next level, small singles stay; levels independent (PlanMerge
+    parity, merge_service_fs.go:81-106)."""
     from quackpipe_spark.plans.compactor import MAX_SIZES, plan_merges
     from quackpipe_spark.plans.index import FileEntry, PartitionIndex
 
@@ -49,16 +50,23 @@ def test_plan_merges_greedy_packing(tmp_path):
     idx.save()
 
     plans = plan_merges(pdir)
-    by_level = {}
+    merges, promotes = {}, {}
     for p in plans:
-        by_level.setdefault(p.level, []).append(sorted(p.files))
-    # greedy desc at L1: [60] closes as single (skipped), [50,40] packs, 30 joins → [50,40,30]?
-    # walk: 60 → bin=[60]; +50 exceeds → close (single, skipped), bin=[50];
-    # +40 → 90 ok; +30 → 120 exceeds → close [50,40] as a plan, bin=[30] single skipped.
-    assert by_level[1] == [["b.1.parquet", "c.1.parquet"]]
-    assert by_level[3] == [["x.3.parquet", "y.3.parquet"]]
-    assert 4 not in by_level
+        (promotes if p.promote else merges).setdefault(p.level, []).append(
+            sorted(p.files)
+        )
+    # walk (size-desc, cap 100): 60 → bin=[60]; +50 exceeds → close:
+    # single AND 60 > cap/2 → PROMOTE to level 2; bin=[50]; +40 → 90 ok;
+    # +30 → 120 exceeds → close [50,40] as a merge; bin=[30] single ≤
+    # cap/2 → stays put (can still pack with future arrivals).
+    assert merges[1] == [["b.1.parquet", "c.1.parquet"]]
+    assert promotes[1] == [["a.1.parquet"]]
+    assert merges[3] == [["x.3.parquet", "y.3.parquet"]]
+    # MAX_LEVEL: lone files never promote (nowhere to go), only self-merge
+    assert 4 not in merges and 4 not in promotes
     assert all(
-        sum(1 for _ in p.files) > 1 and p.out_level == p.level + 1 for p in plans
+        (len(p.files) == 1 if p.promote else len(p.files) > 1)
+        and p.out_level == p.level + 1
+        for p in plans
     )
     assert MAX_SIZES[1] == 100 * mb  # reference contract pinned

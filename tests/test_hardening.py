@@ -314,3 +314,83 @@ def test_hash_mod_rejects_bad_modulus():
             hash_mod(F.lit("x"), n)
         with _pt.raises(ValueError, match="modulus"):
             hash_mod_py("x", n)
+
+
+def test_promotion_unstrands_lone_files(spark, tmp_path):
+    """Two files each > cap/2 at level 1 can never pack there; promotion
+    renames them to level 2 (hard-link + tombstone, readers keep the old
+    name until the drop delay) where they then merge under the bigger
+    cap."""
+    import os
+
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.plans.compactor import Compactor
+    from quackpipe_spark.plans.index import FileEntry, PartitionIndex, locked_index
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "data"))
+    w = HiveWriter(spark, cat)
+    t0 = 1_700_000_000_000_000_000
+    w.write_columnar("db", "t", {"__timestamp": [t0], "a": [1]})
+    w.write_columnar("db", "t", {"__timestamp": [t0 + 1], "a": [2]})
+    table = cat.get("db", "t")
+    [pdir] = table.partition_dirs()
+    # declare both files too big to pack at level 1 (cap 100MB)
+    with locked_index(pdir) as idx:
+        for e in idx.files.values():
+            e.size_bytes = 60 << 20
+    comp = Compactor(spark, table, drop_delay_s=0.0)
+    out = comp.run_once(levels=[1])
+    assert len(out) == 2 and all(o.endswith(".2.parquet") for o in out)
+    idx = PartitionIndex.load(pdir)
+    assert all(n.endswith(".2.parquet") for n in idx.files)
+    # level 2: the two (declared-60MB) files now pack under the 400MB cap
+    out2 = comp.run_once(levels=[2])
+    assert len(out2) == 1 and out2[0].endswith(".3.parquet")
+    idx = PartitionIndex.load(pdir)
+    assert len(idx.files) == 1
+    # every row survived the promote→merge chain
+    df = spark.read.parquet(os.path.join(pdir, next(iter(idx.files))))
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+
+
+def test_reap_failure_does_not_lose_index_swap(tmp_path):
+    """An undeletable tombstone must not abort the locked_index swap —
+    the entry stays queued and retries, the swap commits."""
+    import os
+
+    from quackpipe_spark.plans.index import FileEntry, PartitionIndex, locked_index
+
+    pdir = str(tmp_path / "p")
+    os.makedirs(pdir)
+    # a DIRECTORY at the tombstone path makes os.remove raise
+    os.makedirs(os.path.join(pdir, "stuck.1.parquet"))
+    idx = PartitionIndex(path=pdir)
+    idx.drop_queue["stuck.1.parquet"] = 0.0  # already due
+    idx.save()
+    with locked_index(pdir) as idx2:
+        idx2.add(FileEntry(name="new.2.parquet", size_bytes=1, row_count=1))
+        idx2.reap()  # must not raise
+    back = PartitionIndex.load(pdir)
+    assert "new.2.parquet" in back.files  # the swap committed
+    assert "stuck.1.parquet" in back.drop_queue  # retried later
+
+
+def test_catalog_reload_after_root_move(spark, tmp_path):
+    """A moved/restored catalog root must serve from the discovered
+    location, not the absolute path recorded at write time."""
+    import shutil
+
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    old_root = str(tmp_path / "old_root")
+    cat = Catalog(old_root)
+    w = HiveWriter(spark, cat)
+    w.write_columnar("db", "t", {"__timestamp": [1], "a": [7]})
+    new_root = str(tmp_path / "new_root")
+    shutil.move(old_root, new_root)
+    cat2 = Catalog(new_root)
+    t = cat2.get("db", "t")
+    assert t.path.startswith(new_root)
+    assert t.partition_dirs()  # data visible at the new location

@@ -150,3 +150,26 @@ def test_rewrite_sql_tolerates_options():
         "SELECT count() FROM read_parquet('/x/y.parquet', union_by_name = true)"
     )
     assert out == "SELECT count(*) FROM parquet.`/x/y.parquet`"
+
+
+def test_bounds_disabled_for_non_conjunctive_contexts():
+    """Constructs under which an ANDed bound silently loses rows must
+    disable pruning entirely: set ops across SELECT scopes, NOT(...)
+    negation, CASE expressions, and subqueries."""
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE __timestamp < 100 "
+        "UNION ALL SELECT * FROM t WHERE __timestamp >= 200"
+    ) == (None, None)
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE NOT (__timestamp >= 1000)"
+    ) == (None, None)
+    assert extract_time_bounds(
+        "SELECT CASE WHEN __timestamp >= 50 THEN 'new' ELSE 'old' END FROM t"
+    ) == (None, None)
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE a IN (SELECT a FROM u WHERE __timestamp > 7)"
+    ) == (None, None)
+    # plain IS NOT NULL must NOT disable pruning (NOT without a group)
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE a IS NOT NULL AND __timestamp >= 100"
+    ) == (100, None)
