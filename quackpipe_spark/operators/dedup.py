@@ -277,6 +277,79 @@ def contamination_check(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup_docs: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Cross-document line-level dedup (the MassiveText/RefinedWeb recipe):
+    a line whose trimmed form appears in ≥ ``min_dup_docs`` DISTINCT docs
+    is boilerplate (nav bars, cookie banners, license headers) and is
+    removed from EVERY doc. Lines shorter than ``min_line_chars`` after
+    trim are never removed — ultra-short lines ("", "---", "1.") are
+    legitimately common and deleting them mangles formatting.
+
+    Returns ``docs`` with ``text_col`` rewritten plus (n_lines,
+    n_removed) per doc. Doc identity and every other column survive;
+    a doc whose every line is boilerplate keeps an empty string.
+
+    Scale shape: the line relation shuffles twice on the line key — a
+    per-(doc,key) DISTINCT feeding a key-count (both with map-side
+    partial aggregation) — then once more to join the dup-key set back,
+    and once on id to reassemble. The dup-key set itself is tiny (only
+    keys crossing the threshold survive the HAVING), so AQE typically
+    demotes that join to broadcast at real scale; the count table never
+    contains singleton lines after the filter. Line ORDER is preserved
+    via posexplode → array_sort on (pos, line) — no global sort."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    lines = (
+        docs.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("k", F.md5(F.trim(F.col("line"))))
+        .withColumn(
+            "eligible", F.length(F.trim(F.col("line"))) >= min_line_chars
+        )
+    )
+    dup_keys = (
+        lines.filter("eligible")
+        .select(id_col, "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("k")
+    )
+    kept = lines.join(dup_keys.withColumn("_dup", F.lit(True)), "k", "left").filter(
+        (~F.col("eligible")) | F.col("_dup").isNull()
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn("n_lines", F.coalesce(n_lines, F.lit(0)))
+        .withColumn(
+            "n_removed", F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))
+        )
+        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        .drop("_clean", "_n_kept")
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 def _token_hash32(token: Column) -> Column:

@@ -126,6 +126,60 @@ def split_by_hash(
     return df.withColumn(split_col, expr)
 
 
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic domain-mixture reweighting — the "sample Wikipedia
+    3.4×, CommonCrawl 0.44×" step of assembling a training mix (the
+    GPT-3/Pile recipe, public). A row of domain d with weight w is
+    emitted ``floor(w) + Bernoulli(frac(w))`` times, the Bernoulli drawn
+    from the (salt, key) hash: w < 1 downsamples, w > 1 upsamples by
+    repeating rows. Domains absent from ``weights`` use ``default``.
+
+    The per-row copy count is a pure function of (salt, key, w), so the
+    mixed corpus is identical across runs, engines, and partitionings.
+    Output rows carry ``copy_col`` (0-based repeat index) so downstream
+    stages can distinguish copies — dedup stages in particular must run
+    BEFORE mixing, or they will re-collapse the upsampled rows.
+
+    Scale shape: one row-local projection plus an inline explode of a
+    tiny integer sequence — no shuffle, no UDF, survives any corpus
+    size. The fractional decision reuses the 10000-bucket hash domain,
+    so mixes nest with hash_sample under the salt discipline in the
+    module docstring (use a distinct salt per stage)."""
+    if any(w < 0 for w in weights.values()) or default < 0:
+        raise ValueError("mixture weights must be non-negative")
+    bucket = hash_bucket(F.col(key_col), salt)
+
+    def _copies(w: float) -> Column:
+        base = int(math.floor(w))
+        frac_cut = _cut(w - base)
+        n = F.lit(base) + (bucket < frac_cut).cast("int")
+        return n
+
+    expr = None
+    for d, w in weights.items():
+        cond = F.col(domain_col) == d
+        expr = (
+            F.when(cond, _copies(w))
+            if expr is None
+            else expr.when(cond, _copies(w))
+        )
+    n = _copies(default) if expr is None else expr.otherwise(_copies(default))
+    # sequence(0, n-1) with n=0 infers a NEGATIVE step (same trap as
+    # shingles) — short-circuit to an empty array so the row vanishes
+    seq = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
 def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""

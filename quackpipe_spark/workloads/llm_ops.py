@@ -604,11 +604,16 @@ _SHARD_FRACTION, _SHARD_SALT = 0.9, "shard0"
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data cleanup in one declarative pipeline:
     quality-score every doc, detect near-duplicates (minhash→LSH→jaccard),
-    keep the smaller id of each dup pair, emit the surviving corpus with
-    its quality metadata, and hash-sample the final deterministic training
-    shard (reproducible at any parallelism — operators/sampling.py). This
-    is the query a reference user runs to produce a training shard —
-    every stage is the oracle-verified operator from above, composed."""
+    close the dup pairs into connected components (operators/cluster.py —
+    large-star/small-star, so chained duplicates a≈b≈c collapse to ONE
+    survivor even when (a,c) was never emitted as a pair), keep each
+    cluster's minimum id, emit the surviving corpus with its quality
+    metadata, and hash-sample the final deterministic training shard
+    (reproducible at any parallelism — operators/sampling.py). This is
+    the query a reference user runs to produce a training shard — every
+    stage is the oracle-verified operator from above, composed; the
+    oracle mirrors the component closure with a recursive CTE."""
+    from quackpipe_spark.operators.cluster import connected_components
     from quackpipe_spark.operators.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
@@ -618,9 +623,24 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = T.analyze(docs, repetition=False).select(
         "doc_id", "quality", "lang_detected", "n_tokens"
     )
-    dups = D.minhash_dedup(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.8
-    ).select(F.col("b").alias("doc_id"))  # drop the larger id of each pair
+    # minhash_dedup's stages composed inline so the materialized LSH
+    # candidate count (an upper bound on verified pairs) can feed
+    # connected_components' edge_bound — keeping the closure LAZY: the
+    # union-find fuses into the final job instead of paying a separate
+    # probe action that would serialize jaccard_verify (see
+    # dedup.minhash_dedup for why both persists block on count()).
+    sigs = D.minhash_signatures(
+        docs, num_hashes=_NUM_HASHES, shingle_k=3
+    ).persist()
+    sigs.count()
+    cands = D.lsh_candidates(sigs, num_hashes=_NUM_HASHES, bands=_BANDS).persist()
+    n_cands = cands.count()
+    pairs = D.jaccard_verify(docs, cands, threshold=0.8).select("a", "b")
+    # transitive closure: drop every clustered doc except its component min
+    labels = connected_components(pairs, edge_bound=n_cands)
+    dups = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
     kept = (
         scored.join(dups, "doc_id", "left_anti")
         .filter(F.col("quality") >= 0.6)
@@ -636,12 +656,25 @@ def _corpus_clean_oracle() -> str:
     text = _text_oracle(repetition=False).strip()
     # wrap both full oracles as CTE-able subqueries
     return f"""
-WITH dup_pairs AS ({minhash}),
+WITH RECURSIVE dup_pairs AS ({minhash}),
+sym AS (
+  SELECT a AS u, b AS v FROM dup_pairs WHERE a <> b
+  UNION
+  SELECT b AS u, a AS v FROM dup_pairs WHERE a <> b
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+labels AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+),
 scored AS ({text})
 SELECT doc_id, quality, lang_detected, n_tokens
 FROM scored
 WHERE quality >= 0.6
-  AND doc_id NOT IN (SELECT b FROM dup_pairs)
+  AND doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
   AND {hash_sample_sql('doc_id', _SHARD_FRACTION, _SHARD_SALT)}
 """
 
