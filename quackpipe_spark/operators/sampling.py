@@ -180,6 +180,49 @@ def mix_domains(
     return df.withColumn(copy_col, F.explode(seq))
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep (up to) ``n_per_group`` rows per group, chosen in md5(salt|key)
+    order with the key as tiebreak — a deterministic per-stratum quota.
+    The balanced-corpus counterpart of mix_domains' proportional
+    reweighting: caps every stratum at the same absolute size no matter
+    how skewed the input (the "take 1M docs per language" step).
+
+    Membership is a pure function of (salt, the group's key multiset) —
+    stable across runs, engines, and partitionings, though unlike
+    hash_sample a row's survival can change when OTHER rows join its
+    group (quota = rank, not an absolute cutoff; that is inherent to
+    fixed-size quotas).
+
+    Scale shape: one hash-partitioned window per group with map-side
+    rank short-circuiting... rank needs the full group sorted, so the
+    real cost is one shuffle on group_col; groups are assumed many and
+    modest (strata like language or source). A group so hot it
+    dominates a partition is the window's skew case — pre-filter with
+    hash_sample to thin it before ranking."""
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    from pyspark.sql.window import Window
+
+    okey = F.md5(
+        F.concat(
+            F.lit(f"{salt}|"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(okey, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
 def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""

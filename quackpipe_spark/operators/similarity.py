@@ -264,6 +264,95 @@ def blocked_near_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_cells: int | None = None,
+    probes: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): drop documents that are
+    *semantically* near-identical even when their text differs — pairs
+    with embedding cosine ≥ ``threshold`` close into connected
+    components (operators/cluster.py), and each component keeps its
+    minimum id. Returns ``corpus`` plus (component, is_canonical);
+    filter ``is_canonical`` for the deduplicated corpus.
+
+    The closure matters here more than for text dedup: cosine
+    similarity is not transitive, so chains A≈B≈C with cos(A,C) below
+    threshold are common, and pair-local dropping would keep both ends
+    of every chain. Scale shape: pairs come from the quantizer-blocked
+    single-pass scorer (see blocked_near_pairs — pair space bounded by
+    n_cells, never all-pairs), the component labels are tiny relative
+    to the corpus (dup rate × n), and the final annotate join
+    broadcasts them."""
+    pairs = blocked_near_pairs(
+        corpus, id_col, vec_col, threshold, n_cells, probes
+    ).select("a", "b")
+    from quackpipe_spark.operators.cluster import cluster_near_dups
+
+    return cluster_near_dups(corpus, pairs, id_col=id_col)
+
+
+def prototype_sample(
+    corpus: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    keep: str = "far",
+) -> DataFrame:
+    """Embedding-space diversity/prototypicality selection (the D4 /
+    SSL-prototypes recipe, public): quantize the corpus into cells, rank
+    each cell's members by cosine to their cell center, and keep
+    ``per_cell`` rows — ``keep="far"`` keeps the LEAST prototypical
+    (removes the easy near-center redundancy, the diversity-preserving
+    pruning in the papers), ``keep="near"`` keeps the archetypes.
+    Ties (and the final order) break on id, so the selection is
+    deterministic given the corpus.
+
+    Scale shape: cell assignment is the same broadcast-centers
+    projection every IVF path uses (no shuffle on the corpus beyond the
+    fan_out), and the ranking is one window per cell — cells are
+    auto-sized (auto_cells) so no window partition exceeds a few
+    thousand rows at any corpus size."""
+    if per_cell < 1:
+        raise ValueError("per_cell must be >= 1")
+    if keep not in ("far", "near"):
+        raise ValueError("keep must be 'far' or 'near'")
+    if n_cells is None:
+        n_cells = auto_cells(corpus)
+    centers = seeded_centers(corpus, id_col, vec_col, n_cells)
+    assigned = assign_cells(
+        fan_out(corpus), centers, id_col, vec_col, probes=1
+    )
+    centers_df = corpus.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centers],
+        "cell int, _cvec array<double>",
+    )
+    cos = F.round(
+        dot(F.col(vec_col), F.col("_cvec"))
+        / (F.col("nrm") * norm(F.col("_cvec"))),
+        6,
+    ).alias("cos_to_center")
+    scored = assigned.join(F.broadcast(centers_df), "cell").select(
+        id_col, "cell", cos
+    )
+    ord_col = (
+        F.col("cos_to_center").asc()
+        if keep == "far"
+        else F.col("cos_to_center").desc()
+    )
+    w = Window.partitionBy("cell").orderBy(ord_col, F.col(id_col))
+    picked = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_cell)
+        .select(id_col, "cell", "cos_to_center")
+    )
+    return corpus.join(picked, id_col)
+
+
 # --- IVF (build once, search many) -----------------------------------------
 
 @dataclass

@@ -80,16 +80,28 @@ def test_streaming_corpus_curation(spark, tmp_path):
                 f.write(_json.dumps({"doc_id": i, "text": text}) + "\n")
 
     def curate(df):
-        return SM.hash_sample(
+        sampled = SM.hash_sample(
             df.select(
                 "doc_id",
                 T.quality_score(F.col("text")).alias("quality"),
                 T.dup_token_ratio(F.col("text")).alias("dup_ratio"),
                 T.email_count(F.col("text")).alias("n_emails"),
+                (F.col("doc_id") % 3 == 0).alias("is_wiki"),
             ),
             "doc_id",
             0.6,
             salt="cur",
+        )
+        # mix_domains is row-local too: upsample one stratum 2×, thin the
+        # other — per-row copy counts must match the batch run exactly
+        return SM.mix_domains(
+            sampled.withColumn(
+                "domain", F.when(F.col("is_wiki"), "wiki").otherwise("cc")
+            ),
+            "domain",
+            {"wiki": 2.0, "cc": 0.7},
+            "doc_id",
+            salt="mix",
         )
 
     stream = (
@@ -107,15 +119,18 @@ def test_streaming_corpus_curation(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        got = {
-            r["doc_id"]: r
-            for r in spark.sql("SELECT * FROM curated_stream").collect()
-        }
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM curated_stream").collect())
+        )
     finally:
         q.stop()
     batch = curate(spark.createDataFrame(docs, "doc_id long, text string"))
-    exp = {r["doc_id"]: r for r in batch.collect()}
-    assert set(got) == set(exp)
-    for k in exp:
-        assert got[k] == exp[k]
-    assert 10 < len(exp) < 35  # the 60% sample actually sampled
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp  # rows AND copy indices identical across modes
+    kept_ids = {t[0] for t in exp}
+    assert 10 < len(kept_ids) < 35  # the 60% sample actually sampled
+    # the wiki stratum really upsampled: some doc appears twice
+    from collections import Counter
+
+    per_doc = Counter(t[0] for t in exp)
+    assert max(per_doc.values()) == 2
