@@ -109,9 +109,10 @@ def _unionfind_single_task(edges: DataFrame) -> DataFrame:
             r for r in set(parent.values()) if parent.get(r, r) == r
         ]
         nodes = sorted(set(nodes))
-        yield pd.DataFrame(
-            {"node": nodes, "component": [find(n) for n in nodes]}
-        )
+        if nodes:  # zero frames for an empty graph — let Spark supply
+            yield pd.DataFrame(  # the typed empty result from the schema
+                {"node": nodes, "component": [find(n) for n in nodes]}
+            )
 
     return edges.repartition(1).mapInPandas(
         cc, schema=f"node {node_t}, component {node_t}"

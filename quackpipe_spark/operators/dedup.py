@@ -24,7 +24,7 @@ on the same corpus keeps the same survivors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -347,6 +347,149 @@ def line_dedup(
         )
         .withColumn(text_col, F.coalesce("_clean", F.lit("")))
         .drop("_clean", "_n_kept")
+    )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-PASSAGE detection — the substring-granularity
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", public), approximated with positioned
+    k-token gram fingerprints instead of a suffix array (the standard
+    distributed formulation: a verbatim shared passage of length ≥ k
+    tokens is exactly a run of shared k-grams). Every k-gram occurring
+    in ≥ ``min_dup_docs`` DISTINCT docs is flagged at its position, and
+    overlapping flagged grams merge into maximal spans.
+
+    Returns (id, span_start, span_end, n_grams): 0-based token
+    positions, end-exclusive, over the *normalized* token stream
+    (tokenize = trim+lower+whitespace-split — the same domain every
+    other dedup stage shares).
+
+    Scale shape: gram emission is linear in corpus tokens (×k string
+    amplification inside ONE exchange-free codegen stage — the explicit
+    suffix-array trade-off: ~k× more bytes through the gram shuffle in
+    exchange for embarrassing parallelism and no global sort); the dup
+    set shrinks to cross-doc grams only before joining back; span
+    merging is a per-doc window over flagged positions (equal-length
+    intervals ⇒ pairwise adjacency check is exact — no running-max
+    needed)."""
+    if k < 2:
+        raise ValueError("passage gram size k must be >= 2")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, F.col(id_col))
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+    )
+    t = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(k)])
+        ),
+    )
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g")
+    )
+    dup_keys = (
+        pos_grams.select(id_col, "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("g")
+    )
+    flagged = pos_grams.join(dup_keys, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # same-length intervals: a gram extends the span iff it starts within
+    # the previous gram's [pos, pos+k) window
+    new_span = (
+        F.coalesce(
+            (F.col("pos") > F.lag("pos").over(w) + k).cast("int"), F.lit(1)
+        )
+    )
+    spanned = flagged.withColumn(
+        "_span",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        spanned.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("_span")
+    )
+
+
+def strip_duplicate_passages(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Remove every duplicated passage (see :func:`duplicate_passages`)
+    from every doc. Returns (id, text, n_tokens, n_removed_tokens) where
+    ``text`` is the NORMALIZED token stream (trim+lower+single-space)
+    with in-span tokens dropped — substring dedup operates on the
+    tokenized corpus, which is what a training pipeline ships.
+
+    The span join is an equi-join on id plus a range predicate; spans
+    per doc are few, so the post-join blowup is bounded by the flagged
+    token count, not tokens × spans."""
+    if spans is None:
+        spans = duplicate_passages(docs, id_col, text_col, k, min_dup_docs)
+    toks = (
+        docs.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+        )
+        .select(F.col(id_col), F.posexplode("_toks").alias("pos", "tok"))
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"), "span_start", "span_end"
+    )
+    kept = toks.join(
+        sp,
+        on=(
+            (toks[id_col] == sp["_sid"])
+            & (toks["pos"] >= sp["span_start"])
+            & (toks["pos"] < sp["span_end"])
+        ),
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_tokens = F.size(tokenize(F.col(text_col)))
+    return (
+        docs.select(id_col, text_col)
+        .withColumn("n_tokens", n_tokens)
+        .drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn("text", F.coalesce("text", F.lit("")))
+        .withColumn(
+            "n_removed_tokens",
+            F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)),
+        )
+        .drop("_n_kept")
     )
 
 

@@ -106,6 +106,10 @@ def test_cc_string_ids_rings_and_selfloops(spark):
 def test_cc_empty_pairs(spark):
     pairs = spark.createDataFrame([], "a long, b long")
     assert connected_components(pairs).count() == 0
+    # the lazy edge_bound path must also handle empty (and self-loop-only)
+    assert connected_components(pairs, edge_bound=0).count() == 0
+    loops = spark.createDataFrame([(7, 7)], "a long, b long")
+    assert connected_components(loops, edge_bound=1).count() == 0
 
 
 def test_cluster_near_dups_transitive_chain(spark):
