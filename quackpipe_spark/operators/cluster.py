@@ -45,11 +45,12 @@ def _large_star(sym: DataFrame) -> DataFrame:
     height of any path through u. Input must be symmetric; output is an
     undirected edge set stored as (u=max, v=min)."""
     w = Window.partitionBy("u")
+    # emitted pair (v, m) satisfies v > u >= m, so it is already strict
+    # and (max, min)-oriented — no re-filter or re-canonicalization
     return (
         sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
 
@@ -63,17 +64,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     w = Window.partitionBy("u")
     m = F.min("v").over(w)
     with_min = edges.withColumn("m", m)
-    # neighbor edges (v, m) for v ≠ m, plus the (u, m) edge re-attaching u
+    # neighbor edges (v, m) for v ≠ m, plus the (u, m) edge re-attaching u.
+    # Both satisfy first > second (m is the strict minimum of values < u),
+    # so the output is already strict and (max, min)-oriented.
     nbr = with_min.filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     own = with_min.select(F.col("u"), F.col("m").alias("v"))
-    return (
-        nbr.union(own)
-        .filter(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-    )
+    return nbr.union(own).distinct()
 
 
 def _unionfind_single_task(edges: DataFrame) -> DataFrame:
@@ -214,22 +212,45 @@ def cluster_near_dups(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    edge_bound: int | None = None,
+    small_graph_edges: int = 1 << 20,
 ) -> DataFrame:
     """Attach (component, is_canonical) to every doc given near-dup pairs.
 
     Docs absent from any pair are their own singleton component. The
-    canonical survivor per cluster is the minimum id — deterministic
-    across runs, partitionings, and engines. Filter on is_canonical to
-    keep one representative per duplicate cluster.
+    canonical survivor per cluster is the minimum id AMONG MEMBERS
+    PRESENT IN ``docs`` — when pairs were computed over a superset (the
+    common shape: dedup the raw corpus, then cluster a quality-filtered
+    subset), a cluster whose global minimum was filtered away re-roots
+    on its smallest surviving member instead of shipping zero copies of
+    that content. Filter on is_canonical to keep one representative per
+    duplicate cluster; the choice is deterministic across runs,
+    partitionings, and engines.
 
-    The labels relation has one row per node that appears in a pair —
-    for realistic dup rates a small fraction of the corpus — so Spark's
-    join-side size estimate will broadcast it; the corpus itself is
-    never shuffled."""
-    labels = connected_components(pairs, a_col, b_col).withColumnRenamed(
-        "node", id_col
+    ``edge_bound`` / ``small_graph_edges`` pass through to
+    :func:`connected_components` (a caller holding a pre-materialized
+    candidate count avoids the probe action entirely).
+
+    Scale shape: the label relation has one row per paired node — for
+    realistic dup rates a small fraction of the corpus — so the present
+    semi-join, the per-component re-root aggregate, and the final
+    annotate join all run on the small side (and broadcast); the corpus
+    itself is never shuffled."""
+    labels = connected_components(
+        pairs,
+        a_col,
+        b_col,
+        edge_bound=edge_bound,
+        small_graph_edges=small_graph_edges,
     )
-    out = docs.join(labels, on=id_col, how="left")
+    present = labels.join(
+        docs.select(F.col(id_col).alias("node")), "node", "left_semi"
+    )
+    roots = present.groupBy("component").agg(F.min("node").alias("_root"))
+    mapping = present.join(roots, "component").select(
+        F.col("node").alias(id_col), F.col("_root").alias("component")
+    )
+    out = docs.join(mapping, on=id_col, how="left")
     return out.withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     ).withColumn("is_canonical", F.col(id_col) == F.col("component"))

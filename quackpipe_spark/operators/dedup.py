@@ -277,6 +277,26 @@ def contamination_check(
     )
 
 
+def _rebuild_in_order(
+    kept: DataFrame, id_col: str, pos_col: str, val_col: str, sep: str
+) -> DataFrame:
+    """(id, _clean, _n_kept): reassemble kept (pos, value) fragments in
+    original order — array_sort over collected (pos, value) structs per
+    doc, never a global sort. Shared by line_dedup (lines) and
+    strip_duplicate_passages (tokens) so the two rebuild recipes cannot
+    drift."""
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+                lambda s: s[val_col],
+            ),
+            sep,
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -328,16 +348,7 @@ def line_dedup(
     kept = lines.join(dup_keys.withColumn("_dup", F.lit(True)), "k", "left").filter(
         (~F.col("eligible")) | F.col("_dup").isNull()
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("_clean"),
-        F.count("*").alias("_n_kept"),
-    )
+    rebuilt = _rebuild_in_order(kept, id_col, "pos", "line", "\n")
     n_lines = F.size(F.split(F.col(text_col), "\n"))
     return (
         docs.join(rebuilt, id_col, "left")
@@ -374,11 +385,14 @@ def duplicate_passages(
     Scale shape: gram emission is linear in corpus tokens (×k string
     amplification inside ONE exchange-free codegen stage — the explicit
     suffix-array trade-off: ~k× more bytes through the gram shuffle in
-    exchange for embarrassing parallelism and no global sort); the dup
-    set shrinks to cross-doc grams only before joining back; span
-    merging is a per-doc window over flagged positions (equal-length
-    intervals ⇒ pairwise adjacency check is exact — no running-max
-    needed)."""
+    exchange for embarrassing parallelism and no global sort). The gram
+    table feeds two consumers (the dup-key aggregate and the join-back),
+    so it is persisted with a blocking count — the same multi-consumer
+    recompute guard minhash_dedup uses — at MEMORY_AND_DISK, i.e. it
+    spills rather than re-runs the k-wide md5 emission; the dup set
+    shrinks to cross-doc grams only before joining back; span merging
+    is a per-doc window over flagged positions (equal-length intervals
+    ⇒ pairwise adjacency check is exact — no running-max needed)."""
     if k < 2:
         raise ValueError("passage gram size k must be >= 2")
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -396,7 +410,8 @@ def duplicate_passages(
     )
     pos_grams = base.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "g")
-    )
+    ).persist()
+    pos_grams.count()  # block: both consumers must hit the cache, not race
     dup_keys = (
         pos_grams.select(id_col, "g")
         .distinct()
@@ -440,10 +455,11 @@ def strip_duplicate_passages(
     min_dup_docs: int = 2,
 ) -> DataFrame:
     """Remove every duplicated passage (see :func:`duplicate_passages`)
-    from every doc. Returns (id, text, n_tokens, n_removed_tokens) where
-    ``text`` is the NORMALIZED token stream (trim+lower+single-space)
-    with in-span tokens dropped — substring dedup operates on the
-    tokenized corpus, which is what a training pipeline ships.
+    from every doc. Returns ``docs`` with ``text_col`` rewritten as the
+    NORMALIZED token stream (trim+lower+single-space) minus in-span
+    tokens — substring dedup operates on the tokenized corpus, which is
+    what a training pipeline ships — plus (n_tokens, n_removed_tokens).
+    Every other column survives, mirroring line_dedup.
 
     The span join is an equi-join on id plus a range predicate; spans
     per doc are few, so the post-join blowup is bounded by the flagged
@@ -468,28 +484,17 @@ def strip_duplicate_passages(
         ),
         how="left_anti",
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text"),
-        F.count("*").alias("_n_kept"),
-    )
-    n_tokens = F.size(tokenize(F.col(text_col)))
+    rebuilt = _rebuild_in_order(kept, id_col, "pos", "tok", " ")
+    n_tokens = F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
     return (
-        docs.select(id_col, text_col)
+        docs.join(rebuilt, id_col, "left")
         .withColumn("n_tokens", n_tokens)
-        .drop(text_col)
-        .join(rebuilt, id_col, "left")
-        .withColumn("text", F.coalesce("text", F.lit("")))
         .withColumn(
             "n_removed_tokens",
             F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)),
         )
-        .drop("_n_kept")
+        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        .drop("_clean", "_n_kept")
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from quackpipe_spark.operators.sampling import hash_mod
+from quackpipe_spark.operators.sampling import hash_mod, order_key
 
 _SEQ_BITS = 40  # packs per shard headroom: 2^40 ≈ 1e12
 
@@ -55,7 +55,10 @@ def pack_sequences(
     # bucket sampling granularity would cap parallelism at 10000 shards
     # and skew shard sizes whenever 10000 % n_shards != 0
     shard = hash_mod(F.col(id_col), n_shards, salt)
-    okey = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    # shared order_key: same md5 domain as the shard hash, and the NULL
+    # sentinel keeps a null-id row's position deterministic (a bare md5
+    # of NULL sorts all null ids first as an indistinguishable clump)
+    okey = order_key(F.col(id_col), salt)
     w = (
         Window.partitionBy("shard")
         .orderBy(okey, F.col(id_col))
@@ -71,6 +74,63 @@ def pack_sequences(
         docs.withColumn("shard", shard)
         .withColumn(
             pack_col, F.col("shard").cast("long") * F.lit(1 << _SEQ_BITS) + seq
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into ≤``max_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the context-window preparation step before packing/tokenization
+    (chunking splits WITHIN docs; pack_sequences then fills budgets
+    ACROSS them). Emits (id, chunk_id, chunk_text, chunk_tokens) over
+    the normalized token stream; chunk_id is 0-based and chunk starts
+    advance by ``max_tokens - overlap``.
+
+    Row-local: one slice-per-chunk explode inside the scan stage — no
+    shuffle, no UDF, linear in corpus tokens (×(1+overlap/stride)
+    amplification, the explicit overlap cost). A doc with fewer tokens
+    than ``max_tokens`` yields exactly itself as chunk 0; empty/null
+    text yields no chunks."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(t)
+    # chunk starts: 1, 1+stride, … while start <= n (1-based slice);
+    # null/blank text → 0 chunks, and the sequence() is guarded because
+    # sequence(0, -1) infers a negative step (the shingles trap)
+    n_chunks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, F.floor((n - 1) / stride) + 1
+    ).otherwise(F.lit(0))
+    seq = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        seq,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(t, i * stride + 1, max_tokens)
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("chunk_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+            F.col("_c.chunk_tokens").alias("chunk_tokens"),
         )
     )
 

@@ -40,6 +40,16 @@ def _cut(fraction: float) -> int:
     return int(math.floor(f * _BUCKETS + 0.5))
 
 
+def order_key(key: Column, salt: str = "") -> Column:
+    """md5('{salt}|' + key) with the NULL sentinel — the ONE deterministic
+    order/hash domain every keyed decision derives from (hash_mod takes
+    its 32-bit prefix; stratified_sample and pack_sequences sort by it).
+    A single definition keeps the engine-mirroring oracles in lockstep:
+    changing the recipe here is a cross-engine contract change."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    return F.md5(F.concat(F.lit(f"{salt}|"), s))
+
+
 def hash_mod(key: Column, n: int, salt: str = "") -> Column:
     """Deterministic value in [0, n) from the 32-bit md5('{salt}|'+key)
     prefix — the base primitive for any keyed scatter (sampling buckets,
@@ -57,8 +67,7 @@ def hash_mod(key: Column, n: int, salt: str = "") -> Column:
         # remainder SIGN between engines (JVM % is non-negative here,
         # Python % is negative) — both corrupt downstream silently
         raise ValueError("hash_mod modulus must be >= 1")
-    s = F.coalesce(key.cast("string"), F.lit("\x00null"))
-    h = F.md5(F.concat(F.lit(f"{salt}|"), s))
+    h = order_key(key, salt)
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n).cast("int")
 
 
@@ -209,13 +218,9 @@ def stratified_sample(
         raise ValueError("n_per_group must be >= 1")
     from pyspark.sql.window import Window
 
-    okey = F.md5(
-        F.concat(
-            F.lit(f"{salt}|"),
-            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null")),
-        )
+    w = Window.partitionBy(group_col).orderBy(
+        order_key(F.col(key_col), salt), F.col(key_col)
     )
-    w = Window.partitionBy(group_col).orderBy(okey, F.col(key_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_group)

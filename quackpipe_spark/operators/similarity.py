@@ -271,6 +271,8 @@ def semantic_dedup(
     threshold: float = 0.85,
     n_cells: int | None = None,
     probes: int = 2,
+    edge_bound: int | None = None,
+    small_graph_edges: int = 1 << 20,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): drop documents that are
     *semantically* near-identical even when their text differs — pairs
@@ -292,7 +294,13 @@ def semantic_dedup(
     ).select("a", "b")
     from quackpipe_spark.operators.cluster import cluster_near_dups
 
-    return cluster_near_dups(corpus, pairs, id_col=id_col)
+    return cluster_near_dups(
+        corpus,
+        pairs,
+        id_col=id_col,
+        edge_bound=edge_bound,
+        small_graph_edges=small_graph_edges,
+    )
 
 
 def prototype_sample(

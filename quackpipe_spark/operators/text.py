@@ -155,6 +155,85 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) consecutive token pairs; docs under 2 tokens drop."""
+    base = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    t = F.col("_toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Perplexity-style fluency signal from a corpus-trained bigram LM —
+    the CCNet/KenLM filtering idea (public) without an external model:
+    train add-α-smoothed bigram probabilities on ``train`` (default: the
+    scored corpus itself) and score each doc by its mean log₂
+    P(w2|w1). Gibberish, boilerplate-shuffled, and wrong-language docs
+    score far below fluent text under ANY reasonable LM, which is all a
+    filtering threshold needs.
+
+    Returns (id, avg_logp, ppl, n_bigrams): ppl = 2^(−avg_logp).
+    P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V), V = training vocab size;
+    unseen bigrams/unigrams hit the smoothing floor instead of −∞.
+    Docs with < 2 tokens are omitted (no bigrams to score).
+
+    Scale shape: two count aggregations over the training token stream
+    (map-side partial), then the scoring join — doc bigrams against the
+    bigram table on (w1,w2) and the unigram table on w1, both plain
+    hash joins that AQE demotes to broadcast when the model is small;
+    V rides a broadcast one-row crossJoin, never a driver action. All
+    work is linear in corpus tokens; nothing is quadratic in vocab."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (zero breaks smoothing)")
+    train = docs if train is None else train
+    train_big = _doc_bigrams(train, id_col, text_col)
+    big_counts = train_big.groupBy("w1", "w2").agg(
+        F.count("*").alias("_c12")
+    )
+    uni_counts = (
+        train.select(
+            F.explode(tokenize(F.col(text_col))).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    vocab = uni_counts.agg(F.count("*").alias("_V"))
+    scored = (
+        _doc_bigrams(docs, id_col, text_col)
+        .join(big_counts, ["w1", "w2"], "left")
+        .join(uni_counts, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log2(
+                (F.coalesce("_c12", F.lit(0)) + alpha)
+                / (F.coalesce("_c1", F.lit(0)) + alpha * F.col("_V"))
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("_logp").alias("avg_logp"),
+        F.pow(F.lit(2.0), -F.avg("_logp")).alias("ppl"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
 def analyze(
     docs: DataFrame,
     id_col: str = "doc_id",

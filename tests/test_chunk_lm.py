@@ -1,0 +1,169 @@
+"""chunk_documents (context-window chunking) and bigram_lm_score
+(corpus-trained fluency signal): planted semantics, a pure-Python
+reference differential, and behavior on the real documents table."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from quackpipe_spark.operators.packing import chunk_documents
+from quackpipe_spark.operators.text import bigram_lm_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_chunking_no_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=4).collect()
+    )
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t8 t9", 2),
+        (2, 0, "short doc", 2),
+    ]
+
+
+def test_chunking_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["chunk_id"]: (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+    }
+    # stride 3: starts 0,3,6,9
+    assert out[0] == ("t0 t1 t2 t3", 4)
+    assert out[1] == ("t3 t4 t5 t6", 4)
+    assert out[2] == ("t6 t7 t8 t9", 4)
+    assert out[3] == ("t9", 1)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+
+
+def test_chunking_matches_duckdb(spark, docs, duck):
+    mx, ov = 32, 8
+    stride = mx - ov
+    got = sorted(
+        map(
+            tuple,
+            chunk_documents(docs, max_tokens=mx, overlap=ov)
+            .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+            .collect(),
+        )
+    )
+    exp = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, (len(t) - 1) // {stride} + 1)) AS i
+  FROM base
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(t[i*{stride}+1 : i*{stride}+{mx}], ' ') AS chunk_text,
+       least(len(t) - i*{stride}, {mx}) AS chunk_tokens
+FROM idx
+"""
+        ).fetchall()
+    )
+    assert got == exp
+    assert len(got) > 0
+
+
+def _py_bigram_scores(train_texts, score_rows, alpha):
+    def toks(s):
+        return s.strip().lower().split()
+
+    uni = Counter()
+    big = Counter()
+    for s in train_texts:
+        t = toks(s)
+        uni.update(t)
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] += 1
+    V = len(uni)
+    out = {}
+    for doc_id, s in score_rows:
+        t = toks(s)
+        if len(t) < 2:
+            continue
+        lps = [
+            math.log2(
+                (big.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * V)
+            )
+            for a, b in zip(t, t[1:])
+        ]
+        out[doc_id] = (sum(lps) / len(lps), len(lps))
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "colorless green ideas sleep furiously tonight"),
+        (4, "single"),
+        (5, "zz qq vv zz qq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["avg_logp"], r["n_bigrams"])
+        for r in bigram_lm_score(df, alpha=0.4).collect()
+    }
+    exp = _py_bigram_scores([t for _, t in rows], rows, 0.4)
+    assert set(got) == set(exp)  # doc 4 (one token) omitted in both
+    for k in exp:
+        assert got[k][1] == exp[k][1]
+        assert abs(got[k][0] - exp[k][0]) < 1e-9
+    # repeated fluent patterns outscore one-off rare-token strings
+    assert got[2][0] > got[5][0]
+
+
+def test_bigram_lm_train_score_split_handles_unseen(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat " * 3)], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "completely unseen tokens here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in bigram_lm_score(score, train=train).collect()
+    }
+    assert out[10]["avg_logp"] > out[11]["avg_logp"]
+    assert math.isfinite(out[11]["avg_logp"])  # smoothing floor, not -inf
+    assert out[11]["ppl"] > out[10]["ppl"] > 1.0
+
+
+def test_bigram_lm_flags_gibberish_on_real_corpus(spark, docs):
+    gib = " ".join(f"xq{i}z wv{i*7}k" for i in range(40))
+    scored = bigram_lm_score(
+        docs.select("doc_id", "text").union(
+            spark.createDataFrame([(999999, gib)], "doc_id long, text string")
+        )
+    )
+    rows = scored.select("doc_id", "ppl").collect()
+    ppls = {r["doc_id"]: r["ppl"] for r in rows}
+    real = [v for k, v in ppls.items() if k != 999999]
+    real_median = sorted(real)[len(real) // 2]
+    assert ppls[999999] > real_median  # gibberish is an outlier upward
