@@ -50,8 +50,16 @@ def lineproto_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                         type(v).__name__,
                     )
                 )
-    return spark.createDataFrame(
-        rows, "table string, batch int, row int, col string, val string, pytype string"
+    # literal VALUES through the SQL parser: createDataFrame on a Python
+    # list plans as Scan ExistingRDD — EVERY action then pays a
+    # defaultParallelism-task python round (~0.4 s); a VALUES literal is
+    # a JVM LocalTableScan (~0.08 s per action)
+    def lit(v) -> str:
+        return str(v) if isinstance(v, int) else "'" + str(v).replace("'", "''") + "'"
+
+    vals = ",".join("(" + ",".join(lit(c) for c in r) + ")" for r in rows)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(`table`, batch, `row`, col, val, pytype)"
     )
 
 
@@ -97,8 +105,14 @@ def lineproto_parse_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quackpipe_spark.sources.lineproto import parse_lines_df
 
-    lines_df = spark.createDataFrame(
-        [(line,) for line in _LINES.splitlines()], "value string"
+    # VALUES literal for the same reason as lineproto_parse: the input
+    # scan stays JVM-local; the python cost of this query is exactly the
+    # mapInPandas parse being demonstrated, nothing else
+    lines_vals = ",".join(
+        "('" + line.replace("'", "''") + "')" for line in _LINES.splitlines()
+    )
+    lines_df = spark.sql(
+        f"SELECT * FROM (VALUES {lines_vals}) AS t(value)"
     ).repartition(4)
     frames = [
         df for (table, _sid, df) in parse_lines_df(spark, lines_df) if table == "weather"
