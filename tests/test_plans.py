@@ -247,3 +247,58 @@ def test_pack_sequences_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     # partitioned window, not a global one
     assert "SinglePartition" not in p
+
+
+def test_chunk_documents_rides_the_scan_stage(spark):
+    """chunk_documents: row-local slice explode — ZERO exchanges, no
+    python (a UDF would show BatchEvalPython / ArrowEvalPython)."""
+    from quackpipe_spark.operators import packing as P2
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(P2.chunk_documents(docs, max_tokens=64, overlap=8))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_mix_domains_rides_the_scan_stage(spark):
+    """mix_domains: per-row copy explode — zero exchanges, zero python."""
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators.sampling import mix_domains
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(
+        mix_domains(docs, "source", {"web": 0.5, "wiki": 2.0}, "doc_id")
+    )
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_line_dedup_dup_keys_aggregate_is_partial(spark):
+    """line_dedup: the cross-doc line count must run with map-side
+    partial aggregation (a hot boilerplate line is the skew case), and
+    the doc rebuild must be a hash aggregate over the id partitioning —
+    never a global sort."""
+    from quackpipe_spark.operators.dedup import line_dedup
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(line_dedup(docs))
+    assert "partial_count" in p or "partial" in p.lower()
+    assert "Sort [" not in p or "SortAggregate" not in p  # no global sort path
+    assert "SinglePartition" not in p
+
+
+def test_lineproto_literals_are_local_table_scans(spark):
+    """The lineproto gate queries must plan their literal inputs as
+    LocalTableScan (JVM) — a Scan ExistingRDD means every action pays a
+    defaultParallelism-task python round."""
+    from quackpipe_spark.workloads import dataflow as DF
+
+    p1 = plan_text(DF.QUERIES["lineproto_parse"](spark, SF_DIR))
+    assert "ExistingRDD" not in p1
+    assert "LocalTableScan" in p1
+    p2 = plan_text(DF.QUERIES["lineproto_parse_distributed"](spark, SF_DIR))
+    assert "ExistingRDD" not in p2
