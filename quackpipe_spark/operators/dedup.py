@@ -385,14 +385,18 @@ def duplicate_passages(
     Scale shape: gram emission is linear in corpus tokens (×k string
     amplification inside ONE exchange-free codegen stage — the explicit
     suffix-array trade-off: ~k× more bytes through the gram shuffle in
-    exchange for embarrassing parallelism and no global sort). The gram
-    table feeds two consumers (the dup-key aggregate and the join-back),
-    so it is persisted with a blocking count — the same multi-consumer
-    recompute guard minhash_dedup uses — at MEMORY_AND_DISK, i.e. it
-    spills rather than re-runs the k-wide md5 emission; the dup set
-    shrinks to cross-doc grams only before joining back; span merging
-    is a per-doc window over flagged positions (equal-length intervals
-    ⇒ pairwise adjacency check is exact — no running-max needed)."""
+    exchange for embarrassing parallelism and no global sort). The
+    cross-doc flagging is WINDOW state over one gram-partitioned
+    exchange — max(dense_rank by doc) ≡ count(distinct doc) — so the
+    gram table has a single consumer and the k-wide md5 emission runs
+    exactly once per action (plan-pinned), with no persist (a cached
+    copy of the token-exploded table would pin the pipeline's largest
+    relation in executor memory and make the operator eager) and no
+    OOM cliff on white-hot grams (the window operator spills oversized
+    partitions). Span merging is a per-doc window over flagged
+    positions (equal-length intervals ⇒ pairwise adjacency check is
+    exact — no running-max needed). Fully lazy: building the plan runs
+    no jobs."""
     if k < 2:
         raise ValueError("passage gram size k must be >= 2")
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -410,17 +414,24 @@ def duplicate_passages(
     )
     pos_grams = base.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "g")
-    ).persist()
-    pos_grams.count()  # block: both consumers must hit the cache, not race
-    dup_keys = (
-        pos_grams.select(id_col, "g")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_dup_docs)
-        .select("g")
     )
-    flagged = pos_grams.join(dup_keys, "g").select(id_col, "pos")
+    # distinct-doc count per gram as WINDOW state over one g-partition:
+    # max(dense_rank by id) ≡ count(distinct id). This keeps the gram
+    # table single-consumer — an aggregate+join-back shape makes the
+    # k-wide md5 emission run once PER consumer (Catalyst prunes the
+    # branches differently, so exchange reuse cannot fire), and a
+    # persist would pin the pipeline's largest relation in executor
+    # memory. Spark's window operator SPILLS oversized partitions
+    # (a white-hot boilerplate gram degrades to disk, never OOM).
+    wg = Window.partitionBy("g")
+    flagged = (
+        pos_grams.withColumn(
+            "_dr", F.dense_rank().over(wg.orderBy(id_col))
+        )
+        .withColumn("_n_docs", F.max("_dr").over(wg))
+        .filter(F.col("_n_docs") >= min_dup_docs)
+        .select(id_col, "pos")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     # same-length intervals: a gram extends the span iff it starts within
     # the previous gram's [pos, pos+k) window

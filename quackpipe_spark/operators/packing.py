@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from quackpipe_spark.operators.dedup import tokenize
 from quackpipe_spark.operators.sampling import hash_mod, order_key
 
 _SEQ_BITS = 40  # packs per shard headroom: 2^40 ≈ 1e12
@@ -103,13 +104,18 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = tokenize(F.col(text_col))
     n = F.size(t)
-    # chunk starts: 1, 1+stride, … while start <= n (1-based slice);
-    # null/blank text → 0 chunks, and the sequence() is guarded because
-    # sequence(0, -1) infers a negative step (the shingles trap)
+    # chunk starts: 0, stride, … until the previous chunk reached the
+    # end: ceil((n - overlap) / stride) chunks, floored at 1 — counting
+    # every start ≤ n-1 instead would emit a trailing chunk FULLY
+    # CONTAINED in its predecessor whenever the tail has ≤ overlap
+    # tokens (pure duplicated content). Null/blank text → 0 chunks, and
+    # the sequence() is guarded because sequence(0, -1) infers a
+    # negative step (the shingles trap).
     n_chunks = F.when(
-        F.length(F.trim(F.col(text_col))) > 0, F.floor((n - 1) / stride) + 1
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.greatest(F.lit(1), F.ceil((n - overlap) / F.lit(stride))),
     ).otherwise(F.lit(0))
     seq = F.when(
         n_chunks >= 1, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))

@@ -189,33 +189,37 @@ def bigram_lm_score(
     filtering threshold needs.
 
     Returns (id, avg_logp, ppl, n_bigrams): ppl = 2^(−avg_logp).
-    P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V), V = training vocab size;
-    unseen bigrams/unigrams hit the smoothing floor instead of −∞.
-    Docs with < 2 tokens are omitted (no bigrams to score).
+    P(w2|w1) = (c(w1,w2)+α) / (c(w1·)+α·V) with PREFIX counts —
+    c(w1·) = Σ_w2 c(w1,w2) and V = |distinct prefixes| — the standard
+    MLE denominator for a bigram model (the conditional sums to ≤ 1 by
+    construction, and every statistic derives from ONE bigram relation:
+    no separate unigram tokenize pass, and a whitespace-only doc's
+    phantom '' token can never enter the vocab because _doc_bigrams
+    drops <2-token docs). Unseen bigrams/prefixes hit the smoothing
+    floor instead of −∞. Docs with < 2 tokens are omitted.
 
-    Scale shape: two count aggregations over the training token stream
-    (map-side partial), then the scoring join — doc bigrams against the
-    bigram table on (w1,w2) and the unigram table on w1, both plain
-    hash joins that AQE demotes to broadcast when the model is small;
-    V rides a broadcast one-row crossJoin, never a driver action. All
-    work is linear in corpus tokens; nothing is quadratic in vocab."""
+    Scale shape: the MODEL is the aggregated bigram count table — it is
+    persisted with a blocking count (training is deliberately eager:
+    build once, score many; the cached table is the aggregated counts,
+    never the token-exploded stream, and MEMORY_AND_DISK spills rather
+    than OOMs). Without the persist, Catalyst re-expands the corpus-wide
+    bigram explode once per consumer (count join, prefix table, vocab —
+    measured 4 emissions); with it, a scoring action emits the SCORED
+    side's bigrams exactly once (plan-pinned). The prefix table and V
+    derive from the cached counts; V rides a broadcast one-row
+    crossJoin, never a driver collect."""
     if alpha <= 0:
         raise ValueError("alpha must be positive (zero breaks smoothing)")
-    train = docs if train is None else train
-    train_big = _doc_bigrams(train, id_col, text_col)
+    train_big = _doc_bigrams(train if train is not None else docs, id_col, text_col)
     big_counts = train_big.groupBy("w1", "w2").agg(
         F.count("*").alias("_c12")
-    )
-    uni_counts = (
-        train.select(
-            F.explode(tokenize(F.col(text_col))).alias("w1")
-        )
-        .groupBy("w1")
-        .agg(F.count("*").alias("_c1"))
-    )
+    ).persist()
+    big_counts.count()  # blocking: consumers must hit the cache, not race
+    score_big = _doc_bigrams(docs, id_col, text_col)
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = uni_counts.agg(F.count("*").alias("_V"))
     scored = (
-        _doc_bigrams(docs, id_col, text_col)
+        score_big
         .join(big_counts, ["w1", "w2"], "left")
         .join(uni_counts, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))

@@ -55,7 +55,12 @@ def lineproto_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defaultParallelism-task python round (~0.4 s); a VALUES literal is
     # a JVM LocalTableScan (~0.08 s per action)
     def lit(v) -> str:
-        return str(v) if isinstance(v, int) else "'" + str(v).replace("'", "''") + "'"
+        if isinstance(v, int):
+            return str(v)
+        # Spark's parser unescapes backslashes inside string literals
+        # (unlike standard SQL) — double them or embedded \" sequences
+        # silently change the payload bytes
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
     vals = ",".join("(" + ",".join(lit(c) for c in r) + ")" for r in rows)
     return spark.sql(
@@ -109,7 +114,8 @@ def lineproto_parse_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan stays JVM-local; the python cost of this query is exactly the
     # mapInPandas parse being demonstrated, nothing else
     lines_vals = ",".join(
-        "('" + line.replace("'", "''") + "')" for line in _LINES.splitlines()
+        "('" + line.replace("\\", "\\\\").replace("'", "''") + "')"
+        for line in _LINES.splitlines()
     )
     lines_df = spark.sql(
         f"SELECT * FROM (VALUES {lines_vals}) AS t(value)"

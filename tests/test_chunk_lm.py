@@ -45,11 +45,24 @@ def test_chunking_with_overlap(spark):
         r["chunk_id"]: (r["chunk_text"], r["chunk_tokens"])
         for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
     }
-    # stride 3: starts 0,3,6,9
+    # stride 3: starts 0,3,6 — chunk 2 reaches the end, so no start at 9
+    # (a chunk there would be fully contained in chunk 2: pure dup text)
     assert out[0] == ("t0 t1 t2 t3", 4)
     assert out[1] == ("t3 t4 t5 t6", 4)
     assert out[2] == ("t6 t7 t8 t9", 4)
-    assert out[3] == ("t9", 1)
+    assert len(out) == 3
+    # a tail with exactly one NEW token still gets its chunk
+    df11 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    out11 = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in chunk_documents(df11, max_tokens=4, overlap=1).collect()
+    }
+    assert out11[3] == "t9 t10"
+    # short doc: one chunk even when n <= overlap
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert chunk_documents(one, max_tokens=4, overlap=2).count() == 1
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
@@ -76,7 +89,8 @@ WITH base AS (
   FROM documents WHERE length(trim(text)) > 0
 ), idx AS (
   SELECT doc_id, t,
-         unnest(range(0, (len(t) - 1) // {stride} + 1)) AS i
+         unnest(range(0, greatest(1,
+           cast(ceil((len(t) - {ov}) / {stride}.0) AS BIGINT)))) AS i
   FROM base
 )
 SELECT doc_id, i AS chunk_id,
@@ -91,17 +105,21 @@ FROM idx
 
 
 def _py_bigram_scores(train_texts, score_rows, alpha):
+    """Reference model: prefix-count denominators — c(w1·) = Σ_w2
+    c(w1,w2), V = |distinct prefixes| — mirroring the operator."""
+
     def toks(s):
         return s.strip().lower().split()
 
-    uni = Counter()
     big = Counter()
     for s in train_texts:
         t = toks(s)
-        uni.update(t)
         for a, b in zip(t, t[1:]):
             big[(a, b)] += 1
-    V = len(uni)
+    pre = Counter()
+    for (a, _b), c in big.items():
+        pre[a] += c
+    V = len(pre)
     out = {}
     for doc_id, s in score_rows:
         t = toks(s)
@@ -109,7 +127,7 @@ def _py_bigram_scores(train_texts, score_rows, alpha):
             continue
         lps = [
             math.log2(
-                (big.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * V)
+                (big.get((a, b), 0) + alpha) / (pre.get(a, 0) + alpha * V)
             )
             for a, b in zip(t, t[1:])
         ]
@@ -124,6 +142,7 @@ def test_bigram_lm_matches_python_reference(spark):
         (3, "colorless green ideas sleep furiously tonight"),
         (4, "single"),
         (5, "zz qq vv zz qq"),
+        (6, "   "),  # whitespace-only: no phantom '' token in the vocab
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {

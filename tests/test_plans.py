@@ -286,9 +286,8 @@ def test_line_dedup_dup_keys_aggregate_is_partial(spark):
     spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan_text(line_dedup(docs))
-    assert "partial_count" in p or "partial" in p.lower()
-    assert "Sort [" not in p or "SortAggregate" not in p  # no global sort path
-    assert "SinglePartition" not in p
+    assert "partial_count" in p  # map-side partial aggregation survives
+    assert "Exchange SinglePartition" not in p  # nothing serializes globally
 
 
 def test_lineproto_literals_are_local_table_scans(spark):
@@ -302,3 +301,39 @@ def test_lineproto_literals_are_local_table_scans(spark):
     assert "LocalTableScan" in p1
     p2 = plan_text(DF.QUERIES["lineproto_parse_distributed"](spark, SF_DIR))
     assert "ExistingRDD" not in p2
+    assert "LocalTableScan" in p2
+
+
+def test_duplicate_passages_single_gram_emission(spark):
+    """duplicate_passages: the k-amplified gram explode (posexplode of
+    the md5 transform) must appear exactly ONCE in the physical plan —
+    the dup flagging is window state over one g-partition, not an
+    aggregate + join-back that would re-run the emission per branch —
+    and nothing is cached."""
+    from quackpipe_spark.operators.dedup import duplicate_passages
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(duplicate_passages(docs, k=8))
+    # formatted explain prints each Generate node once in the tree and
+    # its posexplode argument once in the detail section
+    assert p.count("posexplode") == 1
+    assert "InMemoryTableScan" not in p  # lazy: no hidden cache
+
+
+def test_bigram_lm_scoring_single_bigram_emission(spark):
+    """bigram_lm_score: the model (bigram count table) is cached at
+    build, so a scoring action explodes only the SCORED side's bigrams —
+    exactly one explode in the plan, everything else InMemoryTableScan.
+    (Unpersisted, Catalyst re-expands the corpus explode 4×.)"""
+    from quackpipe_spark.operators.text import bigram_lm_score
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_text(bigram_lm_score(docs))
+    # every model consumer (count join, prefix table, vocab) must read
+    # the cache — an InMemoryTableScan per consumer; textual Generate
+    # counting is unreliable here because explain re-prints the cached
+    # plan (with its own Generate) under each InMemoryRelation
+    assert p.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()
