@@ -1,0 +1,108 @@
+"""Scale-stress: the new dedup/curation operators on corpora 2-3 orders
+above the toy tests, built EXECUTOR-side (spark.range + expressions, no
+driver lists). These catch quadratic blowups and hot-key cliffs that
+sf0.001 can't see; loose wall-clock rails flag a regressed plan."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_line_dedup_30k_docs_with_hot_boilerplate(spark):
+    # 30k docs × 12 lines; 2 boilerplate lines shared corpus-wide (one of
+    # them appears in EVERY doc — the hot-key case) + 10 unique lines
+    n = 30_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("SUBSCRIBE to our newsletter today please"),
+            F.concat(F.lit("cookie banner variant "), (F.col("id") % 3).cast("string")),
+            *[
+                F.concat(
+                    F.lit(f"unique line {j} of doc "), F.col("id").cast("string")
+                )
+                for j in range(10)
+            ],
+        ).alias("text"),
+    )
+    from quackpipe_spark.operators.dedup import line_dedup
+
+    t0 = time.time()
+    out = line_dedup(docs)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.min("n_removed").alias("mn"),
+        F.max("n_removed").alias("mx"),
+    ).first()
+    wall = time.time() - t0
+    assert stats["n"] == n
+    # every doc loses exactly its 2 boilerplate lines, never a unique one
+    assert stats["mn"] == 2 and stats["mx"] == 2
+    assert stats["removed"] == 2 * n
+    assert wall < 120, f"line_dedup took {wall:.0f}s on 360k lines"
+
+
+def test_duplicate_passages_20k_docs_planted(spark):
+    # every 20th doc carries the same 8-token passage inside unique text
+    n = 20_000
+    passage = "shared verbatim passage tokens one two three four"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("head "), F.col("id").cast("string")),
+            *[
+                F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                for j in range(12)
+            ],
+            F.when(F.col("id") % 20 == 0, F.lit(passage)).otherwise(
+                F.concat(F.lit("tail "), F.col("id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    from quackpipe_spark.operators.dedup import duplicate_passages
+
+    t0 = time.time()
+    spans = duplicate_passages(docs, k=8).cache()
+    n_spans = spans.count()
+    wall = time.time() - t0
+    flagged = {r["doc_id"] for r in spans.select("doc_id").collect()}
+    spans.unpersist()
+    expect = {i for i in range(0, n, 20)}
+    assert flagged == expect, (
+        f"missing={len(expect - flagged)} extra={len(flagged - expect)}"
+    )
+    assert n_spans == len(expect)  # one merged span per planted doc
+    assert wall < 120, f"duplicate_passages took {wall:.0f}s on 20k docs"
+
+
+def test_cc_star_path_agrees_with_unionfind_at_100k_edges(spark):
+    # 100k deterministic edges over 40k nodes: the distributed star path
+    # must agree with the single-task union-find and converge fast
+    from quackpipe_spark.operators.cluster import connected_components
+    from quackpipe_spark.operators.sampling import hash_mod
+
+    n_nodes, n_edges = 40_000, 100_000
+    edges = spark.range(n_edges).select(
+        hash_mod(F.col("id"), n_nodes, salt="u").cast("long").alias("a"),
+        hash_mod(F.col("id"), n_nodes, salt="v").cast("long").alias("b"),
+    ).cache()
+    edges.count()
+    t0 = time.time()
+    star = connected_components(edges, small_graph_edges=0, max_iter=15)
+    star_rows = {(r["node"], r["component"]) for r in star.collect()}
+    star_wall = time.time() - t0
+    t0 = time.time()
+    uf = connected_components(edges, edge_bound=n_edges)
+    uf_rows = {(r["node"], r["component"]) for r in uf.collect()}
+    uf_wall = time.time() - t0
+    edges.unpersist()
+    assert star_rows == uf_rows
+    assert len({c for _, c in uf_rows}) >= 1
+    assert star_wall < 180, f"star path took {star_wall:.0f}s"
+    assert uf_wall < 60, f"union-find path took {uf_wall:.0f}s"
