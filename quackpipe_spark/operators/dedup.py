@@ -243,6 +243,39 @@ def minhash_dedup(
     return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
 
 
+def minhash_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full near-dup dedup most callers want in one call: minhash →
+    LSH candidates → jaccard verify → connected-component closure →
+    ``docs`` annotated with (component, is_canonical). Filter on
+    is_canonical to keep one survivor per duplicate CLUSTER (chains
+    a≈b≈c collapse even when (a,c) was never a candidate pair).
+
+    The materialized LSH candidate count — an upper bound on verified
+    pairs — feeds the closure's ``edge_bound``, so for any realistically
+    sized candidate set the component labeling is a LAZY single-task
+    union-find fused into the consumer's job; huge candidate sets fall
+    back to the distributed star rounds automatically
+    (operators/cluster.py)."""
+    from quackpipe_spark.operators.cluster import cluster_near_dups
+
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs.count()
+    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+    n_cands = cands.count()
+    pairs = jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
+    return cluster_near_dups(
+        docs, pairs.select("a", "b"), id_col=id_col, edge_bound=n_cands
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

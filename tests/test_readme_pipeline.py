@@ -26,11 +26,10 @@ def _run_pipeline(spark, out_dir: str):
     docs = D.line_dedup(docs)
     scored = T.analyze(docs, repetition=False)
     kept = scored.filter(F.col("quality") >= 0.6)
-    labels = C.connected_components(
-        D.minhash_dedup(docs, threshold=0.8).select("a", "b")
-    )
-    dups = labels.filter("node != component").select(
-        F.col("node").alias("doc_id")
+    dups = (
+        D.minhash_clusters(docs, threshold=0.8)
+        .filter("NOT is_canonical")
+        .select("doc_id")
     )
     bench = spark.createDataFrame(
         [(900001, "held out benchmark question nobody leaked")],
