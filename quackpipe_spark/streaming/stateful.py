@@ -54,6 +54,37 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
     )
 
 
+def _id_codec(docs: DataFrame, id_col: str):
+    """(id_expr, sql_type, batch_min_of) for integral or string doc ids —
+    the NULL-safe id plumbing shared by the stateful dedup operators.
+    See streaming_exact_dedup's docstring for why integral NULLs ride an
+    int64-max sentinel (a None makes pandas coerce the column to float64,
+    where large ids round)."""
+    import pandas as pd  # noqa: F401  (documents the pdf["_id"] contract)
+    from pyspark.sql import functions as F
+
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        _NULL_ID = (1 << 63) - 1
+        id_expr = F.coalesce(F.col(id_col).cast("long"), F.lit(_NULL_ID))
+
+        def batch_min_of(pdf):
+            m = int(pdf["_id"].min())
+            return None if m == _NULL_ID else m
+
+        return id_expr, "LONG", batch_min_of
+    if id_type == "string":
+        def batch_min_of(pdf):
+            s = pdf["_id"].dropna()
+            return None if s.empty else str(s.min())
+
+        return F.col(id_col), "STRING", batch_min_of
+    raise TypeError(
+        f"stateful dedup supports integral or string ids, got {id_type}"
+        " — a silent cast would NULL every survivor"
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -81,38 +112,14 @@ def streaming_exact_dedup(
     import pandas as pd
     from pyspark.sql import functions as F
 
-    id_type = dict(docs.dtypes)[id_col]
-    if id_type in ("tinyint", "smallint", "int", "bigint"):
-        # NULL ids are coalesced to int64-max SPARK-side: one None in a
-        # chunk makes pandas store _id as float64, where ids above 2^53
-        # round and the recorded survivor could be an id that exists in no
-        # document — the sentinel keeps the column exact int64 end to end.
-        # (An id legitimately equal to 2^63-1 would be indistinguishable
-        # from NULL; accepted — it is not a plausible doc id.)
-        _NULL_ID = (1 << 63) - 1
-        id_expr = F.coalesce(F.col(id_col).cast("long"), F.lit(_NULL_ID))
-        keep_type = "LONG"
-
-        def batch_min_of(pdf):
-            m = int(pdf["_id"].min())
-            return None if m == _NULL_ID else m
-
-    elif id_type == "string":
-        # string ids compare lexicographically in BOTH the batch operator
-        # (Spark min) and here (python str min) — pandas object columns
-        # hold None natively, so no sentinel is needed
-        id_expr = F.col(id_col)
-        keep_type = "STRING"
-
-        def batch_min_of(pdf):
-            s = pdf["_id"].dropna()
-            return None if s.empty else str(s.min())
-
-    else:
-        raise TypeError(
-            f"streaming_exact_dedup supports integral or string ids, got {id_type}"
-            " — a silent cast would NULL every survivor"
-        )
+    # NULL-id handling rationale: integral ids ride an int64-max sentinel
+    # (one None makes pandas coerce _id to float64, where ids above 2^53
+    # round and the recorded survivor could be an id that exists in no
+    # document); string ids compare lexicographically in BOTH the batch
+    # operator (Spark min) and python str min, and pandas object columns
+    # hold None natively. An id legitimately equal to 2^63-1 would be
+    # indistinguishable from NULL; accepted — not a plausible doc id.
+    id_expr, keep_type, batch_min_of = _id_codec(docs, id_col)
 
     keyed = docs.select(
         F.md5(F.col(text_col)).alias("fingerprint"), id_expr.alias("_id")
@@ -137,6 +144,109 @@ def streaming_exact_dedup(
         )
 
     return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_near_dup_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup flagging across micro-batches: the incremental
+    form of the batch minhash→LSH candidate stage for a continuously
+    ingesting corpus. Each doc's LSH band buckets are keyed state; a doc
+    sharing a bucket with a SMALLER id — seen in any earlier batch or
+    this one — is flagged against the bucket's canonical (minimum) id.
+
+    Emits (doc_id, partner_id, band, band_hash) rows; ``distinct
+    doc_id`` is the flagged set. Arrival-order independence: when a new
+    bucket minimum arrives LATE, the operator emits a correction row
+    flagging the dethroned keeper, so the lifetime flagged set equals
+    the batch rule "every bucket member except its minimum" — which is
+    exactly the b-sides of ``dedup.lsh_candidates`` pairs. Replaying any
+    permutation of the corpus converges to the identical flagged set
+    (tested). Precision follows the batch pipeline's contract: these are
+    CANDIDATES (band-collision recall); run ``dedup.jaccard_verify``
+    offline over the flagged subset for exact-jaccard precision.
+
+    Signature recipe is bit-identical to the batch operator
+    (minhash_i = min md5('{i}|'+shingle); band hash = md5 of the
+    concatenated hex minima) but computed ROW-LOCALLY (array_min over a
+    transform — no explode, no aggregation), because a streaming batch
+    cannot lean on the batch plan's pre-partitioned groupBy. State per
+    bucket is (keep_id, n_members) — constant size, so the state store
+    scales with DISTINCT buckets (≈ bands × distinct near-dup classes),
+    not stream volume; for bounded retention add a watermark upstream
+    and EventTimeTimeout eviction."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators.dedup import shingles, tokenize
+
+    id_expr, keep_type, batch_min_of = _id_codec(docs, id_col)
+    rows = num_hashes // bands
+
+    sh = shingles(tokenize(F.col(text_col)), shingle_k)
+    sigs = [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+        for i in range(num_hashes)
+    ]
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat(*[sigs[b * rows + i] for i in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    keyed = (
+        docs.filter(F.size(sh) >= 1)
+        .select(id_expr.alias("_id"), F.posexplode(band_hashes).alias("band", "bh"))
+    )
+
+    output_schema = (
+        f"doc_id {keep_type}, partner_id {keep_type}, band INT, band_hash STRING"
+    )
+    state_schema = f"keep_id {keep_type}, n_members LONG"
+
+    def update(key, pdfs, state: GroupState):
+        old_keep, n = state.get if state.exists else (None, 0)
+        ids = []
+        for pdf in pdfs:
+            n += len(pdf)
+            ids.extend(
+                x for x in (batch_min_of(pdf.iloc[[j]]) for j in range(len(pdf)))
+                if x is not None
+            )
+        known = ids + ([old_keep] if old_keep is not None else [])
+        if not known:
+            state.update((old_keep, n))
+            return
+        new_keep = min(known)
+        out = {x for x in ids if x != new_keep}
+        if old_keep is not None and old_keep != new_keep:
+            out.add(old_keep)  # correction: dethroned keeper
+        flagged = sorted(out)
+        state.update((new_keep, n))
+        if flagged:
+            yield pd.DataFrame(
+                {
+                    "doc_id": flagged,
+                    "partner_id": [new_keep] * len(flagged),
+                    "band": [int(key[0])] * len(flagged),
+                    "band_hash": [key[1]] * len(flagged),
+                }
+            )
+
+    return keyed.groupBy("band", "bh").applyInPandasWithState(
         update,
         outputStructType=output_schema,
         stateStructType=state_schema,
