@@ -55,11 +55,12 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
 
 
 def _id_codec(docs: DataFrame, id_col: str):
-    """(id_expr, sql_type, batch_min_of) for integral or string doc ids —
-    the NULL-safe id plumbing shared by the stateful dedup operators.
-    See streaming_exact_dedup's docstring for why integral NULLs ride an
-    int64-max sentinel (a None makes pandas coerce the column to float64,
-    where large ids round)."""
+    """(id_expr, sql_type, batch_min_of, batch_ids_of) for integral or
+    string doc ids — the NULL-safe id plumbing shared by the stateful
+    dedup operators. See streaming_exact_dedup's docstring for why
+    integral NULLs ride an int64-max sentinel (a None makes pandas
+    coerce the column to float64, where large ids round). batch_ids_of
+    decodes a chunk's ids to python values with NULLs dropped."""
     import pandas as pd  # noqa: F401  (documents the pdf["_id"] contract)
     from pyspark.sql import functions as F
 
@@ -72,13 +73,19 @@ def _id_codec(docs: DataFrame, id_col: str):
             m = int(pdf["_id"].min())
             return None if m == _NULL_ID else m
 
-        return id_expr, "LONG", batch_min_of
+        def batch_ids_of(pdf):
+            return [int(v) for v in pdf["_id"] if int(v) != _NULL_ID]
+
+        return id_expr, "LONG", batch_min_of, batch_ids_of
     if id_type == "string":
         def batch_min_of(pdf):
             s = pdf["_id"].dropna()
             return None if s.empty else str(s.min())
 
-        return F.col(id_col), "STRING", batch_min_of
+        def batch_ids_of(pdf):
+            return [str(v) for v in pdf["_id"].dropna()]
+
+        return F.col(id_col), "STRING", batch_min_of, batch_ids_of
     raise TypeError(
         f"stateful dedup supports integral or string ids, got {id_type}"
         " — a silent cast would NULL every survivor"
@@ -119,7 +126,7 @@ def streaming_exact_dedup(
     # operator (Spark min) and python str min, and pandas object columns
     # hold None natively. An id legitimately equal to 2^63-1 would be
     # indistinguishable from NULL; accepted — not a plausible doc id.
-    id_expr, keep_type, batch_min_of = _id_codec(docs, id_col)
+    id_expr, keep_type, batch_min_of, _ = _id_codec(docs, id_col)
 
     keyed = docs.select(
         F.md5(F.col(text_col)).alias("fingerprint"), id_expr.alias("_id")
@@ -191,7 +198,7 @@ def streaming_near_dup_flags(
 
     from quackpipe_spark.operators.dedup import shingles, tokenize
 
-    id_expr, keep_type, batch_min_of = _id_codec(docs, id_col)
+    id_expr, keep_type, _, batch_ids_of = _id_codec(docs, id_col)
     rows = num_hashes // bands
 
     sh = shingles(tokenize(F.col(text_col)), shingle_k)
@@ -222,10 +229,7 @@ def streaming_near_dup_flags(
         ids = []
         for pdf in pdfs:
             n += len(pdf)
-            ids.extend(
-                x for x in (batch_min_of(pdf.iloc[[j]]) for j in range(len(pdf)))
-                if x is not None
-            )
+            ids.extend(batch_ids_of(pdf))
         known = ids + ([old_keep] if old_keep is not None else [])
         if not known:
             state.update((old_keep, n))
