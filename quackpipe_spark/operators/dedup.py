@@ -210,6 +210,36 @@ def jaccard_verify(
     )
 
 
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, int]:
+    """Materialized LSH candidate pairs plus their count — the shared
+    prefix of minhash_dedup / minhash_clusters / corpus_clean.
+
+    Persistence discipline (the reason this exists ONCE): signatures are
+    consumed by both sides of the banded self-join, and the candidate
+    set's lineage is the whole minhash+LSH pipeline while jaccard_verify
+    fans out into several concurrently-launched consumer branches
+    (broadcast futures for cand_ids, the pair join, the size joins) —
+    a LAZY persist loses that race and every branch redundantly
+    recomputes the pipeline (observed 9 simultaneous copies), so both
+    persists block on count(). The count doubles as the closure's
+    edge_bound (verified pairs ⊆ candidates). Both caches stay
+    registered for the consumer's lifetime; callers running many
+    corpora through one session should spark.catalog.clearCache()
+    between them."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs.count()
+    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+    n_cands = cands.count()
+    return cands, n_cands
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -225,21 +255,11 @@ def minhash_dedup(
     The exploded shingle table exists only inside the signature stage's
     codegen pipeline (see minhash_signatures: the explode is pre-
     partitioned, so it never shuffles and is never materialized);
-    verification re-shingles only the candidate docs (jaccard_verify)."""
-    # signatures: one short row per doc, consumed by BOTH sides of the
-    # banded self-join — cache eagerly so the 12-way md5 aggregation over
-    # the shingle explode runs once, not per join side.
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
-    sigs.count()
-    # Persist AND eagerly materialize the candidate set: it is tiny, but
-    # its lineage is the whole minhash+LSH pipeline, and jaccard_verify
-    # fans out into several concurrently-launched consumer branches
-    # (broadcast futures for cand_ids, the pair join, the size joins).
-    # A lazy persist loses the race — every branch starts before the
-    # cache fills and redundantly recomputes the pipeline (observed 9
-    # simultaneous copies). The blocking count() fills the cache first.
-    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
-    cands.count()
+    verification re-shingles only the candidate docs (jaccard_verify).
+    Persist/race rationale lives in minhash_candidates."""
+    cands, _ = minhash_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
     return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
 
 
@@ -266,10 +286,9 @@ def minhash_clusters(
     (operators/cluster.py)."""
     from quackpipe_spark.operators.cluster import cluster_near_dups
 
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
-    sigs.count()
-    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
-    n_cands = cands.count()
+    cands, n_cands = minhash_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
     pairs = jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
     return cluster_near_dups(
         docs, pairs.select("a", "b"), id_col=id_col, edge_bound=n_cands

@@ -180,44 +180,76 @@ def streaming_near_dup_flags(
     the batch rule "every bucket member except its minimum" — which is
     exactly the b-sides of ``dedup.lsh_candidates`` pairs. Replaying any
     permutation of the corpus converges to the identical flagged set
-    (tested). Precision follows the batch pipeline's contract: these are
+    (tested). Contract precision: ONLY the flagged doc_id set is
+    order-invariant — partner_id is the bucket minimum AT EMISSION TIME
+    and earlier rows are not re-emitted when a later minimum dethrones
+    it, so partner_id must not be used as a cluster-canonical id
+    (a dethroned partner is itself flagged). For canonical survivors,
+    run the batch closure (dedup.minhash_clusters) over the flagged
+    subset. Precision follows the batch pipeline's contract: these are
     CANDIDATES (band-collision recall); run ``dedup.jaccard_verify``
     offline over the flagged subset for exact-jaccard precision.
 
     Signature recipe is bit-identical to the batch operator
     (minhash_i = min md5('{i}|'+shingle); band hash = md5 of the
-    concatenated hex minima) but computed ROW-LOCALLY (array_min over a
-    transform — no explode, no aggregation), because a streaming batch
-    cannot lean on the batch plan's pre-partitioned groupBy. State per
-    bucket is (keep_id, n_members) — constant size, so the state store
-    scales with DISTINCT buckets (≈ bands × distinct near-dup classes),
-    not stream volume; for bounded retention add a watermark upstream
-    and EventTimeTimeout eviction."""
+    concatenated hex minima) but computed in ONE Arrow-batched
+    mapInPandas pass, because a streaming batch can lean on neither the
+    batch plan's pre-partitioned explode+groupBy nor on inlined SQL
+    folds (ArrayTransform is CodegenFallback and excluded from
+    subexpression elimination, so a 16-sig expression tree re-tokenizes
+    and re-shingles EVERY doc ~17× — the exact trap shingle_table's
+    docstring documents; hashlib in a pandas batch does each step
+    once). The regex uses re.ASCII so \\s matches Java's default \\s —
+    engine-identical tokenization (parity is proven end-to-end by the
+    stream≡batch tests). State per bucket is (keep_id, n_members) —
+    constant size, so the state store scales with DISTINCT buckets
+    (≈ bands × distinct near-dup classes), not stream volume; for
+    bounded retention add a watermark upstream and EventTimeTimeout
+    eviction."""
+    import hashlib
+    import re
+
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from quackpipe_spark.operators.dedup import shingles, tokenize
-
     id_expr, keep_type, _, batch_ids_of = _id_codec(docs, id_col)
     rows = num_hashes // bands
+    ws = re.compile(r"\s+", re.ASCII)
+    prefixes = [f"{i}|".encode() for i in range(num_hashes)]
 
-    sh = shingles(tokenize(F.col(text_col)), shingle_k)
-    sigs = [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
-        for i in range(num_hashes)
-    ]
-    band_hashes = F.array(
-        *[
-            F.md5(F.concat(*[sigs[b * rows + i] for i in range(rows)]))
-            for b in range(bands)
-        ]
-    )
-    keyed = (
-        docs.filter(F.size(sh) >= 1)
-        .select(id_expr.alias("_id"), F.posexplode(band_hashes).alias("band", "bh"))
-    )
+    def sig_bands(batches):
+        for pdf in batches:
+            out_id, out_band, out_bh = [], [], []
+            for _id, text in zip(pdf["_id"], pdf["_text"]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).strip().lower())
+                if len(toks) < shingle_k:
+                    continue
+                sh = {
+                    " ".join(toks[j : j + shingle_k])
+                    for j in range(len(toks) - shingle_k + 1)
+                }
+                enc = [s.encode() for s in sh]
+                sigs = [
+                    min(hashlib.md5(p + e).hexdigest() for e in enc)
+                    for p in prefixes
+                ]
+                for b in range(bands):
+                    bh = hashlib.md5(
+                        "".join(sigs[b * rows : (b + 1) * rows]).encode()
+                    ).hexdigest()
+                    out_id.append(_id)
+                    out_band.append(b)
+                    out_bh.append(bh)
+            if out_id:  # zero frames for an all-short/None chunk — Spark
+                yield pd.DataFrame(  # supplies the typed empty result
+                    {"_id": out_id, "band": out_band, "bh": out_bh}
+                )
+
+    keyed = docs.select(
+        id_expr.alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(sig_bands, schema=f"_id {keep_type}, band INT, bh STRING")
 
     output_schema = (
         f"doc_id {keep_type}, partner_id {keep_type}, band INT, band_hash STRING"

@@ -623,18 +623,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = T.analyze(docs, repetition=False).select(
         "doc_id", "quality", "lang_detected", "n_tokens"
     )
-    # minhash_dedup's stages composed inline so the materialized LSH
-    # candidate count (an upper bound on verified pairs) can feed
-    # connected_components' edge_bound — keeping the closure LAZY: the
-    # union-find fuses into the final job instead of paying a separate
-    # probe action that would serialize jaccard_verify (see
-    # dedup.minhash_dedup for why both persists block on count()).
-    sigs = D.minhash_signatures(
-        docs, num_hashes=_NUM_HASHES, shingle_k=3
-    ).persist()
-    sigs.count()
-    cands = D.lsh_candidates(sigs, num_hashes=_NUM_HASHES, bands=_BANDS).persist()
-    n_cands = cands.count()
+    # shared candidate stage: the materialized LSH candidate count (an
+    # upper bound on verified pairs) feeds connected_components'
+    # edge_bound — keeping the closure LAZY: the union-find fuses into
+    # the final job instead of paying a separate probe action that
+    # would serialize jaccard_verify (persist/race rationale lives in
+    # dedup.minhash_candidates).
+    cands, n_cands = D.minhash_candidates(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
+    )
     pairs = D.jaccard_verify(docs, cands, threshold=0.8).select("a", "b")
     # transitive closure: drop every clustered doc except its component min
     labels = connected_components(pairs, edge_bound=n_cands)

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 
 from quackpipe_spark.operators.dedup import lsh_candidates, minhash_signatures
 from quackpipe_spark.streaming.stateful import streaming_near_dup_flags
