@@ -238,6 +238,58 @@ def bigram_lm_score(
     )
 
 
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 1,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus n-gram frequency table — the vocabulary/LM-prep statistic
+    (unigram counts = tokenizer vocab candidates; higher n feeds LM
+    smoothing and collocation mining). Returns (ngram, count, n_docs),
+    descending by count with the ngram string as deterministic
+    tiebreak; ``min_count`` prunes the long tail before any sort and
+    ``top_k`` caps the result via a distributed TakeOrdered (never a
+    global sort of the full table).
+
+    Scale shape: one explode + one count aggregation with map-side
+    partials (the same exchange-free pre-partitioned explode as
+    shingle_table); n_docs rides the same aggregate via count(distinct)
+    rewrite. Linear in corpus tokens."""
+    if n < 1:
+        raise ValueError("ngram order n must be >= 1")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = tokenize(F.col(text_col))
+    base = (
+        docs.repartition(par)
+        .select(toks.alias("_toks"), F.monotonically_increasing_id().alias("_d"))
+        .filter(F.size("_toks") >= n)
+    )
+    t = F.col("_toks")
+    grams = (
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + off) for off in range(n)]
+            ),
+        )
+        if n > 1
+        else t
+    )
+    counted = (
+        base.select(F.col("_d"), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count("*").alias("count"),
+            F.countDistinct("_d").alias("n_docs"),
+        )
+        .filter(F.col("count") >= min_count)
+    )
+    ordered = counted.orderBy(F.desc("count"), F.asc("ngram"))
+    return ordered.limit(top_k) if top_k is not None else ordered
+
+
 def analyze(
     docs: DataFrame,
     id_col: str = "doc_id",
