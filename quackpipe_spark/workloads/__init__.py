@@ -24,9 +24,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quackpipe_spark.workloads import dataflow, llm_ops, sql_surface, timeseries
+from quackpipe_spark.workloads import (
+    curation,
+    dataflow,
+    llm_ops,
+    sql_surface,
+    timeseries,
+)
 
-_MODULES = [sql_surface, llm_ops, dataflow, timeseries]
+_MODULES = [sql_surface, llm_ops, curation, dataflow, timeseries]
 
 _PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 

@@ -139,10 +139,8 @@ SELECT * FROM (VALUES
 
 
 QUERIES = {
-    "lineproto_parse": lineproto_parse,
     "lineproto_parse_distributed": lineproto_parse_distributed,
 }
 ORACLE = {
-    "lineproto_parse": LINEPROTO_PARSE_SQL,
     "lineproto_parse_distributed": LINEPROTO_DISTRIBUTED_SQL,
 }

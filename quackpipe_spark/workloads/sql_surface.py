@@ -1459,13 +1459,16 @@ WINDOW_BATTERY_SQL = "\nUNION ALL\n".join(
 
 
 def grouping_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP / CUBE / GROUPING SETS family — Catalyst Expand, one shuffle
-    per sub-plan for all grouping sets (SURVEY §2B aggregations)."""
+    """ROLLUP / CUBE / GROUPING SETS + HAVING + DISTINCT-aggregate family —
+    Catalyst Expand, one shuffle per sub-plan for all grouping sets
+    (SURVEY §2B aggregations)."""
     return _union_digests(
         [
             ("rollup", rollup_orders(spark, sf_dir)),
             ("cube", cube_lineitem(spark, sf_dir)),
             ("gsets", grouping_sets_orders(spark, sf_dir)),
+            ("having", having_filter(spark, sf_dir)),
+            ("distinct_agg", agg_distinct(spark, sf_dir)),
         ]
     )
 
@@ -1493,19 +1496,81 @@ GROUPING_BATTERY_SQL = "\nUNION ALL\n".join(
                 ("n", "s"),
             ],
         ),
+        _digest_sql(
+            "having",
+            HAVING_SQL,
+            [("l_suppkey", "s"), ("n_items", "s"), ("total_qty", "f")],
+        ),
+        _digest_sql(
+            "distinct_agg",
+            AGG_DISTINCT_SQL,
+            [("event_type", "s"), ("n_users", "s"), ("n_events", "s"), ("sum_value", "f")],
+        ),
+    ]
+)
+
+
+def sort_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT top-k (TakeOrderedAndProject) + explicit
+    NULLS FIRST ordering (SURVEY §2B sorts/limits)."""
+    return _union_digests(
+        [
+            ("topk", topk_orders(spark, sf_dir)),
+            ("nulls_order", order_nulls_first(spark, sf_dir)),
+        ]
+    )
+
+
+SORT_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql("topk", TOPK_SQL, [("o_orderkey", "s"), ("o_totalprice", "f")]),
+        _digest_sql(
+            "nulls_order", ORDER_NULLS_SQL, [("n_name", "s"), ("avg_bal", "f")]
+        ),
+    ]
+)
+
+
+def collect_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-aggregate family: ordered string_agg and array
+    collect/sort/index ops (SURVEY §2B functions)."""
+    return _union_digests(
+        [
+            ("string_agg", string_agg_ordered(spark, sf_dir)),
+            ("array_agg", array_agg_ops(spark, sf_dir)),
+        ]
+    )
+
+
+COLLECT_AGG_BATTERY_SQL = "\nUNION ALL\n".join(
+    [
+        _digest_sql(
+            "string_agg", STRING_AGG_SQL, [("n_regionkey", "s"), ("nations", "s")]
+        ),
+        _digest_sql(
+            "array_agg",
+            ARRAY_AGG_SQL,
+            [
+                ("o_orderpriority", "s"),
+                ("statuses", "s"),
+                ("n_statuses", "s"),
+                ("first_status", "s"),
+            ],
+        ),
     ]
 )
 
 
 def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/string, math, date, regex scalar-function families — all pure
-    JVM whole-stage-codegen expressions (SURVEY §2B functions)."""
+    """CASE/string, math, date, regex, JSON scalar-function families — all
+    pure JVM whole-stage-codegen expressions (SURVEY §2B functions)."""
     return _union_digests(
         [
             ("case_strings", expr_case_strings(spark, sf_dir)),
             ("math", math_functions(spark, sf_dir)),
             ("date", date_functions(spark, sf_dir)),
             ("regexp", regexp_functions(spark, sf_dir)),
+            ("json", json_extract_props(spark, sf_dir)),
         ]
     )
 
@@ -1569,6 +1634,7 @@ SCALAR_BATTERY_SQL = "\nUNION ALL\n".join(
                 ("n_e", "s"),
             ],
         ),
+        _digest_sql("json", JSON_EXTRACT_SQL, [("event_id", "s"), ("k_val", "s")]),
     ]
 )
 
@@ -1580,16 +1646,15 @@ SCALAR_BATTERY_SQL = "\nUNION ALL\n".join(
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
-    "agg_distinct": agg_distinct,
     "grouping_battery": grouping_battery,
-    "having_filter": having_filter,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_regional_volume": q5_regional_volume,
     "join_battery": join_battery,
     "join_range_nonequi": join_range_nonequi,
     "window_battery": window_battery,
     "sessionize_events": sessionize_events,
-    "topk_orders": topk_orders,
+    "sort_battery": sort_battery,
+    "collect_agg_battery": collect_agg_battery,
     "set_ops_battery": set_ops_battery,
     "subquery_battery": subquery_battery,
     "scalar_battery": scalar_battery,
@@ -1598,33 +1663,27 @@ QUERIES = {
     "ch_dialect_functions": ch_dialect_functions,
     "pivot_event_types": pivot_event_types,
     "quantiles_by_group": quantiles_by_group,
-    "string_agg_ordered": string_agg_ordered,
-    "json_extract_props": json_extract_props,
     "union_by_name_schema_evolution": union_by_name_schema_evolution,
     "sql_cte_text": sql_cte_text,
     "approx_count_distinct_events": approx_count_distinct_events,
-    "explode_word_frequencies": explode_word_frequencies,
-    "array_agg_ops": array_agg_ops,
     "q4_order_priority": q4_order_priority,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue": q14_promo_revenue,
     "null_semantics": null_semantics,
-    "order_nulls_first": order_nulls_first,
 }
 
 ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q6_forecast_revenue": Q6_SQL,
-    "agg_distinct": AGG_DISTINCT_SQL,
     "grouping_battery": GROUPING_BATTERY_SQL,
-    "having_filter": HAVING_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_regional_volume": Q5_SQL,
     "join_battery": JOIN_BATTERY_SQL,
     "join_range_nonequi": JOIN_RANGE_SQL,
     "window_battery": WINDOW_BATTERY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
-    "topk_orders": TOPK_SQL,
+    "sort_battery": SORT_BATTERY_SQL,
+    "collect_agg_battery": COLLECT_AGG_BATTERY_SQL,
     "set_ops_battery": SET_OPS_BATTERY_SQL,
     "subquery_battery": SUBQUERY_BATTERY_SQL,
     "scalar_battery": SCALAR_BATTERY_SQL,
@@ -1633,16 +1692,11 @@ ORACLE = {
     "ch_dialect_functions": CH_DIALECT_SQL,
     "pivot_event_types": PIVOT_SQL,
     "quantiles_by_group": QUANTILES_SQL,
-    "string_agg_ordered": STRING_AGG_SQL,
-    "json_extract_props": JSON_EXTRACT_SQL,
     "union_by_name_schema_evolution": UNION_BY_NAME_SQL,
     "sql_cte_text": SQL_CTE_SQL,
     # approx_count_distinct_events: rows-only (HLL engine-specific)
-    "explode_word_frequencies": EXPLODE_WORDS_SQL,
-    "array_agg_ops": ARRAY_AGG_SQL,
     "q4_order_priority": Q4_SQL,
     "q12_shipmode_priority": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
     "null_semantics": NULL_SEMANTICS_SQL,
-    "order_nulls_first": ORDER_NULLS_SQL,
 }

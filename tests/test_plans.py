@@ -49,7 +49,7 @@ def test_q1_partial_aggregation(spark):
 
 
 def test_topk_rewrite(spark):
-    p = plan_text(S.QUERIES["topk_orders"](spark, SF_DIR))
+    p = plan_text(S.topk_orders(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
     assert "GlobalLimit" not in p  # rewritten, not sort-then-limit
 
@@ -296,7 +296,7 @@ def test_lineproto_literals_are_local_table_scans(spark):
     defaultParallelism-task python round."""
     from quackpipe_spark.workloads import dataflow as DF
 
-    p1 = plan_text(DF.QUERIES["lineproto_parse"](spark, SF_DIR))
+    p1 = plan_text(DF.lineproto_parse(spark, SF_DIR))
     assert "ExistingRDD" not in p1
     assert "LocalTableScan" in p1
     p2 = plan_text(DF.QUERIES["lineproto_parse_distributed"](spark, SF_DIR))
