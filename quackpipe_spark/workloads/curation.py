@@ -249,7 +249,13 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1e-15 relative), absorbed by the round to 6 decimals both sides
     apply before compare. The library bm25_search keeps the faster
     unordered F.sum (same plan shape; associativity-order noise only)."""
-    postings = FTS.build_postings(_docs(spark, sf_dir))
+    # persist the postings: the stats collect below and the scoring plan
+    # both consume them — unpersisted, Catalyst re-runs the corpus explode
+    # + tf aggregation once per consumer (measured 2x the query's cost at
+    # sf0.1). No blocking count needed: the stats collect is itself an
+    # action that fills the cache before the scoring plan runs (the two
+    # consumers are sequential here, unlike minhash_candidates' branches).
+    postings = FTS.build_postings(_docs(spark, sf_dir)).persist()
     terms = FTS._terms(_BM25_QUERY)
     stats = (
         postings.select("doc_id", "dl")
