@@ -33,3 +33,31 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(_ORACLE) <= set(_QUERIES)
+
+
+def test_registry_exactly_fifty():
+    """The driver verifies (at most) the first 50 registry entries; the
+    registry is pinned to EXACTLY 50 so every declared operator family has
+    a recorded driver row — an entry past the window would be silently
+    untested (the round-3 failure mode this guards against)."""
+    assert len(_QUERIES) == 50
+    # every auxiliary registry (STATEFUL, PREBUILD) must point at real rows
+    from quackpipe_spark import workloads as W
+
+    for m in W._MODULES:
+        for name in getattr(m, "STATEFUL", set()):
+            assert name in m.QUERIES, f"STATEFUL names unknown query {name}"
+        for name in getattr(m, "PREBUILD", {}):
+            assert name in m.QUERIES, f"PREBUILD names unknown query {name}"
+
+
+def test_contamination_gate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — a shuffle join here
+    would repartition the full corpus shingle table at 100 TB."""
+    from quackpipe_spark.workloads import curation
+
+    plan = curation.contamination_scan(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

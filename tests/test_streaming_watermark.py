@@ -134,3 +134,76 @@ def test_streaming_corpus_curation(spark, tmp_path):
 
     per_doc = Counter(t[0] for t in exp)
     assert max(per_doc.values()) == 2
+
+
+def test_streaming_chunk_and_contamination_parity(spark, tmp_path):
+    """Two more curation ops lift onto streams unchanged: context-window
+    chunking is a row-local explode (append mode), and the benchmark-
+    contamination scan is a stream-static broadcast join + lifetime
+    aggregate (complete mode) — each equals its batch result row-for-row
+    across micro-batch boundaries."""
+    import json as _json
+
+    from quackpipe_spark.operators import dedup as D
+    from quackpipe_spark.operators import packing as P
+
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    docs = [
+        (i, " ".join(f"w{i}t{j}" for j in range(5 + (i * 7) % 40)))
+        for i in range(30)
+    ]
+    # plant a verbatim benchmark leak in two docs
+    leak = " ".join(f"leak{j}" for j in range(12))
+    docs[4] = (4, docs[4][1] + " " + leak)
+    docs[17] = (17, leak + " " + docs[17][1])
+    for name, chunk in (("b1.json", docs[:11]), ("b2.json", docs[11:])):
+        with open(src / name, "w") as f:
+            for i, text in chunk:
+                f.write(_json.dumps({"doc_id": i, "text": text}) + "\n")
+
+    bench = spark.createDataFrame([(0, leak)], "doc_id long, text string")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    q1 = (
+        P.chunk_documents(stream, max_tokens=8, overlap=2)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+        .start()
+    )
+    q2 = (
+        D.contamination_check(stream, bench)
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "contam_ckpt"))
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_chunks = sorted(
+            map(tuple, spark.sql("SELECT * FROM chunk_stream").collect())
+        )
+        got_contam = sorted(
+            map(tuple, spark.sql("SELECT * FROM contam_stream").collect())
+        )
+    finally:
+        q1.stop()
+        q2.stop()
+    exp_chunks = sorted(
+        map(tuple, P.chunk_documents(batch_df, max_tokens=8, overlap=2).collect())
+    )
+    exp_contam = sorted(
+        map(tuple, D.contamination_check(batch_df, bench).collect())
+    )
+    assert got_chunks == exp_chunks
+    assert got_contam == exp_contam
+    assert {t[0] for t in got_contam} == {4, 17}  # exactly the planted leaks
