@@ -34,23 +34,33 @@ def tokenize(col) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def gram_array(tokens: Column, k: int, *, hash_grams: bool = False) -> Column:
+    """Positioned k-gram strings from a token array — the ONE gram-emission
+    expression shared by shingling, substring-passage dedup, and n-gram
+    counting, so the gram definition can't drift between operators.
+
+    element_at (O(1)) rather than slice (O(n) copy per index — measured 6×
+    slower end-to-end on 300-token docs). The caller MUST guard
+    size(tokens) >= k upstream: Spark's sequence(1, n) with n<1 infers a
+    NEGATIVE step and produces garbage indices. ``hash_grams`` emits
+    md5(gram) instead of the gram text (fixed-width fingerprints for the
+    positioned-gram dup table)."""
+
+    def _one(i: Column) -> Column:
+        g = F.concat_ws(" ", *[F.element_at(tokens, i + off) for off in range(k)])
+        return F.md5(g) if hash_grams else g
+
+    return F.transform(F.sequence(F.lit(1), F.size(tokens) - (k - 1)), _one)
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column (JVM-side, no UDF).
 
-    element_at (O(1)) rather than slice (O(n) copy per index — measured 6×
-    slower end-to-end on 300-token docs). Guarded for size<k: Spark's
-    sequence(1, n) with n<1 infers a NEGATIVE step and produces garbage
-    indices — short docs must short-circuit to an empty array."""
+    Guarded for size<k (see gram_array): short docs short-circuit to an
+    empty array."""
     return F.when(
         F.size(tokens) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tokens, i + off) for off in range(k)]
-                ),
-            )
-        ),
+        F.array_distinct(gram_array(tokens, k)),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -76,13 +86,7 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
     )
-    t = F.col("_toks")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(k)]),
-        )
-    )
+    sh = F.array_distinct(gram_array(F.col("_toks"), k))
     return base.select(id_col, F.explode(sh).alias("shingle"))
 
 
@@ -401,10 +405,15 @@ def line_dedup(
         (~F.col("eligible")) | F.col("_dup").isNull()
     )
     rebuilt = _rebuild_in_order(kept, id_col, "pos", "line", "\n")
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    # NULL text must count as 0 lines: size(split(NULL)) is -1 under
+    # non-ANSI legacy sizeOfNull semantics, not NULL, so coalesce alone
+    # can't catch it
+    n_lines = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.split(F.col(text_col), "\n"))
+    )
     return (
         docs.join(rebuilt, id_col, "left")
-        .withColumn("n_lines", F.coalesce(n_lines, F.lit(0)))
+        .withColumn("n_lines", n_lines)
         .withColumn(
             "n_removed", F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))
         )
@@ -457,13 +466,7 @@ def duplicate_passages(
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
     )
-    t = F.col("_toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (k - 1)),
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(t, i + off) for off in range(k)])
-        ),
-    )
+    grams = gram_array(F.col("_toks"), k, hash_grams=True)
     pos_grams = base.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "g")
     )

@@ -228,16 +228,31 @@ def stratified_sample(
     )
 
 
-def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
-    """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
-    oracle SQL so both engines keep the identical rows."""
-    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
+def order_key_sql(key_expr: str, salt: str = "") -> str:
+    """The DuckDB-side twin of :func:`order_key`: md5('{salt}|' + key)
+    with the NULL sentinel. Oracle SQL must derive every keyed
+    order/bucket from this renderer (never hand-roll the recipe) so a
+    change to the hash domain stays a single-sourced cross-engine
+    contract change."""
     if any(ord(c) < 0x20 for c in salt):
         # control chars (NUL especially) can't ride a SQL string literal;
         # salts are builder-chosen constants — reject loudly
         raise ValueError("salt must not contain control characters")
     salt_sql = salt.replace("'", "''")  # the salt inlines as a SQL literal
+    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(0) || 'null')"
+    return f"md5('{salt_sql}|' || {key})"
+
+
+def bucket_sql(key_expr: str, salt: str = "") -> str:
+    """The DuckDB-side twin of :func:`hash_bucket`: sampling bucket in
+    [0, 10000) from the 32-bit prefix of :func:`order_key_sql`."""
     return (
-        f"('0x' || substr(md5('{salt_sql}|' || {key}), 1, 8))::BIGINT "
-        f"% {_BUCKETS} < {_cut(fraction)}"
+        f"('0x' || substr({order_key_sql(key_expr, salt)}, 1, 8))::BIGINT "
+        f"% {_BUCKETS}"
     )
+
+
+def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
+    """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
+    oracle SQL so both engines keep the identical rows."""
+    return f"{bucket_sql(key_expr, salt)} < {_cut(fraction)}"

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from quackpipe_spark.operators.dedup import tokenize
+from quackpipe_spark.operators.dedup import gram_array, tokenize
 
 # Tiny per-language stopword lists for the n-gram/stopword-voting heuristic.
 # (Real pipelines plug fasttext etc. — the operator shape is the point.)
@@ -267,16 +267,7 @@ def ngram_counts(
         .filter(F.size("_toks") >= n)
     )
     t = F.col("_toks")
-    grams = (
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + off) for off in range(n)]
-            ),
-        )
-        if n > 1
-        else t
-    )
+    grams = gram_array(t, n) if n > 1 else t
     counted = (
         base.select(F.col("_d"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -71,9 +71,9 @@ WITH lines AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(r.clean, '') AS text,
-       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
-       CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
-         AS n_removed
+       CAST(coalesce(len(string_split(d.text, chr(10))), 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(len(string_split(d.text, chr(10))), 0) - coalesce(r.n_kept, 0)
+         AS BIGINT) AS n_removed
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
@@ -175,10 +175,8 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_sql(salt: str) -> str:
-    return (
-        f"('0x' || substr(md5('{salt}|' || coalesce(CAST(doc_id AS VARCHAR), "
-        f"chr(0) || 'null')), 1, 8))::BIGINT % {S._BUCKETS}"
-    )
+    # single-sourced md5 recipe (sampling.order_key's cross-engine contract)
+    return S.bucket_sql("doc_id", salt)
 
 
 def _sampling_battery_sql() -> str:
@@ -195,11 +193,11 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM (SELECT doc_id, {_bucket_sql('sp1')} AS b FROM documents)
 """
-    strat_sql = """
+    strat_sql = f"""
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (
     PARTITION BY source
-    ORDER BY md5('s9|' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')),
+    ORDER BY {S.order_key_sql("doc_id", "s9")},
              doc_id
   ) AS rk
   FROM documents
@@ -238,6 +236,9 @@ _BM25_TOPK = 20
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
+# the previous call's persisted postings (see fts_bm25_topk)
+_POSTINGS_PINNED: list[DataFrame] = []
+
 
 def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k keyword retrieval over the corpus (operators/fts).
@@ -255,7 +256,18 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). No blocking count needed: the stats collect is itself an
     # action that fills the cache before the scoring plan runs (the two
     # consumers are sequential here, unlike minhash_candidates' branches).
+    # This query is STATEFUL (rebuilt per call), so release the previous
+    # call's cached postings first — a long-lived engine would otherwise
+    # accumulate one cached copy per invocation until LRU pressure evicts
+    # someone else's useful cache. The prior call's returned plan merely
+    # recomputes if re-collected after its cache is dropped.
+    while _POSTINGS_PINNED:
+        try:
+            _POSTINGS_PINNED.pop().unpersist()
+        except Exception:
+            pass  # owning session already stopped
     postings = FTS.build_postings(_docs(spark, sf_dir)).persist()
+    _POSTINGS_PINNED.append(postings)
     terms = FTS._terms(_BM25_QUERY)
     stats = (
         postings.select("doc_id", "dl")
@@ -296,7 +308,10 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_TERMS_SQL = "', '".join(sorted(_BM25_QUERY.split()))
+# render the IN-list from the SAME tokenizer the Spark side uses
+# (FTS._terms lowercases/dedupes; a hand-rolled split() would diverge the
+# moment _BM25_QUERY gains uppercase or duplicate terms)
+_BM25_TERMS_SQL = "', '".join(FTS._terms(_BM25_QUERY))
 
 BM25_SQL = f"""
 WITH toks AS (

@@ -1145,25 +1145,6 @@ FROM part
 """
 
 
-def explode_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral explode (generator) surface: corpus word frequencies —
-    explode(split(text)) → groupBy — the unnest/flatten pattern."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 100)
-    )
-
-
-EXPLODE_WORDS_SQL = r"""
-SELECT word, count(*) AS n
-FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
-GROUP BY word HAVING count(*) >= 100
-"""
-
-
 def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: collect distinct sets, sort,
     index, and size them (rendered to string for portability)."""

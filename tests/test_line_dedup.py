@@ -87,3 +87,19 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     assert got == exp
     removed = sum(v[2] for v in got.values())
     assert removed >= 0
+
+
+def test_line_dedup_null_text_counts_zero_lines(spark):
+    """NULL text must yield n_lines=0/n_removed=0 (and '' text), matching
+    the gate oracle's coalesce — size(split(NULL)) is -1 under non-ANSI
+    legacy sizeOfNull semantics, which leaked through before."""
+    from quackpipe_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world line\nother"), (2, None), (3, "hello world line\nmore")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert rows[2]["text"] == ""
+    assert rows[2]["n_lines"] == 0
+    assert rows[2]["n_removed"] == 0

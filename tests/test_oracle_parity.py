@@ -61,3 +61,14 @@ def test_contamination_gate_broadcasts_benchmark(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lineproto_parse_demoted_oracle(spark, duck):
+    """The single-batch lineproto_parse was demoted from the 50-row driver
+    window (the distributed variant covers the gate), but its oracle SQL
+    stays checked here so future parser edits can't silently invalidate
+    it."""
+    from quackpipe_spark.workloads import dataflow as DF
+
+    df = DF.lineproto_parse(spark, SF_DIR)
+    assert_frames_match(df, duck.sql(DF.LINEPROTO_PARSE_SQL), "lineproto_parse")
