@@ -113,9 +113,17 @@ def _bm25_rank(
     topk: int,
     k1: float,
     b: float,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Score matched postings and return (id, rank, score) — document
-    frequencies aggregate over just the matched terms' rows."""
+    frequencies aggregate over just the matched terms' rows.
+
+    ``deterministic`` switches the per-doc score from an unordered
+    F.sum (associativity-order float noise only) to a sequential fold
+    over term-sorted contributions — bit-identical across engines that
+    restate the same fold (the DuckDB oracle's ordered list_reduce), so
+    the only cross-engine residual is ln() libm ulp, absorbed by the
+    round to 6 decimals."""
     dfreq = matched.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -123,12 +131,33 @@ def _bm25_rank(
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     contrib = idf * tf * (k1 + 1.0) / denom
-    scored = (
-        matched.join(F.broadcast(dfreq), "term")
-        .select(F.col(id_col), contrib.alias("_c"))
-        .groupBy(id_col)
-        .agg(F.round(F.sum("_c"), 6).alias("score"))
-    )
+    joined = matched.join(F.broadcast(dfreq), "term")
+    if deterministic:
+        scored = (
+            joined.select(
+                F.col(id_col),
+                F.struct(F.col("term"), contrib.alias("c")).alias("_tc"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list("_tc")), lambda s: s["c"]
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("score")
+            )
+        )
+    else:
+        scored = (
+            joined.select(F.col(id_col), contrib.alias("_c"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("_c"), 6).alias("score"))
+        )
     # distributed top-k first (TakeOrderedAndProject — no global window over
     # the full candidate set), then rank the ≤topk survivors
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
@@ -158,6 +187,106 @@ def bm25_search(
     matched = postings.filter(F.col("term").isin(terms))
     return _bm25_rank(
         matched, id_col, g["N"], float(g["avgdl"] or 1.0), topk, k1, b
+    )
+
+
+def bm25_scan(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ad-hoc BM25 over RAW docs — no postings build, no index, ONE action.
+
+    For a q-term query, per-doc term frequencies are row-local:
+    tf(t) = size(filter(tokens, x -> x = t)), one array scan per term
+    inside whole-stage codegen. The corpus never explodes, nothing wide
+    shuffles, and there is no per-doc groupBy — scoring is a row-local
+    expression once the 1-row stats frame (N, avgdl, per-term df, all
+    from one aggregation) broadcasts back. Compare: routing an ad-hoc
+    query through ``build_postings`` moves O(corpus tokens) rows through
+    a groupBy for information the scan already holds per row. For a
+    standing index over a 100 TB corpus, build `write_postings` once and
+    use `search_postings_index` instead.
+
+    Scores are deterministic by construction (fixed term-sorted addition
+    order — see the inline note), unlike the unordered F.sum path in
+    `_bm25_rank`.
+
+    The tokenized array is bound behind a Filter barrier so the split
+    runs once per row (CollapseProject would otherwise inline it into
+    every per-term lambda; higher-order functions are excluded from
+    codegen subexpression elimination)."""
+    terms = _terms(query)
+    # id-repartition before tokenizing (the shingle_table lesson): a
+    # small/compact parquet source arrives as one scan split, which would
+    # single-thread the tokenization. The null filter is on RAW text (not
+    # the tokenized array — same rows: split/trim/lower are null-in
+    # null-out) so the scan-side pushed filter stays a cheap null check
+    # instead of evaluating the split.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    rep = docs.filter(F.col(text_col).isNotNull()).repartition(
+        par, F.col(id_col)
+    )
+    toks = rep.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+
+    def _tf(term: str):
+        # single-arg lambda via closure: a 2-arg lambda would make PySpark
+        # pass the ELEMENT INDEX as the second argument
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    proj = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    # corpus stats AND per-term document frequencies in ONE aggregation
+    # (df(t) = count of docs with tf>0), joined back as a broadcast 1-row
+    # frame: the whole query is a single action, and both DAG branches sit
+    # on the same repartition exchange, which ReuseExchange dedupes — the
+    # scan runs once
+    stats = proj.agg(
+        F.count("*").alias("_N"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = proj.crossJoin(F.broadcast(stats))
+    # per-doc score as a FIXED-ORDER sum of per-term contributions, terms
+    # sorted ascending — identical to a sequential fold over term-sorted
+    # matched contributions (absent terms add exact 0.0, and idf > 0 rules
+    # out -0.0), so this row-local form is deterministic by construction
+    # and bit-equal to the oracle's ordered list_reduce
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}")
+        idf = F.log(
+            1.0 + (F.col("_N").cast("double") - df + 0.5) / (df + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+        score = score + F.when(
+            F.col(f"_tf{i}") > 0, idf * tf * (k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+    # match filter as score > 0 (every contribution is strictly positive:
+    # idf > 0 whenever df ≤ N, tf > 0 for present terms — so score > 0 ⟺
+    # ≥1 query term present). Deliberately NOT a greatest(tf…)>0 predicate
+    # on the doc side: that pushes through the exchange into the scan and
+    # serializes the tokenization onto the (possibly single) scan split,
+    # while a predicate over both join sides stays above the broadcast
+    # join, post-exchange, fully parallel.
+    scored = j.filter(score > 0).select(
+        F.col(id_col), F.round(score, 6).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "score"
     )
 
 

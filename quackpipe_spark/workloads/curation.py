@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from quackpipe_spark.operators import dedup as D
 from quackpipe_spark.operators import fts as FTS
 from quackpipe_spark.operators import packing as P
@@ -236,75 +234,26 @@ _BM25_TOPK = 20
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-# the previous call's persisted postings (see fts_bm25_topk)
-_POSTINGS_PINNED: list[DataFrame] = []
-
 
 def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k keyword retrieval over the corpus (operators/fts).
-
-    Gate variant of bm25_search with a DETERMINISTIC per-doc score fold:
-    contributions are collected per doc, sorted by term, and summed with
-    a sequential F.aggregate — bit-identical to the oracle's ordered
-    list_reduce, so the only cross-engine residual is ln() libm ulp
-    (~1e-15 relative), absorbed by the round to 6 decimals both sides
-    apply before compare. The library bm25_search keeps the faster
-    unordered F.sum (same plan shape; associativity-order noise only)."""
-    # persist the postings: the stats collect below and the scoring plan
-    # both consume them — unpersisted, Catalyst re-runs the corpus explode
-    # + tf aggregation once per consumer (measured 2x the query's cost at
-    # sf0.1). No blocking count needed: the stats collect is itself an
-    # action that fills the cache before the scoring plan runs (the two
-    # consumers are sequential here, unlike minhash_candidates' branches).
-    # This query is STATEFUL (rebuilt per call), so release the previous
-    # call's cached postings first — a long-lived engine would otherwise
-    # accumulate one cached copy per invocation until LRU pressure evicts
-    # someone else's useful cache. The prior call's returned plan merely
-    # recomputes if re-collected after its cache is dropped.
-    while _POSTINGS_PINNED:
-        try:
-            _POSTINGS_PINNED.pop().unpersist()
-        except Exception:
-            pass  # owning session already stopped
-    postings = FTS.build_postings(_docs(spark, sf_dir)).persist()
-    _POSTINGS_PINNED.append(postings)
-    terms = FTS._terms(_BM25_QUERY)
-    stats = (
-        postings.select("doc_id", "dl")
-        .groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
+    """BM25 top-k keyword retrieval over the corpus, index-free
+    (operators/fts.bm25_scan): per-doc term frequencies are ROW-LOCAL
+    array scans and stats broadcast back from one aggregation — the
+    corpus never explodes and nothing wide shuffles, unlike routing an
+    ad-hoc query through a full postings build. Scoring adds per-term
+    contributions in sorted term order — bit-identical to the oracle's
+    ordered list_reduce, so the only cross-engine residual is ln() libm
+    ulp (~1e-15 relative), absorbed by the round to 6 decimals both
+    sides apply."""
+    out = FTS.bm25_scan(
+        _docs(spark, sf_dir),
+        _BM25_QUERY,
+        topk=_BM25_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
     )
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"] or 1.0)
-    matched = postings.filter(F.col("term").isin(terms))
-    dfreq = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf = F.col("tf").cast("double")
-    denom = tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
-    contrib = idf * tf * (_BM25_K1 + 1.0) / denom
-    scored = (
-        matched.join(F.broadcast(dfreq), "term")
-        .select("doc_id", F.struct(F.col("term"), contrib.alias("c")).alias("_tc"))
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list("_tc")), lambda s: s["c"]
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_score")
-        )
-    )
-    top = scored.orderBy(F.desc("_score"), F.asc("doc_id")).limit(_BM25_TOPK)
-    w = Window.orderBy(F.desc("_score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round("_score", 6).alias("score"),
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "score"
     )
 
 
@@ -463,9 +412,9 @@ QUERIES = {
     "contamination_scan": contamination_scan,
 }
 
-# fts_bm25_topk collects corpus stats (N, avgdl) during plan construction —
-# part of the query, so the registry must rebuild it per call
-STATEFUL = {"fts_bm25_topk"}
+# no stateful entries: fts_bm25_topk is one fully-lazy action (stats join
+# back as a broadcast instead of a driver collect), so its plan is cacheable
+STATEFUL: set[str] = set()
 
 ORACLE = {
     "line_dedup_boilerplate": LINE_DEDUP_SQL,

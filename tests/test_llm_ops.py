@@ -545,3 +545,34 @@ def test_auto_cells_scales_with_corpus_and_cluster(spark, emb):
     pairs = S.blocked_near_pairs(emb.limit(200), threshold=0.40, probes=1)
     assert pairs.columns == ["a", "b", "cos"]
     assert pairs.count() >= 0
+
+
+def test_bm25_scan_matches_postings_path(spark, docs):
+    """Index-free bm25_scan (row-local tf, broadcast stats, score>0 match
+    filter) returns the same ranking as the postings path, and its scan
+    keeps the pushed filter to a cheap null check — the tokenization must
+    not sink into the (possibly single-split) scan."""
+    from quackpipe_spark.operators import fts
+
+    query = "spark merge table"
+    via_postings = fts.bm25_search(
+        fts.build_postings(docs), query, topk=10
+    ).collect()
+    via_scan = fts.bm25_scan(docs, query, topk=10).collect()
+    assert [(r["doc_id"], r["rank"]) for r in via_scan] == [
+        (r["doc_id"], r["rank"]) for r in via_postings
+    ]
+    for a, b in zip(via_scan, via_postings):
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+    plan = (
+        fts.bm25_scan(docs, query, topk=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_blocks = [
+        seg for seg in plan.split("+-") if seg.strip().startswith("FileScan")
+    ]
+    for seg in scan_blocks:
+        assert "split(" not in seg, "tokenization sank into the scan"
