@@ -135,6 +135,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_table(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows from a signature frame — band_hash =
+    md5 over the band's r = num_hashes/bands signature columns. The ONE
+    banding recipe shared by the self-join candidate stage and the
+    persisted incremental index (and mirrored bit-identically by the
+    streaming near-dup state's pandas fold)."""
+    rows = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("", *[F.col(f"h{b * rows + i}") for i in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+
+
 def lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -144,14 +165,7 @@ def lsh_candidates(
     """Band the signature and self-join on (band, band_hash) → candidate
     pairs (a < b). Rows per band r = num_hashes/bands; P(candidate) =
     1-(1-j^r)^b — tune (bands, r) per corpus similarity target."""
-    rows = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.md5(F.concat_ws("", *[F.col(f"h{b * rows + i}") for i in range(rows)]))
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    banded = band_table(sigs, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -296,6 +310,122 @@ def minhash_clusters(
     pairs = jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
     return cluster_near_dups(
         docs, pairs.select("a", "b"), id_col=id_col, edge_bound=n_cands
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the corpus's LSH band table for INCREMENTAL dedup —
+    the 100 TB daily-increment workflow: index the corpus once, then
+    every new batch probes the index (dedup_against_index) instead of
+    re-running minhash over corpus+batch.
+
+    Layout: ``{path}/bands`` = (id, band, bh, n_shingles) parquet —
+    compact (bands rows/doc, two md5-hex strings + two ints), ~1/1000 of
+    corpus text volume; ``{path}/meta`` pins the recipe parameters so a
+    probe with mismatched (num_hashes, bands, shingle_k) fails loudly
+    instead of silently missing every collision. n_shingles rides along
+    so future verify stages can compute Jaccard denominators without
+    re-shingling the OLD side when only |A∩B| is needed per pair."""
+    spark = docs.sparkSession
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    banded = band_table(sigs, id_col, num_hashes, bands).join(
+        sigs.select(id_col, "n_shingles"), id_col
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k, id_col)],
+        "num_hashes int, bands int, shingle_k int, id_col string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Append a (deduplicated) batch's band rows to an existing index —
+    the second half of the incremental loop: probe, drop dups, append
+    survivors. Parameters come from the index's own meta, so an append
+    can never diverge from the recipe the index was built with."""
+    spark = docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    sigs = minhash_signatures(
+        docs, m["id_col"], text_col, m["num_hashes"], m["shingle_k"]
+    )
+    banded = band_table(sigs, m["id_col"], m["num_hashes"], m["bands"]).join(
+        sigs.select(m["id_col"], "n_shingles"), m["id_col"]
+    )
+    banded.write.mode("append").parquet(f"{path}/bands")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    corpus: DataFrame | None = None,
+    threshold: float = 0.8,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and a persisted corpus
+    index (write_minhash_index), without touching corpus text.
+
+    Scale shape — the reason this exists: the index side NEVER shuffles
+    and is never re-hashed. The new batch's banded signatures (bands
+    rows per new doc — tiny for any sane increment) BROADCAST, and the
+    index scan hash-joins against them in place; only matching index
+    rows survive the scan. Increment ≪ corpus is the contract; for
+    batch-vs-batch at comparable sizes use minhash_dedup on the union.
+
+    Returns (new_id, old_id) candidate pairs. With ``corpus`` supplied
+    (a frame containing the OLD docs' id/text), candidates are
+    jaccard-verified to (new_id, old_id, jaccard ≥ threshold) — the
+    verify joins texts for candidate ids only (jaccard_verify's
+    candidates-only discipline). Batch and corpus id domains must be
+    disjoint. Within-batch duplicates are a separate concern: run
+    minhash_dedup/minhash_clusters on the batch itself."""
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if shingle_k is not None and shingle_k != m["shingle_k"]:
+        raise ValueError(
+            f"index built with shingle_k={m['shingle_k']}, probe asked {shingle_k}"
+        )
+    id_col = m["id_col"]
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, m["num_hashes"], m["shingle_k"]
+    )
+    new_banded = band_table(new_sigs, id_col, m["num_hashes"], m["bands"]).select(
+        F.col(id_col).alias("_new_id"), "band", "bh"
+    )
+    idx = spark.read.parquet(f"{path}/bands")
+    cands = (
+        idx.join(F.broadcast(new_banded), ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_new_id"))
+        .select(
+            F.col("_new_id").alias("new_id"), F.col(id_col).alias("old_id")
+        )
+        .distinct()
+    )
+    if corpus is None:
+        return cands
+    both = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = cands.select(
+        F.col("new_id").alias("a"), F.col("old_id").alias("b")
+    )
+    verified = jaccard_verify(
+        both, pairs, id_col, text_col, m["shingle_k"], threshold
+    )
+    return verified.select(
+        F.col("a").alias("new_id"), F.col("b").alias("old_id"), "jaccard"
     )
 
 

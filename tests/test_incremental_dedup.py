@@ -1,0 +1,115 @@
+"""Incremental dedup against a persisted minhash band index — the
+daily-increment workflow: index the corpus once, probe each new batch,
+append survivors. Candidates must agree exactly with the batch self-join
+formulation on the union, the index side must broadcast-join (never
+shuffle), and recipe parameters must be pinned by the index meta."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackpipe_spark.operators import dedup as D
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).cache()
+    batch = docs.filter(F.col("doc_id") % 5 == 0).cache()
+    return corpus, batch
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, split, tmp_path_factory):
+    corpus, _ = split
+    path = str(tmp_path_factory.mktemp("mh_index") / "idx")
+    D.write_minhash_index(corpus, path)
+    return path
+
+
+def _expected_cross_candidates(spark, corpus, batch):
+    """Reference formulation: band tables of both sides joined on
+    (band, bh) — exactly what the full self-join on the union would
+    yield, restricted to cross pairs."""
+    cb = D.band_table(D.minhash_signatures(corpus))
+    bb = D.band_table(D.minhash_signatures(batch))
+    return {
+        (r["new_id"], r["old_id"])
+        for r in cb.join(
+            bb.select(F.col("doc_id").alias("new_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .select("new_id", F.col("doc_id").alias("old_id"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_probe_matches_selfjoin_cross_subset(spark, split, index_path):
+    corpus, batch = split
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(batch, index_path).collect()
+    }
+    assert got == _expected_cross_candidates(spark, corpus, batch)
+    assert got, "sf0.001 documents plant near-dups; cross candidates expected"
+
+
+def test_probe_verified_matches_jaccard_verify(spark, split, index_path):
+    corpus, batch = split
+    out = D.dedup_against_index(
+        batch, index_path, corpus=corpus, threshold=0.5
+    ).collect()
+    assert out, "planted near-dups should verify at 0.5"
+    cands = D.dedup_against_index(batch, index_path)
+    pairs = cands.select(F.col("new_id").alias("a"), F.col("old_id").alias("b"))
+    both = corpus.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
+    exp = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.jaccard_verify(both, pairs, threshold=0.5).collect()
+    }
+    assert {(r["new_id"], r["old_id"]): r["jaccard"] for r in out} == exp
+
+
+def test_probe_plan_broadcasts_batch_not_index(spark, split, index_path):
+    _, batch = split
+    plan = (
+        D.dedup_against_index(batch, index_path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the index scan feeds the join directly — no shuffle of index rows:
+    # between the join node and the broadcast (= the streamed index side)
+    # there must be only the scan + null filter
+    idx_side = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange")[0]
+    assert "bands" in idx_side
+    assert "Exchange" not in idx_side
+
+
+def test_param_mismatch_raises(split, index_path):
+    _, batch = split
+    with pytest.raises(ValueError, match="shingle_k"):
+        D.dedup_against_index(batch, index_path, shingle_k=5)
+
+
+def test_append_then_probe_finds_appended(spark, split, index_path, tmp_path):
+    corpus, batch = split
+    path = str(tmp_path / "idx2")
+    D.write_minhash_index(corpus, path)
+    D.append_to_minhash_index(batch, path)
+    # a clone of an appended batch doc under a fresh id must now collide
+    probe = batch.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    orig_id = batch.limit(1).collect()[0]["doc_id"]
+    got = D.dedup_against_index(probe, path).collect()
+    assert any(r["old_id"] == orig_id for r in got)
