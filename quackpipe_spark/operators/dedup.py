@@ -329,21 +329,58 @@ def write_minhash_index(
 
     Layout: ``{path}/bands`` = (id, band, bh, n_shingles) parquet —
     compact (bands rows/doc, two md5-hex strings + two ints), ~1/1000 of
-    corpus text volume; ``{path}/meta`` pins the recipe parameters so a
-    probe with mismatched (num_hashes, bands, shingle_k) fails loudly
-    instead of silently missing every collision. n_shingles rides along
-    so future verify stages can compute Jaccard denominators without
-    re-shingling the OLD side when only |A∩B| is needed per pair."""
+    corpus text volume; ``{path}/fingerprints`` = (id, md5(text)) for the
+    exact-dup probe (exact_dups_against_index); ``{path}/meta`` pins the
+    recipe parameters so a probe with mismatched (num_hashes, bands,
+    shingle_k) fails loudly instead of silently missing every collision.
+    n_shingles rides along so future verify stages can compute Jaccard
+    denominators without re-shingling the OLD side when only |A∩B| is
+    needed per pair."""
     spark = docs.sparkSession
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     banded = band_table(sigs, id_col, num_hashes, bands).join(
         sigs.select(id_col, "n_shingles"), id_col
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands")
+    _fingerprints(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/fingerprints"
+    )
     spark.createDataFrame(
         [(num_hashes, bands, shingle_k, id_col)],
         "num_hashes int, bands int, shingle_k int, id_col string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # exact-dup side of the index: one md5 per doc (same fingerprint
+    # domain as exact_dedup)
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def exact_dups_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT duplicates between a new batch and the indexed corpus:
+    (new_id, old_id) pairs with identical text md5. Same scale shape as
+    the near-dup probe — the batch's (id, fingerprint) rows broadcast
+    against the index's fingerprint scan; the index side never
+    shuffles."""
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = m["id_col"]
+    new_fp = _fingerprints(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("_new_id"), "fingerprint"
+    )
+    idx = spark.read.parquet(f"{path}/fingerprints")
+    return (
+        idx.join(F.broadcast(new_fp), "fingerprint")
+        .filter(F.col(id_col) != F.col("_new_id"))
+        .select(F.col("_new_id").alias("new_id"), F.col(id_col).alias("old_id"))
+    )
 
 
 def append_to_minhash_index(
@@ -364,6 +401,9 @@ def append_to_minhash_index(
         sigs.select(m["id_col"], "n_shingles"), m["id_col"]
     )
     banded.write.mode("append").parquet(f"{path}/bands")
+    _fingerprints(docs, m["id_col"], text_col).write.mode("append").parquet(
+        f"{path}/fingerprints"
+    )
 
 
 def dedup_against_index(

@@ -113,3 +113,34 @@ def test_append_then_probe_finds_appended(spark, split, index_path, tmp_path):
     orig_id = batch.limit(1).collect()[0]["doc_id"]
     got = D.dedup_against_index(probe, path).collect()
     assert any(r["old_id"] == orig_id for r in got)
+
+
+def test_exact_dups_against_index(spark, split, index_path):
+    corpus, batch = split
+    # clone two corpus docs verbatim under fresh batch ids
+    clones = corpus.limit(2).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    probe = clones.unionByName(
+        batch.limit(3).select("doc_id", "text")
+    )
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in D.exact_dups_against_index(probe, index_path).collect()
+    }
+    exp_orig = {r["doc_id"] for r in corpus.limit(2).collect()}
+    assert {o for n, o in got if n >= 20_000_000} >= exp_orig
+    # batch docs are disjoint from the corpus, so any hit for them must
+    # be a genuine full-text duplicate planted by the generator
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in corpus.select(
+            "doc_id", F.md5("text").alias("fingerprint")
+        ).collect()
+    }
+    for n, o in got:
+        if n < 20_000_000:
+            row = batch.filter(F.col("doc_id") == n).collect()[0]
+            import hashlib
+
+            assert hashlib.md5(row["text"].encode()).hexdigest() == fp[o]
