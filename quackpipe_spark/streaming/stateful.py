@@ -289,3 +289,45 @@ def streaming_near_dup_flags(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def index_probe_writer(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    exact: bool = False,
+):
+    """foreachBatch handler probing each micro-batch against a PERSISTED
+    minhash index (dedup.write_minhash_index) and appending the flagged
+    (new_id, old_id) pairs to ``out_path`` parquet — streaming dedup of
+    an ingest stream against the standing corpus.
+
+    Deliberately foreachBatch, NOT a native stream-static join: inside
+    foreachBatch the micro-batch is a bounded DataFrame, so the batch
+    probe's plan applies unchanged — the batch's banded signatures
+    BROADCAST against the index scan and the index never shuffles. A
+    stream-static equi-join cannot make the unbounded side the broadcast
+    build side, so at corpus scale it would re-shuffle the INDEX once
+    per micro-batch. ``exact=True`` probes text fingerprints instead of
+    LSH bands (verbatim duplicates only).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            index_probe_writer(idx, flags_dir)
+        ).option("checkpointLocation", ckpt).start()
+
+    Exactly-once caveat: parquet append in foreachBatch replays on
+    recovery; dedupe flags downstream by (new_id, old_id) or use batch
+    epoch subdirectories keyed on batch_id for idempotent sinks."""
+    from quackpipe_spark.operators.dedup import (
+        dedup_against_index,
+        exact_dups_against_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        probe = exact_dups_against_index if exact else dedup_against_index
+        flags = probe(batch_df, index_path, text_col=text_col)
+        flags.select("new_id", "old_id").write.mode("append").parquet(out_path)
+
+    return handle

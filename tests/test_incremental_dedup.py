@@ -144,3 +144,46 @@ def test_exact_dups_against_index(spark, split, index_path):
             import hashlib
 
             assert hashlib.md5(row["text"].encode()).hexdigest() == fp[o]
+
+
+def test_streaming_probe_matches_batch_probe(spark, split, index_path, tmp_path):
+    """foreachBatch index probing over two micro-batches accumulates the
+    same flag set as one batch probe of the concatenated stream."""
+    import json
+
+    from quackpipe_spark.streaming.stateful import index_probe_writer
+
+    _, batch = split
+    rows = [(r["doc_id"], r["text"]) for r in batch.limit(6).collect()]
+    b1, b2 = rows[:3], rows[3:]
+    src = tmp_path / "probe_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(index_probe_writer(index_path, out_dir))
+        .option("checkpointLocation", str(tmp_path / "probe_ckpt"))
+        .start()
+    )
+    try:
+        for bi, chunk in enumerate([b1, b2]):
+            (src / f"b{bi}.json").write_text(
+                "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in chunk)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(whole, index_path).collect()
+    }
+    assert streamed == expected
