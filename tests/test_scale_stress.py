@@ -105,3 +105,58 @@ def test_cc_star_path_agrees_with_unionfind_at_100k_edges(spark):
     assert len({c for _, c in uf_rows}) >= 1
     assert star_wall < 180, f"star path took {star_wall:.0f}s"
     assert uf_wall < 60, f"union-find path took {uf_wall:.0f}s"
+
+
+def test_incremental_probe_40k_corpus_2k_batch(spark, tmp_path):
+    # 40k-doc indexed corpus probed by a 2k batch where every 10th batch
+    # doc clones a corpus doc verbatim — the daily-increment shape. Rails:
+    # linear index build, probe wall bounded, recall of planted clones
+    # exact. Texts are executor-built expressions (no driver lists).
+    import time
+
+    from quackpipe_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    n, m = 40_000, 2_000
+    text_of = lambda idc: F.concat_ws(
+        " ",
+        F.lit("corpus body"),
+        *[
+            F.concat(F.lit(f"w{j}-"), (idc % 997).cast("string"))
+            for j in range(10)
+        ],
+        idc.cast("string"),
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"), text_of(F.col("id")).alias("text")
+    )
+    # clone source id = (id*10) % n so clones spread over the corpus;
+    # non-clones get a distinct marker token making them novel
+    batch = spark.range(m).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0, text_of((F.col("id") * 10) % n)
+        ).otherwise(
+            F.concat(
+                text_of(F.col("id") + 555_000),
+                F.lit(" novel-"),
+                F.col("id").cast("string"),
+            )
+        ).alias("text"),
+    )
+    path = str(tmp_path / "stress_idx")
+    t0 = time.time()
+    write_minhash_index(corpus, path)
+    build = time.time() - t0
+    t0 = time.time()
+    flags = dedup_against_index(batch, path)
+    hit_new = {
+        r["new_id"] for r in flags.select("new_id").distinct().collect()
+    }
+    probe = time.time() - t0
+    planted = {1_000_000 + i for i in range(0, m, 10)}
+    assert planted <= hit_new, "every verbatim clone must band-collide"
+    assert build < 180, f"index build took {build:.0f}s on 40k docs"
+    assert probe < 120, f"probe took {probe:.0f}s for a 2k batch"
