@@ -96,6 +96,19 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
     collected. Naive == UTC matches how the DuckDB oracle's
     epoch()/epoch_us() treat naive timestamps. The tz-aware branch uses
     unix_micros directly (an instant; tz-independent).
+
+    Pushdown caveat, deliberate: a time-range predicate over the
+    CONVERTED column is an expression, so it cannot reach the parquet
+    scan (PushedFilters shows only IsNotNull) and timestamp-typed
+    sources are filtered post-scan. This is a compat-shim cost only:
+    tables the engine writes itself store the time column as int64
+    epoch-ns (TIMESTAMP(NANOS) + nanosAsLong reads it as a plain bigint
+    attribute), where range predicates push down to row-group stats
+    natively — and the query path additionally prunes whole FILES by
+    __timestamp range through the partition index before Spark lists
+    them (query.py). At 100 TB the engine's own layout is the one that
+    matters; converting at scan time keeps the driver's timestamp-typed
+    testdata correct without forking the operators.
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "timestamp_ntz":

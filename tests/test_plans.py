@@ -337,3 +337,27 @@ def test_bigram_lm_scoring_single_bigram_emission(spark):
     # plan (with its own Generate) under each InMemoryRelation
     assert p.count("InMemoryTableScan") >= 3
     spark.catalog.clearCache()
+
+
+def test_engine_int64_time_layout_pushes_range_predicates(spark, tmp_path):
+    """The engine's OWN time layout (int64 epoch-ns, what the hive writer
+    stores and nanosAsLong reads back) must push time-range predicates to
+    the parquet scan — the scan-time NTZ conversion documented in
+    _normalize_event_time is a driver-testdata compat cost only, so this
+    pins the positive control: a plain bigint ts column range-filters via
+    PushedFilters, not post-scan."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "native_events")
+    spark.range(10_000).select(
+        (F.col("id") * 1_000_000_000).alias("ts"),
+        (F.col("id") % 5).alias("k"),
+    ).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter((F.col("ts") >= 2_000_000_000_000) & (F.col("ts") < 3_000_000_000_000))
+        .groupBy("k")
+        .count()
+    )
+    p = plan_text(df)
+    assert "GreaterThanOrEqual(ts" in p and "LessThan(ts" in p
