@@ -177,3 +177,46 @@ def test_create_table_ddl_types():
     assert resolve("text") == "VARCHAR"
     with pytest.raises(ValueError):
         resolve("GEOMETRY")
+
+
+def test_compaction_cascade_many_files(engine, spark):
+    """40 level-1 files cascade L1→L2→L3 with counts/sums preserved and
+    the terminal file time-sorted — the multi-generation shape a steady
+    ingest stream produces (reference cadences: 10s/100s/1000s tiers)."""
+    svc, catalog, qe = engine
+    n_flush, rows = 40, 25
+    for i in range(n_flush):
+        svc.store(
+            "d",
+            "cascade",
+            {
+                "v": [i * rows + j for j in range(rows)],
+                "__timestamp": [T0 + (i * rows + j) * 1000 for j in range(rows)],
+            },
+        )
+        svc.flush()
+    t = catalog.get("d", "cascade")
+    [pdir] = t.partition_dirs()
+    assert len(PartitionIndex.load(pdir).files) == n_flush
+    before = qe.sql("SELECT count(*) n, sum(v) s FROM cascade", db="d").collect()[0]
+
+    comp = Compactor(spark, t, drop_delay_s=0.0)
+    comp.run_once(levels=[1])
+    comp.run_once(levels=[2])
+    comp.run_once(levels=[3])
+    after_idx = PartitionIndex.load(pdir)
+    # everything packed into generation >= 2, far fewer files than inputs
+    assert len(after_idx.files) < n_flush / 4
+    levels = {int(name.rsplit(".", 2)[-2]) for name in after_idx.files}
+    assert min(levels) >= 2
+
+    after = qe.sql("SELECT count(*) n, sum(v) s FROM cascade", db="d").collect()[0]
+    assert after == before
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    for f in _glob.glob(_os.path.join(pdir, "*.parquet")):
+        ts = pq.read_table(f, columns=["__timestamp"])["__timestamp"].to_pylist()
+        assert ts == sorted(ts)
