@@ -652,3 +652,189 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+# --- Product quantization (the 100 TB memory path) --------------------------
+
+@dataclass
+class PqCodebooks:
+    """Trained PQ codebooks: ``m`` contiguous subspaces of ``dsub`` dims,
+    each quantized by ``k`` centers. Vectors are unit-normalized before
+    encoding, so the ADC inner product approximates COSINE directly."""
+
+    m: int
+    dsub: int
+    k: int
+    centers: list[list[list[float]]]  # [m][k][dsub]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 8,
+) -> PqCodebooks:
+    """Train PQ codebooks on a bounded, DETERMINISTIC sample.
+
+    Why PQ at all: a 100 TB float32 embedding corpus cannot be held (or
+    even scanned cheaply) raw — PQ stores ``m`` small codes per vector
+    (m bytes at k≤256) instead of dim×4 bytes, a 16-64× compression,
+    and search scores codes against a per-query lookup table without
+    touching any float vector. This is the standard IVF-PQ memory
+    layout (Jégou et al. 2011, public).
+
+    Training is driver-side numpy k-means per subspace over ≤``sample``
+    vectors picked in md5(id) order (engine-reproducible, the
+    seeded_centers discipline; ties in assignment break toward the
+    lower center index, so retraining is bit-stable). Bounded collect
+    is the contract — codebook training on a sample is how PQ is used
+    at any scale; the full corpus is only ever ENCODED (one distributed
+    pass)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        .limit(sample)
+        .collect()
+    )
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if M.ndim != 2 or M.shape[1] % m != 0:
+        raise ValueError(f"vector dim {M.shape[-1]} not divisible by m={m}")
+    M /= np.maximum(np.linalg.norm(M, axis=1), 1e-300)[:, None]
+    dsub = M.shape[1] // m
+    centers: list[list[list[float]]] = []
+    for s in range(m):
+        X = M[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first k distinct-ish rows in the md5 order
+        C = X[:k].copy()
+        if len(C) < k:
+            raise ValueError(f"sample too small for k={k}")
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # ties -> lowest index (np.argmin)
+            for c in range(k):
+                hit = X[a == c]
+                if len(hit):
+                    C[c] = hit.mean(axis=0)
+        centers.append([[float(x) for x in row] for row in C])
+    return PqCodebooks(m=m, dsub=dsub, k=k, centers=centers)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: PqCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One distributed pass: (id, codes array<int>) — m codes per vector,
+    nearest center per subspace over the UNIT-NORMALIZED vector. numpy
+    per Arrow batch against broadcast center literals (the assign_cells
+    pattern); nothing shuffles. ``extra_cols`` (e.g. an IVF cell column)
+    ride along for composed indexes."""
+    Cs = [np.array(c, dtype=np.float64) for c in books.centers]
+    m, dsub = books.m, books.dsub
+
+    @F.pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        if M.shape[1] != m * dsub:
+            raise ValueError(f"dim {M.shape[1]} != trained {m * dsub}")
+        M /= np.maximum(np.linalg.norm(M, axis=1), 1e-300)[:, None]
+        out = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            X = M[:, s * dsub : (s + 1) * dsub]
+            d2 = ((X[:, None, :] - Cs[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([r.tolist() for r in out])
+
+    cols = [F.col(id_col), _codes(F.col(vec_col)).alias("codes")]
+    for c in extra_cols or []:
+        cols.append(F.col(c))
+    return corpus.select(*cols)
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: PqCodebooks,
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    rerank: DataFrame | None = None,
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ADC search over an encoded corpus, PURE JVM in the hot path: the
+    per-query lookup table (m×k inner products, driver-side numpy) inlines
+    as array literals and each row's approximate cosine is m element_at
+    lookups + adds inside whole-stage codegen — no Python, no float
+    vectors touched, distributed TakeOrdered for the top-k. Compose with
+    IVF by filtering ``codes`` to the probed cells first (codes built
+    with extra_cols=["cell"]).
+
+    ADC scores are LOSSY (8-64× compression): vectors sharing codes tie,
+    so raw ADC rank order within a tight cluster is arbitrary. The
+    standard usage (and the high-recall path) is shortlist-then-rerank:
+    pass ``rerank`` = the raw-vector corpus, and the ADC top
+    ``shortlist`` (default 4×topk) candidates — and ONLY those — are
+    re-scored with exact cosine. The rerank join touches shortlist rows,
+    never the corpus: the shortlist broadcasts, the corpus scan
+    semi-joins against it."""
+    q = np.array(query_vec, dtype=np.float64)
+    if q.shape[0] != books.dim:
+        raise ValueError(f"query dim {q.shape[0]} != trained {books.dim}")
+    q /= max(float(np.linalg.norm(q)), 1e-300)
+    m, dsub = books.m, books.dsub
+    luts = [
+        (np.array(books.centers[s], dtype=np.float64) @ q[s * dsub : (s + 1) * dsub])
+        for s in range(m)
+    ]
+    score = F.lit(0.0)
+    for s in range(m):
+        lut = F.array(*[F.lit(round(float(v), 9)) for v in luts[s]])
+        score = score + F.element_at(lut, F.element_at("codes", s + 1) + F.lit(1))
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.round(score, 6).alias("adc_cos")
+    )
+    if rerank is None:
+        return (
+            scored.orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+            .limit(topk)
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+                ),
+            )
+            .select("neighbor_id", "rank", "adc_cos")
+        )
+    sl = shortlist or 4 * topk
+    short = scored.orderBy(F.desc("adc_cos"), F.asc("neighbor_id")).limit(sl)
+    qlit = F.array(*[F.lit(float(x)) for x in np.asarray(query_vec, dtype=np.float64)])
+    exact = (
+        rerank.join(
+            F.broadcast(short),
+            rerank[id_col] == short["neighbor_id"],
+        )
+        .select(
+            "neighbor_id",
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("cos"),
+        )
+    )
+    return (
+        exact.orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        .limit(topk)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("neighbor_id"))),
+        )
+        .select("neighbor_id", "rank", "cos")
+    )
