@@ -838,3 +838,41 @@ def pq_topk(
         )
         .select("neighbor_id", "rank", "cos")
     )
+
+
+def write_pq_index(
+    codes: DataFrame,
+    books: PqCodebooks,
+    path: str,
+) -> None:
+    """Materialize an encoded PQ index: the code table (partitioned by
+    ``cell`` when the IVF composition column is present — a probed
+    search then reads only its cells' directories) plus the codebooks as
+    a tiny parquet table. At 100 TB the codes are the index's entire
+    storage footprint: m small ints per vector, 16-64× under the raw
+    floats — the reason PQ exists."""
+    spark = codes.sparkSession
+    writer = codes.write.mode("overwrite")
+    if "cell" in codes.columns:
+        writer = writer.partitionBy("cell")
+    writer.parquet(f"{path}/codes")
+    rows = [
+        (s, c, books.centers[s][c])
+        for s in range(books.m)
+        for c in range(books.k)
+    ]
+    spark.createDataFrame(
+        rows, "sub INT, code INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, PqCodebooks]:
+    """Reopen a written PQ index: lazy code scan + reconstructed
+    codebooks (exact floats — parquet doubles round-trip)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    by = {(r["sub"], r["code"]): [float(x) for x in r["center"]] for r in rows}
+    centers = [[by[(s, c)] for c in range(k)] for s in range(m)]
+    books = PqCodebooks(m=m, dsub=len(centers[0][0]), k=k, centers=centers)
+    return spark.read.parquet(f"{path}/codes"), books

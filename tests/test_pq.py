@@ -130,3 +130,24 @@ def test_ivf_cell_composition(spark, emb, books):
 def test_dim_mismatch_raises(emb, books):
     with pytest.raises(ValueError, match="dim"):
         SIM.pq_topk(SIM.pq_encode(emb, books), books, [0.1] * 7)
+
+
+def test_pq_index_roundtrip(spark, emb, books, tmp_path):
+    """Written codes+codebooks reopen to byte-identical search results;
+    with the IVF cell column present the codes land partitioned by cell."""
+    import os
+
+    centers = SIM.seeded_centers(emb, n_cells=4)
+    assigned = SIM.assign_cells(emb, centers, "vec_id", "embedding", probes=1)
+    codes = SIM.pq_encode(assigned, books, extra_cols=["cell"])
+    path = str(tmp_path / "pq_idx")
+    SIM.write_pq_index(codes, books, path)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes"))
+    )
+    codes2, books2 = SIM.load_pq_index(spark, path)
+    assert books2.centers == books.centers
+    q = [0.2] * books.dim
+    a = SIM.pq_topk(codes, books, q, topk=5).collect()
+    b = SIM.pq_topk(codes2, books2, q, topk=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
