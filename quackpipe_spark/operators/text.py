@@ -134,12 +134,9 @@ def _top_bigram(base: DataFrame, id_col: str, text_col: str) -> DataFrame:
         base.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= 2)
     )
-    t = F.col("_toks")
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    grams = toks.select(
+        id_col, F.explode(gram_array(F.col("_toks"), 2)).alias("gram")
     )
-    grams = toks.select(id_col, F.explode(bg).alias("gram"))
     counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
     return counts.groupBy(id_col).agg(
         F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio")
@@ -327,4 +324,55 @@ def analyze(
     rep = _top_bigram(base, id_col, text_col)
     return _proj(base).join(rep, id_col, "left").withColumn(
         "top_bigram_ratio", F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0))
+    )
+
+
+def linear_text_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply a pretrained LINEAR text classifier at corpus scale — the
+    fastText/CCNet-style quality-model filtering step (public recipe:
+    classifier scores gate which documents enter the training set). The
+    model arrives as data, not code: ``weights`` is a (term, weight)
+    DataFrame trained elsewhere; score(doc) = sigmoid(bias +
+    Σ_t w_t·tf_t / dl) — the mean-of-term-weights formulation fastText
+    uses for its linear bag-of-words classifiers.
+
+    Scale shape: one id-repartitioned token explode (the shingle_table
+    discipline), an INNER join against the broadcast weights table
+    (vocabulary tables are ~10⁶ rows — broadcast-sized at any corpus
+    scale; unmatched tokens contribute 0 and never leave the stage), one
+    per-doc sum with map-side partials, and a left join back so
+    weightless docs still score sigmoid(bias). All JVM expressions;
+    exp() is the only libm call, absorbed by round-to-``round_to`` for
+    cross-engine comparison."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, F.col(id_col))
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .filter(F.col("_toks").isNotNull())
+    )
+    dl = base.select(id_col, F.size("_toks").alias("_dl"))
+    matched = (
+        base.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .join(F.broadcast(weights.select("term", "weight")), "term")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("_wsum"))
+    )
+    z = F.lit(float(bias)) + F.coalesce(F.col("_wsum"), F.lit(0.0)) / F.greatest(
+        F.col("_dl"), F.lit(1)
+    )
+    return (
+        dl.join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to).alias(
+                "lin_score"
+            ),
+        )
     )

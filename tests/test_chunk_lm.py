@@ -186,3 +186,68 @@ def test_bigram_lm_flags_gibberish_on_real_corpus(spark, docs):
     real = [v for k, v in ppls.items() if k != 999999]
     real_median = sorted(real)[len(real) // 2]
     assert ppls[999999] > real_median  # gibberish is an outlier upward
+
+
+def test_linear_text_score_matches_reference(spark):
+    """Hand-computed sigmoid(mean weight) scores, incl. a weightless doc
+    (sigmoid(bias)) and a NULL-text doc (dropped)."""
+    import math
+
+    from quackpipe_spark.operators.text import linear_text_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good bad"),
+            (2, "neutral words only"),
+            (3, None),
+            (4, "bad bad bad bad"),
+        ],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        [("good", 2.0), ("bad", -1.5)], "term string, weight double"
+    )
+    out = {r["doc_id"]: r["lin_score"] for r in linear_text_score(docs, w, bias=0.3).collect()}
+
+    def sig(z):
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    assert out[1] == sig(0.3 + (2.0 + 2.0 - 1.5) / 3)
+    assert out[2] == sig(0.3)
+    assert out[4] == sig(0.3 + (-1.5 * 4) / 4)
+    assert 3 not in out
+
+
+def test_linear_text_score_matches_duckdb(spark, duck):
+    """Full-corpus differential against the identical recipe in DuckDB
+    (stopword-keyed synthetic weights)."""
+    from tests.conftest import SF_DIR
+    from quackpipe_spark.operators.text import linear_text_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wrows = [("the", 1.0), ("and", 0.5), ("data", -0.75), ("merge", 2.0)]
+    w = spark.createDataFrame(wrows, "term string, weight double")
+    got = {
+        r["doc_id"]: r["lin_score"]
+        for r in linear_text_score(docs, w, bias=-0.1).collect()
+    }
+    wvals = ", ".join(f"('{t}', {x})" for t, x in wrows)
+    exp = {
+        r[0]: r[1]
+        for r in duck.execute(f"""
+WITH w(term, weight) AS (VALUES {wvals}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+m AS (
+  SELECT doc_id, sum(weight) AS wsum
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) JOIN w USING (term)
+  GROUP BY doc_id
+)
+SELECT dl.doc_id,
+       round(1.0 / (1.0 + exp(-(-0.1 + coalesce(m.wsum, 0.0) / greatest(dl.dl, 1)))), 6)
+FROM dl LEFT JOIN m USING (doc_id)
+""").fetchall()
+    }
+    assert got == exp
