@@ -140,12 +140,17 @@ def band_table(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, bh) LSH band rows from a signature frame — band_hash =
-    md5 over the band's r = num_hashes/bands signature columns. The ONE
-    banding recipe shared by the self-join candidate stage and the
-    persisted incremental index (and mirrored bit-identically by the
-    streaming near-dup state's pandas fold)."""
+    """(id, [carry…], band, bh) LSH band rows from a signature frame —
+    band_hash = md5 over the band's r = num_hashes/bands signature
+    columns. The ONE banding recipe shared by the self-join candidate
+    stage and the persisted incremental index (and mirrored
+    bit-identically by the streaming near-dup state's pandas fold).
+    ``carry_cols`` ride the same projection — a join-back for a rider
+    column would put a SECOND copy of the whole signature pipeline in
+    the plan (two aggregation subtrees over one exchange, each computing
+    every md5)."""
     rows = num_hashes // bands
     band_hashes = F.array(
         *[
@@ -153,7 +158,11 @@ def band_table(
             for b in range(bands)
         ]
     )
-    return sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.posexplode(band_hashes).alias("band", "bh"),
+    )
 
 
 def lsh_candidates(
@@ -338,8 +347,8 @@ def write_minhash_index(
     needed per pair."""
     spark = docs.sparkSession
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    banded = band_table(sigs, id_col, num_hashes, bands).join(
-        sigs.select(id_col, "n_shingles"), id_col
+    banded = band_table(
+        sigs, id_col, num_hashes, bands, carry_cols=("n_shingles",)
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands")
     _fingerprints(docs, id_col, text_col).write.mode("overwrite").parquet(
@@ -397,8 +406,8 @@ def append_to_minhash_index(
     sigs = minhash_signatures(
         docs, m["id_col"], text_col, m["num_hashes"], m["shingle_k"]
     )
-    banded = band_table(sigs, m["id_col"], m["num_hashes"], m["bands"]).join(
-        sigs.select(m["id_col"], "n_shingles"), m["id_col"]
+    banded = band_table(
+        sigs, m["id_col"], m["num_hashes"], m["bands"], carry_cols=("n_shingles",)
     )
     banded.write.mode("append").parquet(f"{path}/bands")
     _fingerprints(docs, m["id_col"], text_col).write.mode("append").parquet(

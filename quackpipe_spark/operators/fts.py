@@ -113,17 +113,12 @@ def _bm25_rank(
     topk: int,
     k1: float,
     b: float,
-    deterministic: bool = False,
 ) -> DataFrame:
     """Score matched postings and return (id, rank, score) — document
-    frequencies aggregate over just the matched terms' rows.
-
-    ``deterministic`` switches the per-doc score from an unordered
-    F.sum (associativity-order float noise only) to a sequential fold
-    over term-sorted contributions — bit-identical across engines that
-    restate the same fold (the DuckDB oracle's ordered list_reduce), so
-    the only cross-engine residual is ln() libm ulp, absorbed by the
-    round to 6 decimals."""
+    frequencies aggregate over just the matched terms' rows. Ranking
+    orders by the UNROUNDED score (rounding only the displayed value):
+    ordering by a rounded score would re-rank near-boundary pairs by the
+    id tie-break, diverging from any oracle that orders raw scores."""
     dfreq = matched.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
         1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -131,39 +126,18 @@ def _bm25_rank(
     tf = F.col("tf").cast("double")
     denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     contrib = idf * tf * (k1 + 1.0) / denom
-    joined = matched.join(F.broadcast(dfreq), "term")
-    if deterministic:
-        scored = (
-            joined.select(
-                F.col(id_col),
-                F.struct(F.col("term"), contrib.alias("c")).alias("_tc"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.round(
-                    F.aggregate(
-                        F.transform(
-                            F.array_sort(F.collect_list("_tc")), lambda s: s["c"]
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("score")
-            )
-        )
-    else:
-        scored = (
-            joined.select(F.col(id_col), contrib.alias("_c"))
-            .groupBy(id_col)
-            .agg(F.round(F.sum("_c"), 6).alias("score"))
-        )
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_score"))
+    )
     # distributed top-k first (TakeOrderedAndProject — no global window over
     # the full candidate set), then rank the ≤topk survivors
-    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    top = scored.orderBy(F.desc("_score"), F.asc(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "rank", "score"
+        id_col, "rank", F.round("_score", 6).alias("score")
     )
 
 
@@ -280,13 +254,14 @@ def bm25_scan(
     # serializes the tokenization onto the (possibly single) scan split,
     # while a predicate over both join sides stays above the broadcast
     # join, post-exchange, fully parallel.
-    scored = j.filter(score > 0).select(
-        F.col(id_col), F.round(score, 6).alias("score")
-    )
-    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    # rank by the UNROUNDED score (round only the displayed value) — the
+    # oracle's top-k CTE orders raw scores, so rounding before the sort
+    # would let the id tie-break re-rank near-boundary pairs
+    scored = j.filter(score > 0).select(F.col(id_col), score.alias("_score"))
+    top = scored.orderBy(F.desc("_score"), F.asc(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("_score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
-        id_col, "rank", "score"
+        id_col, "rank", F.round("_score", 6).alias("score")
     )
 
 

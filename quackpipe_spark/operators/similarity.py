@@ -711,10 +711,26 @@ def train_pq(
     centers: list[list[list[float]]] = []
     for s in range(m):
         X = M[:, s * dsub : (s + 1) * dsub]
-        # deterministic init: first k distinct-ish rows in the md5 order
-        C = X[:k].copy()
-        if len(C) < k:
-            raise ValueError(f"sample too small for k={k}")
+        # deterministic init: first k DISTINCT subvectors in md5 order —
+        # duplicate rows (common in a dedup-oriented corpus) would seed
+        # identical centers, and argmin's lower-index tie rule then
+        # starves the duplicates forever (dead centers, shrunken
+        # effective codebook)
+        seen: set[bytes] = set()
+        init = []
+        for row in X:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+                if len(init) == k:
+                    break
+        if len(init) < k:
+            raise ValueError(
+                f"sample has only {len(init)} distinct subvectors in "
+                f"subspace {s}; k={k} needs at least k distinct"
+            )
+        C = np.array(init)
         for _ in range(iters):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = np.argmin(d2, axis=1)  # ties -> lowest index (np.argmin)
