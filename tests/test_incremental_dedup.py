@@ -187,3 +187,15 @@ def test_streaming_probe_matches_batch_probe(spark, split, index_path, tmp_path)
         for r in D.dedup_against_index(whole, index_path).collect()
     }
     assert streamed == expected
+
+
+def test_probe_empty_and_short_batches(spark, index_path):
+    """An empty batch or one with only sub-shingle docs probes to zero
+    candidates (no crash, no spurious pairs)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.dedup_against_index(empty, index_path).count() == 0
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    assert D.dedup_against_index(short, index_path).count() == 0
+    assert D.exact_dups_against_index(empty, index_path).count() == 0
