@@ -160,3 +160,58 @@ def test_incremental_probe_40k_corpus_2k_batch(spark, tmp_path):
     assert planted <= hit_new, "every verbatim clone must band-collide"
     assert build < 180, f"index build took {build:.0f}s on 40k docs"
     assert probe < 120, f"probe took {probe:.0f}s for a 2k batch"
+
+
+def test_pq_200k_vectors_encode_and_search(spark):
+    # 200k clustered 32-dim vectors, executor-built: cluster base =
+    # sin((cid+1)*(j+1)), small per-id wobble. Train on the default 10k
+    # sample, encode all, ADC-search one query — neighbors must come
+    # overwhelmingly from the query's cluster, inside loose wall rails.
+    import time
+
+    from quackpipe_spark.operators import similarity as SIM
+
+    n, n_clusters, dim = 200_000, 64, 32
+    cid = F.col("id") % n_clusters
+
+    def h(expr, j):
+        # deterministic uniform [-1, 1) from md5 — sin((cid+1)(j+1))
+        # aliases badly (measured center pairs at cosine 0.96)
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(expr.cast("string"), F.lit(f"|{j}"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("double")
+            / (16**6 / 2.0)
+            - 1.0
+        )
+
+    vec = F.array(
+        *[
+            (h(cid, j) + h(F.col("id"), j + 1000) * 0.05).cast("float")
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).persist()
+    corpus.count()
+    t0 = time.time()
+    books = SIM.train_pq(corpus, m=4, k=32, iters=4)
+    codes = SIM.pq_encode(corpus, books).persist()
+    n_codes = codes.count()
+    build = time.time() - t0
+    assert n_codes == n
+    t0 = time.time()
+    q = corpus.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    out = SIM.pq_topk(codes, books, q, topk=50).collect()
+    search = time.time() - t0
+    same_cluster = sum(1 for r in out if r["neighbor_id"] % n_clusters == 7)
+    assert same_cluster >= 45, f"only {same_cluster}/50 from the query cluster"
+    assert build < 240, f"train+encode took {build:.0f}s for 200k vectors"
+    assert search < 90, f"ADC search took {search:.0f}s over 200k codes"
+    codes.unpersist()
+    corpus.unpersist()
