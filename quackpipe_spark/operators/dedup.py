@@ -392,6 +392,37 @@ def exact_dups_against_index(
     )
 
 
+def diff_fingerprint_indexes(
+    spark,
+    path_a: str,
+    path_b: str,
+) -> DataFrame:
+    """Corpus-version diff from two index snapshots' fingerprint tables
+    (write_minhash_index layouts): per doc id, ``added`` (only in B),
+    ``removed`` (only in A), ``changed`` (both, different text md5), or
+    ``same``. Runs entirely on the compact fingerprint tables — one
+    sort-merge join on id, never touching document text — so auditing
+    what a curation release changed costs index-scan time even when the
+    corpora are 100 TB."""
+    a = spark.read.parquet(f"{path_a}/fingerprints")
+    b = spark.read.parquet(f"{path_b}/fingerprints")
+    id_col = [c for c in a.columns if c != "fingerprint"][0]
+    j = a.select(
+        F.col(id_col), F.col("fingerprint").alias("_fa")
+    ).join(
+        b.select(F.col(id_col), F.col("fingerprint").alias("_fb")),
+        id_col,
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("_fa").isNull(), F.lit("added"))
+        .when(F.col("_fb").isNull(), F.lit("removed"))
+        .when(F.col("_fa") != F.col("_fb"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
 def append_to_minhash_index(
     docs: DataFrame,
     path: str,

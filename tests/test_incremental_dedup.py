@@ -199,3 +199,27 @@ def test_probe_empty_and_short_batches(spark, index_path):
     )
     assert D.dedup_against_index(short, index_path).count() == 0
     assert D.exact_dups_against_index(empty, index_path).count() == 0
+
+
+def test_diff_fingerprint_indexes(spark, split, tmp_path):
+    """Version diff over two snapshots: removed / added / changed / same
+    classified purely from the fingerprint tables."""
+    corpus, _ = split
+    v1 = corpus.limit(20).cache()
+    rows = v1.collect()
+    v1_ids = [r["doc_id"] for r in rows]
+    # v2: drop the first doc, add one, change one, keep the rest
+    changed_id = v1_ids[1]
+    v2 = spark.createDataFrame(
+        [(r["doc_id"], r["text"] + (" EDITED" if r["doc_id"] == changed_id else ""))
+         for r in rows[1:]] + [(30_000_001, "a brand new doc body")],
+        "doc_id long, text string",
+    )
+    pa, pb = str(tmp_path / "va"), str(tmp_path / "vb")
+    D.write_minhash_index(v1, pa)
+    D.write_minhash_index(v2, pb)
+    got = {r["doc_id"]: r["status"] for r in D.diff_fingerprint_indexes(spark, pa, pb).collect()}
+    assert got[v1_ids[0]] == "removed"
+    assert got[30_000_001] == "added"
+    assert got[changed_id] == "changed"
+    assert all(got[i] == "same" for i in v1_ids[2:])
