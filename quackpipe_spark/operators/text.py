@@ -376,3 +376,35 @@ def linear_text_score(
             ),
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Per-group corpus health report — the one-call audit a pipeline
+    runs before and after each curation release: doc/token counts,
+    length and quality distribution, repetition and PII rates. One
+    row-local projection + one aggregation (two shuffle-free stages over
+    the scan at any corpus size; grouping adds the single groupBy
+    shuffle)."""
+    toks = tokenize(F.col(text_col))
+    proj = docs.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.size(toks).alias("_nt"),
+        F.length(text_col).alias("_nc"),
+        quality_score(F.col(text_col)).alias("_q"),
+        dup_token_ratio(F.col(text_col)).alias("_dup"),
+        (email_count(F.col(text_col)) + url_count(F.col(text_col))).alias("_pii"),
+    )
+    g = proj.groupBy(group_col) if group_col else proj.groupBy()
+    return g.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("_nc"), 2).alias("avg_chars"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.avg("_dup"), 4).alias("avg_dup_ratio"),
+        F.round(F.avg((F.col("_pii") > 0).cast("double")), 4).alias("pii_doc_rate"),
+    )

