@@ -28,6 +28,50 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Default ceiling (in BATCH rows) under which the index probes force a
+#: broadcast of the batch side. Bands-per-doc ≈ 4 and ~80 bytes/banded row
+#: put a 1M-doc batch around 320 MB broadcast — the practical upper edge
+#: for executor-memory safety. Above it the hint is dropped and the join
+#: falls back to a shuffle (AQE may still choose broadcast from real
+#: stats); the index side itself never shuffles either way beyond that
+#: fallback.
+PROBE_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> DataFrame:
+    """Size-gate the broadcast hint on the batch side of an index probe.
+
+    ``source`` is the raw batch frame (one row per doc — cheaper to count
+    than the derived banded/fingerprint frame, which would re-run the
+    hashing lineage). Broadcast only when the batch is verifiably under
+    ``max_rows``; a quarter-corpus-sized "increment" must NOT be force-
+    broadcast into executor OOM. ``max_rows=None`` disables the gate and
+    never hints."""
+    if max_rows is not None and max_rows > 0 and source.count() <= max_rows:
+        return F.broadcast(probe)
+    return probe
+
+
+def _index_text_col(m, text_col: str | None) -> str:
+    """Resolve the probe's text column from the index meta row.
+
+    The meta pins ``text_col`` (since r7) so an index built from a
+    non-default column can't be silently probed on the wrong one when the
+    batch happens to also carry a ``text`` column. An explicit mismatch
+    raises (mirroring the shingle_k guard) — rename the batch column
+    (``withColumnRenamed``) if it legitimately differs. Pre-r7 indexes
+    without the meta field fall back to the caller's value or 'text'."""
+    pinned = m["text_col"] if "text_col" in m.__fields__ else None
+    if text_col is None:
+        return pinned if pinned is not None else "text"
+    if pinned is not None and text_col != pinned:
+        raise ValueError(
+            f"index built with text_col={pinned!r}, probe asked {text_col!r}; "
+            "rename the batch column instead of overriding the index recipe"
+        )
+    return text_col
+
+
 def tokenize(col) -> Column:
     """Whitespace tokenization with trim+lower normalization (identical
     semantics to the oracle's string_split_regex(trim(lower(x)), '\\s+'))."""
@@ -355,8 +399,8 @@ def write_minhash_index(
         f"{path}/fingerprints"
     )
     spark.createDataFrame(
-        [(num_hashes, bands, shingle_k, id_col)],
-        "num_hashes int, bands int, shingle_k int, id_col string",
+        [(num_hashes, bands, shingle_k, id_col, text_col)],
+        "num_hashes int, bands int, shingle_k int, id_col string, text_col string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -371,22 +415,26 @@ def _fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def exact_dups_against_index(
     new_docs: DataFrame,
     path: str,
-    text_col: str = "text",
+    text_col: str | None = None,
+    broadcast_max_rows: int | None = PROBE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """EXACT duplicates between a new batch and the indexed corpus:
     (new_id, old_id) pairs with identical text md5. Same scale shape as
     the near-dup probe — the batch's (id, fingerprint) rows broadcast
-    against the index's fingerprint scan; the index side never
-    shuffles."""
+    against the index's fingerprint scan when the batch is verifiably
+    under ``broadcast_max_rows`` (oversized batches fall back to a
+    shuffle join instead of a forced-broadcast OOM); the index side
+    never shuffles in the broadcast case."""
     spark = new_docs.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col = m["id_col"]
+    text_col = _index_text_col(m, text_col)
     new_fp = _fingerprints(new_docs, id_col, text_col).select(
         F.col(id_col).alias("_new_id"), "fingerprint"
     )
     idx = spark.read.parquet(f"{path}/fingerprints")
     return (
-        idx.join(F.broadcast(new_fp), "fingerprint")
+        idx.join(_probe_hint(new_fp, new_docs, broadcast_max_rows), "fingerprint")
         .filter(F.col(id_col) != F.col("_new_id"))
         .select(F.col("_new_id").alias("new_id"), F.col(id_col).alias("old_id"))
     )
@@ -426,14 +474,16 @@ def diff_fingerprint_indexes(
 def append_to_minhash_index(
     docs: DataFrame,
     path: str,
-    text_col: str = "text",
+    text_col: str | None = None,
 ) -> None:
     """Append a (deduplicated) batch's band rows to an existing index —
     the second half of the incremental loop: probe, drop dups, append
-    survivors. Parameters come from the index's own meta, so an append
-    can never diverge from the recipe the index was built with."""
+    survivors. Parameters (text_col included) come from the index's own
+    meta, so an append can never diverge from the recipe the index was
+    built with."""
     spark = docs.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
+    text_col = _index_text_col(m, text_col)
     sigs = minhash_signatures(
         docs, m["id_col"], text_col, m["num_hashes"], m["shingle_k"]
     )
@@ -449,10 +499,11 @@ def append_to_minhash_index(
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,
-    text_col: str = "text",
+    text_col: str | None = None,
     corpus: DataFrame | None = None,
     threshold: float = 0.8,
     shingle_k: int | None = None,
+    broadcast_max_rows: int | None = PROBE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Near-dup candidates between a NEW batch and a persisted corpus
     index (write_minhash_index), without touching corpus text.
@@ -461,8 +512,13 @@ def dedup_against_index(
     and is never re-hashed. The new batch's banded signatures (bands
     rows per new doc — tiny for any sane increment) BROADCAST, and the
     index scan hash-joins against them in place; only matching index
-    rows survive the scan. Increment ≪ corpus is the contract; for
-    batch-vs-batch at comparable sizes use minhash_dedup on the union.
+    rows survive the scan. The broadcast is size-GATED, not assumed: a
+    batch over ``broadcast_max_rows`` docs loses the hint and the join
+    falls back to a shuffle (AQE can still pick broadcast from real
+    stats) — increment ≪ corpus is the intended shape, but an oversized
+    "increment" degrades to a slower plan instead of a forced-broadcast
+    OOM. For batch-vs-batch at comparable sizes use minhash_dedup on
+    the union.
 
     Returns (new_id, old_id) candidate pairs. With ``corpus`` supplied
     (a frame containing the OLD docs' id/text), candidates are
@@ -478,6 +534,7 @@ def dedup_against_index(
             f"index built with shingle_k={m['shingle_k']}, probe asked {shingle_k}"
         )
     id_col = m["id_col"]
+    text_col = _index_text_col(m, text_col)
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, m["num_hashes"], m["shingle_k"]
     )
@@ -486,7 +543,7 @@ def dedup_against_index(
     )
     idx = spark.read.parquet(f"{path}/bands")
     cands = (
-        idx.join(F.broadcast(new_banded), ["band", "bh"])
+        idx.join(_probe_hint(new_banded, new_docs, broadcast_max_rows), ["band", "bh"])
         .filter(F.col(id_col) != F.col("_new_id"))
         .select(
             F.col("_new_id").alias("new_id"), F.col(id_col).alias("old_id")

@@ -390,14 +390,26 @@ def corpus_report(
     row-local projection + one aggregation (two shuffle-free stages over
     the scan at any corpus size; grouping adds the single groupBy
     shuffle)."""
+    # NULL-text docs are COUNTED, with zero contribution to every metric.
+    # Guarding matters twice over: the engine session runs ANSI-off, where
+    # size(NULL) is -1 (legacy sizeOfNull — would SUBTRACT from n_tokens)
+    # and dup_token_ratio(NULL) evaluates to 2.0 (would inflate
+    # avg_dup_ratio); and unguarded NULL lengths/PII would silently drop
+    # out of the avg()s while n_docs still counted the doc — mutually
+    # inconsistent metrics in the one report billed as the release audit.
     toks = tokenize(F.col(text_col))
+    is_null = F.col(text_col).isNull()
     proj = docs.select(
         *( [F.col(group_col)] if group_col else [] ),
-        F.size(toks).alias("_nt"),
-        F.length(text_col).alias("_nc"),
+        F.when(is_null, F.lit(0)).otherwise(F.size(toks)).alias("_nt"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
         quality_score(F.col(text_col)).alias("_q"),
-        dup_token_ratio(F.col(text_col)).alias("_dup"),
-        (email_count(F.col(text_col)) + url_count(F.col(text_col))).alias("_pii"),
+        F.when(is_null, F.lit(0.0))
+        .otherwise(dup_token_ratio(F.col(text_col)))
+        .alias("_dup"),
+        F.coalesce(
+            email_count(F.col(text_col)) + url_count(F.col(text_col)), F.lit(0)
+        ).alias("_pii"),
     )
     g = proj.groupBy(group_col) if group_col else proj.groupBy()
     return g.agg(

@@ -294,7 +294,7 @@ def streaming_near_dup_flags(
 def index_probe_writer(
     index_path: str,
     out_path: str,
-    text_col: str = "text",
+    text_col: str | None = None,
     exact: bool = False,
 ):
     """foreachBatch handler probing each micro-batch against a PERSISTED

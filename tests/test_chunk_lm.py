@@ -275,3 +275,29 @@ FROM documents GROUP BY source
         assert got[s]["n_tokens"] == exp[s][2]
         assert 0.0 <= got[s]["avg_quality"] <= 1.0
         assert 0.0 <= got[s]["pii_doc_rate"] <= 1.0
+
+
+def test_corpus_report_null_text(spark):
+    """NULL-text docs are COUNTED with zero contribution to every metric
+    — no legacy size(NULL)=-1 subtraction from n_tokens, no
+    dup_token_ratio(NULL)=2.0 inflating avg_dup_ratio, no silent
+    avg()-drop of the doc from some metrics while n_docs counts it."""
+    from quackpipe_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "alpha beta beta"),
+            (2, "web", "gamma delta"),
+            (3, "web", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_tokens"] == 5  # 3 + 2 + 0, NOT 4 (3 + 2 - 1)
+    # dup ratios: 1-2/3=0.3333, 0.0, 0.0 -> avg 0.1111 (NOT (0.3333+0+2)/3)
+    assert abs(r["avg_dup_ratio"] - round((1 - 2 / 3) / 3, 4)) < 1e-3
+    # chars: 15, 11, 0 -> NULL counted as 0, not dropped from the avg
+    assert abs(r["avg_chars"] - round((15 + 11 + 0) / 3, 2)) < 1e-9
+    assert r["pii_doc_rate"] == 0.0
+    assert 0.0 <= r["avg_quality"] <= 1.0

@@ -95,6 +95,73 @@ def test_probe_plan_broadcasts_batch_not_index(spark, split, index_path):
     assert "Exchange" not in idx_side
 
 
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_probe_broadcast_is_size_gated(spark, split, index_path):
+    """The broadcast hint is gated on the batch row count: under the
+    bound the plan pins BroadcastHashJoin; over it the hint is DROPPED
+    and (with auto-broadcast off, as a real outsized batch would be) the
+    join degrades to a shuffle join instead of a forced-broadcast OOM."""
+    _, batch = split
+    small = _plan_str(
+        D.dedup_against_index(batch, index_path, broadcast_max_rows=10_000_000)
+    )
+    assert "BroadcastHashJoin" in small and "SortMergeJoin" not in small
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = _plan_str(
+            D.dedup_against_index(batch, index_path, broadcast_max_rows=1)
+        )
+        assert "BroadcastHashJoin" not in big
+        assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+        big_exact = _plan_str(
+            D.exact_dups_against_index(batch, index_path, broadcast_max_rows=1)
+        )
+        assert "BroadcastHashJoin" not in big_exact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # results identical either side of the gate
+    a = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(
+            batch, index_path, broadcast_max_rows=1
+        ).collect()
+    }
+    b = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(batch, index_path).collect()
+    }
+    assert a == b
+
+
+def test_index_meta_pins_text_col(spark, split, tmp_path):
+    """An index built from a non-default text column: probes default to
+    the pinned column; an explicit mismatch raises instead of silently
+    shingling the wrong column."""
+    corpus, batch = split
+    path = str(tmp_path / "idx_body")
+    corpus_renamed = corpus.withColumnRenamed("text", "body")
+    D.write_minhash_index(corpus_renamed, path, text_col="body")
+    # batch ALSO carries a 'text' column — the silent-mismatch trap
+    probe = batch.withColumn("body", F.col("text")).withColumn(
+        "text", F.lit("decoy decoy decoy")
+    )
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(probe, path).collect()
+    }
+    assert got == _expected_cross_candidates(spark, corpus, batch)
+    with pytest.raises(ValueError, match="text_col"):
+        D.dedup_against_index(probe, path, text_col="text")
+    with pytest.raises(ValueError, match="text_col"):
+        D.exact_dups_against_index(probe, path, text_col="text")
+    with pytest.raises(ValueError, match="text_col"):
+        D.append_to_minhash_index(probe, path, text_col="text")
+
+
 def test_param_mismatch_raises(split, index_path):
     _, batch = split
     with pytest.raises(ValueError, match="shingle_k"):
@@ -106,11 +173,14 @@ def test_append_then_probe_finds_appended(spark, split, index_path, tmp_path):
     path = str(tmp_path / "idx2")
     D.write_minhash_index(corpus, path)
     D.append_to_minhash_index(batch, path)
-    # a clone of an appended batch doc under a fresh id must now collide
-    probe = batch.limit(1).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    # a clone of an appended batch doc under a fresh id must now collide.
+    # Collect the row ONCE: limit(1) without orderBy has no row-order
+    # guarantee, so evaluating it twice could pick two different docs.
+    row = batch.orderBy("doc_id").limit(1).collect()[0]
+    orig_id = row["doc_id"]
+    probe = spark.createDataFrame(
+        [(orig_id + 10_000_000, row["text"])], "doc_id long, text string"
     )
-    orig_id = batch.limit(1).collect()[0]["doc_id"]
     got = D.dedup_against_index(probe, path).collect()
     assert any(r["old_id"] == orig_id for r in got)
 
