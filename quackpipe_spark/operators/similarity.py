@@ -742,18 +742,81 @@ def train_pq(
     return PqCodebooks(m=m, dsub=dsub, k=k, centers=centers)
 
 
+def seeded_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    sample: int = 512,
+) -> PqCodebooks:
+    """Zero-iteration PQ codebooks: subspace ``s``'s centers are the first
+    ``k`` DISTINCT **raw** subvectors among the first ``sample`` vectors
+    in md5(id) order — the :func:`seeded_centers` discipline applied per
+    subspace, with zero Lloyd iterations and NO normalization.
+
+    This is the oracle-checkable degenerate of :func:`train_pq` (which
+    stays the library default): because every center is a verbatim slice
+    of parquet floats picked by an engine-neutral md5 ordering, ANY
+    engine re-derives bit-identical codebooks from the data alone, so an
+    ADC search over the encoding is hash-verifiable end-to-end (encode
+    with ``normalize=False, d2_round=...`` and search with
+    ``normalize_query=False`` to keep every intermediate mirrorable).
+    Quantization quality is strictly worse than trained k-means — this
+    trades codebook optimality for cross-engine reproducibility, exactly
+    like build_seeded_ivf_index vs build_ivf_index."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        .limit(sample)
+        .collect()
+    )
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if M.ndim != 2 or M.shape[1] % m != 0:
+        raise ValueError(f"vector dim {M.shape[-1]} not divisible by m={m}")
+    dsub = M.shape[1] // m
+    centers: list[list[list[float]]] = []
+    for s in range(m):
+        X = M[:, s * dsub : (s + 1) * dsub]
+        seen: set[bytes] = set()
+        init: list[np.ndarray] = []
+        for row in X:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+                if len(init) == k:
+                    break
+        if len(init) < k:
+            raise ValueError(
+                f"sample has only {len(init)} distinct subvectors in "
+                f"subspace {s}; k={k} needs at least k distinct"
+            )
+        centers.append([[float(x) for x in row] for row in init])
+    return PqCodebooks(m=m, dsub=dsub, k=k, centers=centers)
+
+
 def pq_encode(
     corpus: DataFrame,
     books: PqCodebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: list[str] | None = None,
+    normalize: bool = True,
+    d2_round: int | None = None,
 ) -> DataFrame:
     """One distributed pass: (id, codes array<int>) — m codes per vector,
     nearest center per subspace over the UNIT-NORMALIZED vector. numpy
     per Arrow batch against broadcast center literals (the assign_cells
     pattern); nothing shuffles. ``extra_cols`` (e.g. an IVF cell column)
-    ride along for composed indexes."""
+    ride along for composed indexes.
+
+    ``normalize=False`` quantizes RAW subvectors (pair with seeded
+    codebooks for the oracle-checkable path); ``d2_round`` rounds the
+    squared distances before argmin so summation-order ULP noise can't
+    flip a near-tie across engines (ties break toward the lower code in
+    both)."""
     Cs = [np.array(c, dtype=np.float64) for c in books.centers]
     m, dsub = books.m, books.dsub
 
@@ -764,11 +827,14 @@ def pq_encode(
         M = np.array(vecs.tolist(), dtype=np.float64)
         if M.shape[1] != m * dsub:
             raise ValueError(f"dim {M.shape[1]} != trained {m * dsub}")
-        M /= np.maximum(np.linalg.norm(M, axis=1), 1e-300)[:, None]
+        if normalize:
+            M /= np.maximum(np.linalg.norm(M, axis=1), 1e-300)[:, None]
         out = np.empty((len(M), m), dtype=np.int32)
         for s in range(m):
             X = M[:, s * dsub : (s + 1) * dsub]
             d2 = ((X[:, None, :] - Cs[s][None, :, :]) ** 2).sum(axis=2)
+            if d2_round is not None:
+                d2 = np.round(d2, d2_round)
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series([r.tolist() for r in out])
 
@@ -787,6 +853,7 @@ def pq_topk(
     rerank: DataFrame | None = None,
     vec_col: str = "embedding",
     shortlist: int | None = None,
+    normalize_query: bool = True,
 ) -> DataFrame:
     """ADC search over an encoded corpus, PURE JVM in the hot path: the
     per-query lookup table (m×k inner products, driver-side numpy) inlines
@@ -807,7 +874,12 @@ def pq_topk(
     q = np.array(query_vec, dtype=np.float64)
     if q.shape[0] != books.dim:
         raise ValueError(f"query dim {q.shape[0]} != trained {books.dim}")
-    q /= max(float(np.linalg.norm(q)), 1e-300)
+    if normalize_query:
+        q /= max(float(np.linalg.norm(q)), 1e-300)
+    # normalize_query=False pairs with raw-subvector (seeded) codebooks:
+    # the ADC sum then approximates dot(q, x) — a max-inner-product
+    # shortlist, reranked to exact cosine below, and every intermediate
+    # is mirrorable by the SQL oracle.
     m, dsub = books.m, books.dsub
     luts = [
         (np.array(books.centers[s], dtype=np.float64) @ q[s * dsub : (s + 1) * dsub])

@@ -460,6 +460,166 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# --- product quantization (gate row) ---------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SAMPLE = 4, 16, 512
+_PQ_TOPK, _PQ_SHORTLIST, _PQ_QUERY_ID = 10, 40, 0
+
+# (session, sf_dir) → (books, persisted codes, query vector): the PQ index
+# is built once per engine lifetime (the ivf_index_for model); the gate row
+# times the ADC-search + rerank path.
+_PQ_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _emb64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ/LSH corpus contract: exactly-64-dim non-null vectors (see
+    ann_topk_lsh's docstring for why the NULL/short rows are excluded
+    explicitly on both engines)."""
+    return _emb(spark, sf_dir).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _LSH_DIMS)
+    )
+
+
+def pq_index_for(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _PQ_CACHE.get(key)
+    if hit is None:
+        emb = _emb64(spark, sf_dir)
+        books = S.seeded_pq_codebooks(
+            emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE
+        )
+        codes = S.pq_encode(
+            emb, books, normalize=False, d2_round=6
+        ).persist()
+        codes.count()  # eager: search must never re-run the encode
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == _PQ_QUERY_ID)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        hit = (books, codes, qvec)
+        _PQ_CACHE[key] = hit
+    else:
+        codes = hit[1]
+        if not (codes.storageLevel.useMemory or codes.storageLevel.useDisk):
+            codes.persist()
+            codes.count()
+    return hit
+
+
+def pq_prebuild(spark: SparkSession, sf_dir: str) -> None:
+    """Warmup hook (bench): build the PQ index outside per-query timing."""
+    pq_index_for(spark, sf_dir)
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's memory path under the driver gate: ADC search over a
+    product-quantized encoding, shortlist-then-rerank to exact cosine.
+
+    The gate pins the ZERO-ITERATION seeded codebooks
+    (similarity.seeded_pq_codebooks: centers = first k distinct RAW
+    subvectors in md5(id) order) with raw-subvector encoding and
+    rounded squared distances, so the DuckDB oracle re-derives the
+    identical codebooks, codes, ADC lookup table, shortlist and rerank
+    from the parquet alone — the whole lossy path hash-verified. The
+    trained k-means codebook (train_pq) stays the library default and is
+    recall-tested in tests/test_pq.py."""
+    books, codes, qvec = pq_index_for(spark, sf_dir)
+    return S.pq_topk(
+        codes,
+        books,
+        qvec,
+        topk=_PQ_TOPK,
+        rerank=_emb64(spark, sf_dir),
+        shortlist=_PQ_SHORTLIST,
+        normalize_query=False,
+    )
+
+
+def _pq_oracle(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    sample: int = _PQ_SAMPLE,
+    dims: int = _LSH_DIMS,
+    qid: int = _PQ_QUERY_ID,
+    topk: int = _PQ_TOPK,
+    shortlist: int = _PQ_SHORTLIST,
+) -> str:
+    """The seeded-PQ search restated for DuckDB: identical md5-ordered
+    sample, per-subspace first-k-distinct raw-subvector codebooks,
+    nearest-code encoding (d² rounded to 6, ties → lower code), ADC via
+    the same 9-rounded lookup table, shortlist cut at the same
+    (adc DESC, id ASC) order, exact-cosine rerank of the shortlist."""
+    dsub = dims // m
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dims}
+),
+seeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+  FROM base
+  QUALIFY rk <= {sample}
+),
+subspaces AS (SELECT unnest(range(1, {m + 1})) AS sub),
+seed_subvecs AS (
+  SELECT s.sub, o.rk,
+         list_transform(range(1, {dsub + 1}),
+                        i -> o.embedding[(s.sub - 1) * {dsub} + i]::DOUBLE) AS v
+  FROM seeds o CROSS JOIN subspaces s
+),
+codebook AS (
+  SELECT sub, v AS center,
+         CAST(row_number() OVER (PARTITION BY sub ORDER BY first_rk) - 1 AS INT) AS code
+  FROM (SELECT sub, v, min(rk) AS first_rk FROM seed_subvecs GROUP BY sub, v)
+  QUALIFY code < {k}
+),
+corpus_subvecs AS (
+  SELECT b.vec_id, s.sub,
+         list_transform(range(1, {dsub + 1}),
+                        i -> b.embedding[(s.sub - 1) * {dsub} + i]::DOUBLE) AS v
+  FROM base b CROSS JOIN subspaces s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT cs.vec_id, cs.sub, cb.code,
+           round(list_sum(list_transform(range(1, {dsub + 1}),
+                 i -> (cs.v[i] - cb.center[i]) * (cs.v[i] - cb.center[i]))), 6) AS d2
+    FROM corpus_subvecs cs JOIN codebook cb USING (sub)
+  )
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
+),
+q AS (SELECT embedding FROM base WHERE vec_id = {qid}),
+lut AS (
+  SELECT cb.sub, cb.code,
+         round(list_sum(list_transform(range(1, {dsub + 1}),
+               i -> cb.center[i] * q.embedding[(cb.sub - 1) * {dsub} + i]::DOUBLE)), 9) AS w
+  FROM codebook cb CROSS JOIN q
+),
+adc AS (
+  SELECT e.vec_id AS neighbor_id, round(sum(l.w), 6) AS adc_cos
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  GROUP BY e.vec_id
+),
+short AS (
+  SELECT neighbor_id FROM adc ORDER BY adc_cos DESC, neighbor_id ASC LIMIT {shortlist}
+),
+exact AS (
+  SELECT c.vec_id AS neighbor_id,
+         round({_emb_dot('c.embedding', 'q.embedding')}
+               / (sqrt({_emb_dot('c.embedding', 'c.embedding')})
+                  * sqrt({_emb_dot('q.embedding', 'q.embedding')})), 6) AS cos
+  FROM base c JOIN short ON short.neighbor_id = c.vec_id CROSS JOIN q
+)
+SELECT neighbor_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+       cos
+FROM exact
+QUALIFY rank <= {topk}
+"""
+
+
 # --- text analysis ---------------------------------------------------------
 
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +858,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_pq": ann_topk_pq,
     "text_analyze": text_analyze,
     "multimodal_summary": multimodal_summary,
     "multimodal_decode": multimodal_decode,
@@ -708,7 +869,7 @@ QUERIES = {
 # queries whose timing contract assumes a prebuilt artifact (bench runs the
 # hook untimed after each cache clear; the driver's correctness run doesn't
 # need it — ivf_index_for self-heals after a clearCache)
-PREBUILD = {"ann_topk_ivf": prebuild}
+PREBUILD = {"ann_topk_ivf": prebuild, "ann_topk_pq": pq_prebuild}
 
 # queries that persist+count intermediates (or build an index) during plan
 # construction: the registry's plan cache must rebuild these per call —
@@ -720,6 +881,7 @@ STATEFUL = {
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "corpus_clean_pipeline",
 }
 
@@ -732,6 +894,7 @@ ORACLE = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_lsh": _lsh_oracle(),
     "ann_topk_ivf": _ivf_oracle(),
+    "ann_topk_pq": _pq_oracle(),
     "text_analyze": _text_oracle(),
     "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,

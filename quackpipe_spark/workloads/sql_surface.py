@@ -1543,8 +1543,11 @@ COLLECT_AGG_BATTERY_SQL = "\nUNION ALL\n".join(
 
 
 def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/string, math, date, regex, JSON scalar-function families — all
-    pure JVM whole-stage-codegen expressions (SURVEY §2B functions)."""
+    """CASE/string, math, date, regex, JSON scalar-function families plus
+    the collection aggregates (ordered string_agg, array collect/sort/
+    index) — all SURVEY §2B functions in one digest row. The collection
+    parts were folded in from the former collect_agg_battery driver row
+    (r7) to free a registry slot for ann_topk_pq under the 50-row cap."""
     return _union_digests(
         [
             ("case_strings", expr_case_strings(spark, sf_dir)),
@@ -1552,12 +1555,27 @@ def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("date", date_functions(spark, sf_dir)),
             ("regexp", regexp_functions(spark, sf_dir)),
             ("json", json_extract_props(spark, sf_dir)),
+            ("string_agg", string_agg_ordered(spark, sf_dir)),
+            ("array_agg", array_agg_ops(spark, sf_dir)),
         ]
     )
 
 
 SCALAR_BATTERY_SQL = "\nUNION ALL\n".join(
     [
+        _digest_sql(
+            "string_agg", STRING_AGG_SQL, [("n_regionkey", "s"), ("nations", "s")]
+        ),
+        _digest_sql(
+            "array_agg",
+            ARRAY_AGG_SQL,
+            [
+                ("o_orderpriority", "s"),
+                ("statuses", "s"),
+                ("n_statuses", "s"),
+                ("first_status", "s"),
+            ],
+        ),
         _digest_sql(
             "case_strings",
             EXPR_CASE_SQL,
@@ -1635,7 +1653,6 @@ QUERIES = {
     "window_battery": window_battery,
     "sessionize_events": sessionize_events,
     "sort_battery": sort_battery,
-    "collect_agg_battery": collect_agg_battery,
     "set_ops_battery": set_ops_battery,
     "subquery_battery": subquery_battery,
     "scalar_battery": scalar_battery,
@@ -1664,7 +1681,6 @@ ORACLE = {
     "window_battery": WINDOW_BATTERY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sort_battery": SORT_BATTERY_SQL,
-    "collect_agg_battery": COLLECT_AGG_BATTERY_SQL,
     "set_ops_battery": SET_OPS_BATTERY_SQL,
     "subquery_battery": SUBQUERY_BATTERY_SQL,
     "scalar_battery": SCALAR_BATTERY_SQL,

@@ -151,3 +151,43 @@ def test_pq_index_roundtrip(spark, emb, books, tmp_path):
     a = SIM.pq_topk(codes, books, q, topk=5).collect()
     b = SIM.pq_topk(codes2, books2, q, topk=5).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_seeded_codebooks_are_verbatim_subvectors(spark, emb):
+    """Seeded (zero-iteration) codebooks: every center is a verbatim raw
+    subvector of some corpus vector, derivation is deterministic, and the
+    k centers per subspace are distinct."""
+    e64 = emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+    books = SIM.seeded_pq_codebooks(e64, m=4, k=16, sample=256)
+    again = SIM.seeded_pq_codebooks(e64, m=4, k=16, sample=256)
+    assert again.centers == books.centers
+    raws = {
+        tuple(float(x) for x in r["embedding"][s * 16 : (s + 1) * 16])
+        for r in e64.limit(2000).collect()
+        for s in range(4)
+    }
+    for s in range(4):
+        cs = [tuple(c) for c in books.centers[s]]
+        assert len(set(cs)) == 16
+        assert all(c in raws for c in cs)
+
+
+def test_seeded_raw_encode_matches_numpy_reference(spark, emb):
+    """Raw-subvector encoding with d2_round: the distributed pandas-UDF
+    path must agree code-for-code with a driver-side numpy restatement."""
+    e64 = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).limit(300)
+    books = SIM.seeded_pq_codebooks(e64, m=4, k=8, sample=128)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.pq_encode(e64, books, normalize=False, d2_round=6).collect()
+    }
+    Cs = [np.array(c) for c in books.centers]
+    for r in e64.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        exp = []
+        for s in range(4):
+            d2 = ((v[s * 16 : (s + 1) * 16][None, :] - Cs[s]) ** 2).sum(axis=1)
+            exp.append(int(np.argmin(np.round(d2, 6))))
+        assert got[r["vec_id"]] == exp
