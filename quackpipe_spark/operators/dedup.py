@@ -496,6 +496,26 @@ def append_to_minhash_index(
     )
 
 
+def compact_minhash_index(spark, path: str) -> list[str]:
+    """Re-pack an incrementally-appended index's file sets with the
+    size-tiered greedy planner (plans.compactor) — after N daily
+    append_to_minhash_index calls the bands/fingerprints dirs hold N
+    Spark file-groups and probe scan-planning degrades linearly in N.
+    Bands sort by (band, bh) and fingerprints by fingerprint in the
+    merged outputs, so parquet row-group min/max stats can prune future
+    probe scans. Run from the index's single writer between probe cycles
+    (the incremental loop is sequential: probe → append → [compact]);
+    probe results are unchanged by construction — same rows, fewer
+    files. Returns the new file paths."""
+    from quackpipe_spark.plans.compactor import compact_parquet_dir
+
+    out = compact_parquet_dir(spark, f"{path}/bands", order_by=["band", "bh"])
+    out += compact_parquet_dir(
+        spark, f"{path}/fingerprints", order_by=["fingerprint"]
+    )
+    return out
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,

@@ -96,6 +96,20 @@ def load_postings(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/postings").drop("term_bucket")
 
 
+def compact_postings_index(spark, path: str) -> list[str]:
+    """Re-pack each term_bucket directory of a postings index with the
+    size-tiered greedy planner (plans.compactor) — repeated builds or
+    future appends leave multiple file-groups per bucket and the
+    partition-pruned search then opens many small files per probed
+    bucket. Merged outputs sort by term so row-group min/max stats prune
+    within a bucket too. Single-writer maintenance op (see
+    compact_parquet_dir's concurrency contract); search results are
+    unchanged — same rows, fewer files."""
+    from quackpipe_spark.plans.compactor import compact_parquet_tree
+
+    return compact_parquet_tree(spark, f"{path}/postings", order_by=["term"])
+
+
 def _terms(query: str) -> list[str]:
     # driver-side tokenization MUST mirror dedup.tokenize (trim+lower+\s+)
     # so a query term matches the postings' term domain exactly

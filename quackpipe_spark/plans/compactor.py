@@ -233,3 +233,131 @@ class Compactor:
             idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
             idx.reap()
         return dst
+
+
+# --- flat parquet-dir compaction (index append dirs) ------------------------
+# The incremental index workflows (dedup.append_to_minhash_index,
+# repeated postings builds) append Spark part-files to plain parquet
+# directories with no catalog Table or PartitionIndex behind them. After a
+# year of daily increments a bands dir is hundreds of file-groups and probe
+# scan-planning degrades. The SAME greedy size-desc bin-packing applies —
+# these dirs are exactly the planner's input shape — just keyed off a
+# directory listing instead of metadata.json. Spark-written part files
+# (no .N.parquet suffix) count as level 1; compaction outputs carry the
+# usual <uuid>.<level>.parquet names so later runs re-pack them at their
+# own tier and the terminal level self-merges (file count stays bounded,
+# big outputs are rarely rewritten).
+#
+# Concurrency contract: unlike the Table path there is no tombstone index,
+# so inputs are unlinked right after the output lands. Run compaction from
+# the index's single writer between probe cycles (the incremental-dedup
+# loop is sequential by construction: probe → append → [compact]); a scan
+# that already listed a deleted input would fail and re-run.
+
+_PART_FILE_RE = re.compile(r"\.parquet$")
+
+
+def _dir_file_sizes(path: str) -> dict[str, int]:
+    return {
+        e.name: e.stat().st_size
+        for e in os.scandir(path)
+        if e.is_file() and _PART_FILE_RE.search(e.name) and not e.name.startswith((".", "_"))
+    }
+
+
+def plan_dir_merges(path: str) -> list[MergePlan]:
+    """plan_merges for a plain parquet directory: level from the file name
+    (Spark part files = level 1), greedy size-desc bin-pack per level with
+    the standard caps, lone >cap/2 files rename-promoted."""
+    sizes = _dir_file_sizes(path)
+    by_level: dict[int, list[tuple[str, int]]] = {}
+    for name, sz in sizes.items():
+        lv = file_level(name) or 1
+        if lv <= MAX_LEVEL:
+            by_level.setdefault(lv, []).append((name, sz))
+    plans: list[MergePlan] = []
+    for lv in sorted(by_level):
+        entries = sorted(by_level[lv], key=lambda t: -t[1])
+        cap = MAX_SIZES[lv]
+        szmap = dict(entries)
+
+        def close_bin(bin_files: list[str]) -> None:
+            if len(bin_files) > 1:
+                plans.append(MergePlan(path, lv, bin_files))
+            elif bin_files and lv < MAX_LEVEL and szmap[bin_files[0]] > cap // 2:
+                plans.append(MergePlan(path, lv, bin_files, promote=True))
+
+        bin_files: list[str] = []
+        bin_size = 0
+        for name, sz in entries:
+            if bin_files and bin_size + sz > cap:
+                close_bin(bin_files)
+                bin_files, bin_size = [], 0
+            bin_files.append(name)
+            bin_size += sz
+        close_bin(bin_files)
+    return plans
+
+
+def compact_parquet_dir(
+    spark, path: str, order_by: list[str] | None = None
+) -> list[str]:
+    """Execute all planned merges for one flat parquet dir: each bin is a
+    single sorted rewrite (read inputs → sort → ONE output file at
+    level+1 via tmp+rename) and the inputs are removed. ``order_by``
+    sorts the merged output so parquet row-group min/max stats prune
+    later scans (e.g. bands by (band, bh): a probe's hash-join build side
+    filter skips whole row groups). Returns the new file paths."""
+    out: list[str] = []
+    for plan in plan_dir_merges(path):
+        paths = [os.path.join(path, f) for f in plan.files]
+        paths = [p for p in paths if os.path.exists(p)]
+        newname = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
+        dst = os.path.join(path, newname)
+        if plan.promote:
+            if not paths:
+                continue
+            try:
+                os.link(paths[0], dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(paths[0], dst)
+            os.unlink(paths[0])
+            out.append(dst)
+            continue
+        if len(paths) < 2:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if order_by:
+            df = df.sort(*order_by)
+        stage = os.path.join(
+            os.path.dirname(path.rstrip("/")), f".compact-{uuid.uuid4().hex}"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), dst)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        for p in paths:
+            os.unlink(p)
+        out.append(dst)
+    return out
+
+
+def compact_parquet_tree(
+    spark, root: str, order_by: list[str] | None = None
+) -> list[str]:
+    """compact_parquet_dir over every leaf directory holding parquet files
+    under ``root`` — the hive-partitioned layout (e.g. postings
+    partitioned by term_bucket, IVF postings by cell). Partition columns
+    live in the directory names, so per-leaf rewrites preserve them."""
+    out: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if any(
+            _PART_FILE_RE.search(f) and not f.startswith((".", "_"))
+            for f in filenames
+        ):
+            out.extend(compact_parquet_dir(spark, dirpath, order_by))
+    return out

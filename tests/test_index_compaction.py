@@ -1,0 +1,165 @@
+"""Index-dir compaction: N incremental appends leave N file-groups in the
+bands/fingerprints (and postings) dirs; the flat-dir greedy compactor must
+bound the file count without changing any probe/search result."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackpipe_spark.operators import dedup as D
+from quackpipe_spark.operators import fts as FTS
+from quackpipe_spark.plans.compactor import (
+    compact_parquet_dir,
+    plan_dir_merges,
+)
+
+
+def _parquet_files(path):
+    return [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx_compact") / "idx")
+    corpus = spark.createDataFrame(
+        [(i, f"base document number {i} alpha beta gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    D.write_minhash_index(corpus, path)
+    for day in range(30):
+        batch = spark.createDataFrame(
+            [
+                (
+                    1000 + day * 10 + j,
+                    f"incremental doc {day}-{j} epsilon zeta eta theta",
+                )
+                for j in range(3)
+            ],
+            "doc_id long, text string",
+        )
+        D.append_to_minhash_index(batch, path)
+    return path
+
+
+def test_thirty_appends_then_compact_bounds_files(spark, appended_index):
+    path = appended_index
+    before_bands = _parquet_files(f"{path}/bands")
+    before_fp = _parquet_files(f"{path}/fingerprints")
+    assert len(before_bands) > 30  # one file-group per append at minimum
+
+    # snapshot probe results BEFORE compaction
+    probe = spark.createDataFrame(
+        [(9_000_001, "incremental doc 5-1 epsilon zeta eta theta"),
+         (9_000_002, "base document number 7 alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    near_before = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(probe, path).collect()
+    }
+    exact_before = {
+        (r["new_id"], r["old_id"])
+        for r in D.exact_dups_against_index(probe, path).collect()
+    }
+    assert near_before and exact_before
+
+    new_files = D.compact_minhash_index(spark, path)
+    assert new_files
+    after_bands = _parquet_files(f"{path}/bands")
+    after_fp = _parquet_files(f"{path}/fingerprints")
+    # tiny files all pack into one bin per level per dir
+    assert len(after_bands) <= 2
+    assert len(after_fp) <= 2
+    assert len(after_bands) < len(before_bands)
+    assert len(after_fp) < len(before_fp)
+
+    near_after = {
+        (r["new_id"], r["old_id"])
+        for r in D.dedup_against_index(probe, path).collect()
+    }
+    exact_after = {
+        (r["new_id"], r["old_id"])
+        for r in D.exact_dups_against_index(probe, path).collect()
+    }
+    assert near_after == near_before
+    assert exact_after == exact_before
+    # a further append + probe still works on the compacted index
+    D.append_to_minhash_index(
+        spark.createDataFrame(
+            [(5000, "post compact doc iota kappa lambda mu")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    again = spark.createDataFrame(
+        [(9_000_003, "post compact doc iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    hits = {r["old_id"] for r in D.dedup_against_index(again, path).collect()}
+    assert 5000 in hits
+
+
+def test_compaction_is_idempotent_and_repacks_own_output(spark, appended_index):
+    path = appended_index
+    # second run: the level-2 outputs of run 1 either stay (single file,
+    # under cap/2) or pack among themselves — file count never grows
+    before = _parquet_files(f"{path}/bands")
+    D.compact_minhash_index(spark, path)
+    after = _parquet_files(f"{path}/bands")
+    assert len(after) <= len(before)
+
+
+def test_postings_tree_compaction_preserves_search(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "duckdb scans parquet very fast"),
+            (3, "spark and duckdb both scan parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fts")
+    post = FTS.build_postings(docs)
+    FTS.write_postings(post, path, n_buckets=4)
+    # simulate fragmented buckets: append the same postings again would
+    # duplicate rows, so instead fragment by appending an EMPTY-safe
+    # second file set from a disjoint doc
+    from quackpipe_spark.operators.sampling import hash_mod
+
+    extra = FTS.build_postings(
+        spark.createDataFrame(
+            [(4, "parquet scan speed in spark")], "doc_id long, text string"
+        )
+    ).withColumn("term_bucket", hash_mod(F.col("term"), 4))
+    extra.write.partitionBy("term_bucket").mode("append").parquet(
+        f"{path}/postings"
+    )
+    # stats must reflect the full corpus for scores to be comparable
+    before = FTS.search_postings_index(spark, path, "spark parquet", topk=4).collect()
+    new_files = FTS.compact_postings_index(spark, path)
+    assert new_files
+    after = FTS.search_postings_index(spark, path, "spark parquet", topk=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in after] == [
+        (r["doc_id"], r["score"]) for r in before
+    ]
+
+
+def test_plan_dir_merges_promotes_lone_large_file(tmp_path):
+    d = tmp_path / "flat"
+    d.mkdir()
+    big = d / "part-00000-big.parquet"
+    big.write_bytes(b"x" * (60 << 20))  # > 100MB/2 at level 1
+    plans = plan_dir_merges(str(d))
+    assert len(plans) == 1 and plans[0].promote and plans[0].out_level == 2
+    small = d / "part-00001-small.parquet"
+    small.write_bytes(b"y" * 1024)
+    plans = plan_dir_merges(str(d))
+    # now they pack together instead of promoting
+    assert len(plans) == 1 and not plans[0].promote and len(plans[0].files) == 2
