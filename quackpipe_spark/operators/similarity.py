@@ -150,9 +150,11 @@ def assign_cells(
     vec_col: str,
     probes: int = 1,
     round_to: int = 6,
+    carry_probes: bool = False,
 ) -> DataFrame:
     """(id, vec, nrm, cell) rows — each vector assigned to its ``probes``
-    nearest centers by cosine (rounded, tie-broken on cell id).
+    nearest centers by cosine (rounded, tie-broken on cell id); with
+    ``carry_probes`` the full probe array rides along as ``pcells``.
 
     The scoring is one numpy matmul per Arrow batch against the driver-side
     center literals — no crossJoin row blowup, no shuffle, no window
@@ -181,6 +183,17 @@ def assign_cells(
         )[:, :n_probes]
         return pd.Series([cells_np[o].astype("int32").tolist() for o in order])
 
+    if carry_probes:
+        # keep each row's full probe list alongside the exploded cell:
+        # downstream pair stages can then decide "is this cell the pair's
+        # canonical (minimum shared) cell?" locally, instead of paying a
+        # global distinct shuffle over the emitted pair set
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("nrm"),
+            _topcells(F.col(vec_col)).alias("pcells"),
+        ).select("*", F.explode("pcells").alias("cell"))
     return df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -227,7 +240,16 @@ def blocked_near_pairs(
     if n_cells is None:
         n_cells = auto_cells(corpus)
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
-    assigned = assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=probes)
+    # per-byte work here is one vectorized matmul — a small corpus is
+    # cheaper serial than split (fan_out's skip_under_bytes rationale)
+    assigned = assign_cells(
+        fan_out(corpus, skip_under_bytes=32 << 20),
+        centers,
+        id_col,
+        vec_col,
+        probes=probes,
+        carry_probes=True,
+    )
     # emit with slack below threshold, round+filter JVM-side: np.round is
     # half-to-even while Spark/DuckDB round() is half-up, so the EXACT
     # rounding that decides threshold membership must not happen in numpy
@@ -250,18 +272,41 @@ def blocked_near_pairs(
         C = S / (nr[:, None] * nr[None, :])
         ai, bi = np.triu_indices(p, 1)
         keep = C[ai, bi] >= slack
+        ai, bi, cos = ai[keep], bi[keep], C[ai, bi][keep]
+        # canonical-cell dedup: a pair sharing BOTH probe cells would be
+        # emitted twice; emit only from the pair's minimum shared cell so
+        # the result needs no global distinct (one whole shuffle of the
+        # pair set saved — the pair set is the big thing here at scale)
+        cell = int(pdf["cell"].iloc[0])
+        pcs = [set(x) for x in pdf["pcells"]]
+        emit = np.fromiter(
+            (min(pcs[x] & pcs[y]) == cell for x, y in zip(ai, bi)),
+            dtype=bool,
+            count=len(ai),
+        )
         return pd.DataFrame(
-            {"a": ids[ai[keep]], "b": ids[bi[keep]], "_rawcos": C[ai, bi][keep]}
+            {"a": ids[ai[emit]], "b": ids[bi[emit]], "_rawcos": cos[emit]}
         )
 
-    scored = assigned.groupBy("cell").applyInPandas(
-        _cell_pairs, schema=f"a {dict(corpus.dtypes)[id_col]}, b {dict(corpus.dtypes)[id_col]}, _rawcos double"
+    # never more cell-stage partitions than cells: the stage has at most
+    # n_cells groups, so extra partitions are pure task/Arrow overhead
+    # (at real scale n_cells ≥ 4×par and this pins partitions = par); the
+    # explicit hash exchange on cell also satisfies the groupBy's
+    # clustering, so no second exchange follows
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        assigned.repartition(min(par, n_cells), "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pairs,
+            schema=f"a {dict(corpus.dtypes)[id_col]}, b {dict(corpus.dtypes)[id_col]}, _rawcos double",
+        )
     )
-    return (
-        scored.select("a", "b", F.round(F.col("_rawcos"), round_to).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .distinct()  # pairs sharing 2 probe cells appear twice, same cos
-    )
+    return scored.select(
+        "a", "b", F.round(F.col("_rawcos"), round_to).alias("cos")
+    ).filter(
+        F.col("cos") >= threshold
+    )  # already distinct: each pair was emitted only from its canonical cell
 
 
 def semantic_dedup(

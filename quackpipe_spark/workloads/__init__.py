@@ -57,6 +57,13 @@ def _wrap(name: str, fn: Callable[[SparkSession, str], DataFrame], stateful: set
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
         return df
+        # NOTE on actions: memoizing the count/collect Dataset as well
+        # (prepared-statement style) was tried in r7 and REVERTED — Spark
+        # skips completed shuffle map stages when re-executing the same
+        # physical plan (shuffle files outlive catalog.clearCache()), so
+        # repeat actions measured only final-stage work. The plan cache
+        # stops at construction: every action re-plans and re-executes in
+        # full, which is what a benchmark rep must mean.
 
     cached.__name__ = fn.__name__
     cached.__doc__ = fn.__doc__

@@ -879,11 +879,14 @@ STATEFUL = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     "ann_topk_ivf",
     "ann_topk_pq",
     "corpus_clean_pipeline",
 }
+# dedup_embedding_cosine left the set in r7: blocked_near_pairs no longer
+# persists an intermediate (the canonical-cell emit removed the last one);
+# its only build-time driver work is the deterministic seeded-centers
+# collect, which the plan cache exists to memoize (pure plan thereafter).
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
