@@ -104,7 +104,19 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    t = tokenize(F.col(text_col))
+    # Materialize the token array ONCE per row as a projection attribute
+    # before the higher-order transform: HOF lambdas evaluate their body
+    # interpreted, per element, with no common-subexpression elimination
+    # — inlining the split() expression into the lambda re-tokenized the
+    # whole document once PER CHUNK (measured 0.74s → 0.18s at sf0.1).
+    # The split is non-cheap and multiply-referenced, so CollapseProject
+    # keeps the projection boundary instead of re-inlining it.
+    base = docs.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("_toks"),
+        (F.length(F.trim(F.col(text_col))) > 0).alias("_nonblank"),
+    )
+    t = F.col("_toks")
     n = F.size(t)
     # chunk starts: 0, stride, … until the previous chunk reached the
     # end: ceil((n - overlap) / stride) chunks, floored at 1 — counting
@@ -114,7 +126,7 @@ def chunk_documents(
     # the sequence() is guarded because sequence(0, -1) infers a
     # negative step (the shingles trap).
     n_chunks = F.when(
-        F.length(F.trim(F.col(text_col))) > 0,
+        F.col("_nonblank"),
         F.greatest(F.lit(1), F.ceil((n - overlap) / F.lit(stride))),
     ).otherwise(F.lit(0))
     seq = F.when(
@@ -131,7 +143,7 @@ def chunk_documents(
         ),
     )
     return (
-        docs.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        base.select(F.col(id_col), F.explode(chunks).alias("_c"))
         .select(
             id_col,
             F.col("_c.chunk_id").alias("chunk_id"),

@@ -879,14 +879,19 @@ STATEFUL = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "ann_topk_ivf",
-    "ann_topk_pq",
     "corpus_clean_pipeline",
 }
 # dedup_embedding_cosine left the set in r7: blocked_near_pairs no longer
 # persists an intermediate (the canonical-cell emit removed the last one);
 # its only build-time driver work is the deterministic seeded-centers
 # collect, which the plan cache exists to memoize (pure plan thereafter).
+# ann_topk_ivf / ann_topk_pq also left (r7): their search DataFrames are
+# pure plans over the session-cached index frames (_IVF_CACHE/_PQ_CACHE —
+# the SAME objects every call), and the index's eager materialization is
+# the PREBUILD hook's job, which benches run outside the timer and
+# ivf_index_for/pq_index_for self-heal after an external clearCache. If
+# the cache is dropped mid-query the memoized plan recomputes lazily —
+# correct, just timed where it happens.
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
