@@ -475,12 +475,19 @@ def append_to_minhash_index(
     docs: DataFrame,
     path: str,
     text_col: str | None = None,
+    compact_over_files: int | None = 64,
 ) -> None:
     """Append a (deduplicated) batch's band rows to an existing index —
     the second half of the incremental loop: probe, drop dups, append
     survivors. Parameters (text_col included) come from the index's own
     meta, so an append can never diverge from the recipe the index was
-    built with."""
+    built with.
+
+    ``compact_over_files``: after the append, if the bands dir holds more
+    than this many parquet files, run compact_minhash_index in-line —
+    the append loop is the index's single writer, so this is exactly the
+    safe point, and it keeps probe scan-planning flat without a separate
+    maintenance scheduler. None disables (run the compactor yourself)."""
     spark = docs.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     text_col = _index_text_col(m, text_col)
@@ -494,6 +501,16 @@ def append_to_minhash_index(
     _fingerprints(docs, m["id_col"], text_col).write.mode("append").parquet(
         f"{path}/fingerprints"
     )
+    if compact_over_files is not None:
+        import os
+
+        n_files = sum(
+            1
+            for e in os.scandir(f"{path}/bands")
+            if e.name.endswith(".parquet") and not e.name.startswith((".", "_"))
+        )
+        if n_files > compact_over_files:
+            compact_minhash_index(spark, path)
 
 
 def compact_minhash_index(spark, path: str) -> list[str]:

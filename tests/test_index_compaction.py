@@ -163,3 +163,27 @@ def test_plan_dir_merges_promotes_lone_large_file(tmp_path):
     plans = plan_dir_merges(str(d))
     # now they pack together instead of promoting
     assert len(plans) == 1 and not plans[0].promote and len(plans[0].files) == 2
+
+
+def test_append_auto_compacts_over_threshold(spark, tmp_path):
+    path = str(tmp_path / "auto_idx")
+    corpus = spark.createDataFrame(
+        [(i, f"seed doc {i} alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    D.write_minhash_index(corpus, path)
+    for day in range(6):
+        batch = spark.createDataFrame(
+            [(100 + day, f"auto day {day} delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        # tiny threshold: compaction should fire inside the append loop
+        D.append_to_minhash_index(batch, path, compact_over_files=4)
+    assert len(_parquet_files(f"{path}/bands")) <= 4
+    # everything appended is still probeable
+    probe = spark.createDataFrame(
+        [(9_100_003, "auto day 3 delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    hits = {r["old_id"] for r in D.dedup_against_index(probe, path).collect()}
+    assert 103 in hits
