@@ -90,6 +90,65 @@ def write_postings(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def append_postings(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_over_files: int | None = 64,
+) -> None:
+    """Incrementally index a NEW batch into a written postings index —
+    the FTS analogue of dedup.append_to_minhash_index: the standing index
+    is never rebuilt or re-scanned for postings; only the batch pays the
+    tokenize/explode pass, and its postings append into the same
+    term-bucket partition layout.
+
+    Corpus stats update INCREMENTALLY from the old stats row plus one
+    small aggregation over the batch (N' = N + n; avgdl' =
+    (N·avgdl + Σdl) / N') — never a full-index re-aggregation, so the
+    append cost is O(batch) at any index size. Batch ids must be
+    disjoint from the indexed corpus (same contract as the dedup index;
+    re-indexing a doc would double-count it in df and stats).
+
+    ``compact_over_files``: when any single bucket directory exceeds the
+    bound after the append, the whole postings tree re-packs via the
+    size-tiered planner (single-writer maintenance point, like the
+    dedup-index auto-compact)."""
+    spark = docs.sparkSession
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = st["n_buckets"]
+    post = build_postings(docs, id_col, text_col)
+    out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
+    out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
+    b = (
+        post.groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_new = int(b["n"] or 0)
+    if n_new:
+        new_n = int(st["N"]) + n_new
+        new_avgdl = (int(st["N"]) * float(st["avgdl"]) + float(b["sum_dl"])) / new_n
+        spark.createDataFrame(
+            [(new_n, new_avgdl, n_buckets)],
+            "N BIGINT, avgdl DOUBLE, n_buckets INT",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    if compact_over_files is not None:
+        import os
+
+        root = f"{path}/postings"
+        for dirpath, _d, files in os.walk(root):
+            n_files = sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if n_files > compact_over_files:
+                compact_postings_index(spark, path)
+                break
+
+
 def load_postings(spark, path: str) -> DataFrame:
     """Reopen the postings table (all buckets — for re-aggregation or
     in-memory pinning; the per-query path is search_postings_index)."""

@@ -44,7 +44,9 @@ def appended_index(spark, tmp_path_factory):
             ],
             "doc_id long, text string",
         )
-        D.append_to_minhash_index(batch, path)
+        # auto-compact off: this fixture exercises the EXPLICIT
+        # compaction path over a maximally fragmented index
+        D.append_to_minhash_index(batch, path, compact_over_files=None)
     return path
 
 
@@ -187,3 +189,69 @@ def test_append_auto_compacts_over_threshold(spark, tmp_path):
     )
     hits = {r["old_id"] for r in D.dedup_against_index(probe, path).collect()}
     assert 103 in hits
+
+
+def test_append_postings_matches_full_rebuild(spark, tmp_path):
+    """Incremental FTS indexing: append postings + incremental stats must
+    produce byte-identical search results to rebuilding the index from
+    the union corpus (idf and avgdl both depend on the stats row, so a
+    drift there would shift every score)."""
+    base = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "duckdb scans parquet very fast"),
+            (3, "spark and duckdb both scan parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (4, "parquet scan speed in spark"),
+            (5, "executors shuffle spark data"),
+        ],
+        "doc_id long, text string",
+    )
+    inc_path = str(tmp_path / "inc")
+    FTS.write_postings(FTS.build_postings(base), inc_path, n_buckets=4)
+    FTS.append_postings(batch, inc_path)
+    full_path = str(tmp_path / "full")
+    FTS.write_postings(
+        FTS.build_postings(base.unionByName(batch)), full_path, n_buckets=4
+    )
+    for q in ("spark parquet", "duckdb", "executors data"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in FTS.search_postings_index(spark, inc_path, q, topk=5).collect()
+        ]
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in FTS.search_postings_index(spark, full_path, q, topk=5).collect()
+        ]
+        assert got == exp, q
+    # stats row matches the rebuilt one
+    si = spark.read.parquet(f"{inc_path}/stats").collect()[0]
+    sf = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert si["N"] == sf["N"] == 5
+    assert abs(si["avgdl"] - sf["avgdl"]) < 1e-12
+
+
+def test_append_postings_auto_compacts(spark, tmp_path):
+    path = str(tmp_path / "fts_auto")
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    FTS.write_postings(FTS.build_postings(base), path, n_buckets=2)
+    for i in range(6):
+        FTS.append_postings(
+            spark.createDataFrame(
+                [(10 + i, f"alpha delta doc{i}")], "doc_id long, text string"
+            ),
+            path,
+            compact_over_files=2,
+        )
+    # every bucket dir bounded
+    for dirpath, _d, files in os.walk(f"{path}/postings"):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        assert n <= 3, (dirpath, n)
+    got = {r["doc_id"] for r in FTS.search_postings_index(spark, path, "alpha", topk=10).collect()}
+    assert got == {1} | {10 + i for i in range(6)}
