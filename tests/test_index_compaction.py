@@ -255,3 +255,56 @@ def test_append_postings_auto_compacts(spark, tmp_path):
         assert n <= 3, (dirpath, n)
     got = {r["doc_id"] for r in FTS.search_postings_index(spark, path, "alpha", topk=10).collect()}
     assert got == {1} | {10 + i for i in range(6)}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=6 << 30), max_size=40),
+    levels=st.lists(st.integers(min_value=1, max_value=5), max_size=40),
+)
+def test_plan_dir_merges_invariants(tmp_path_factory, sizes, levels):
+    """Planner invariants over arbitrary dir states: every planned file
+    exists and is claimed at most once; multi-file bins respect the level
+    cap (unless a single file already exceeds it, which can only pair
+    with nothing); promotions are lone >cap/2 files below MAX_LEVEL."""
+    import quackpipe_spark.plans.compactor as C
+
+    d = tmp_path_factory.mktemp("plan_prop")
+    names = []
+    for i, sz in enumerate(sizes):
+        lv = levels[i % len(levels)] if levels else 1
+        name = (
+            f"part-{i:05d}-x.parquet" if lv == 1 else f"f{i:05d}.{lv}.parquet"
+        )
+        # sparse file: correct st_size without writing gigabytes
+        with open(d / name, "wb") as f:
+            f.truncate(sz)
+        names.append((name, sz, lv))
+    plans = C.plan_dir_merges(str(d))
+    claimed: set[str] = set()
+    szmap = {n: s for n, s, _l in names}
+    for p in plans:
+        for f in p.files:
+            assert f not in claimed, "file claimed twice"
+            claimed.add(f)
+            assert f in szmap
+        lv = p.level
+        cap = C.MAX_SIZES[lv]
+        if p.promote:
+            assert len(p.files) == 1
+            assert lv < C.MAX_LEVEL
+            assert szmap[p.files[0]] > cap // 2
+            assert p.out_level == lv + 1
+        else:
+            assert len(p.files) >= 2
+            total = sum(szmap[f] for f in p.files)
+            # greedy close: total may exceed cap only via its largest
+            # single member already exceeding cap
+            assert total <= cap or max(szmap[f] for f in p.files) > cap
+        assert p.out_level == min(lv + 1, C.MAX_LEVEL)
+    # levels above MAX_LEVEL are never planned
+    for p in plans:
+        assert p.level <= C.MAX_LEVEL
