@@ -331,3 +331,41 @@ def index_probe_writer(
         flags.select("new_id", "old_id").write.mode("append").parquet(out_path)
 
     return handle
+
+
+def postings_append_writer(
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_over_files: int | None = 64,
+):
+    """foreachBatch handler that incrementally indexes an ingest stream
+    into a standing FTS postings index (fts.write_postings layout) —
+    the search-side twin of index_probe_writer: each micro-batch pays
+    one tokenize/explode pass and an O(batch) stats update; the standing
+    index is never rebuilt, and bucket dirs auto-compact past
+    ``compact_over_files``.
+
+    foreachBatch (not a streaming aggregation) for the same reason as
+    the probe writer: inside it the micro-batch is a bounded DataFrame,
+    so the batch append plan — including the incremental stats
+    read-modify-write, which has no streaming equivalent — applies
+    unchanged. The stats row makes this handler the index's single
+    writer by contract: one stream per index.
+
+    Exactly-once caveat: parquet append + stats overwrite replay on
+    recovery; feed the stream deduplicated doc ids (dropDuplicates on a
+    watermark upstream) or route replays through batch-id subdirs."""
+    from quackpipe_spark.operators.fts import append_postings
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_postings(
+                batch_df,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                compact_over_files=compact_over_files,
+            )
+
+    return handle

@@ -308,3 +308,56 @@ def test_plan_dir_merges_invariants(tmp_path_factory, sizes, levels):
     # levels above MAX_LEVEL are never planned
     for p in plans:
         assert p.level <= C.MAX_LEVEL
+
+
+def test_streaming_postings_append_matches_batch(spark, tmp_path):
+    """foreachBatch FTS indexing over two micro-batches must equal one
+    full rebuild over base+stream (stream≡batch parity, the same
+    discipline as the dedup probe writer)."""
+    import json as _json
+
+    from quackpipe_spark.streaming.stateful import postings_append_writer
+
+    base = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "duckdb scans parquet")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fts_stream")
+    FTS.write_postings(FTS.build_postings(base), path, n_buckets=4)
+    rows = [(3, "parquet scan in spark"), (4, "spark data executors"),
+            (5, "duckdb parquet speed"), (6, "scan shuffles spark")]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(postings_append_writer(path))
+        .option("checkpointLocation", str(tmp_path / "fts_ckpt"))
+        .start()
+    )
+    try:
+        for bi, chunk in enumerate([rows[:2], rows[2:]]):
+            (src / f"b{bi}.json").write_text(
+                "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in chunk)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    full_path = str(tmp_path / "fts_full")
+    whole = base.unionByName(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    FTS.write_postings(FTS.build_postings(whole), full_path, n_buckets=4)
+    for query in ("spark parquet", "duckdb scan"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in FTS.search_postings_index(spark, path, query, topk=6).collect()
+        ]
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in FTS.search_postings_index(spark, full_path, query, topk=6).collect()
+        ]
+        assert got == exp, query
