@@ -973,6 +973,125 @@ def pq_topk(
     )
 
 
+def pq_topk_multi(
+    codes: DataFrame,
+    books: PqCodebooks,
+    queries: list[tuple[int, list[float]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    rerank: DataFrame | None = None,
+    vec_col: str = "embedding",
+    shortlist: int | None = None,
+    normalize_query: bool = True,
+) -> DataFrame:
+    """Multi-query ADC search in ONE pass over the code table — the
+    query-set twin of :func:`pq_topk` (API parity with
+    brute_force_topk / lsh_topk / ivf_search, which all take query sets).
+
+    Each query's m×k lookup table is computed driver-side and inlined as
+    a literal array of (query_id, luts) structs; one explode amplifies
+    the code scan ×Q (Q = len(queries), bounded and small by contract —
+    a query BATCH, not a corpus) and each (row, query) pair scores as m
+    element_at adds, all JVM. Per-query top-k comes from a single window
+    partitioned by query_id — still one job, no per-query scan of the
+    codes. With ``rerank`` the per-query ADC shortlists (Q·shortlist
+    rows total) broadcast against the raw corpus for exact-cosine
+    rescoring, same discipline as pq_topk.
+
+    Returns (query_id, rank, neighbor_id, cos|adc_cos)."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    m, dsub = books.m, books.dsub
+    qlits = []
+    for qid, qv in queries:
+        q = np.array(qv, dtype=np.float64)
+        if q.shape[0] != books.dim:
+            raise ValueError(f"query {qid} dim {q.shape[0]} != trained {books.dim}")
+        if normalize_query:
+            q /= max(float(np.linalg.norm(q)), 1e-300)
+        luts = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(
+                            round(
+                                float(
+                                    np.dot(
+                                        np.array(books.centers[s][c]),
+                                        q[s * dsub : (s + 1) * dsub],
+                                    )
+                                ),
+                                9,
+                            )
+                        )
+                        for c in range(books.k)
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        qlits.append(F.struct(F.lit(qid).alias("query_id"), luts.alias("luts")))
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "codes",
+        F.explode(F.array(*qlits)).alias("_q"),
+    )
+    score = F.lit(0.0)
+    for s in range(m):
+        score = score + F.element_at(
+            F.element_at("_q.luts", s + 1), F.element_at("codes", s + 1) + F.lit(1)
+        )
+    scored = exploded.select(
+        F.col("_q.query_id").alias("query_id"),
+        "neighbor_id",
+        F.round(score, 6).alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "adc_cos")
+        )
+    sl = shortlist or 4 * topk
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= sl)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in qv]).alias("qvec"),
+            )
+            for qid, qv in queries
+        ]
+    )
+    qdf = (
+        codes.sparkSession.range(1)
+        .select(F.explode(qvecs).alias("_q"))
+        .select("_q.query_id", "_q.qvec")
+    )
+    exact = (
+        rerank.join(
+            F.broadcast(short), rerank[id_col] == short["neighbor_id"]
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def write_pq_index(
     codes: DataFrame,
     books: PqCodebooks,

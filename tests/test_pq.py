@@ -191,3 +191,44 @@ def test_seeded_raw_encode_matches_numpy_reference(spark, emb):
             d2 = ((v[s * 16 : (s + 1) * 16][None, :] - Cs[s]) ** 2).sum(axis=1)
             exp.append(int(np.argmin(np.round(d2, 6))))
         assert got[r["vec_id"]] == exp
+
+
+def test_pq_topk_multi_matches_per_query(spark, emb, books):
+    """The one-pass multi-query search must agree query-for-query with
+    N independent pq_topk calls, with and without rerank."""
+    e64 = emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+    codes = SIM.pq_encode(e64, books)
+    qrows = e64.filter(F.col("vec_id") < 3).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    multi = SIM.pq_topk_multi(codes, books, queries, topk=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cos"])
+        for r in multi.collect()
+    }
+    for qid, qv in queries:
+        single = SIM.pq_topk(codes, books, qv, topk=5)
+        for r in single.collect():
+            assert got[(qid, r["rank"])] == (r["neighbor_id"], r["adc_cos"]), (qid, r)
+    # rerank path
+    multi_r = SIM.pq_topk_multi(codes, books, queries, topk=5, rerank=e64)
+    got_r = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in multi_r.collect()
+    }
+    for qid, qv in queries:
+        single = SIM.pq_topk(codes, books, qv, topk=5, rerank=e64)
+        for r in single.collect():
+            assert got_r[(qid, r["rank"])] == (r["neighbor_id"], r["cos"]), (qid, r)
+
+
+def test_pq_topk_multi_single_scan_plan(spark, emb, books, tmp_path):
+    """Plan shape over a WRITTEN code table (the deployment scenario):
+    the whole multi-query search is JVM-only — no Python/pandas nodes,
+    window ranking over one scan."""
+    e64 = emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+    SIM.write_pq_index(SIM.pq_encode(e64, books), books, str(tmp_path / "pq"))
+    codes, books2 = SIM.load_pq_index(spark, str(tmp_path / "pq"))
+    df = SIM.pq_topk_multi(codes, books2, [(0, [0.1] * 64), (1, [0.2] * 64)], topk=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Window" in plan
