@@ -46,7 +46,12 @@ def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> Da
     hashing lineage). Broadcast only when the batch is verifiably under
     ``max_rows``; a quarter-corpus-sized "increment" must NOT be force-
     broadcast into executor OOM. ``max_rows=None`` disables the gate and
-    never hints."""
+    never hints.
+
+    Note the gate evaluates the batch lineage twice (this count + the
+    probe's own hashing pass): a batch that is itself an expensive
+    derived frame should be persisted by the caller first — micro-batches
+    and parquet scans (the normal inputs) are cheap either way."""
     if max_rows is not None and max_rows > 0 and source.count() <= max_rows:
         return F.broadcast(probe)
     return probe
