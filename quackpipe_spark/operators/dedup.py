@@ -48,11 +48,18 @@ def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> Da
     broadcast into executor OOM. ``max_rows=None`` disables the gate and
     never hints.
 
-    Note the gate evaluates the batch lineage twice (this count + the
-    probe's own hashing pass): a batch that is itself an expensive
-    derived frame should be persisted by the caller first — micro-batches
-    and parquet scans (the normal inputs) are cheap either way."""
-    if max_rows is not None and max_rows > 0 and source.count() <= max_rows:
+    The probe is limit-capped at max_rows+1: the gate only needs
+    under-or-over, so it touches at most that many rows — an oversized
+    batch costs the gate O(max_rows), never a full extra pass. (The
+    under-bound case still evaluates the small batch lineage twice —
+    this count + the probe's hashing pass; persist an expensively
+    derived batch first. Micro-batches and parquet scans, the normal
+    inputs, are cheap either way.)"""
+    if (
+        max_rows is not None
+        and max_rows > 0
+        and source.limit(max_rows + 1).count() <= max_rows
+    ):
         return F.broadcast(probe)
     return probe
 

@@ -62,6 +62,74 @@ def build_postings(
     )
 
 
+def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None:
+    """Publish the corpus-stats row as ONE parquet file via tmp+rename —
+    atomic at the file level, so a reader never sees a missing or
+    half-written stats row (Spark's directory overwrite is
+    delete-then-write and can crash into either). Any older stats files
+    in the dir are swept after the new row is live."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = f"{path}/stats"
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "N": pa.array([int(n)], pa.int64()),
+            "avgdl": pa.array([float(avgdl)], pa.float64()),
+            "n_buckets": pa.array([int(n_buckets)], pa.int32()),
+        }
+    )
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    papq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, "stats.parquet"))
+    for f in os.listdir(d):
+        if f != "stats.parquet" and not f.startswith("."):
+            os.unlink(os.path.join(d, f))
+
+
+def _read_stats(spark, path: str):
+    """Read the stats row, preferring the atomic stats.parquet when
+    present (a legacy Spark-written stats dir mid-migration could
+    briefly hold both)."""
+    import os
+
+    f = f"{path}/stats/stats.parquet"
+    src = f if os.path.exists(f) else f"{path}/stats"
+    return spark.read.parquet(src).collect()[0]
+
+
+def repair_postings_stats(spark, path: str) -> None:
+    """Recompute the stats row from the postings (ground truth) and clear
+    any append-pending markers — run automatically when append_postings
+    finds a marker from a crashed predecessor, callable any time by the
+    index's single writer."""
+    import os
+
+    post = spark.read.parquet(f"{path}/postings")
+    # the id column is whatever the build used: the one column that isn't
+    # part of the fixed postings shape
+    id_col = next(
+        c for c in post.columns if c not in ("term", "tf", "dl", "term_bucket")
+    )
+    st = (
+        post.groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    old = _read_stats(spark, path)
+    _write_stats_atomic(
+        path, int(st["N"]), float(st["avgdl"] or 1.0), int(old["n_buckets"])
+    )
+    for f in os.listdir(path):
+        if f.startswith(".append-pending-"):
+            os.unlink(os.path.join(path, f))
+
+
 def write_postings(
     postings: DataFrame, path: str, n_buckets: int = 64, id_col: str = "doc_id"
 ) -> None:
@@ -84,10 +152,7 @@ def write_postings(
         .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    spark.createDataFrame(
-        [(int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)],
-        "N BIGINT, avgdl DOUBLE, n_buckets INT",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_stats_atomic(path, int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)
 
 
 def append_postings(
@@ -114,9 +179,20 @@ def append_postings(
     bound after the append, the whole postings tree re-packs via the
     size-tiered planner (single-writer maintenance point, like the
     dedup-index auto-compact)."""
+    import os
+    import uuid as _uuid
+
     spark = docs.sparkSession
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    # a pending marker from a crashed predecessor means postings may
+    # include a batch the stats row doesn't — rebuild stats from the
+    # postings (ground truth) before trusting the incremental update
+    if any(f.startswith(".append-pending-") for f in os.listdir(path)):
+        repair_postings_stats(spark, path)
+    st = _read_stats(spark, path)
     n_buckets = st["n_buckets"]
+    marker = os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
+    with open(marker, "w"):
+        pass
     post = build_postings(docs, id_col, text_col)
     out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
     out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
@@ -130,10 +206,8 @@ def append_postings(
     if n_new:
         new_n = int(st["N"]) + n_new
         new_avgdl = (int(st["N"]) * float(st["avgdl"]) + float(b["sum_dl"])) / new_n
-        spark.createDataFrame(
-            [(new_n, new_avgdl, n_buckets)],
-            "N BIGINT, avgdl DOUBLE, n_buckets INT",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+        _write_stats_atomic(path, new_n, new_avgdl, int(n_buckets))
+    os.unlink(marker)
     if compact_over_files is not None:
         import os
 
@@ -352,7 +426,7 @@ def search_postings_index(
     pre-filtered to the query terms' md5 buckets — partition pruning
     reads ≤ q of n_buckets directories for a q-term query."""
     terms = _terms(query)
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    st = _read_stats(spark, path)
     buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
     matched = (
         spark.read.parquet(f"{path}/postings")

@@ -787,6 +787,20 @@ def train_pq(
     return PqCodebooks(m=m, dsub=dsub, k=k, centers=centers)
 
 
+
+def _round_half_away(x: float, nd: int) -> float:
+    """round() with HALF-AWAY-FROM-ZERO ties — the rule Spark's round()
+    and DuckDB's round() share. Python round()/np.round use banker's
+    (half-to-even), so any driver-side rounding whose result is compared
+    hash-exactly across engines must go through this instead (the
+    blocked_near_pairs lesson: the EXACT rounding that decides a
+    comparison must not use a different tie rule than the oracle)."""
+    scale = 10.0 ** nd
+    import math
+
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
 def seeded_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -879,7 +893,10 @@ def pq_encode(
             X = M[:, s * dsub : (s + 1) * dsub]
             d2 = ((X[:, None, :] - Cs[s][None, :, :]) ** 2).sum(axis=2)
             if d2_round is not None:
-                d2 = np.round(d2, d2_round)
+                # half-away ties (d2 >= 0, so floor(x*s + 0.5) is exact):
+                # np.round is half-to-even, which diverges from the
+                # oracle's round() on exact .5 boundaries
+                d2 = np.floor(d2 * 10.0**d2_round + 0.5) / 10.0**d2_round
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series([r.tolist() for r in out])
 
@@ -932,7 +949,7 @@ def pq_topk(
     ]
     score = F.lit(0.0)
     for s in range(m):
-        lut = F.array(*[F.lit(round(float(v), 9)) for v in luts[s]])
+        lut = F.array(*[F.lit(_round_half_away(float(v), 9)) for v in luts[s]])
         score = score + F.element_at(lut, F.element_at("codes", s + 1) + F.lit(1))
     scored = codes.select(
         F.col(id_col).alias("neighbor_id"), F.round(score, 6).alias("adc_cos")
@@ -1014,7 +1031,7 @@ def pq_topk_multi(
                 F.array(
                     *[
                         F.lit(
-                            round(
+                            _round_half_away(
                                 float(
                                     np.dot(
                                         np.array(books.centers[s][c]),

@@ -74,42 +74,48 @@ def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[Mer
     can still pack with future arrivals, and promoting them early just
     churns names."""
     idx = PartitionIndex.load(partition_dir)
-    by_level: dict[int, list[FileEntry]] = {}
+    by_level: dict[int, list[tuple[str, int]]] = {}
     for entry in idx.files.values():
         lv = file_level(entry.name)
         if lv is not None:
-            by_level.setdefault(lv, []).append(entry)
+            by_level.setdefault(lv, []).append((entry.name, entry.size_bytes))
     plans: list[MergePlan] = []
     for lv in levels or sorted(by_level):
         if lv > MAX_LEVEL:
             continue  # MAX_LEVEL itself self-merges (out_level clamps to 4):
         # the reference's 4th tier runs at 420T and re-packs level-4 files
         # among themselves, bounding the terminal level's file count
-        entries = sorted(by_level.get(lv, []), key=lambda e: -e.size_bytes)
-        cap = MAX_SIZES[lv]
-        sizes = {e.name: e.size_bytes for e in entries}
+        plans.extend(_pack_level(partition_dir, lv, by_level.get(lv, [])))
+    return plans
 
-        def close_bin(bin_files: list[str]) -> None:
-            if len(bin_files) > 1:
-                plans.append(MergePlan(partition_dir, lv, bin_files))
-            elif (
-                bin_files
-                and lv < MAX_LEVEL
-                and sizes[bin_files[0]] > cap // 2
-            ):
-                plans.append(
-                    MergePlan(partition_dir, lv, bin_files, promote=True)
-                )
 
-        bin_files: list[str] = []
-        bin_size = 0
-        for e in entries:
-            if bin_files and bin_size + e.size_bytes > cap:
-                close_bin(bin_files)
-                bin_files, bin_size = [], 0
-            bin_files.append(e.name)
-            bin_size += e.size_bytes
-        close_bin(bin_files)
+def _pack_level(
+    partition_dir: str, lv: int, entries: list[tuple[str, int]]
+) -> list[MergePlan]:
+    """The ONE greedy size-desc bin-packer (PlanMerge parity), shared by
+    the index-backed planner (plan_merges) and the flat-dir planner
+    (plan_dir_merges) so cap/promotion tweaks can never diverge between
+    them. ``entries`` = (name, size_bytes)."""
+    entries = sorted(entries, key=lambda t: -t[1])
+    cap = MAX_SIZES[lv]
+    sizes = dict(entries)
+    plans: list[MergePlan] = []
+
+    def close_bin(bin_files: list[str]) -> None:
+        if len(bin_files) > 1:
+            plans.append(MergePlan(partition_dir, lv, bin_files))
+        elif bin_files and lv < MAX_LEVEL and sizes[bin_files[0]] > cap // 2:
+            plans.append(MergePlan(partition_dir, lv, bin_files, promote=True))
+
+    bin_files: list[str] = []
+    bin_size = 0
+    for name, sz in entries:
+        if bin_files and bin_size + sz > cap:
+            close_bin(bin_files)
+            bin_files, bin_size = [], 0
+        bin_files.append(name)
+        bin_size += sz
+    close_bin(bin_files)
     return plans
 
 
@@ -277,26 +283,77 @@ def plan_dir_merges(path: str) -> list[MergePlan]:
             by_level.setdefault(lv, []).append((name, sz))
     plans: list[MergePlan] = []
     for lv in sorted(by_level):
-        entries = sorted(by_level[lv], key=lambda t: -t[1])
-        cap = MAX_SIZES[lv]
-        szmap = dict(entries)
-
-        def close_bin(bin_files: list[str]) -> None:
-            if len(bin_files) > 1:
-                plans.append(MergePlan(path, lv, bin_files))
-            elif bin_files and lv < MAX_LEVEL and szmap[bin_files[0]] > cap // 2:
-                plans.append(MergePlan(path, lv, bin_files, promote=True))
-
-        bin_files: list[str] = []
-        bin_size = 0
-        for name, sz in entries:
-            if bin_files and bin_size + sz > cap:
-                close_bin(bin_files)
-                bin_files, bin_size = [], 0
-            bin_files.append(name)
-            bin_size += sz
-        close_bin(bin_files)
+        plans.extend(_pack_level(path, lv, by_level[lv]))
     return plans
+
+
+_COMMIT_PREFIX = ".compact-commit-"
+_HIDDEN_OUT_PREFIX = ".compact-out-"
+
+
+def recover_parquet_dir(path: str) -> None:
+    """Crash recovery for journaled flat-dir merges — idempotent, runs at
+    the start of every compact_parquet_dir (and is safe to call any time
+    from the dir's single writer).
+
+    The merge protocol below writes the merged data to a HIDDEN name
+    (dot-prefixed — invisible to Spark scans), then a commit marker
+    (atomic rename; the commit point), then unlinks inputs, then renames
+    the output visible, then drops the marker. Recovery therefore:
+
+    - marker present → the merge COMMITTED: roll FORWARD (unlink any
+      surviving inputs, publish the hidden output if still hidden, drop
+      the marker). A crash mid-unlink can thus never leave inputs AND
+      output both live (the duplicate-rows hazard).
+    - hidden output with no marker → the merge never committed: roll
+      BACK (unlink the orphan; inputs are untouched and complete).
+    """
+    import json
+
+    for name in list(os.listdir(path)):
+        if not name.startswith(_COMMIT_PREFIX):
+            continue
+        marker = os.path.join(path, name)
+        try:
+            with open(marker) as f:
+                j = json.load(f)
+        except (OSError, ValueError):
+            continue  # unreadable marker: leave for inspection
+        hidden = os.path.join(path, j["hidden"])
+        final = os.path.join(path, j["final"])
+        if os.path.exists(hidden) or os.path.exists(final):
+            for inp in j["inputs"]:
+                p = os.path.join(path, inp)
+                if os.path.exists(p):
+                    os.unlink(p)
+            if os.path.exists(hidden) and not os.path.exists(final):
+                os.replace(hidden, final)
+        # defensive: marker without any output (should be impossible —
+        # the marker is written after the data) → keep inputs, just
+        # drop the marker
+        os.unlink(marker)
+    for name in list(os.listdir(path)):
+        if name.startswith(_HIDDEN_OUT_PREFIX):
+            os.unlink(os.path.join(path, name))  # uncommitted orphan
+
+
+def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: list[str]) -> str:
+    """Commit-marker protocol steps 2-5 (data already at hidden_name)."""
+    import json
+
+    marker = os.path.join(path, f"{_COMMIT_PREFIX}{uuid.uuid4().hex}.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"hidden": hidden_name, "final": final_name, "inputs": inputs}, f)
+    os.replace(tmp, marker)  # COMMIT POINT
+    for inp in inputs:
+        p = os.path.join(path, inp)
+        if os.path.exists(p):
+            os.unlink(p)
+    dst = os.path.join(path, final_name)
+    os.replace(os.path.join(path, hidden_name), dst)
+    os.unlink(marker)
+    return dst
 
 
 def compact_parquet_dir(
@@ -304,27 +361,40 @@ def compact_parquet_dir(
 ) -> list[str]:
     """Execute all planned merges for one flat parquet dir: each bin is a
     single sorted rewrite (read inputs → sort → ONE output file at
-    level+1 via tmp+rename) and the inputs are removed. ``order_by``
-    sorts the merged output so parquet row-group min/max stats prune
-    later scans (e.g. bands by (band, bh): a probe's hash-join build side
-    filter skips whole row groups). Returns the new file paths."""
+    level+1) and the inputs are removed. ``order_by`` sorts the merged
+    output so parquet row-group min/max stats prune later scans (e.g.
+    bands by (band, bh): a probe's hash-join build side filter skips
+    whole row groups). Returns the new file paths.
+
+    Crash-safe via a per-merge commit journal (see recover_parquet_dir):
+    a kill at ANY point leaves the dir either fully pre-merge (inputs
+    intact, orphans cleaned next run) or rolls forward to fully merged
+    on the next compaction — never inputs+output both live (which would
+    silently duplicate every bin row in probes/BM25). The transient
+    window between input-unlink and output-publish is invisible to
+    Spark (the output is dot-hidden) but means a CONCURRENT reader could
+    see missing rows — compaction remains a single-writer maintenance
+    op, run between probe cycles."""
+    recover_parquet_dir(path)
     out: list[str] = []
     for plan in plan_dir_merges(path):
         paths = [os.path.join(path, f) for f in plan.files]
         paths = [p for p in paths if os.path.exists(p)]
-        newname = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
-        dst = os.path.join(path, newname)
+        final_name = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
+        hidden_name = f"{_HIDDEN_OUT_PREFIX}{final_name}"
+        hidden = os.path.join(path, hidden_name)
         if plan.promote:
             if not paths:
                 continue
             try:
-                os.link(paths[0], dst)
+                os.link(paths[0], hidden)
             except OSError:
                 import shutil
 
-                shutil.copy2(paths[0], dst)
-            os.unlink(paths[0])
-            out.append(dst)
+                shutil.copy2(paths[0], hidden)
+            out.append(
+                _journaled_publish(path, hidden_name, final_name, plan.files)
+            )
             continue
         if len(paths) < 2:
             continue
@@ -336,13 +406,11 @@ def compact_parquet_dir(
         )
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.replace(os.path.join(stage, part), dst)
+        os.replace(os.path.join(stage, part), hidden)
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-        for p in paths:
-            os.unlink(p)
-        out.append(dst)
+        out.append(_journaled_publish(path, hidden_name, final_name, plan.files))
     return out
 
 

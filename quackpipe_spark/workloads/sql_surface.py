@@ -1512,36 +1512,6 @@ SORT_BATTERY_SQL = "\nUNION ALL\n".join(
 )
 
 
-def collect_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collection-aggregate family: ordered string_agg and array
-    collect/sort/index ops (SURVEY §2B functions)."""
-    return _union_digests(
-        [
-            ("string_agg", string_agg_ordered(spark, sf_dir)),
-            ("array_agg", array_agg_ops(spark, sf_dir)),
-        ]
-    )
-
-
-COLLECT_AGG_BATTERY_SQL = "\nUNION ALL\n".join(
-    [
-        _digest_sql(
-            "string_agg", STRING_AGG_SQL, [("n_regionkey", "s"), ("nations", "s")]
-        ),
-        _digest_sql(
-            "array_agg",
-            ARRAY_AGG_SQL,
-            [
-                ("o_orderpriority", "s"),
-                ("statuses", "s"),
-                ("n_statuses", "s"),
-                ("first_status", "s"),
-            ],
-        ),
-    ]
-)
-
-
 def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/string, math, date, regex, JSON scalar-function families plus
     the collection aggregates (ordered string_agg, array collect/sort/

@@ -361,3 +361,118 @@ def test_streaming_postings_append_matches_batch(spark, tmp_path):
             for r in FTS.search_postings_index(spark, full_path, query, topk=6).collect()
         ]
         assert got == exp, query
+
+
+def test_recovery_rolls_forward_committed_merge(spark, tmp_path):
+    """Crash AFTER the commit marker but before input-unlink/publish:
+    recovery must unlink inputs and publish the hidden output — never
+    leave inputs and output both live (duplicate rows)."""
+    import json as _json
+
+    from quackpipe_spark.plans.compactor import (
+        _COMMIT_PREFIX,
+        _HIDDEN_OUT_PREFIX,
+        recover_parquet_dir,
+    )
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    # two "input" files + the merged hidden output
+    df.coalesce(1).write.parquet(str(tmp_path / "stage1"))
+    import shutil
+
+    p1 = next(f for f in os.listdir(tmp_path / "stage1") if f.endswith(".parquet"))
+    shutil.copy(tmp_path / "stage1" / p1, d / "part-00000-a.parquet")
+    shutil.copy(tmp_path / "stage1" / p1, d / "part-00001-b.parquet")
+    merged = spark.read.parquet(str(d))
+    merged.coalesce(1).write.parquet(str(tmp_path / "stage2"))
+    p2 = next(f for f in os.listdir(tmp_path / "stage2") if f.endswith(".parquet"))
+    final = "deadbeef.2.parquet"
+    hidden = f"{_HIDDEN_OUT_PREFIX}{final}"
+    shutil.copy(tmp_path / "stage2" / p2, d / hidden)
+    (d / f"{_COMMIT_PREFIX}x.json").write_text(
+        _json.dumps(
+            {
+                "hidden": hidden,
+                "final": final,
+                "inputs": ["part-00000-a.parquet", "part-00001-b.parquet"],
+            }
+        )
+    )
+    recover_parquet_dir(str(d))
+    files = sorted(os.listdir(d))
+    assert files == [final]
+    assert spark.read.parquet(str(d)).count() == 4  # merged content, once
+
+
+def test_recovery_rolls_back_uncommitted_output(spark, tmp_path):
+    """Crash BEFORE the commit marker: the hidden output is an orphan —
+    recovery unlinks it and inputs stay authoritative."""
+    from quackpipe_spark.plans.compactor import (
+        _HIDDEN_OUT_PREFIX,
+        recover_parquet_dir,
+    )
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-00000-a.parquet").write_bytes(b"x" * 100)
+    (d / f"{_HIDDEN_OUT_PREFIX}feed.2.parquet").write_bytes(b"y" * 100)
+    recover_parquet_dir(str(d))
+    assert sorted(os.listdir(d)) == ["part-00000-a.parquet"]
+
+
+def test_recovery_is_idempotent_and_runs_on_compact(spark, tmp_path):
+    from quackpipe_spark.plans.compactor import recover_parquet_dir
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-00000-a.parquet").write_bytes(b"x" * 10)
+    recover_parquet_dir(str(d))
+    recover_parquet_dir(str(d))
+    assert os.listdir(d) == ["part-00000-a.parquet"]
+
+
+def test_append_postings_crash_recovery_rebuilds_stats(spark, tmp_path):
+    """Simulated crash between the postings append and the stats update
+    (pending marker left behind): the next append must rebuild stats
+    from the postings before trusting the incremental path, landing on
+    exactly the full-rebuild stats."""
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "fts_crash")
+    FTS.write_postings(FTS.build_postings(base), path, n_buckets=2)
+    # crash simulation: postings for doc 3 appended, stats NOT updated,
+    # marker left
+    from quackpipe_spark.operators.sampling import hash_mod
+
+    orphan = FTS.build_postings(
+        spark.createDataFrame([(3, "zeta eta")], "doc_id long, text string")
+    ).withColumn("term_bucket", hash_mod(F.col("term"), 2))
+    orphan.write.partitionBy("term_bucket").mode("append").parquet(
+        f"{path}/postings"
+    )
+    (tmp_path / "fts_crash" / ".append-pending-dead").touch()
+    stale = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stale["N"] == 2  # stats don't know doc 3 yet
+    # next append triggers repair first, then applies its own increment
+    FTS.append_postings(
+        spark.createDataFrame([(4, "theta iota kappa")], "doc_id long, text string"),
+        path,
+    )
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert st["N"] == 4
+    full = FTS.build_postings(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta epsilon"),
+             (3, "zeta eta"), (4, "theta iota kappa")],
+            "doc_id long, text string",
+        )
+    )
+    exp_avgdl = (2 + 3 + 2 + 3) / 4
+    assert abs(st["avgdl"] - exp_avgdl) < 1e-12
+    assert not any(
+        f.startswith(".append-pending-") for f in os.listdir(path)
+    )
