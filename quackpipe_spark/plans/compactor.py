@@ -310,6 +310,7 @@ def recover_parquet_dir(path: str) -> None:
     """
     import json
 
+    unreadable = False
     for name in list(os.listdir(path)):
         if not name.startswith(_COMMIT_PREFIX):
             continue
@@ -318,6 +319,7 @@ def recover_parquet_dir(path: str) -> None:
             with open(marker) as f:
                 j = json.load(f)
         except (OSError, ValueError):
+            unreadable = True
             continue  # unreadable marker: leave for inspection
         hidden = os.path.join(path, j["hidden"])
         final = os.path.join(path, j["final"])
@@ -332,6 +334,10 @@ def recover_parquet_dir(path: str) -> None:
         # the marker is written after the data) → keep inputs, just
         # drop the marker
         os.unlink(marker)
+    if unreadable:
+        # an unreadable marker may reference a hidden output we can't
+        # identify — do NOT sweep orphans; surface for inspection instead
+        return
     for name in list(os.listdir(path)):
         if name.startswith(_HIDDEN_OUT_PREFIX):
             os.unlink(os.path.join(path, name))  # uncommitted orphan
