@@ -48,18 +48,14 @@ def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> Da
     broadcast into executor OOM. ``max_rows=None`` disables the gate and
     never hints.
 
-    The probe is limit-capped at max_rows+1: the gate only needs
-    under-or-over, so it touches at most that many rows — an oversized
-    batch costs the gate O(max_rows), never a full extra pass. (The
-    under-bound case still evaluates the small batch lineage twice —
-    this count + the probe's hashing pass; persist an expensively
-    derived batch first. Micro-batches and parquet scans, the normal
-    inputs, are cheap either way.)"""
-    if (
-        max_rows is not None
-        and max_rows > 0
-        and source.limit(max_rows + 1).count() <= max_rows
-    ):
+    A plain parallel count(), deliberately NOT limit-capped: for the
+    normal inputs (parquet scans, micro-batches) count() is a cheap
+    parallel — often metadata-only — scan, while limit(n).count()
+    funnels up to n rows per partition through one GlobalLimit task,
+    which is strictly slower exactly where the gate runs most. The cost
+    that remains is evaluating the batch lineage twice (this count + the
+    probe's hashing pass); persist an expensively derived batch first."""
+    if max_rows is not None and max_rows > 0 and source.count() <= max_rows:
         return F.broadcast(probe)
     return probe
 
@@ -438,6 +434,7 @@ def exact_dups_against_index(
     shuffle join instead of a forced-broadcast OOM); the index side
     never shuffles in the broadcast case."""
     spark = new_docs.sparkSession
+    _recover_index_dirs(path)
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col = m["id_col"]
     text_col = _index_text_col(m, text_col)
@@ -501,6 +498,7 @@ def append_to_minhash_index(
     safe point, and it keeps probe scan-planning flat without a separate
     maintenance scheduler. None disables (run the compactor yourself)."""
     spark = docs.sparkSession
+    _recover_index_dirs(path)
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     text_col = _index_text_col(m, text_col)
     sigs = minhash_signatures(
@@ -523,6 +521,17 @@ def append_to_minhash_index(
         )
         if n_files > compact_over_files:
             compact_minhash_index(spark, path)
+
+
+def _recover_index_dirs(path: str) -> None:
+    """Heal a crashed compaction at the next index ACCESS (probe or
+    append), not just the next file-count-triggered compaction — between
+    the two, a crashed merge's rows would be invisible to every probe.
+    One listdir per dir when there is nothing to do."""
+    from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
+
+    maybe_recover_parquet_dir(f"{path}/bands")
+    maybe_recover_parquet_dir(f"{path}/fingerprints")
 
 
 def compact_minhash_index(spark, path: str) -> list[str]:
@@ -577,6 +586,7 @@ def dedup_against_index(
     disjoint. Within-batch duplicates are a separate concern: run
     minhash_dedup/minhash_clusters on the batch itself."""
     spark = new_docs.sparkSession
+    _recover_index_dirs(path)
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     if shingle_k is not None and shingle_k != m["shingle_k"]:
         raise ValueError(

@@ -62,12 +62,23 @@ def build_postings(
     )
 
 
+def _is_local_path(path: str) -> bool:
+    """The atomic-stats/marker/compaction machinery is os.*-based, so it
+    only applies to local (or file:) index paths. Remote object-store
+    indexes (s3a://, hdfs://) fall back to Spark-only I/O — weaker
+    crash-atomicity (the object store's own semantics apply), but the
+    index still works instead of writing a literal 's3a:' directory on
+    the driver's local disk."""
+    return "://" not in path or path.startswith("file:")
+
+
 def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None:
     """Publish the corpus-stats row as ONE parquet file via tmp+rename —
     atomic at the file level, so a reader never sees a missing or
     half-written stats row (Spark's directory overwrite is
     delete-then-write and can crash into either). Any older stats files
-    in the dir are swept after the new row is live."""
+    in the dir are swept after the new row is live. Local paths only
+    (see _is_local_path)."""
     import os
     import uuid
 
@@ -85,6 +96,14 @@ def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None
     )
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     papq.write_table(t, tmp)
+    try:
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
     os.replace(tmp, os.path.join(d, "stats.parquet"))
     for f in os.listdir(d):
         if f != "stats.parquet" and not f.startswith("."):
@@ -98,7 +117,7 @@ def _read_stats(spark, path: str):
     import os
 
     f = f"{path}/stats/stats.parquet"
-    src = f if os.path.exists(f) else f"{path}/stats"
+    src = f if _is_local_path(path) and os.path.exists(f) else f"{path}/stats"
     return spark.read.parquet(src).collect()[0]
 
 
@@ -152,7 +171,13 @@ def write_postings(
         .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    _write_stats_atomic(path, int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)
+    if _is_local_path(path):
+        _write_stats_atomic(path, int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)
+    else:
+        spark.createDataFrame(
+            [(int(st["N"]), float(st["avgdl"] or 1.0), n_buckets)],
+            "N BIGINT, avgdl DOUBLE, n_buckets INT",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def append_postings(
@@ -183,16 +208,26 @@ def append_postings(
     import uuid as _uuid
 
     spark = docs.sparkSession
-    # a pending marker from a crashed predecessor means postings may
-    # include a batch the stats row doesn't — rebuild stats from the
-    # postings (ground truth) before trusting the incremental update
-    if any(f.startswith(".append-pending-") for f in os.listdir(path)):
-        repair_postings_stats(spark, path)
+    local = _is_local_path(path)
+    if local:
+        # heal crashed COMPACTIONS at the next index access (not only the
+        # next file-count-triggered compaction); then: a pending marker
+        # from a crashed predecessor means postings may include a batch
+        # the stats row doesn't — rebuild stats from the postings
+        # (ground truth) before trusting the incremental update
+        from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
+
+        for dirpath, _d, _f in os.walk(f"{path}/postings"):
+            maybe_recover_parquet_dir(dirpath)
+        if any(f.startswith(".append-pending-") for f in os.listdir(path)):
+            repair_postings_stats(spark, path)
     st = _read_stats(spark, path)
     n_buckets = st["n_buckets"]
-    marker = os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
-    with open(marker, "w"):
-        pass
+    marker = None
+    if local:
+        marker = os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
+        with open(marker, "w"):
+            pass
     post = build_postings(docs, id_col, text_col)
     out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
     out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
@@ -206,11 +241,16 @@ def append_postings(
     if n_new:
         new_n = int(st["N"]) + n_new
         new_avgdl = (int(st["N"]) * float(st["avgdl"]) + float(b["sum_dl"])) / new_n
-        _write_stats_atomic(path, new_n, new_avgdl, int(n_buckets))
-    os.unlink(marker)
-    if compact_over_files is not None:
-        import os
-
+        if local:
+            _write_stats_atomic(path, new_n, new_avgdl, int(n_buckets))
+        else:
+            spark.createDataFrame(
+                [(new_n, new_avgdl, int(n_buckets))],
+                "N BIGINT, avgdl DOUBLE, n_buckets INT",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    if marker is not None:
+        os.unlink(marker)
+    if compact_over_files is not None and local:
         root = f"{path}/postings"
         for dirpath, _d, files in os.walk(root):
             n_files = sum(
@@ -426,6 +466,15 @@ def search_postings_index(
     pre-filtered to the query terms' md5 buckets — partition pruning
     reads ≤ q of n_buckets directories for a q-term query."""
     terms = _terms(query)
+    if _is_local_path(path):
+        # heal a crashed compaction in the buckets this query will read
+        # — one listdir per probed bucket when there is nothing to do
+        # (NB: loop variable must not shadow the BM25 ``b`` parameter)
+        from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
+
+        pre = _read_stats(spark, path)
+        for _bucket in sorted({hash_mod_py(t, pre["n_buckets"]) for t in terms}):
+            maybe_recover_parquet_dir(f"{path}/postings/term_bucket={_bucket}")
     st = _read_stats(spark, path)
     buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
     matched = (

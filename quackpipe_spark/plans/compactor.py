@@ -291,6 +291,55 @@ _COMMIT_PREFIX = ".compact-commit-"
 _HIDDEN_OUT_PREFIX = ".compact-out-"
 
 
+def _fsync_file(p: str) -> None:
+    """Best-effort fsync: without it, a rename can be durable before the
+    file's data blocks (delayed allocation), so a power loss could make
+    the commit marker survive while the merged parquet it points at is
+    truncated — recovery would then roll forward to a corrupt output."""
+    try:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
+def _fsync_dir(p: str) -> None:
+    try:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
+def _unlink_quiet(p: str) -> None:
+    # recovery can race a concurrent recover (two probes noticing the
+    # same crashed state) — losing an unlink race is success
+    try:
+        os.unlink(p)
+    except FileNotFoundError:
+        pass
+
+
+def maybe_recover_parquet_dir(path: str) -> None:
+    """Run recovery only when crash artifacts are present — one listdir
+    when clean, so read/write entry points (probes, appends, searches)
+    can afford to call it every time and a crashed merge heals at the
+    NEXT index access instead of waiting for the next compaction to be
+    file-count-triggered."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return
+    if any(n.startswith(".compact-") for n in names):
+        recover_parquet_dir(path)
+
+
 def recover_parquet_dir(path: str) -> None:
     """Crash recovery for journaled flat-dir merges — idempotent, runs at
     the start of every compact_parquet_dir (and is safe to call any time
@@ -309,6 +358,7 @@ def recover_parquet_dir(path: str) -> None:
       BACK (unlink the orphan; inputs are untouched and complete).
     """
     import json
+    import warnings
 
     unreadable = False
     for name in list(os.listdir(path)):
@@ -318,40 +368,59 @@ def recover_parquet_dir(path: str) -> None:
         try:
             with open(marker) as f:
                 j = json.load(f)
+        except FileNotFoundError:
+            continue  # concurrent recover finished this one
         except (OSError, ValueError):
             unreadable = True
-            continue  # unreadable marker: leave for inspection
+            warnings.warn(
+                f"unreadable compaction commit marker {marker!r}: leaving it "
+                "and all hidden outputs in place for inspection — if the "
+                "marker's merge had begun unlinking inputs, rows may be "
+                "missing until resolved manually",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
         hidden = os.path.join(path, j["hidden"])
         final = os.path.join(path, j["final"])
         if os.path.exists(hidden) or os.path.exists(final):
             for inp in j["inputs"]:
-                p = os.path.join(path, inp)
-                if os.path.exists(p):
-                    os.unlink(p)
+                _unlink_quiet(os.path.join(path, inp))
             if os.path.exists(hidden) and not os.path.exists(final):
-                os.replace(hidden, final)
+                try:
+                    os.replace(hidden, final)
+                except FileNotFoundError:
+                    pass  # concurrent recover published it
         # defensive: marker without any output (should be impossible —
         # the marker is written after the data) → keep inputs, just
         # drop the marker
-        os.unlink(marker)
+        _unlink_quiet(marker)
     if unreadable:
         # an unreadable marker may reference a hidden output we can't
-        # identify — do NOT sweep orphans; surface for inspection instead
+        # identify — do NOT sweep orphans (warned above)
         return
     for name in list(os.listdir(path)):
         if name.startswith(_HIDDEN_OUT_PREFIX):
-            os.unlink(os.path.join(path, name))  # uncommitted orphan
+            _unlink_quiet(os.path.join(path, name))  # uncommitted orphan
+    _fsync_dir(path)
 
 
 def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: list[str]) -> str:
     """Commit-marker protocol steps 2-5 (data already at hidden_name)."""
     import json
 
+    _fsync_file(os.path.join(path, hidden_name))  # data durable BEFORE commit
     marker = os.path.join(path, f"{_COMMIT_PREFIX}{uuid.uuid4().hex}.json")
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"hidden": hidden_name, "final": final_name, "inputs": inputs}, f)
+        f.flush()
+        try:
+            os.fsync(f.fileno())
+        except OSError:
+            pass
     os.replace(tmp, marker)  # COMMIT POINT
+    _fsync_dir(path)
     for inp in inputs:
         p = os.path.join(path, inp)
         if os.path.exists(p):
@@ -359,6 +428,7 @@ def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: lis
     dst = os.path.join(path, final_name)
     os.replace(os.path.join(path, hidden_name), dst)
     os.unlink(marker)
+    _fsync_dir(path)
     return dst
 
 
@@ -429,8 +499,13 @@ def compact_parquet_tree(
     live in the directory names, so per-leaf rewrites preserve them."""
     out: list[str] = []
     for dirpath, _dirnames, filenames in os.walk(root):
+        # visit dirs with visible parquet OR crash artifacts: a dir whose
+        # committed merge crashed after the last input unlink holds only
+        # hidden outputs + a marker, and skipping it would orphan the
+        # roll-forward forever
         if any(
-            _PART_FILE_RE.search(f) and not f.startswith((".", "_"))
+            (_PART_FILE_RE.search(f) and not f.startswith((".", "_")))
+            or f.startswith(".compact-")
             for f in filenames
         ):
             out.extend(compact_parquet_dir(spark, dirpath, order_by))

@@ -476,3 +476,35 @@ def test_append_postings_crash_recovery_rebuilds_stats(spark, tmp_path):
     assert not any(
         f.startswith(".append-pending-") for f in os.listdir(path)
     )
+
+
+def test_tree_recovers_dir_left_with_only_hidden_output(spark, tmp_path):
+    """A bucket dir whose committed merge crashed after ALL inputs were
+    unlinked (contents: hidden output + marker only) must still be
+    visited and rolled forward by compact_parquet_tree — the visible-
+    parquet gate alone would skip it forever."""
+    import json as _json
+
+    from quackpipe_spark.plans.compactor import (
+        _COMMIT_PREFIX,
+        _HIDDEN_OUT_PREFIX,
+        compact_parquet_tree,
+    )
+
+    root = tmp_path / "tree"
+    leaf = root / "term_bucket=0"
+    leaf.mkdir(parents=True)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next(f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet"))
+    final = "cafe.2.parquet"
+    hidden = f"{_HIDDEN_OUT_PREFIX}{final}"
+    import shutil
+
+    shutil.copy(tmp_path / "stage" / part, leaf / hidden)
+    (leaf / f"{_COMMIT_PREFIX}y.json").write_text(
+        _json.dumps({"hidden": hidden, "final": final, "inputs": ["gone.parquet"]})
+    )
+    compact_parquet_tree(spark, str(root))
+    assert sorted(os.listdir(leaf)) == [final]
+    assert spark.read.parquet(str(leaf)).count() == 1
