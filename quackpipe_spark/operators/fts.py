@@ -466,17 +466,17 @@ def search_postings_index(
     pre-filtered to the query terms' md5 buckets — partition pruning
     reads ≤ q of n_buckets directories for a q-term query."""
     terms = _terms(query)
+    st = _read_stats(spark, path)
+    buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
     if _is_local_path(path):
         # heal a crashed compaction in the buckets this query will read
         # — one listdir per probed bucket when there is nothing to do
-        # (NB: loop variable must not shadow the BM25 ``b`` parameter)
+        # (recovery never touches the stats row, so the read above stays
+        # valid; NB: loop var must not shadow the BM25 ``b`` parameter)
         from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
 
-        pre = _read_stats(spark, path)
-        for _bucket in sorted({hash_mod_py(t, pre["n_buckets"]) for t in terms}):
+        for _bucket in buckets:
             maybe_recover_parquet_dir(f"{path}/postings/term_bucket={_bucket}")
-    st = _read_stats(spark, path)
-    buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
     matched = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("term_bucket").isin(buckets))
