@@ -142,6 +142,27 @@ class GigapiServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _stream_rows(self, df):
+                """Stream {"results": [...]} row by row (toLocalIterator +
+                connection-close framing): the previous collect()+dumps
+                held TWO full copies of an unbounded result on the driver
+                — a big SELECT would OOM the server process, taking ingest
+                and the merge ticker with it. Peak memory is now one
+                partition of rows; the reference streams its response too.
+                HTTP/1.0 connection-close framing (the handler default)
+                keeps this valid without chunked encoding."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                w = self.wfile
+                w.write(b'{"results": [')
+                first = True
+                for row in df.toLocalIterator():
+                    chunk = json.dumps(row.asDict(recursive=True), default=str)
+                    w.write((b"" if first else b", ") + chunk.encode())
+                    first = False
+                w.write(b"]}")
+
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path == "/health":
@@ -164,12 +185,22 @@ class GigapiServer:
                             spec["table"],
                             fields=spec.get("fields"),
                             order_by=spec.get("order_by"),
+                            # the spec's engine must flow through: a flat
+                            # 'Merge' table silently created as partitioned
+                            # HiveMerge has a different on-disk layout than
+                            # the client asked for (create_table.go:23,69)
+                            engine=spec.get("engine", "HiveMerge"),
                         )
                         self._send(200, {"status": "created"})
-                    elif any(path == p or path.startswith(p + "/") for p in _WRITE_PATHS):
-                        # a trailing slash ('/gigapi/write/') yields db='' —
-                        # which would create tables directly under the
-                        # catalog ROOT, where database dirs live
+                    elif path in _WRITE_PATHS or path.startswith("/gigapi/write/"):
+                        # only /gigapi/write/{db} carries the db in the
+                        # path (reference: merge.go registers exact routes
+                        # plus that one pattern); a suffix on any OTHER
+                        # write route must 404 above rather than silently
+                        # ingest into 'default'. A trailing slash
+                        # ('/gigapi/write/') yields db='' — which would
+                        # create tables directly under the catalog ROOT,
+                        # where database dirs live
                         db = (
                             q.get("db")
                             or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "")
@@ -208,7 +239,7 @@ class GigapiServer:
                     elif path == "/query":
                         body = json.loads(self._body() or b"{}")
                         df = server.query.sql(body["query"], db=q.get("db", "default"))
-                        self._send(200, rows_as_json(df))
+                        self._stream_rows(df)
                     else:
                         self._send(404, {"error": "not found"})
                 except Exception as e:  # error shape parity: JSON error body
@@ -220,6 +251,7 @@ class GigapiServer:
     def stop(self) -> None:
         if self._httpd:
             self._httpd.shutdown()
+            self._httpd.server_close()  # release the listening socket/fd
             self._httpd = None
         self._merge_stop.set()
         if self._merge_thread:

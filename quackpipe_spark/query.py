@@ -48,13 +48,17 @@ _EPOCH_NS_LIT = re.compile(r"'([^']+)'")
 # top-level WHERE constraint — each would make ANDed bounds wrong:
 #   OR            — disjunctive ranges intersect to empty
 #   UNION/INTERSECT/EXCEPT — bounds from independent SELECT scopes
-#   NOT (         — negated group inverts the bound
+#   NOT           — negation inverts the bound; NOT binds looser than a
+#                   comparison, so paren-less "NOT __timestamp >= x" is
+#                   just as inverting as "NOT (...)" — only the
+#                   IS [NOT] NULL / IS NOT DISTINCT FROM forms are safe
 #   CASE          — a bound inside an expression constrains nothing
 # A second SELECT (subquery) likewise scopes its bounds away from the
 # outer scan. Conservative: no pruning is slower, wrong pruning is
 # silent missing rows.
 _PRUNE_UNSAFE = re.compile(
-    r"\bOR\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bNOT\s*\(|\bCASE\b",
+    r"\bOR\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b"
+    r"|\bNOT\b(?!\s+(NULL|DISTINCT)\b)|\bCASE\b",
     re.IGNORECASE,
 )
 _SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
@@ -129,11 +133,21 @@ class QueryEngine:
         from quackpipe_spark.sources.tables import _ensure_read_confs
 
         _ensure_read_confs(spark)
+        # (tz is re-checked per query — see _prune_ok(); a client can
+        # mutate the session timezone at runtime, even via POST /query
+        # itself, after which UTC-parsed bounds would mismatch Catalyst.)
+
+    def _prune_ok(self) -> bool:
+        """Time pruning is safe only under a UTC session — checked PER
+        QUERY, not pinned at init: the session timezone is runtime-mutable
+        (a client can SET it through /query), and epoch_ns bound literals
+        evaluate in the session zone inside Catalyst while the pruner
+        parses them as UTC. Mismatched zones would silently drop files."""
         try:
-            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "")
         except Exception:
             tz = ""
-        self._prune_ok = tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+        return tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
 
     def table_files(
         self, table: Table, lo: int | None = None, hi: int | None = None
@@ -235,10 +249,15 @@ class QueryEngine:
 
         query = self._RP_CALL.sub(_rp_view, query)
         query = rewrite_sql(query)
+        # case-INSENSITIVE reference scan: Spark resolves view names
+        # case-insensitively, so "FROM Weather" hits the temp view
+        # registered for table "weather" — the detection must agree or a
+        # differently-cased query reuses a STALE pruned view from an
+        # earlier query (silent missing rows) or misses registration
         refs = [
             t
             for t in self.catalog.tables(db)
-            if re.search(rf"\b{re.escape(t.name)}\b", query)
+            if re.search(rf"\b{re.escape(t.name)}\b", query, re.IGNORECASE)
         ]
         # Index pruning applies only when it is provably safe: UTC session
         # (bound literals parse as UTC), a SINGLE referenced table (an
@@ -247,7 +266,7 @@ class QueryEngine:
         # custom order_by indexes a different column — comparing time
         # bounds against it would prune the wrong files).
         lo, hi = (None, None)
-        if self._prune_ok and len(refs) == 1:
+        if self._prune_ok() and len(refs) == 1:
             t = refs[0]
             tracks_ts = (t.order_by[0] if t.order_by else "__timestamp") == "__timestamp"
             if tracks_ts:

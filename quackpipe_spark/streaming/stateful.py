@@ -326,6 +326,9 @@ def index_probe_writer(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # idle trigger: skip the meta read, probe job, and
+            # the zero-row parquet append it would commit
         probe = exact_dups_against_index if exact else dedup_against_index
         flags = probe(batch_df, index_path, text_col=text_col)
         flags.select("new_id", "old_id").write.mode("append").parquet(out_path)

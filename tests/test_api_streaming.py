@@ -186,3 +186,53 @@ def test_http_write_edge_routing(server):
     )
     assert status == 400
     assert "table" in json.loads(body)["error"]
+
+
+def test_insert_route_with_db_suffix_404s(server):
+    """Only /gigapi/write/{db} carries the db in the path; a /{db} suffix
+    on any other write route must 404 instead of silently ingesting into
+    'default' (reference registers exact routes + that one pattern)."""
+    status, _ = _post(
+        server.base + "/gigapi/insert/mydb?table=t",
+        b'{"a": 1}',
+        {"Content-Type": "application/x-ndjson"},
+    )
+    assert status == 404
+    status, _ = _post(server.base + "/write/mydb", b"m v=1i 1717405200")
+    assert status == 404
+
+
+def test_create_passes_engine_through(server, spark):
+    status, _ = _post(
+        server.base + "/gigapi/create?db=edb",
+        json.dumps({"create_table": "flat", "engine": "Merge"}).encode(),
+    )
+    assert status == 200
+    t = server.catalog.get_or_create("edb", "flat")
+    assert t.engine == "Merge"
+    assert t.partition_by == []  # flat layout, not date/hour dirs
+
+
+def test_stop_releases_port_for_restart(spark, tmp_path):
+    srv = GigapiServer(spark, str(tmp_path / "root"), port=0)
+    srv.start()
+    port = srv._httpd.server_address[1]
+    srv.stop()
+    srv2 = GigapiServer(spark, str(tmp_path / "root2"), port=port)
+    srv2.start()  # EADDRINUSE here before the server_close() fix
+    assert srv2._httpd.server_address[1] == port
+    srv2.stop()
+
+
+def test_query_response_is_streamed_shape(server):
+    _post(
+        server.base + "/write?db=sdb&precision=s",
+        b"\n".join(b"m v=%di 171740520%d" % (i, i % 10) for i in range(50)),
+    )
+    status, body = _post(
+        server.base + "/query?db=sdb",
+        json.dumps({"query": "SELECT v FROM m ORDER BY v"}).encode(),
+    )
+    assert status == 200
+    rows = json.loads(body)["results"]
+    assert [r["v"] for r in rows] == list(range(50))

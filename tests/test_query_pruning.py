@@ -173,3 +173,47 @@ def test_bounds_disabled_for_non_conjunctive_contexts():
     assert extract_time_bounds(
         "SELECT * FROM t WHERE a IS NOT NULL AND __timestamp >= 100"
     ) == (100, None)
+
+
+def test_parenless_not_disables_pruning(spark, tmp_path):
+    """NOT binds looser than a comparison: 'NOT __timestamp >= x' inverts
+    the bound without parentheses, so any NOT (except IS NOT NULL /
+    IS NOT DISTINCT) must disable pruning — applying the bound as a
+    positive prune silently drops exactly the rows the query wants."""
+    from quackpipe_spark.query import extract_time_bounds
+
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE NOT __timestamp >= 1000"
+    ) == (None, None)
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE NOT __timestamp BETWEEN 5 AND 9"
+    ) == (None, None)
+    # the safe forms still prune
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE __timestamp >= 1000 AND v IS NOT NULL"
+    )[0] == 1000
+    assert extract_time_bounds(
+        "SELECT * FROM t WHERE __timestamp >= 7 AND a IS NOT DISTINCT FROM b"
+    )[0] == 7
+
+
+def test_mixed_case_table_reference_reregisters_view(spark, tmp_path):
+    """Spark resolves view names case-insensitively; the engine's
+    table-reference scan must agree, or 'FROM Weather' reuses a stale
+    pruned view registered by an earlier 'FROM weather' query."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "root"))
+    w = HiveWriter(spark, cat)
+    w.write_columnar(
+        "db", "weather", {"__timestamp": [1_000, 2_000], "v": [1, 2]}
+    )
+    qe = QueryEngine(spark, cat)
+    # prune-registering query first
+    assert qe.sql(
+        "SELECT count(*) AS n FROM weather WHERE __timestamp >= 2000", db="db"
+    ).collect()[0]["n"] == 1
+    # mixed-case follow-up must see the FULL table, not the pruned view
+    assert qe.sql("SELECT count(*) AS n FROM Weather", db="db").collect()[0]["n"] == 2
