@@ -40,6 +40,19 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    clash = [c for c in payload_cols if c in left.columns]
+    if clash:
+        # the output would carry BOTH left's column and the right payload
+        # under the same name — ambiguous downstream (AMBIGUOUS_REFERENCE
+        # on the next select) or silently the wrong one via toPandas
+        raise ValueError(
+            f"payload column(s) {clash} also exist in the left side; rename "
+            "one side before the as-of join"
+        )
+    internal = {"_k", "_t", "_side", "_asof_payload", "_match"}
+    used = internal & (set(left.columns) | set(right.columns))
+    if used:
+        raise ValueError(f"column name(s) {sorted(used)} are reserved by asof_join")
 
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
     # NULL-key / NULL-time right rows can never match under ASOF equality
@@ -131,7 +144,26 @@ def gapfill(
             ).alias(bucket_col),
         )
     )
-    dense = grid.join(df, [key_col, bucket_col], "full_outer")
+    # NULL-SAFE key equality: a NULL key is a legitimate groupBy series,
+    # but a plain equi-join can never match it — the grid's null-key rows
+    # would all miss, fabricating a full zero-filled phantom series next
+    # to the real null-key aggregates
+    gr = grid.alias("_g")
+    dl = df.alias("_d")
+    joined = gr.join(
+        dl,
+        F.col(f"_g.{key_col}").eqNullSafe(F.col(f"_d.{key_col}"))
+        & (F.col(f"_g.{bucket_col}") == F.col(f"_d.{bucket_col}")),
+        "full_outer",
+    )
+    data_cols = [c for c in df.columns if c not in (key_col, bucket_col)]
+    dense = joined.select(
+        F.coalesce(F.col(f"_g.{key_col}"), F.col(f"_d.{key_col}")).alias(key_col),
+        F.coalesce(F.col(f"_g.{bucket_col}"), F.col(f"_d.{bucket_col}")).alias(
+            bucket_col
+        ),
+        *[F.col(f"_d.{c}").alias(c) for c in data_cols],
+    )
     for col, const in (fill or {}).items():
         dense = dense.withColumn(col, F.coalesce(F.col(col), F.lit(const)))
     for col in locf_cols or []:

@@ -86,7 +86,22 @@ def hash_mod_py(key: str | None, n: int, salt: str = "") -> int:
 
     if n < 1:
         raise ValueError("hash_mod modulus must be >= 1")
-    s = "\x00null" if key is None else str(key)
+    if key is None:
+        s = "\x00null"
+    elif isinstance(key, bool):
+        # Spark casts booleans to 'true'/'false'; Python str() gives
+        # 'True'/'False' — a silent different-bucket divergence
+        s = "true" if key else "false"
+    elif isinstance(key, float):
+        # Spark renders doubles Java-style ('1.0E20') where Python says
+        # '1e+20' — no cheap faithful twin exists, so refuse instead of
+        # bucketing differently than the Column version
+        raise TypeError(
+            "hash_mod_py: float keys don't have a stable cross-engine "
+            "string form; cast the key to string/int first"
+        )
+    else:
+        s = str(key)
     return int(hashlib.md5(f"{salt}|{s}".encode()).hexdigest()[:8], 16) % n
 
 

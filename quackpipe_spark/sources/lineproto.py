@@ -121,7 +121,12 @@ def _unescape(s: str) -> str:
 
 def _split_top(s: str) -> list[str]:
     """Split a line into measurement+tags / fields / timestamp on unescaped,
-    unquoted spaces."""
+    unquoted spaces.
+
+    Quotes are string delimiters ONLY in the field section (parts[1]) —
+    the protocol gives '"' no meaning in the measurement/tag section, so
+    a literal quote in a tag value ('host=web"1') must not swallow the
+    section separator (the influx models parser accepts such lines)."""
     parts, cur, i, in_quote = [], [], 0, False
     while i < len(s):
         c = s[i]
@@ -130,7 +135,7 @@ def _split_top(s: str) -> list[str]:
             cur.append(s[i + 1])
             i += 2
             continue
-        if c == '"':
+        if c == '"' and len(parts) == 1:  # inside the field section
             in_quote = not in_quote
             cur.append(c)
         elif c == " " and not in_quote:
@@ -179,7 +184,12 @@ def _parse_field_value(raw: str) -> tuple[str, object]:
     if raw.endswith("i"):
         return "INT8", int(raw[:-1])
     if raw.endswith("u"):
-        return "UBIGINT", int(raw[:-1])
+        v = int(raw[:-1])
+        if v < 0:
+            # uintegers are non-negative by spec; storing -5 in the
+            # UBIGINT-typed column would read back as 2^64-5
+            raise ValueError(f"negative value for unsigned field: {raw!r}")
+        return "UBIGINT", v
     if raw in ("t", "T", "true", "True", "TRUE"):
         return "BOOLEAN", True
     if raw in ("f", "F", "false", "False", "FALSE"):
@@ -213,7 +223,11 @@ def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, s
         typ, val = _parse_field_value(v)
         fields.append((_unescape(k), typ, val))
     ts_ns = None
-    if len(parts) >= 3:
+    if len(parts) > 3:
+        # an unescaped space produced a 4th token — silently dropping it
+        # would ack a 204 while part of the payload vanished
+        raise ValueError(f"unexpected tokens after timestamp: {line!r}")
+    if len(parts) == 3:
         ts_ns = int(parts[2]) * mult
     # 'time' is the reserved timestamp column, and a name appearing twice
     # (two tags, two fields, or a tag shadowing a field) would misalign

@@ -72,7 +72,9 @@ def parse_ndjson(
         for k in cur.data:
             cur.data[k].append(obj.get(k))
         cur.n_rows += 1
-        cur_bytes += len(line)
+        cur_bytes += len(line.encode())  # encoded BYTES: len(str) counts
+        # characters and under-counts multi-byte UTF-8 up to 4x against
+        # the 10 MB cap (ndjson_insert_parser.go:40)
     return batches
 
 

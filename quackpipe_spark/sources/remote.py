@@ -33,6 +33,15 @@ def _ensure_cache_dir() -> None:
             f"http cache dir {CACHE_DIR} is owned by uid {st.st_uid}, not us — "
             "refusing to serve files another user controls (set QPS_HTTP_CACHE)"
         )
+    if st.st_mode & 0o022:
+        # a pre-existing user-owned but group/world-WRITABLE dir defeats
+        # the pre-planting protection just as surely as wrong ownership:
+        # anyone could drop the sha256-named file we then serve forever
+        raise PermissionError(
+            f"http cache dir {CACHE_DIR} is group/world-writable "
+            f"(mode {oct(st.st_mode & 0o777)}) — chmod 700 it or set "
+            "QPS_HTTP_CACHE to a private directory"
+        )
 
 
 def fetch_to_cache(url: str, timeout: float = 120.0) -> str:

@@ -107,3 +107,32 @@ def test_batch_interleave_resplit():
 def test_auto_timestamp_when_missing():
     batches = parse_lines("m v=1")
     assert batches[0].data["time"][0] > 1_600_000_000 * 10**9  # plausible ns
+
+
+def test_quote_in_tag_value_is_literal():
+    """The protocol gives '\"' no meaning outside field values: a quote
+    in a tag value must not swallow the section separator."""
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    m, tags, fields, ts = parse_line('cpu,host=web"1 usage=1 1700000000000000000')
+    assert m == "cpu" and tags == [("host", 'web"1')]
+    assert fields == [("usage", "FLOAT8", 1.0)]
+    assert ts == 1_700_000_000_000_000_000
+
+
+def test_extra_tokens_after_timestamp_rejected():
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="after timestamp"):
+        parse_line("m f=1 123 456")
+
+
+def test_negative_unsigned_field_rejected():
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsigned"):
+        parse_line("m f=-5u")

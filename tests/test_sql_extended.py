@@ -54,3 +54,50 @@ def test_sql_pipeline_functions_match_python_operators(spark):
         assert r["py_keep"] == r["sql_keep"]
         assert r["py_tc"] == r["sql_tc"]
         assert r["py_dr"] == r["sql_dr"]
+
+
+def test_gapfill_null_key_is_a_real_series(spark):
+    """A NULL key is a legitimate groupBy series: the grid must join back
+    to it (null-safe equality) instead of fabricating a phantom
+    zero-filled series beside the real null-key aggregates."""
+    from quackpipe_spark.operators.asof import gapfill
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 2, 30), (None, 0, 5), (None, 2, 7)],
+        "k string, b int, v int",
+    )
+    out = gapfill(df, "k", "b", 1, fill={"v": 0}).collect()
+    rows = {(r["k"], r["b"]): r["v"] for r in out}
+    assert len(out) == 6  # 2 series x 3 buckets, NO phantom extras
+    assert rows[(None, 0)] == 5 and rows[(None, 2)] == 7
+    assert rows[(None, 1)] == 0  # the genuine gap, filled
+    assert rows[("a", 1)] == 0
+
+
+def test_asof_join_payload_collision_raises(spark):
+    from quackpipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 1.0)], "sym int, t int, px double")
+    right = spark.createDataFrame([(1, 9, 2.0)], "sym int, t int, px double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="payload column"):
+        asof_join(left, right, "sym", "t", "t", ["px"])
+
+
+def test_hash_mod_py_matches_column_for_bool_and_rejects_float(spark):
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators.sampling import hash_mod, hash_mod_py
+
+    df = spark.createDataFrame([(True,), (False,)], "k boolean")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_mod(F.col("k"), 10_000).alias("b")).collect()
+    }
+    assert hash_mod_py(True, 10_000) == got[True]
+    assert hash_mod_py(False, 10_000) == got[False]
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="float"):
+        hash_mod_py(1e20, 10_000)
