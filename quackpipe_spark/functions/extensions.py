@@ -29,9 +29,12 @@ def compression_ratio(text: pd.Series) -> pd.Series:
     has no SQL-expression equivalent). Vectorized per Arrow batch."""
     import zlib
 
-    def ratio(s) -> float:
+    def ratio(s) -> float | None:
+        if s is None:
+            return None  # SQL semantics: a missing doc has no ratio —
+            # 1.0 would score it as maximally incompressible "quality"
         if not s:
-            return 1.0
+            return 1.0  # empty string: nothing to compress away
         raw = s.encode("utf-8", "ignore")
         return len(zlib.compress(raw, 6)) / max(len(raw), 1)
 

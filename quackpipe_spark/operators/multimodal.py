@@ -22,9 +22,12 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: The canonical media-table shape (attach_binary produces it;
+#: decode_media validates its inputs against the required subset).
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, byte_len long, sha256 string"
 )
+_REQUIRED_DECODE_COLS = ("media_id", "kind", "payload")
 
 
 def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -42,11 +45,12 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def _fake_decode(payload: bytes, kind: str) -> dict:
+def _fake_decode(digest: bytes, kind: str) -> dict:
     """Deterministic fake decode: dimensions/duration derived from the
-    payload hash so tests are stable and content-sensitive."""
-    h = hashlib.sha256(payload).digest()
-    a, b, c = struct.unpack(">HHH", h[:6])
+    payload's sha256 digest so tests are stable and content-sensitive
+    (the caller passes the digest it already computed for the feature
+    vector — one hash per payload, not two)."""
+    a, b, c = struct.unpack(">HHH", digest[:6])
     if kind == "image":
         return {"width": 64 + a % 1024, "height": 64 + b % 1024, "n_frames": 1}
     if kind == "video":
@@ -68,6 +72,18 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
 
     from quackpipe_spark.operators.util import fan_out
 
+    if not 1 <= batch_feature_dim <= 8:
+        # the feature vector unpacks 4-byte floats from a 32-byte sha256
+        # digest: more than 8 would crash struct.unpack inside an
+        # executor mid-job — reject at plan time instead
+        raise ValueError(
+            f"batch_feature_dim must be in [1, 8] (32-byte digest / 4-byte "
+            f"floats), got {batch_feature_dim}"
+        )
+    missing = [c for c in _REQUIRED_DECODE_COLS if c not in media.columns]
+    if missing:
+        raise ValueError(f"decode_media input lacks column(s) {missing}; "
+                         f"expected the MEDIA_SCHEMA shape")
     media = fan_out(media)
 
     out_schema = (
@@ -86,8 +102,8 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
                         "media decode requires image/audio libraries not present "
                         "in this environment; pass fake=True for the deterministic stub"
                     )
-                meta = _fake_decode(bytes(payload), kind)
                 digest = hashlib.sha256(bytes(payload)).digest()
+                meta = _fake_decode(digest, kind)
                 feature = [
                     struct.unpack(">f", digest[4 * i : 4 * i + 4])[0] for i in range(batch_feature_dim)
                 ]
@@ -104,11 +120,16 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
 def sample_frames(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan: one row per sampled frame index — pure JVM
     (sequence+explode), no Python in the hot path."""
+    # n_frames=0 (a real decoder's empty/corrupt video) must yield zero
+    # sampled frames, not a runtime error: sequence(0, -1, n) infers
+    # illegal boundaries (the shingles trap)
+    idx = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     return decoded.filter(F.col("kind") == "video").select(
         "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
+        F.explode(idx).alias("frame_idx"),
     )
 
 

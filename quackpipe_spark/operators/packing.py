@@ -111,10 +111,15 @@ def chunk_documents(
     # whole document once PER CHUNK (measured 0.74s → 0.18s at sf0.1).
     # The split is non-cheap and multiply-referenced, so CollapseProject
     # keeps the projection boundary instead of re-inlining it.
+    # blank check strips ALL whitespace (trim only strips spaces — a
+    # tab/newline-only doc would otherwise emit a phantom ['",""]-token
+    # chunk); the DuckDB oracle mirrors the same regexp
     base = docs.select(
         F.col(id_col),
         tokenize(F.col(text_col)).alias("_toks"),
-        (F.length(F.trim(F.col(text_col))) > 0).alias("_nonblank"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
+        ).alias("_nonblank"),
     )
     t = F.col("_toks")
     n = F.size(t)

@@ -187,13 +187,17 @@ def bigram_lm_score(
 
     Returns (id, avg_logp, ppl, n_bigrams): ppl = 2^(−avg_logp).
     P(w2|w1) = (c(w1,w2)+α) / (c(w1·)+α·V) with PREFIX counts —
-    c(w1·) = Σ_w2 c(w1,w2) and V = |distinct prefixes| — the standard
-    MLE denominator for a bigram model (the conditional sums to ≤ 1 by
-    construction, and every statistic derives from ONE bigram relation:
-    no separate unigram tokenize pass, and a whitespace-only doc's
-    phantom '' token can never enter the vocab because _doc_bigrams
-    drops <2-token docs). Unseen bigrams/prefixes hit the smoothing
-    floor instead of −∞. Docs with < 2 tokens are omitted.
+    c(w1·) = Σ_w2 c(w1,w2) and V = |distinct SUCCESSOR words| (the
+    output vocabulary the conditional distributes over) — add-α's
+    standard denominator: Σ_w2 P(w2|w1) = (c(w1·)+α·V)/(c(w1·)+α·V) ≤ 1
+    for the seen successors plus the smoothing mass, which makes ppl a
+    true perplexity. (An earlier revision used |distinct prefixes| for
+    V — over-unity conditionals whenever a prefix's fan-out exceeded the
+    prefix count.) Every statistic derives from ONE bigram relation: no
+    separate unigram tokenize pass, and a whitespace-only doc's phantom
+    '' token can never enter the vocab because _doc_bigrams drops
+    <2-token docs. Unseen bigrams/prefixes hit the smoothing floor
+    instead of −∞. Docs with < 2 tokens are omitted.
 
     Scale shape: the MODEL is the aggregated bigram count table — it is
     persisted with a blocking count (training is deliberately eager:
@@ -214,7 +218,7 @@ def bigram_lm_score(
     big_counts.count()  # blocking: consumers must hit the cache, not race
     score_big = _doc_bigrams(docs, id_col, text_col)
     uni_counts = big_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
-    vocab = uni_counts.agg(F.count("*").alias("_V"))
+    vocab = big_counts.select("w2").distinct().agg(F.count("*").alias("_V"))
     scored = (
         score_big
         .join(big_counts, ["w1", "w2"], "left")
@@ -301,20 +305,31 @@ def analyze(
     does)."""
     t = F.col(text_col)
 
+    # NULL-text guard (the corpus_report lesson): under the engine's
+    # ANSI-off session size(NULL) is -1, so unguarded NULL docs would
+    # report n_tokens=-1, stopword_ratio=-1.0, dup_token_ratio=2.0 — and
+    # a Gopher-style 'dup_token_ratio > 0.3' filter would flag every
+    # NULL doc as repetitive spam. The DuckDB oracle yields NULL for all
+    # token-derived metrics of a NULL text; mirror that exactly
+    # (fingerprint too: concat_ws skips the NULL array → md5('') where
+    # the oracle has NULL).
+    def _nn(expr):
+        return F.when(t.isNull(), F.lit(None)).otherwise(expr)
+
     def _proj(src: DataFrame) -> DataFrame:
         return src.select(
             F.col(id_col),
             F.length(t).alias("n_chars"),
-            token_count(t).alias("n_tokens"),
-            bpe_estimate(t).alias("bpe_tokens_est"),
+            _nn(token_count(t)).alias("n_tokens"),
+            _nn(bpe_estimate(t)).alias("bpe_tokens_est"),
             punct_ratio(t).alias("punct_ratio"),
-            stopword_ratio(t, "en").alias("stopword_ratio_en"),
-            dup_token_ratio(t).alias("dup_token_ratio"),
+            _nn(stopword_ratio(t, "en")).alias("stopword_ratio_en"),
+            _nn(dup_token_ratio(t)).alias("dup_token_ratio"),
             email_count(t).alias("n_emails"),
             url_count(t).alias("n_urls"),
             quality_score(t).alias("quality"),
             detect_language(t).alias("lang_detected"),
-            fingerprint(t).alias("fingerprint"),
+            _nn(fingerprint(t)).alias("fingerprint"),
         )
 
     if not repetition:
@@ -352,10 +367,14 @@ def linear_text_score(
     exp() is the only libm call, absorbed by round-to-``round_to`` for
     cross-engine comparison."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
-        docs.repartition(par, F.col(id_col))
-        .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
-        .filter(F.col("_toks").isNotNull())
+    # NULL text → empty token array (not a filter): the contract is that
+    # EVERY doc scores at least sigmoid(bias); dropping NULL-text rows
+    # would silently lose them from an inner-join score gate
+    base = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col),
+        F.coalesce(
+            tokenize(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
     )
     dl = base.select(id_col, F.size("_toks").alias("_dl"))
     matched = (

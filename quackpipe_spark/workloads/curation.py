@@ -325,7 +325,7 @@ _CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
 CHUNK_SQL = f"""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
 ), idx AS (
   SELECT doc_id, t,
          unnest(range(0, greatest(1,

@@ -86,7 +86,7 @@ def test_chunking_matches_duckdb(spark, docs, duck):
             f"""
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
 ), idx AS (
   SELECT doc_id, t,
          unnest(range(0, greatest(1,
@@ -119,7 +119,7 @@ def _py_bigram_scores(train_texts, score_rows, alpha):
     pre = Counter()
     for (a, _b), c in big.items():
         pre[a] += c
-    V = len(pre)
+    V = len({b for (_a, b) in big})  # successor vocabulary
     out = {}
     for doc_id, s in score_rows:
         t = toks(s)
@@ -190,7 +190,9 @@ def test_bigram_lm_flags_gibberish_on_real_corpus(spark, docs):
 
 def test_linear_text_score_matches_reference(spark):
     """Hand-computed sigmoid(mean weight) scores, incl. a weightless doc
-    (sigmoid(bias)) and a NULL-text doc (dropped)."""
+    (sigmoid(bias)) and a NULL-text doc (scores sigmoid(bias) too — the
+    contract is every doc gets a score; dropping NULL texts would
+    silently lose them from an inner-join score gate)."""
     import math
 
     from quackpipe_spark.operators.text import linear_text_score
@@ -215,7 +217,7 @@ def test_linear_text_score_matches_reference(spark):
     assert out[1] == sig(0.3 + (2.0 + 2.0 - 1.5) / 3)
     assert out[2] == sig(0.3)
     assert out[4] == sig(0.3 + (-1.5 * 4) / 4)
-    assert 3 not in out
+    assert out[3] == sig(0.3)  # NULL text: empty token set, pure bias
 
 
 def test_linear_text_score_matches_duckdb(spark, duck):
@@ -237,8 +239,9 @@ def test_linear_text_score_matches_duckdb(spark, duck):
         for r in duck.execute(f"""
 WITH w(term, weight) AS (VALUES {wvals}),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE text IS NOT NULL
+  SELECT doc_id,
+         coalesce(string_split_regex(trim(lower(text)), '\\s+'), []) AS t
+  FROM documents
 ), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
 m AS (
   SELECT doc_id, sum(weight) AS wsum
@@ -301,3 +304,32 @@ def test_corpus_report_null_text(spark):
     assert abs(r["avg_chars"] - round((15 + 11 + 0) / 3, 2)) < 1e-9
     assert r["pii_doc_rate"] == 0.0
     assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+def test_chunking_tab_only_doc_yields_no_chunks(spark):
+    """trim() strips only spaces: a tab/newline-only doc must still count
+    as blank (zero chunks), not emit a phantom 2-token chunk."""
+    df = spark.createDataFrame(
+        [(1, "\t"), (2, "\n\n"), (3, " \t \n "), (4, "real text")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, max_tokens=4).collect()
+    assert {r["doc_id"] for r in out} == {4}
+
+
+def test_analyze_null_text_metrics_are_null(spark):
+    """ANSI-off size(NULL)=-1 must not leak: NULL-text docs report NULL
+    for every token-derived metric (matching the DuckDB oracle), not
+    n_tokens=-1 / dup_token_ratio=2.0 / stopword_ratio=-1.0."""
+    from quackpipe_spark.operators.text import analyze
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in analyze(df).collect()}
+    r2 = rows[2]
+    for col in ("n_tokens", "bpe_tokens_est", "stopword_ratio_en",
+                "dup_token_ratio", "fingerprint", "n_chars"):
+        assert r2[col] is None, col
+    assert r2["quality"] == 0.0 and r2["lang_detected"] == "und"
+    assert rows[1]["n_tokens"] == 3

@@ -576,3 +576,39 @@ def test_bm25_scan_matches_postings_path(spark, docs):
     ]
     for seg in scan_blocks:
         assert "split(" not in seg, "tokenization sank into the scan"
+
+
+def test_decode_media_dim_bound_and_zero_frames(spark):
+    from quackpipe_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(3, "vid payload")], "doc_id long, text string"
+    )
+    media = M.attach_binary(docs)  # id 3 % 3 == 0 -> image... use kind col anyway
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch_feature_dim"):
+        M.decode_media(media, fake=True, batch_feature_dim=16)
+    # n_frames=0 videos sample to zero frames, not a sequence() error
+    decoded = spark.createDataFrame(
+        [(1, "video", 100, 100, 0), (2, "video", 100, 100, 25)],
+        "media_id long, kind string, width int, height int, n_frames int",
+    )
+    got = {(r["media_id"], r["frame_idx"]) for r in M.sample_frames(decoded, 10).collect()}
+    assert got == {(2, 0), (2, 10), (2, 20)}
+
+
+def test_compression_ratio_null_is_null(spark):
+    from quackpipe_spark.functions.extensions import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaaaaaa"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["cr"]
+        for r in df.select("doc_id", compression_ratio("text").alias("cr")).collect()
+    }
+    assert rows[2] is None
+    assert rows[3] == 1.0
+    assert 0.0 < rows[1] < 1.0
