@@ -609,9 +609,19 @@ def hyperplane_buckets(
     md5(p|i) — reproducible everywhere with no stored model. sign bit p =
     (Σ_i v_i·h_pi) ≥ 0; bucket = Σ bit_p<<p. Cosine-near vectors agree on
     most sign bits, so candidate search = same-bucket (or near-bucket)
-    membership."""
+    membership.
+
+    Vectors that are NULL or not exactly ``dims`` long are EXCLUDED up
+    front: zip_with would NULL-pad a short vector, the fold accumulator
+    would go NULL, and the row would silently vanish from every bucket
+    join downstream — an explicit filter makes the drop deterministic
+    and visible in the plan (the gate queries apply the same contract on
+    the oracle side)."""
     import hashlib
 
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
+    )
     v = F.col(vec_col)
 
     def plane_sign(plane: int, i: int) -> float:

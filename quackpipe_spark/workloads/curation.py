@@ -182,13 +182,21 @@ def _sampling_battery_sql() -> str:
         "SELECT doc_id FROM documents WHERE "
         + S.hash_sample_sql("doc_id", 0.35, "g1")
     )
-    # split boundaries mirror split_by_hash: cumulative half-up cutoffs in
-    # insertion order (train/val/test = 8000/9000/else)
+    # split boundaries DERIVED from _SPLIT_WEIGHTS with split_by_hash's
+    # exact cumulative half-up arithmetic — hardcoding 8000/9000 would go
+    # stale the moment the weights change while the Spark side tracked
+    import math as _math
+
+    total = sum(_SPLIT_WEIGHTS.values())
+    labels = list(_SPLIT_WEIGHTS.items())
+    hi, arms = 0.0, []
+    for label, w in labels[:-1]:
+        hi += w / total * 10000
+        arms.append(f"WHEN b < {int(_math.floor(hi + 0.5))} THEN '{label}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{labels[-1][0]}' END"
     split_sql = f"""
 SELECT doc_id,
-       CASE WHEN b < 8000 THEN 'train'
-            WHEN b < 9000 THEN 'val'
-            ELSE 'test' END AS split
+       {case} AS split
 FROM (SELECT doc_id, {_bucket_sql('sp1')} AS b FROM documents)
 """
     strat_sql = f"""

@@ -103,7 +103,7 @@ inter AS (
 )
 SELECT i.a, i.b, round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) AS jaccard
 FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
-WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.8
+WHERE round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) >= 0.8
 """
 
 
@@ -164,7 +164,7 @@ inter AS (
 )
 SELECT i.a, i.b, round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) AS jaccard
 FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
-WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.8
+WHERE round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) >= 0.8
 """
 
 
@@ -215,13 +215,6 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 1
 
 # --- dedup: embedding cosine ----------------------------------------------
 
-_COS_ORACLE_EXPR = """
-round(
-  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-  / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-     * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4)
-"""
-
 # quantizer-cell blocking (not a data column like `label`, whose group
 # sizes are unbounded at scale): cells seeded by md5(vec_id) order,
 # multi-probe assignment to the 2 nearest cells — both engines derive the
@@ -230,8 +223,10 @@ _EMB_CELLS, _EMB_PROBES = 32, 2
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-dim non-null contract (see ann_topk_bruteforce): a ragged vector
+    # would crash assign_cells' np.array batch outright
     return S.blocked_near_pairs(
-        _emb(spark, sf_dir), threshold=0.40, n_cells=_EMB_CELLS, probes=_EMB_PROBES
+        _emb64(spark, sf_dir), threshold=0.40, n_cells=_EMB_CELLS, probes=_EMB_PROBES
     )
 
 
@@ -240,15 +235,19 @@ def _emb_dot(x: str, y: str) -> str:
 
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH seeds AS (
+WITH e64 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
          embedding AS center
-  FROM embeddings
+  FROM e64
   QUALIFY cell <= {_EMB_CELLS}
 ),
 base AS (
   SELECT vec_id, embedding, sqrt({_emb_dot('embedding', 'embedding')}) AS nrm
-  FROM embeddings
+  FROM e64
 ),
 assigned AS (
   SELECT vec_id, embedding, nrm, cell
@@ -270,19 +269,31 @@ WHERE round({_emb_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) >= 0.
 # --- similarity search -----------------------------------------------------
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # exactly-64-dim non-null contract like the other ANN gates: a short
+    # vector gives Spark's zip_with a NULL-padded (NULL) cosine while
+    # DuckDB's list_sum skips nulls to a finite partial sum — exclude
+    # explicitly on both engines rather than differ silently
+    emb = _emb64(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.brute_force_topk(emb, queries, k=10)
 
 
-_COS_QC = _COS_ORACLE_EXPR.replace("a.embedding", "q.embedding").replace(
-    "b.embedding", "c.embedding"
-).replace(", 4)", ", 6)")
+# query↔corpus cosine at 6dp, composed from the single-sourced _emb_dot
+# (an earlier revision string-munged a duplicate recipe via .replace)
+_COS_QC = (
+    f"round({_emb_dot('q.embedding', 'c.embedding')}\n"
+    f"  / (sqrt({_emb_dot('q.embedding', 'q.embedding')})\n"
+    f"     * sqrt({_emb_dot('c.embedding', 'c.embedding')})), 6)"
+)
 
 ANN_TOPK_SQL = f"""
-WITH scored AS (
+WITH e64 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_QC} AS cos
-  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  FROM e64 q JOIN e64 c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 5
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -488,16 +499,21 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
         books = S.seeded_pq_codebooks(
             emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE
         )
+        qrows = (
+            emb.filter(F.col("vec_id") == _PQ_QUERY_ID)
+            .select("embedding")
+            .collect()
+        )
+        if not qrows:
+            raise ValueError(
+                f"pinned PQ query vec_id={_PQ_QUERY_ID} is absent from the "
+                "64-dim corpus — cannot build the gate query"
+            )
+        qvec = [float(x) for x in qrows[0][0]]
         codes = S.pq_encode(
             emb, books, normalize=False, d2_round=6
         ).persist()
         codes.count()  # eager: search must never re-run the encode
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == _PQ_QUERY_ID)
-            .select("embedding")
-            .collect()[0][0]
-        ]
         hit = (books, codes, qvec)
         _PQ_CACHE[key] = hit
     else:
@@ -598,7 +614,13 @@ lut AS (
   FROM codebook cb CROSS JOIN q
 ),
 adc AS (
-  SELECT e.vec_id AS neighbor_id, round(sum(l.w), 6) AS adc_cos
+  -- ordered fold (list in sub order, then list_sum's sequential fold):
+  -- sum() over a hash-join group adds in unspecified order and the
+  -- 9-rounded w values are not binary-exact, so order can flip the
+  -- last ulp across a 1e-6 rounding edge — the same determinism
+  -- discipline every other float oracle here follows
+  SELECT e.vec_id AS neighbor_id,
+         round(list_sum(list(l.w ORDER BY l.sub)), 6) AS adc_cos
   FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
   GROUP BY e.vec_id
 ),

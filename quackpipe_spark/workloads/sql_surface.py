@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from quackpipe_spark.functions.dialect import register_dialect
 
-_DIALECT_SESSIONS: set[int] = set()
+_DIALECT_SESSIONS: dict[int, SparkSession] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -32,10 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dialect(spark: SparkSession) -> None:
+    # dict value PINS the session object: a bare id() set would alias a
+    # NEW session to a dead one's entry after CPython address reuse and
+    # silently skip register_dialect (unresolved-function errors later)
     key = id(spark)
-    if key not in _DIALECT_SESSIONS:
+    if _DIALECT_SESSIONS.get(key) is not spark:
         register_dialect(spark)
-        _DIALECT_SESSIONS.add(key)
+        _DIALECT_SESSIONS[key] = spark
 
 
 # --- battery digests ---------------------------------------------------------
