@@ -289,6 +289,7 @@ def plan_dir_merges(path: str) -> list[MergePlan]:
 
 _COMMIT_PREFIX = ".compact-commit-"
 _HIDDEN_OUT_PREFIX = ".compact-out-"
+_STAGE_PREFIX = ".compact-stage-"
 
 
 def _fsync_file(p: str) -> None:
@@ -327,20 +328,30 @@ def _unlink_quiet(p: str) -> None:
 
 
 def maybe_recover_parquet_dir(path: str) -> None:
-    """Run recovery only when crash artifacts are present — one listdir
-    when clean, so read/write entry points (probes, appends, searches)
-    can afford to call it every time and a crashed merge heals at the
-    NEXT index access instead of waiting for the next compaction to be
-    file-count-triggered."""
+    """Reader-side healing: run ROLL-FORWARD-ONLY recovery when a commit
+    marker is present — one listdir when clean, so read entry points
+    (probes, searches) can afford to call it every time and a crashed
+    COMMITTED merge heals at the next index access instead of waiting
+    for the next compaction to be file-count-triggered.
+
+    Deliberately does NOT sweep uncommitted artifacts (hidden outputs,
+    staging dirs): a reader cannot distinguish a crash leftover from a
+    LIVE compactor's in-progress state, and rolling back a live writer's
+    hidden output just before it commits would let the writer unlink its
+    inputs and then fail the publish — data loss. Roll-forward is safe
+    to race (every post-commit step is idempotent and quiet on
+    FileNotFoundError, on both sides); uncommitted orphans are invisible
+    to Spark scans (dot-prefixed) and are swept by the single writer's
+    own recover_parquet_dir at the start of its next compaction."""
     try:
         names = os.listdir(path)
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return
-    if any(n.startswith(".compact-") for n in names):
-        recover_parquet_dir(path)
+    if any(n.startswith(_COMMIT_PREFIX) for n in names):
+        recover_parquet_dir(path, sweep_orphans=False)
 
 
-def recover_parquet_dir(path: str) -> None:
+def recover_parquet_dir(path: str, sweep_orphans: bool = True) -> None:
     """Crash recovery for journaled flat-dir merges — idempotent, runs at
     the start of every compact_parquet_dir (and is safe to call any time
     from the dir's single writer).
@@ -356,6 +367,13 @@ def recover_parquet_dir(path: str) -> None:
       output both live (the duplicate-rows hazard).
     - hidden output with no marker → the merge never committed: roll
       BACK (unlink the orphan; inputs are untouched and complete).
+
+    ``sweep_orphans=False`` (reader-side, via maybe_recover_parquet_dir)
+    restricts recovery to the roll-forward half: uncommitted hidden
+    outputs and ``.compact-stage-*`` staging dirs are left alone because
+    they may belong to a LIVE writer, not a crash. Only the dir's single
+    writer runs the full sweep (``True``, the compact_parquet_dir
+    entry), where by construction no other writer is mid-merge.
     """
     import json
     import warnings
@@ -395,18 +413,37 @@ def recover_parquet_dir(path: str) -> None:
         # the marker is written after the data) → keep inputs, just
         # drop the marker
         _unlink_quiet(marker)
-    if unreadable:
-        # an unreadable marker may reference a hidden output we can't
-        # identify — do NOT sweep orphans (warned above)
+    if unreadable or not sweep_orphans:
+        # unreadable marker: it may reference a hidden output we can't
+        # identify — do NOT sweep orphans (warned above). Reader-side
+        # (sweep_orphans=False): orphans may be a live writer's state.
         return
+    import shutil
+
     for name in list(os.listdir(path)):
+        p = os.path.join(path, name)
         if name.startswith(_HIDDEN_OUT_PREFIX):
-            _unlink_quiet(os.path.join(path, name))  # uncommitted orphan
+            _unlink_quiet(p)  # uncommitted orphan
+        elif name.startswith(_STAGE_PREFIX) and os.path.isdir(p):
+            # a crash during the Spark stage write leaves the staging dir
+            # behind; it is by construction uncommitted (the hidden
+            # rename out of it never happened, or happened and the data
+            # lives on as a hidden/final file) — remove it so its
+            # part files can never be walked into a later compaction
+            shutil.rmtree(p, ignore_errors=True)
     _fsync_dir(path)
 
 
 def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: list[str]) -> str:
-    """Commit-marker protocol steps 2-5 (data already at hidden_name)."""
+    """Commit-marker protocol steps 2-5 (data already at hidden_name).
+
+    Every post-commit step tolerates losing a race against a READER'S
+    roll-forward (maybe_recover_parquet_dir sees the marker the instant
+    it lands and may unlink inputs / publish the hidden output / drop
+    the marker first): after the commit point each step is idempotent
+    with recovery, so "already done by someone else" is success, not an
+    exception that would kill the (possibly streaming-foreachBatch-
+    inline) maintenance op."""
     import json
 
     _fsync_file(os.path.join(path, hidden_name))  # data durable BEFORE commit
@@ -422,12 +459,16 @@ def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: lis
     os.replace(tmp, marker)  # COMMIT POINT
     _fsync_dir(path)
     for inp in inputs:
-        p = os.path.join(path, inp)
-        if os.path.exists(p):
-            os.unlink(p)
+        _unlink_quiet(os.path.join(path, inp))
     dst = os.path.join(path, final_name)
-    os.replace(os.path.join(path, hidden_name), dst)
-    os.unlink(marker)
+    try:
+        os.replace(os.path.join(path, hidden_name), dst)
+    except FileNotFoundError:
+        # a racing roll-forward already published it; if the final is
+        # missing too, the data is genuinely gone — surface that
+        if not os.path.exists(dst):
+            raise
+    _unlink_quiet(marker)
     _fsync_dir(path)
     return dst
 
@@ -477,9 +518,11 @@ def compact_parquet_dir(
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if order_by:
             df = df.sort(*order_by)
-        stage = os.path.join(
-            os.path.dirname(path.rstrip("/")), f".compact-{uuid.uuid4().hex}"
-        )
+        # stage INSIDE the target dir (dot-hidden: invisible to Spark
+        # scans) so a crash leftover is owned by this dir's recovery —
+        # the writer-side sweep removes it; a stage dir parked in the
+        # PARENT would be swept by nobody and walked into forever
+        stage = os.path.join(path, f"{_STAGE_PREFIX}{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         os.replace(os.path.join(stage, part), hidden)
@@ -498,12 +541,17 @@ def compact_parquet_tree(
     partitioned by term_bucket, IVF postings by cell). Partition columns
     live in the directory names, so per-leaf rewrites preserve them."""
     out: list[str] = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        # never descend into dot-dirs: a `.compact-stage-*` staging dir
+        # holds part files from an in-flight (or crashed) merge —
+        # compacting those would resurrect never-published data
+        has_stage = any(d.startswith(_STAGE_PREFIX) for d in dirnames)
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
         # visit dirs with visible parquet OR crash artifacts: a dir whose
         # committed merge crashed after the last input unlink holds only
-        # hidden outputs + a marker, and skipping it would orphan the
-        # roll-forward forever
-        if any(
+        # hidden outputs + a marker (or just an orphan staging dir), and
+        # skipping it would orphan the roll-forward / sweep forever
+        if has_stage or any(
             (_PART_FILE_RE.search(f) and not f.startswith((".", "_")))
             or f.startswith(".compact-")
             for f in filenames

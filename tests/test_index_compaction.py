@@ -508,3 +508,132 @@ def test_tree_recovers_dir_left_with_only_hidden_output(spark, tmp_path):
     compact_parquet_tree(spark, str(root))
     assert sorted(os.listdir(leaf)) == [final]
     assert spark.read.parquet(str(leaf)).count() == 1
+
+
+def test_reader_recovery_never_sweeps_uncommitted_artifacts(spark, tmp_path):
+    """maybe_recover_parquet_dir is called from READERS (probes,
+    searches) and so must not roll back artifacts that may belong to a
+    LIVE writer: an uncommitted hidden output or staging dir stays put
+    (they are invisible to Spark scans anyway); only the single writer's
+    full recover_parquet_dir sweeps them."""
+    from quackpipe_spark.plans.compactor import (
+        _HIDDEN_OUT_PREFIX,
+        _STAGE_PREFIX,
+        maybe_recover_parquet_dir,
+        recover_parquet_dir,
+    )
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-00000-a.parquet").write_bytes(b"x" * 10)
+    (d / f"{_HIDDEN_OUT_PREFIX}live.2.parquet").write_bytes(b"y" * 10)
+    stage = d / f"{_STAGE_PREFIX}abc123"
+    stage.mkdir()
+    (stage / "part-00000-s.parquet").write_bytes(b"z" * 10)
+    maybe_recover_parquet_dir(str(d))  # reader side: no-op on orphans
+    assert (d / f"{_HIDDEN_OUT_PREFIX}live.2.parquet").exists()
+    assert stage.exists()
+    recover_parquet_dir(str(d))  # writer side: full sweep
+    assert sorted(os.listdir(d)) == ["part-00000-a.parquet"]
+
+
+def test_reader_recovery_still_rolls_forward_committed_merge(spark, tmp_path):
+    """The reader-side restriction must NOT lose the roll-forward half:
+    a committed merge (marker present) heals at the next read access."""
+    import json as _json
+    import shutil
+
+    from quackpipe_spark.plans.compactor import (
+        _COMMIT_PREFIX,
+        _HIDDEN_OUT_PREFIX,
+        maybe_recover_parquet_dir,
+    )
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next(f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet"))
+    shutil.copy(tmp_path / "stage" / part, d / "part-00000-a.parquet")
+    final = "beef.2.parquet"
+    hidden = f"{_HIDDEN_OUT_PREFIX}{final}"
+    shutil.copy(tmp_path / "stage" / part, d / hidden)
+    (d / f"{_COMMIT_PREFIX}z.json").write_text(
+        _json.dumps(
+            {"hidden": hidden, "final": final, "inputs": ["part-00000-a.parquet"]}
+        )
+    )
+    maybe_recover_parquet_dir(str(d))
+    assert sorted(os.listdir(d)) == [final]
+    assert spark.read.parquet(str(d)).count() == 2
+
+
+def test_journaled_publish_survives_concurrent_reader_rollforward(spark, tmp_path, monkeypatch):
+    """Deterministic worst-case interleave of the ADVICE race: a reader's
+    maybe_recover fires the instant the commit marker lands (unlinking
+    inputs, publishing the hidden output, dropping the marker) while the
+    writer is still inside _journaled_publish. The writer's post-commit
+    steps must treat 'already done' as success — the publish returns,
+    the final file exists once, and no artifacts remain."""
+    import shutil
+
+    from quackpipe_spark.plans import compactor as C
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next(f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet"))
+    shutil.copy(tmp_path / "stage" / part, d / "part-00000-a.parquet")
+    shutil.copy(tmp_path / "stage" / part, d / "part-00001-b.parquet")
+    final = "f00d.2.parquet"
+    hidden = f"{C._HIDDEN_OUT_PREFIX}{final}"
+    shutil.copy(tmp_path / "stage" / part, d / hidden)
+
+    real_fsync_dir = C._fsync_dir
+    fired = {"n": 0}
+
+    def racing_fsync_dir(p):
+        # the first _fsync_dir call inside _journaled_publish happens
+        # right after the commit point — the reader wins the race there
+        fired["n"] += 1
+        if fired["n"] == 1:
+            C.maybe_recover_parquet_dir(str(d))
+        real_fsync_dir(p)
+
+    monkeypatch.setattr(C, "_fsync_dir", racing_fsync_dir)
+    dst = C._journaled_publish(
+        str(d), hidden, final, ["part-00000-a.parquet", "part-00001-b.parquet"]
+    )
+    assert fired["n"] >= 1
+    assert os.path.basename(dst) == final
+    assert sorted(os.listdir(d)) == [final]
+    assert spark.read.parquet(str(d)).count() == 2
+
+
+def test_orphan_stage_dir_swept_not_compacted(spark, tmp_path):
+    """A crash during the Spark stage write leaves `.compact-stage-*`
+    behind; the next compaction must remove it and must NEVER walk into
+    it — its part files are never-published data that would otherwise be
+    resurrected into a merged output."""
+    from quackpipe_spark.plans.compactor import (
+        _STAGE_PREFIX,
+        compact_parquet_tree,
+    )
+
+    root = tmp_path / "tree"
+    leaf = root / "term_bucket=0"
+    leaf.mkdir(parents=True)
+    good = spark.createDataFrame([(i, "keep") for i in range(4)], "id long, v string")
+    # two visible input files so a real merge is planned
+    good.coalesce(1).write.mode("append").parquet(str(leaf))
+    good.coalesce(1).write.mode("append").parquet(str(leaf))
+    n_good = spark.read.parquet(str(leaf)).count()
+    stage = leaf / f"{_STAGE_PREFIX}deadbeef"
+    bogus = spark.createDataFrame([(99, "bogus")], "id long, v string")
+    bogus.coalesce(1).write.parquet(str(stage))
+    compact_parquet_tree(spark, str(root), order_by=["id"])
+    assert not stage.exists()
+    out = spark.read.parquet(str(leaf))
+    assert out.count() == n_good
+    assert out.filter(F.col("v") == "bogus").count() == 0
