@@ -23,7 +23,7 @@ from urllib.parse import parse_qs, urlparse
 
 from quackpipe_spark.catalog import Catalog
 from quackpipe_spark.ingest import IngestService, ingest_lines
-from quackpipe_spark.query import QueryEngine, rows_as_json
+from quackpipe_spark.query import QueryEngine
 
 _WRITE_PATHS = ("/gigapi/insert", "/gigapi/write", "/write", "/api/v2/write", "/api/v3/write_lp")
 
@@ -150,18 +150,49 @@ class GigapiServer:
                 and the merge ticker with it. Peak memory is now one
                 partition of rows; the reference streams its response too.
                 HTTP/1.0 connection-close framing (the handler default)
-                keeps this valid without chunked encoding."""
+                keeps this valid without chunked encoding.
+
+                Error contract: the FIRST row is pulled before the 200
+                header goes out, so execution errors (not just analysis
+                errors) almost always surface as the documented JSON 500/
+                400 shape. A failure after streaming began cannot un-send
+                the 200 — instead the body closes as
+                ``{"results": [...], "error": "..."}``: still valid JSON,
+                unambiguously not a success shape, never a second status
+                line spliced mid-body."""
+                it = df.toLocalIterator()
+                try:
+                    first_row = next(it)
+                except StopIteration:
+                    first_row = None
+                # past here the 200 is committed
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 w = self.wfile
                 w.write(b'{"results": [')
-                first = True
-                for row in df.toLocalIterator():
-                    chunk = json.dumps(row.asDict(recursive=True), default=str)
-                    w.write((b"" if first else b", ") + chunk.encode())
-                    first = False
-                w.write(b"]}")
+                try:
+                    if first_row is not None:
+                        w.write(
+                            json.dumps(
+                                first_row.asDict(recursive=True), default=str
+                            ).encode()
+                        )
+                        for row in it:
+                            chunk = json.dumps(
+                                row.asDict(recursive=True), default=str
+                            )
+                            w.write(b", " + chunk.encode())
+                    w.write(b"]}")
+                except Exception as e:
+                    try:
+                        w.write(
+                            b'], "error": '
+                            + json.dumps(f"{type(e).__name__}: {e}").encode()
+                            + b"}"
+                        )
+                    except OSError:
+                        pass  # client already gone — nothing to salvage
 
             def do_GET(self):
                 path = urlparse(self.path).path

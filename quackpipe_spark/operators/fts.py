@@ -465,8 +465,33 @@ def search_postings_index(
     from the build artifact (no full-index aggregation), and the scan is
     pre-filtered to the query terms' md5 buckets — partition pruning
     reads ≤ q of n_buckets directories for a q-term query."""
+    import os
+
     terms = _terms(query)
     st = _read_stats(spark, path)
+    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
+    if _is_local_path(path) and any(
+        f.startswith(".append-pending-") for f in os.listdir(path)
+    ):
+        # a pending marker means the postings may include a batch the
+        # stats row doesn't (crashed append — or one in flight). A
+        # reader must NOT run repair_postings_stats: rewriting the stats
+        # row and deleting the marker races a LIVE appender and could
+        # erase the crash signal its successor relies on. Instead score
+        # THIS query with fresh stats aggregated read-only from the
+        # postings (ground truth) — costs one postings aggregation only
+        # while a marker is present, leaves healing to the writer.
+        post = spark.read.parquet(f"{path}/postings")
+        doc_col = next(
+            c for c in post.columns if c not in ("term", "tf", "dl", "term_bucket")
+        )
+        fresh = (
+            post.groupBy(doc_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count("*").alias("N"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(fresh["N"]), float(fresh["avgdl"] or 1.0)
     buckets = sorted({hash_mod_py(t, st["n_buckets"]) for t in terms})
     if _is_local_path(path):
         # heal a crashed compaction in the buckets this query will read
@@ -483,4 +508,4 @@ def search_postings_index(
         .filter(F.col("term").isin(terms))
         .drop("term_bucket")
     )
-    return _bm25_rank(matched, id_col, st["N"], float(st["avgdl"]), topk, k1, b)
+    return _bm25_rank(matched, id_col, n_docs, avgdl, topk, k1, b)

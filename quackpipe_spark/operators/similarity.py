@@ -818,6 +818,7 @@ def seeded_pq_codebooks(
     m: int = 4,
     k: int = 16,
     sample: int = 512,
+    dims: int | None = None,
 ) -> PqCodebooks:
     """Zero-iteration PQ codebooks: subspace ``s``'s centers are the first
     ``k`` DISTINCT **raw** subvectors among the first ``sample`` vectors
@@ -833,18 +834,48 @@ def seeded_pq_codebooks(
     ``normalize_query=False`` to keep every intermediate mirrorable).
     Quantization quality is strictly worse than trained k-means — this
     trades codebook optimality for cross-engine reproducibility, exactly
-    like build_seeded_ivf_index vs build_ivf_index."""
+    like build_seeded_ivf_index vs build_ivf_index.
+
+    ``dims`` filters the sample to exactly-that-length vectors BEFORE the
+    md5 ordering — the same ``len(embedding) = dims`` predicate the SQL
+    oracle applies to its base CTE, and the only way a ragged corpus
+    yields the same sample on both engines (filtering after the cut
+    would shift which vectors make the first ``sample``). Without it a
+    ragged vector in the sample raises instead of being excluded."""
+    sampled = corpus.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(vec_col).isNotNull()
+    )
+    if dims is not None:
+        if dims % m != 0:
+            raise ValueError(f"dims={dims} not divisible by m={m}")
+        sampled = sampled.filter(F.size(F.col(vec_col)) == dims)
     rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        sampled.orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
         .limit(sample)
         .collect()
     )
-    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    if M.ndim != 2 or M.shape[1] % m != 0:
+    try:
+        M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    except ValueError as e:
+        raise ValueError(
+            "sample contains vectors of differing lengths — pass dims= to "
+            "filter the corpus to one dimensionality (the oracle's "
+            "len(embedding)=dims predicate)"
+        ) from e
+    if M.ndim != 2:
+        raise ValueError(
+            "sample contains vectors of differing lengths — pass dims= to "
+            "filter the corpus to one dimensionality"
+        )
+    if M.shape[1] % m != 0:
         raise ValueError(f"vector dim {M.shape[-1]} not divisible by m={m}")
     dsub = M.shape[1] // m
+    # canonicalize before keying distinctness: SQL GROUP BY uses VALUE
+    # equality, so -0.0 must key like 0.0 (x + 0.0 normalizes the sign
+    # of zero without changing any other value) and every NaN payload
+    # must key like every other NaN — raw float64 bytes distinguish both
+    M = M + 0.0
+    M[np.isnan(M)] = np.nan
     centers: list[list[list[float]]] = []
     for s in range(m):
         X = M[:, s * dsub : (s + 1) * dsub]

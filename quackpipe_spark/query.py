@@ -275,10 +275,3 @@ class QueryEngine:
             for t in refs:
                 self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
             return self.spark.sql(query)
-
-
-def rows_as_json(df: DataFrame, limit: int | None = None) -> dict:
-    """Serialize to the reference's HTTP response shape
-    {"results": [...]} (ARCHITECTURE.md:1864-1894)."""
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
-    return {"results": [r.asDict(recursive=True) for r in rows]}

@@ -497,7 +497,7 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
     if hit is None:
         emb = _emb64(spark, sf_dir)
         books = S.seeded_pq_codebooks(
-            emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE
+            emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE, dims=_LSH_DIMS
         )
         qrows = (
             emb.filter(F.col("vec_id") == _PQ_QUERY_ID)

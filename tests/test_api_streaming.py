@@ -236,3 +236,47 @@ def test_query_response_is_streamed_shape(server):
     assert status == 200
     rows = json.loads(body)["results"]
     assert [r["v"] for r in rows] == list(range(50))
+
+
+def test_query_error_shapes_around_streaming(server, spark):
+    """Two error paths of the streamed /query response:
+
+    - execution fails BEFORE the first row (first partition): the first
+      row is pulled before the 200 header commits, so the client gets
+      the documented JSON 400 error shape, not a broken 200;
+    - execution fails MID-STREAM (a later partition): the 200 cannot be
+      un-sent, so the body must close as valid JSON with an "error" key
+      — never a second status line spliced into the body."""
+    from pyspark.sql.types import LongType
+
+    def boom_late(x):
+        if x >= 750:
+            raise RuntimeError("kaboom-late")
+        return x
+
+    def boom_now(x):
+        raise RuntimeError("kaboom-now")
+
+    spark.udf.register("qp_test_boom_late", boom_late, LongType())
+    spark.udf.register("qp_test_boom_now", boom_now, LongType())
+
+    status, body = _post(
+        server.base + "/query",
+        json.dumps(
+            {"query": "SELECT qp_test_boom_now(id) AS v FROM range(0, 10, 1, 1)"}
+        ).encode(),
+    )
+    assert status == 400
+    assert "error" in json.loads(body)
+
+    status, body = _post(
+        server.base + "/query",
+        json.dumps(
+            {"query": "SELECT qp_test_boom_late(id) AS v FROM range(0, 1000, 1, 4)"}
+        ).encode(),
+    )
+    assert status == 200  # header was already committed when the job died
+    doc = json.loads(body)  # still valid JSON
+    assert "kaboom-late" in doc["error"]
+    assert doc["results"]  # the early partitions streamed
+    assert all(r["v"] < 750 for r in doc["results"])

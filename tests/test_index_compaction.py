@@ -637,3 +637,47 @@ def test_orphan_stage_dir_swept_not_compacted(spark, tmp_path):
     out = spark.read.parquet(str(leaf))
     assert out.count() == n_good
     assert out.filter(F.col("v") == "bogus").count() == 0
+
+
+def test_search_uses_fresh_stats_under_pending_marker(spark, tmp_path):
+    """A crashed append leaves postings for a doc the stats row doesn't
+    count. A search arriving BEFORE the writer's next repair must not
+    score BM25 with the stale N/avgdl: it aggregates fresh stats from
+    the postings read-only — matching a clean same-corpus index — and
+    leaves the marker in place for the writer to heal."""
+    from quackpipe_spark.operators.sampling import hash_mod
+
+    base = [(1, "alpha beta"), (2, "gamma delta epsilon")]
+    extra = [(3, "alpha zeta eta")]
+    path = str(tmp_path / "fts_pend")
+    FTS.write_postings(
+        FTS.build_postings(spark.createDataFrame(base, "doc_id long, text string")),
+        path,
+        n_buckets=2,
+    )
+    orphan = FTS.build_postings(
+        spark.createDataFrame(extra, "doc_id long, text string")
+    ).withColumn("term_bucket", hash_mod(F.col("term"), 2))
+    orphan.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
+    (tmp_path / "fts_pend" / ".append-pending-dead").touch()
+    clean = str(tmp_path / "fts_clean")
+    FTS.write_postings(
+        FTS.build_postings(
+            spark.createDataFrame(base + extra, "doc_id long, text string")
+        ),
+        clean,
+        n_buckets=2,
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in FTS.search_postings_index(spark, path, "alpha", topk=5).collect()
+    ]
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in FTS.search_postings_index(spark, clean, "alpha", topk=5).collect()
+    ]
+    assert got == exp
+    # the reader must NOT consume the crash signal
+    assert any(f.startswith(".append-pending-") for f in os.listdir(path))
+    stale = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert stale["N"] == 2  # stats row untouched by the read-only path

@@ -232,3 +232,49 @@ def test_pq_topk_multi_single_scan_plan(spark, emb, books, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
     assert "Window" in plan
+
+
+def test_seeded_codebooks_negative_zero_keys_like_zero(spark):
+    """-0.0 and 0.0 are the SAME value under SQL GROUP BY, so the seeded
+    distinctness scan must not count them as two distinct subvectors —
+    raw float64 bytes would. Corpus: k vectors that differ only in zero
+    sign must yield ONE center (and thus fail to reach k=2), while a
+    genuinely distinct second vector succeeds."""
+    rows = [(1, [0.0, 1.0]), (2, [-0.0, 1.0]), (3, [0.5, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = SIM.seeded_pq_codebooks(df, m=1, k=2, sample=10)
+    flat = {tuple(c) for c in books.centers[0]}
+    assert flat == {(0.0, 1.0), (0.5, 1.0)}
+    # and the kept zero is canonical +0.0 (sign-of-zero never leaks)
+    for c in books.centers[0]:
+        for x in c:
+            assert not (x == 0.0 and np.signbit(x))
+    with pytest.raises(ValueError, match="distinct"):
+        SIM.seeded_pq_codebooks(
+            spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>"),
+            m=1,
+            k=2,
+            sample=10,
+        )
+
+
+def test_seeded_codebooks_dims_filters_ragged_like_oracle(spark):
+    """A ragged corpus: dims= excludes wrong-length vectors BEFORE the
+    md5-ordered sample cut (the oracle's len(embedding)=dims predicate);
+    without dims= the ragged sample raises a clear error instead of a
+    misleading shape failure."""
+    rows = [(i, [float(i), float(i + 1)]) for i in range(8)] + [
+        (100, [1.0, 2.0, 3.0])  # ragged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = SIM.seeded_pq_codebooks(df, m=1, k=4, sample=20, dims=2)
+    assert all(len(c) == 2 for c in books.centers[0])
+    ref = SIM.seeded_pq_codebooks(
+        spark.createDataFrame(rows[:8], "vec_id long, embedding array<double>"),
+        m=1,
+        k=4,
+        sample=20,
+    )
+    assert books.centers == ref.centers
+    with pytest.raises(ValueError, match="dims"):
+        SIM.seeded_pq_codebooks(df, m=1, k=4, sample=20)
