@@ -33,15 +33,24 @@ from quackpipe_spark.plans.index import PartitionIndex
 
 _TS_VALUE = r"(\d+|epoch_ns\(\s*(?:TIMESTAMP\s*)?'[^']+'(?:\s*::\s*TIMESTAMP)?\s*\))"
 # the column must be exactly __timestamp: no preceding word char (else
-# event__timestamp matches) and no table/alias qualifier (a qualified
-# predicate binds to ONE table of a join — the pruner applies bounds to
-# every table, so qualified forms must not prune)
+# event__timestamp matches). The UNQUALIFIED form (no table/alias
+# prefix) is attributable only when the query references one table; the
+# QUALIFIED form (alias.__timestamp) binds to one side of a join and is
+# resolved through the FROM/JOIN alias map so multi-table queries can
+# prune each side's file list independently.
 _TS_COL = r"(?<![A-Za-z0-9_.])__timestamp"
 _TS_BOUND = re.compile(
     rf"{_TS_COL}\s*(>=|<=|>|<)\s*{_TS_VALUE}", re.IGNORECASE
 )
 _TS_BETWEEN = re.compile(
     rf"{_TS_COL}\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
+)
+_TS_COL_Q = r"(?<![A-Za-z0-9_.])([A-Za-z_]\w*)\.__timestamp"
+_TS_BOUND_Q = re.compile(
+    rf"{_TS_COL_Q}\s*(>=|<=|>|<)\s*{_TS_VALUE}", re.IGNORECASE
+)
+_TS_BETWEEN_Q = re.compile(
+    rf"{_TS_COL_Q}\s+BETWEEN\s+{_TS_VALUE}\s+AND\s+{_TS_VALUE}", re.IGNORECASE
 )
 _EPOCH_NS_LIT = re.compile(r"'([^']+)'")
 # Constructs under which a textual __timestamp bound is NOT a conjunctive
@@ -62,6 +71,31 @@ _PRUNE_UNSAFE = re.compile(
     re.IGNORECASE,
 )
 _SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
+# Join flavors whose ON clause does NOT conjunctively filter the
+# preserved side's rows: `t LEFT JOIN u ON t.__timestamp >= x` keeps
+# every t row (null-extended), so pruning t's files from that bound
+# would drop rows. With any of these present, bounds are read from the
+# WHERE clause onward only — a WHERE predicate over one side's column
+# filters that side's rows regardless of join flavor (null-extended
+# rows fail the comparison too), so WHERE-scope bounds stay safe.
+_OUTER_JOIN_KW = re.compile(r"\b(LEFT|RIGHT|FULL|OUTER|SEMI|ANTI)\b", re.IGNORECASE)
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+_ALIAS_STOPWORDS = frozenset(
+    "on where group order limit having join left right full inner cross outer "
+    "semi anti using union intersect except as qualify lateral window natural "
+    "tablesample values select distinct".split()
+)
+# FROM/JOIN relation + optional alias. The relation may be db-qualified
+# (dotted) — the LAST segment is the table name. The alias group must
+# REFUSE keywords via lookahead (not post-filter): consuming the JOIN of
+# `FROM a JOIN b` as a's "alias" would swallow the next clause and drop
+# b from the map entirely.
+_FROM_JOIN = re.compile(
+    r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?!(?:" + "|".join(sorted(_ALIAS_STOPWORDS)) + r")\b)"
+    r"([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
 
 
 def _ts_literal_ns(lit: str) -> int:
@@ -81,34 +115,92 @@ def _ts_literal_ns(lit: str) -> int:
     raise ValueError(f"unparseable timestamp literal: {raw!r}")
 
 
-def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
-    """Best-effort [lo, hi] from literal __timestamp predicates. Bounds
-    must be CONSERVATIVE in both directions: unparseable predicates skip
-    pruning, and any construct that could make an ANDed bound wrong —
-    OR, set operations, NOT(...), CASE, subqueries — disables it
+def _alias_map(sql: str) -> dict[str, str]:
+    """Relation-name → table-name map from the FROM/JOIN clauses, keys
+    and values lowercased. An aliased relation is addressable ONLY by
+    its alias (standard SQL); an unaliased one by its (last-segment)
+    name. Keys claimed by two different tables are dropped — attributing
+    a bound through an ambiguous name could prune the wrong side."""
+    amap: dict[str, str] = {}
+    bad: set[str] = set()
+    for m in _FROM_JOIN.finditer(sql):
+        tbl = m.group(1).split(".")[-1].lower()
+        alias = (m.group(2) or "").lower()
+        if alias in _ALIAS_STOPWORDS:
+            alias = ""
+        key = alias or tbl
+        if key in amap and amap[key] != tbl:
+            bad.add(key)
+        amap[key] = tbl
+    for key in bad:
+        del amap[key]
+    return amap
+
+
+def extract_time_bounds_per_table(
+    sql: str, tables: list[str]
+) -> dict[str, tuple[int | None, int | None]]:
+    """Best-effort per-table [lo, hi] from literal __timestamp
+    predicates. Bounds must be CONSERVATIVE in both directions:
+    unparseable predicates skip pruning, an unresolvable qualifier skips
+    that bound, and any construct that could make an ANDed bound wrong —
+    OR, set operations, NOT(...), CASE, subqueries — disables pruning
     entirely (see _PRUNE_UNSAFE). Wrong pruning is silent missing rows;
-    no pruning is just slower."""
+    no pruning is just slower.
+
+    Unqualified bounds attribute only when exactly ONE table is
+    referenced; qualified bounds (alias.__timestamp) resolve through the
+    FROM/JOIN alias map, so a join over two big stores prunes each
+    side's file list. With outer/semi/anti joins present, only the text
+    from WHERE onward is scanned — an ON-clause bound on a preserved
+    side does not filter its rows and must not prune (see
+    _OUTER_JOIN_KW)."""
     if _PRUNE_UNSAFE.search(sql) or len(_SELECT_KW.findall(sql)) > 1:
-        return None, None
-    lo, hi = None, None
-    for op, lit in _TS_BOUND.findall(sql):
+        return {}
+    scope = sql
+    if _OUTER_JOIN_KW.search(sql):
+        m = _WHERE_KW.search(sql)
+        if m is None:
+            return {}
+        scope = sql[m.end() :]
+    out: dict[str, tuple[int | None, int | None]] = {}
+
+    def _apply(tname: str, op: str, lit: str) -> None:
         try:
             v = _ts_literal_ns(lit)
         except ValueError:
-            continue
+            return
+        lo, hi = out.get(tname, (None, None))
         if op in (">=", ">"):
             lo = v if lo is None else max(lo, v)
         else:
             hi = v if hi is None else min(hi, v)
-    m = _TS_BETWEEN.search(sql)
-    if m:
-        try:
-            a, b = _ts_literal_ns(m.group(1)), _ts_literal_ns(m.group(2))
-            lo = a if lo is None else max(lo, a)
-            hi = b if hi is None else min(hi, b)
-        except ValueError:
-            pass
-    return lo, hi
+        out[tname] = (lo, hi)
+
+    if len(tables) == 1:
+        for op, lit in _TS_BOUND.findall(scope):
+            _apply(tables[0], op, lit)
+        for m in _TS_BETWEEN.finditer(scope):
+            _apply(tables[0], ">=", m.group(1))
+            _apply(tables[0], "<=", m.group(2))
+    amap = _alias_map(sql)  # relations are declared before WHERE: map from full text
+    canon = {t.lower(): t for t in tables}
+    for qual, op, lit in _TS_BOUND_Q.findall(scope):
+        tbl = amap.get(qual.lower())
+        if tbl in canon:
+            _apply(canon[tbl], op, lit)
+    for m in _TS_BETWEEN_Q.finditer(scope):
+        tbl = amap.get(m.group(1).lower())
+        if tbl in canon:
+            _apply(canon[tbl], ">=", m.group(2))
+            _apply(canon[tbl], "<=", m.group(3))
+    return out
+
+
+def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:
+    """Single-table convenience wrapper over
+    :func:`extract_time_bounds_per_table` (unqualified bounds only)."""
+    return extract_time_bounds_per_table(sql, ["_"]).get("_", (None, None))
 
 
 class QueryEngine:
@@ -260,18 +352,20 @@ class QueryEngine:
             if re.search(rf"\b{re.escape(t.name)}\b", query, re.IGNORECASE)
         ]
         # Index pruning applies only when it is provably safe: UTC session
-        # (bound literals parse as UTC), a SINGLE referenced table (an
-        # unqualified bound in a join cannot be attributed to one side),
-        # and that table's index min/max actually track __timestamp (a
-        # custom order_by indexes a different column — comparing time
-        # bounds against it would prune the wrong files).
-        lo, hi = (None, None)
-        if self._prune_ok() and len(refs) == 1:
-            t = refs[0]
-            tracks_ts = (t.order_by[0] if t.order_by else "__timestamp") == "__timestamp"
-            if tracks_ts:
-                lo, hi = extract_time_bounds(query)
+        # (bound literals parse as UTC), the bound is attributable to ONE
+        # table (unqualified → single referenced table; qualified
+        # alias.__timestamp → resolved per join side), and that table's
+        # index min/max actually track __timestamp (a custom order_by
+        # indexes a different column — comparing time bounds against it
+        # would prune the wrong files).
+        bounds: dict[str, tuple[int | None, int | None]] = {}
+        if self._prune_ok() and refs:
+            bounds = extract_time_bounds_per_table(query, [t.name for t in refs])
         with self._sql_lock:
             for t in refs:
+                tracks_ts = (
+                    t.order_by[0] if t.order_by else "__timestamp"
+                ) == "__timestamp"
+                lo, hi = bounds.get(t.name, (None, None)) if tracks_ts else (None, None)
                 self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
             return self.spark.sql(query)

@@ -217,3 +217,96 @@ def test_mixed_case_table_reference_reregisters_view(spark, tmp_path):
     ).collect()[0]["n"] == 1
     # mixed-case follow-up must see the FULL table, not the pruned view
     assert qe.sql("SELECT count(*) AS n FROM Weather", db="db").collect()[0]["n"] == 2
+
+
+def test_per_table_bounds_qualified_join():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    q = (
+        "SELECT a.v, b.v FROM ta a JOIN tb b ON a.v = b.v "
+        "WHERE a.__timestamp >= 100 AND a.__timestamp < 200 "
+        "AND b.__timestamp BETWEEN 50 AND 80"
+    )
+    assert ex(q, ["ta", "tb"]) == {"ta": (100, 200), "tb": (50, 80)}
+    # unaliased relations resolve by their own (last-segment) name
+    q2 = (
+        "SELECT * FROM db.ta JOIN tb ON ta.v = tb.v "
+        "WHERE ta.__timestamp >= 7 AND tb.__timestamp < 9"
+    )
+    assert ex(q2, ["ta", "tb"]) == {"ta": (7, None), "tb": (None, 9)}
+    # unqualified bound in a join is unattributable — no pruning
+    assert ex("SELECT * FROM ta JOIN tb ON ta.v=tb.v WHERE __timestamp >= 5", ["ta", "tb"]) == {}
+    # unknown / unresolvable qualifier: that bound is skipped, others kept
+    assert ex(
+        "SELECT * FROM ta a JOIN tb b ON a.v=b.v WHERE zz.__timestamp >= 5 AND a.__timestamp >= 3",
+        ["ta", "tb"],
+    ) == {"ta": (3, None)}
+
+
+def test_per_table_bounds_alias_shadowing_and_ambiguity():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # an alias that equals ANOTHER table's name must win over the bare
+    # table (standard SQL: aliased relations are addressable only by
+    # alias) — here `tb` names the ta relation
+    q = "SELECT * FROM ta tb JOIN tb x ON tb.v = x.v WHERE tb.__timestamp >= 5"
+    assert ex(q, ["ta", "tb"]) == {"ta": (5, None)}
+    # a name claimed by two different tables is ambiguous → dropped
+    q2 = "SELECT * FROM ta x JOIN tb x ON 1=1 WHERE x.__timestamp >= 5"
+    assert ex(q2, ["ta", "tb"]) == {}
+
+
+def test_per_table_bounds_outer_join_scoping():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # ON-clause bound on the PRESERVED side of a LEFT JOIN does not
+    # filter its rows — must not prune
+    q = "SELECT * FROM ta a LEFT JOIN tb b ON a.v = b.v AND a.__timestamp >= 100"
+    assert ex(q, ["ta", "tb"]) == {}
+    # ...but a WHERE bound stays safe under any join flavor
+    q2 = (
+        "SELECT * FROM ta a LEFT JOIN tb b ON a.v = b.v "
+        "WHERE a.__timestamp >= 100 AND b.__timestamp < 50"
+    )
+    assert ex(q2, ["ta", "tb"]) == {"ta": (100, None), "tb": (None, 50)}
+    # unqualified single-table: an ON bound under LEFT JOIN is likewise
+    # ignored (the old single-table path would have mis-pruned here)
+    q3 = "SELECT * FROM ta LEFT JOIN _rp_x ON __timestamp >= 100"
+    assert ex(q3, ["ta"]) == {}
+
+
+def test_join_query_prunes_both_tables_files(spark, tmp_path):
+    """End-to-end: a two-big-table join with qualified __timestamp bounds
+    reads only the overlapping files of EACH side, and returns the same
+    rows as the unpruned plan."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+
+    catalog = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, catalog, save_timeout_s=3600)
+    t0 = 1_700_000_000 * NS
+    day = 86_400 * NS
+    # two files per table: day-0 and day-1
+    for tbl in ("pa", "pb"):
+        svc.store("d", tbl, {"v": [1, 2], "__timestamp": [t0, t0 + 1]})
+        svc.store("d", tbl, {"v": [2, 3], "__timestamp": [t0 + day, t0 + day + 1]})
+    svc.flush()
+    qe = QueryEngine(spark, catalog)
+    assert len(qe.table_files(catalog.get("d", "pa"))) == 2
+    q = (
+        "SELECT a.v AS v FROM pa a JOIN pb b ON a.v = b.v "
+        f"WHERE a.__timestamp >= {t0 + day} AND b.__timestamp >= {t0 + day}"
+    )
+    df = qe.sql(q, db="d")
+    pruned_inputs = df.inputFiles()
+    assert len(pruned_inputs) == 2  # one file per side, not 2+2
+    got = sorted(r["v"] for r in df.collect())
+    # unpruned truth: same query with bounds the pruner cannot use
+    full = qe.sql(
+        "SELECT a.v AS v FROM pa a JOIN pb b ON a.v = b.v "
+        f"WHERE a.__timestamp + 0 >= {t0 + day} AND b.__timestamp + 0 >= {t0 + day}",
+        db="d",
+    )
+    assert len(full.inputFiles()) == 4
+    assert got == sorted(r["v"] for r in full.collect())
