@@ -24,6 +24,8 @@ on the same corpus keeps the same survivors.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,47 @@ from pyspark.sql import functions as F
 #: stats); the index side itself never shuffles either way beyond that
 #: fallback.
 PROBE_BROADCAST_MAX_ROWS = 1_000_000
+
+
+# Optimized-plan node names whose recomputation is no more expensive
+# than reading them once: scans, row-local projections/filters over a
+# scan, in-memory (already cached) relations, tiny local data. Anything
+# else in a probe batch's lineage (joins, aggregates, UDF stages,
+# exchanges) makes the gate's count() a full re-execution.
+_CHEAP_PLAN_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "Project",
+        "Filter",
+        "LocalRelation",
+        "InMemoryRelation",
+        "GlobalLimit",
+        "LocalLimit",
+        "LogicalRDD",
+        "Range",
+    }
+)
+_PLAN_NODE_RE = re.compile(r"[A-Za-z]+")
+
+
+def _cheap_to_recount(df: DataFrame) -> bool:
+    """True when the frame is already cached or its optimized plan is
+    scan-shaped (see _CHEAP_PLAN_NODES) — i.e. counting it does not pay
+    for any derived computation twice. Unknown/unparseable plans report
+    False (persisting a cheap frame wastes a little memory; re-running
+    an expensive lineage wastes a lot of compute)."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return True
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        m = _PLAN_NODE_RE.search(line)
+        if m and m.group(0) not in _CHEAP_PLAN_NODES:
+            return False
+    return True
 
 
 def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> DataFrame:
@@ -52,10 +95,20 @@ def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> Da
     normal inputs (parquet scans, micro-batches) count() is a cheap
     parallel — often metadata-only — scan, while limit(n).count()
     funnels up to n rows per partition through one GlobalLimit task,
-    which is strictly slower exactly where the gate runs most. The cost
-    that remains is evaluating the batch lineage twice (this count + the
-    probe's hashing pass); persist an expensively derived batch first."""
-    if max_rows is not None and max_rows > 0 and source.count() <= max_rows:
+    which is strictly slower exactly where the gate runs most.
+
+    The gate evaluates the batch lineage once here and the probe's
+    hashing pass evaluates it again — for a DERIVED, un-cached batch
+    (join/agg/UDF output rather than a scan) that would silently double
+    the caller's compute, so such a source is persisted first
+    (MEMORY_AND_DISK; it stays cached for the probe pass that follows —
+    batches are bounded by contract, this is the intended pattern, and a
+    caller who wants cache control can persist before calling)."""
+    if max_rows is None or max_rows <= 0:
+        return probe
+    if not _cheap_to_recount(source):
+        source.persist()
+    if source.count() <= max_rows:
         return F.broadcast(probe)
     return probe
 

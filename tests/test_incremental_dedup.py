@@ -293,3 +293,35 @@ def test_diff_fingerprint_indexes(spark, split, tmp_path):
     assert got[30_000_001] == "added"
     assert got[changed_id] == "changed"
     assert all(got[i] == "same" for i in v1_ids[2:])
+
+
+def test_probe_hint_persists_derived_batch_once(spark):
+    """The gate's count() plus the probe's own pass evaluate the batch
+    lineage twice — for a DERIVED (non-scan) un-cached batch the hint
+    helper must persist it first so the expensive part runs once. A
+    scan-shaped batch must NOT be persisted (count() there is cheap and
+    caching it would waste executor memory)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    udf = F.udf(bump, "long")
+    derived = (
+        spark.range(0, 100, 1, 4)
+        .withColumn("y", udf("id"))
+        .groupBy("y")
+        .count()
+    )
+    probe = derived.select("y")
+    D._probe_hint(probe, derived, max_rows=10_000)  # gate count: one pass
+    assert acc.value == 100
+    assert derived.storageLevel.useMemory or derived.storageLevel.useDisk
+    derived.count()  # the probe's "second" pass: served from cache
+    assert acc.value == 100
+    # scan-shaped source: not persisted
+    scan = spark.range(0, 10)
+    D._probe_hint(scan, scan, max_rows=10_000)
+    assert not (scan.storageLevel.useMemory or scan.storageLevel.useDisk)
+    derived.unpersist()
