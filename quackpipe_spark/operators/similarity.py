@@ -151,10 +151,15 @@ def assign_cells(
     probes: int = 1,
     round_to: int = 6,
     carry_probes: bool = False,
+    with_norm: bool = True,
 ) -> DataFrame:
     """(id, vec, nrm, cell) rows — each vector assigned to its ``probes``
     nearest centers by cosine (rounded, tie-broken on cell id); with
     ``carry_probes`` the full probe array rides along as ``pcells``.
+    ``with_norm=False`` drops the ``nrm`` column for consumers that can
+    re-derive the identical sequential fold downstream (blocked_near_pairs
+    reads it off diag(S)) — the fold is a 64-step Catalyst expression per
+    row, so skipping it shrinks both the compiled plan and the shuffle.
 
     The scoring is one numpy matmul per Arrow batch against the driver-side
     center literals — no crossJoin row blowup, no shuffle, no window
@@ -183,6 +188,7 @@ def assign_cells(
         )[:, :n_probes]
         return pd.Series([cells_np[o].astype("int32").tolist() for o in order])
 
+    nrm_cols = [norm(F.col(vec_col)).alias("nrm")] if with_norm else []
     if carry_probes:
         # keep each row's full probe list alongside the exploded cell:
         # downstream pair stages can then decide "is this cell the pair's
@@ -191,13 +197,13 @@ def assign_cells(
         return df.select(
             F.col(id_col),
             F.col(vec_col),
-            norm(F.col(vec_col)).alias("nrm"),
+            *nrm_cols,
             _topcells(F.col(vec_col)).alias("pcells"),
         ).select("*", F.explode("pcells").alias("cell"))
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        norm(F.col(vec_col)).alias("nrm"),
+        *nrm_cols,
         F.explode(_topcells(F.col(vec_col))).alias("cell"),
     )
 
@@ -249,6 +255,7 @@ def blocked_near_pairs(
         vec_col,
         probes=probes,
         carry_probes=True,
+        with_norm=False,  # re-derived bit-identically from diag(S) below
     )
     # emit with slack below threshold, round+filter JVM-side: np.round is
     # half-to-even while Spark/DuckDB round() is half-up, so the EXACT
@@ -264,11 +271,14 @@ def blocked_near_pairs(
         pdf = pdf.sort_values(id_col)  # position order = id order → a < b
         ids = pdf[id_col].to_numpy()
         M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        nr = pdf["nrm"].to_numpy(dtype=np.float64)
         S = np.zeros((p, p))
         for i in range(M.shape[1]):  # ascending-dim rank-1 accumulation
             col = M[:, i]
             S += col[:, None] * col[None, :]
+        # diag(S) IS the sequential ascending-dim fold of x², so these
+        # norms are bit-identical to the JVM aggregate / DuckDB list_sum
+        # fold — no nrm column needs computing upstream or shuffling here
+        nr = np.sqrt(np.diag(S))
         C = S / (nr[:, None] * nr[None, :])
         ai, bi = np.triu_indices(p, 1)
         keep = C[ai, bi] >= slack
@@ -567,6 +577,116 @@ def ivf_search(
             "neighbor_id",
             F.round(
                 dot(F.col("qvec"), F.col("cvec")) / (F.col("_qnorm") * F.col("cnorm")),
+                round_to,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ivf_search_rows(
+    index: IvfIndex,
+    query_rows: list[tuple],
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Small-query-batch serving path over a built index: probes are
+    computed DRIVER-side in numpy (the FAISS client-side query-planning
+    model) instead of shipping a handful of vectors through a pandas-UDF
+    stage, and the probed cells become a STATIC ``cell IN (...)`` filter
+    — on a written index (write_ivf_index layout) that is plain
+    partition pruning. The probe batch itself is inlined as a literal
+    cell→[query struct] map exploded scan-side (the pq_topk_multi
+    discipline): no broadcast exchange, no join, no extra job — the whole
+    search is one pruned scan plus the per-query top-k window's single
+    exchange. Use :func:`ivf_search` when the query set is itself a
+    large distributed frame.
+
+    ``query_rows`` = [(query_id, vector)] with non-null, equal-length
+    vectors (collect the frame first; ids must be int or str).
+
+    Parity discipline (hash-checked by the driver gate): the probe
+    scoring mirrors assign_cells exactly — np.round(cos, round_to),
+    tie-break on ascending cell id; the query norm reused in the exact
+    cosine is a SEQUENTIAL python float fold, bit-identical to the JVM
+    aggregate fold and DuckDB's list_sum over the same doubles (BLAS
+    norms enter only the probe CHOICE, where round_to absorbs ulp noise
+    — the assign_cells contract)."""
+    import math
+
+    cells_np = np.array([c for c, _ in index.centers], dtype=np.int64)
+    Cm = np.array([v for _, v in index.centers], dtype=np.float64)
+    Cn = np.maximum(np.linalg.norm(Cm, axis=1), 1e-300)
+    n_probes = min(nprobe, len(index.centers))
+    id_t = dict(index.assigned.dtypes)["neighbor_id"]
+    by_cell: dict[int, list] = {}
+    for qid, vec in query_rows:
+        v = np.asarray(vec, dtype=np.float64)
+        nrm_blas = max(float(np.linalg.norm(v)), 1e-300)
+        scores = np.round((Cm @ v) / (nrm_blas * Cn), round_to)
+        order = np.lexsort((cells_np, -scores))[:n_probes]
+        s = 0.0
+        for x in v.tolist():  # sequential fold: JVM/list_sum bit-parity
+            s += x * x
+        seq_nrm = math.sqrt(s)
+        for c in cells_np[order].tolist():
+            by_cell.setdefault(int(c), []).append((qid, vec, seq_nrm))
+    probe_cells = sorted(by_cell)
+
+    # literals as PARALLEL ARRAYS, each a single nested F.lit (one py4j
+    # hop apiece): per-element F.lit would cost a roundtrip each (~1.3k
+    # for a 20-probe batch ≈ 1s of pure driver latency), and a rendered
+    # SQL map-of-structs literal costs a ~30KB ANTLR parse per call. The
+    # flat probe list is indexed positionally: cell → [1-based probe
+    # indexes], then each scan row explodes only its own cell's indexes.
+    flat = [t for c in probe_cells for t in by_cell[c]]
+    idx_of: dict[int, list[int]] = {}
+    pos = 1
+    for c in probe_cells:
+        idx_of[c] = list(range(pos, pos + len(by_cell[c])))
+        pos += len(by_cell[c])
+    qids_lit = F.lit([qid for qid, _, _ in flat])
+    qvecs_lit = F.lit([[float(x) for x in vec] for _, vec, _ in flat])
+    qnorms_lit = F.lit([float(n) for _, _, n in flat])
+    cell_idx_map = F.map_from_arrays(
+        F.lit(probe_cells), F.lit([idx_of[c] for c in probe_cells])
+    )
+    scored = (
+        index.assigned.filter(F.col("cell").cast("int").isin(probe_cells))
+        .select(
+            "neighbor_id",
+            "cvec",
+            "cnorm",
+            F.explode(
+                F.element_at(cell_idx_map, F.col("cell").cast("int"))
+            ).alias("_j0"),
+        )
+        .select(
+            F.col("_j0").cast("int").alias("_j"),
+            "neighbor_id",
+            "cvec",
+            "cnorm",
+        )
+        .select(
+            F.element_at(qids_lit, F.col("_j")).cast(id_t).alias("query_id"),
+            "neighbor_id",
+            "cvec",
+            "cnorm",
+            "_j",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.element_at(qvecs_lit, F.col("_j")), F.col("cvec"))
+                / (F.element_at(qnorms_lit, F.col("_j")) * F.col("cnorm")),
                 round_to,
             ).alias("cos"),
         )

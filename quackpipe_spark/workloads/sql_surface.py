@@ -62,34 +62,48 @@ def _dialect(spark: SparkSession) -> None:
 _NULL_TOKEN = "<null>"
 
 
-def _digest(df: DataFrame, part: str) -> DataFrame:
+def _row_hash(df: DataFrame) -> Column:
     cols = []
     for name, dtype in sorted(df.dtypes):
         col = F.col(name)
         if dtype in ("double", "float"):
             col = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
         cols.append(F.coalesce(col.cast("string"), F.lit(_NULL_TOKEN)))
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8), 16, 10).cast("long")
-    return (
-        df.select(h.alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
-        )
-        .select(F.lit(part).alias("part"), F.col("n"), F.col("chk"))
-    )
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8), 16, 10
+    ).cast("long")
 
 
 def _union_digests(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Digest N sub-results with ONE aggregation: each sub-plan projects to
+    (part, row-hash), the narrow streams union, and a single
+    groupBy(part) folds them — versus the old per-part global aggregate,
+    which paid a 2-stage SinglePartition exchange per sub-query (3-4 extra
+    stages per battery of pure scheduling latency, and at scale N
+    all-to-one exchanges instead of one 3-key hash shuffle with map-side
+    partial aggregation). A null-hash seed row per part keeps empty
+    sub-results present in the output (count counts only non-null h), so
+    the result is row-identical to the oracle's UNION ALL of per-part
+    global aggregates."""
+    spark = parts[0][1].sparkSession
     out = None
     for part, df in parts:
-        d = _digest(df, part)
+        d = df.select(
+            F.lit(part).alias("part"), _row_hash(df).alias("h")
+        ).unionAll(
+            spark.range(1).select(
+                F.lit(part).alias("part"), F.lit(None).cast("long").alias("h")
+            )
+        )
         out = d if out is None else out.unionAll(d)
-    return out
+    return out.groupBy("part").agg(
+        F.count("h").alias("n"),
+        F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
+    )
 
 
 def _digest_sql(part: str, sub_sql: str, cols: list[tuple[str, str]]) -> str:
-    """DuckDB mirror of _digest. cols = [(name, kind)]; kind 'f' marks
+    """DuckDB mirror of one _union_digests part. cols = [(name, kind)]; kind 'f' marks
     double/float columns (fixed-point canon), anything else casts to VARCHAR."""
     exprs = []
     for name, kind in sorted(cols):
@@ -559,13 +573,60 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 # --- set operations --------------------------------------------------------
 
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    """UNION / INTERSECT / EXCEPT ALL over customer key sets — the literal
+    Catalyst operator chain (Union+Deduplicate, Intersect, ExceptAll).
+    Kept as the operator-coverage artifact and differentially pinned
+    row-identical to the battery's fused recipe
+    (:func:`set_operations_fused`) in tests/test_sql_extended.py."""
     c = _t(spark, sf_dir, "customer")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
-    return building.union(rich).distinct().intersect(with_orders).exceptAll(
+    with_orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return building.union(rich).intersect(with_orders).exceptAll(
         c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    )
+
+
+def set_operations_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same `(A UNION B) INTERSECT O EXCEPT ALL N` result as ONE tagged
+    aggregate — the plan set semantics over key sets deserves at 100 TB:
+    each leg projects (key, membership flags), the narrow streams union,
+    and a single hash shuffle on the key folds max() flags; Intersect /
+    ExceptAll would each pay their own distinct-aggregate exchanges and
+    joins (5 exchanges vs 1 here, measured 7→5 stages for the battery).
+
+    Row-identity argument (why flags suffice): INTERSECT's output is
+    duplicate-free, so the following EXCEPT ALL degenerates to EXCEPT —
+    a key appears (exactly once) iff it is in (A ∪ B), in O, and not in
+    N. The oracle keeps the operator SQL text; DuckDB folds it the same
+    way. The literal operator chain stays in :func:`set_operations`,
+    differentially pinned to this recipe."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def leg(df: DataFrame, key: str, ab: int, o_: int, neg: int) -> DataFrame:
+        return df.select(
+            F.col(key).alias("c_custkey"),
+            F.lit(ab).alias("_ab"),
+            F.lit(o_).alias("_o"),
+            F.lit(neg).alias("_neg"),
+        )
+
+    u = (
+        leg(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey", 1, 0, 0)
+        .unionAll(leg(c.filter(F.col("c_acctbal") > 5000), "c_custkey", 1, 0, 0))
+        .unionAll(leg(o, "o_custkey", 0, 1, 0))
+        .unionAll(leg(c.filter(F.col("c_acctbal") < 0), "c_custkey", 0, 0, 1))
+    )
+    return (
+        u.groupBy("c_custkey")
+        .agg(
+            F.max("_ab").alias("_ab"),
+            F.max("_o").alias("_o"),
+            F.max("_neg").alias("_neg"),
+        )
+        .filter((F.col("_ab") == 1) & (F.col("_o") == 1) & (F.col("_neg") == 0))
+        .select("c_custkey")
     )
 
 
@@ -1349,7 +1410,7 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION/INTERSECT/EXCEPT (+ALL) + DISTINCT family (SURVEY §2B set ops)."""
     return _union_digests(
         [
-            ("set_ops", set_operations(spark, sf_dir)),
+            ("set_ops", set_operations_fused(spark, sf_dir)),
             ("distinct", distinct_values(spark, sf_dir)),
             ("intersect_all", intersect_all_sets(spark, sf_dir)),
         ]

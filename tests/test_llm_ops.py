@@ -124,6 +124,44 @@ def test_ivf_topk_recall_beats_lsh(emb):
     assert all(1 <= r <= 10 for r in ranks)
 
 
+def test_ivf_search_rows_matches_distributed_search(spark, emb, tmp_path):
+    """The small-batch serving path (driver-planned probes + static cell
+    pruning over a written index) must return row-for-row what the
+    distributed ivf_search returns for the same queries — same probes
+    (assign_cells scoring mirrored), same exact cosines (sequential-fold
+    query norms), same ranks."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    idx = S.build_seeded_ivf_index(emb, n_cells=16)
+    expected = sorted(
+        tuple(r) for r in S.ivf_search(idx, queries, k=10, nprobe=4).collect()
+    )
+    path = str(tmp_path / "ivf_rows")
+    S.write_ivf_index(idx, path)
+    idx.unpersist()
+    lazy = S.load_ivf_index(spark, path, pin=False)
+    qrows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in queries.select("vec_id", "embedding").collect()
+    )
+    got = sorted(
+        tuple(r) for r in S.ivf_search_rows(lazy, qrows, k=10, nprobe=4).collect()
+    )
+    assert got == expected
+    # and the plan prunes: the postings scan must carry a static cell
+    # partition filter, not read every cell directory
+    plan = (
+        S.ivf_search_rows(lazy, qrows, k=10, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_line = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cvec" in ln
+    )
+    assert "PartitionFilters: [" in scan_line
+    assert "cell" in scan_line.split("PartitionFilters:", 1)[1][:200]
+
+
 def test_ivf_index_parquet_roundtrip(spark, emb, tmp_path):
     """build → write → load → search must equal in-session search exactly
     (postings parquet partitioned by cell; centers as a second table)."""

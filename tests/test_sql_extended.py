@@ -101,3 +101,25 @@ def test_hash_mod_py_matches_column_for_bool_and_rejects_float(spark):
 
     with _pytest.raises(TypeError, match="float"):
         hash_mod_py(1e20, 10_000)
+
+
+def test_set_operations_fused_matches_operator_chain(spark):
+    """The battery's single-shuffle tagged-aggregate recipe must be
+    row-identical to the literal Union/Intersect/ExceptAll operator chain
+    (the degenerate-EXCEPT-ALL argument in set_operations_fused's
+    docstring), and its plan must carry exactly ONE exchange where the
+    operator chain needs several."""
+    from quackpipe_spark.workloads.sql_surface import (
+        set_operations,
+        set_operations_fused,
+    )
+
+    chain = sorted(r[0] for r in set_operations(spark, SF_DIR).collect())
+    fused_df = set_operations_fused(spark, SF_DIR)
+    fused = sorted(r[0] for r in fused_df.collect())
+    assert fused == chain and len(chain) > 0
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString may append an "Initial Plan" section repeating the
+    # tree; count exchanges in the final (first) section only
+    final = plan.split("Initial Plan")[0]
+    assert sum("Exchange" in ln for ln in final.splitlines()) == 1
