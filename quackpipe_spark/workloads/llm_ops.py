@@ -504,11 +504,11 @@ FROM ranked WHERE rank <= 10
 # --- product quantization (gate row) ---------------------------------------
 
 _PQ_M, _PQ_K, _PQ_SAMPLE = 4, 16, 512
-_PQ_TOPK, _PQ_SHORTLIST, _PQ_QUERY_ID = 10, 40, 0
+_PQ_TOPK, _PQ_SHORTLIST, _PQ_NQ = 10, 40, 5
 
-# (session, sf_dir) → (books, persisted codes, query vector): the PQ index
+# (session, sf_dir) → (books, persisted codes, query batch): the PQ index
 # is built once per engine lifetime (the ivf_index_for model); the gate row
-# times the ADC-search + rerank path.
+# times the multi-query ADC-search + rerank path.
 _PQ_CACHE: dict[tuple[int, str], tuple] = {}
 
 
@@ -529,22 +529,22 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
         books = S.seeded_pq_codebooks(
             emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE, dims=_LSH_DIMS
         )
-        qrows = (
-            emb.filter(F.col("vec_id") == _PQ_QUERY_ID)
-            .select("embedding")
+        qbatch = sorted(
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+            .select("vec_id", "embedding")
             .collect()
         )
-        if not qrows:
+        if not qbatch:
             raise ValueError(
-                f"pinned PQ query vec_id={_PQ_QUERY_ID} is absent from the "
-                "64-dim corpus — cannot build the gate query"
+                f"pinned PQ query batch vec_id < {_PQ_NQ} is absent from "
+                "the 64-dim corpus — cannot build the gate query"
             )
-        qvec = [float(x) for x in qrows[0][0]]
         codes = S.pq_encode(
             emb, books, normalize=False, d2_round=6
         ).persist()
         codes.count()  # eager: search must never re-run the encode
-        hit = (books, codes, qvec)
+        hit = (books, codes, qbatch)
         _PQ_CACHE[key] = hit
     else:
         codes = hit[1]
@@ -560,27 +560,34 @@ def pq_prebuild(spark: SparkSession, sf_dir: str) -> None:
 
 
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ's memory path under the driver gate: ADC search over a
-    product-quantized encoding, shortlist-then-rerank to exact cosine.
+    """IVF-PQ's memory path under the driver gate: MULTI-query ADC search
+    over a product-quantized encoding in ONE pass over the code table
+    (similarity.pq_topk_multi — the 100TB-realistic serving entry point:
+    N queries' lookup tables inlined as literals, one scan amortized
+    across the batch), shortlist-then-rerank to exact cosine per query.
 
     The gate pins the ZERO-ITERATION seeded codebooks
     (similarity.seeded_pq_codebooks: centers = first k distinct RAW
     subvectors in md5(id) order) with raw-subvector encoding and
     rounded squared distances, so the DuckDB oracle re-derives the
-    identical codebooks, codes, ADC lookup table, shortlist and rerank
-    from the parquet alone — the whole lossy path hash-verified. The
-    trained k-means codebook (train_pq) stays the library default and is
-    recall-tested in tests/test_pq.py."""
-    books, codes, qvec = pq_index_for(spark, sf_dir)
-    return S.pq_topk(
+    identical codebooks, codes, per-query ADC lookup tables, shortlists
+    and reranks from the parquet alone — the whole lossy path
+    hash-verified. The trained k-means codebook (train_pq) stays the
+    library default and is recall-tested in tests/test_pq.py; the
+    single-query path (pq_topk) keeps its own differential tests."""
+    books, codes, qbatch = pq_index_for(spark, sf_dir)
+    out = S.pq_topk_multi(
         codes,
         books,
-        qvec,
+        qbatch,
         topk=_PQ_TOPK,
         rerank=_emb64(spark, sf_dir),
         shortlist=_PQ_SHORTLIST,
         normalize_query=False,
     )
+    # F.lit(int) types the inlined query ids INT; the corpus ids (and the
+    # oracle's query_id) are parquet BIGINT
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
 
 
 def _pq_oracle(
@@ -588,15 +595,16 @@ def _pq_oracle(
     k: int = _PQ_K,
     sample: int = _PQ_SAMPLE,
     dims: int = _LSH_DIMS,
-    qid: int = _PQ_QUERY_ID,
+    nq: int = _PQ_NQ,
     topk: int = _PQ_TOPK,
     shortlist: int = _PQ_SHORTLIST,
 ) -> str:
-    """The seeded-PQ search restated for DuckDB: identical md5-ordered
-    sample, per-subspace first-k-distinct raw-subvector codebooks,
-    nearest-code encoding (d² rounded to 6, ties → lower code), ADC via
-    the same 9-rounded lookup table, shortlist cut at the same
-    (adc DESC, id ASC) order, exact-cosine rerank of the shortlist."""
+    """The seeded multi-query PQ search restated for DuckDB: identical
+    md5-ordered sample, per-subspace first-k-distinct raw-subvector
+    codebooks, nearest-code encoding (d² rounded to 6, ties → lower
+    code), per-query ADC via the same 9-rounded lookup tables, per-query
+    shortlist cut at the same (adc DESC, id ASC) order, exact-cosine
+    rerank of each shortlist."""
     dsub = dims // m
     return f"""
 WITH base AS (
@@ -636,12 +644,12 @@ enc AS (
   )
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) = 1
 ),
-q AS (SELECT embedding FROM base WHERE vec_id = {qid}),
+qs AS (SELECT vec_id AS query_id, embedding FROM base WHERE vec_id < {nq}),
 lut AS (
-  SELECT cb.sub, cb.code,
+  SELECT q.query_id, cb.sub, cb.code,
          round(list_sum(list_transform(range(1, {dsub + 1}),
                i -> cb.center[i] * q.embedding[(cb.sub - 1) * {dsub} + i]::DOUBLE)), 9) AS w
-  FROM codebook cb CROSS JOIN q
+  FROM codebook cb CROSS JOIN qs q
 ),
 adc AS (
   -- ordered fold (list in sub order, then list_sum's sequential fold):
@@ -649,23 +657,28 @@ adc AS (
   -- 9-rounded w values are not binary-exact, so order can flip the
   -- last ulp across a 1e-6 rounding edge — the same determinism
   -- discipline every other float oracle here follows
-  SELECT e.vec_id AS neighbor_id,
+  SELECT l.query_id, e.vec_id AS neighbor_id,
          round(list_sum(list(l.w ORDER BY l.sub)), 6) AS adc_cos
   FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
-  GROUP BY e.vec_id
+  GROUP BY l.query_id, e.vec_id
 ),
 short AS (
-  SELECT neighbor_id FROM adc ORDER BY adc_cos DESC, neighbor_id ASC LIMIT {shortlist}
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_cos DESC, neighbor_id ASC) <= {shortlist}
 ),
 exact AS (
-  SELECT c.vec_id AS neighbor_id,
+  SELECT s.query_id, c.vec_id AS neighbor_id,
          round({_emb_dot('c.embedding', 'q.embedding')}
                / (sqrt({_emb_dot('c.embedding', 'c.embedding')})
                   * sqrt({_emb_dot('q.embedding', 'q.embedding')})), 6) AS cos
-  FROM base c JOIN short ON short.neighbor_id = c.vec_id CROSS JOIN q
+  FROM base c
+  JOIN short s ON s.neighbor_id = c.vec_id
+  JOIN qs q ON q.query_id = s.query_id
 )
-SELECT neighbor_id,
-       CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
        cos
 FROM exact
 QUALIFY rank <= {topk}
