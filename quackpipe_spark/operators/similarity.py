@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from quackpipe_spark.operators.util import fan_out
+from quackpipe_spark.operators.util import fan_out, plan_size_bytes
 
 
 def dot(a, b) -> Column:
@@ -302,8 +302,15 @@ def blocked_near_pairs(
     # n_cells groups, so extra partitions are pure task/Arrow overhead
     # (at real scale n_cells ≥ 4×par and this pins partitions = par); the
     # explicit hash exchange on cell also satisfies the groupBy's
-    # clustering, so no second exchange follows
+    # clustering, so no second exchange follows. Tiny inputs (under the
+    # same 32MB bound fan_out uses) cap the stage at 8 tasks: each task
+    # is an Arrow+Python roundtrip (~10-20ms of fixed cost), so 32 tasks
+    # over a few thousand rows is pure overhead (measured 0.69→0.53s);
+    # the cap never engages at real scale, where the probe reads ≥32MB.
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    sz = plan_size_bytes(corpus)
+    if sz is not None and sz < (32 << 20):
+        par = min(par, 8)
     scored = (
         assigned.repartition(min(par, n_cells), "cell")
         .groupBy("cell")

@@ -5,6 +5,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated input size — file-size-based for scans, no
+    execution. None when the private API is unavailable; callers must
+    treat None as "assume large" so the scale path is the fallback."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # private-API guard
+        return None
+
+
 def fan_out(df: DataFrame, cols=None, skip_under_bytes: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism — only when the input is
     under-split.
@@ -32,8 +42,8 @@ def fan_out(df: DataFrame, cols=None, skip_under_bytes: int | None = None) -> Da
     try:
         qe = df._jdf.queryExecution()
         if skip_under_bytes is not None:
-            # optimizer stats probe: no execution, file-size-based for
-            # scans — approximate is fine for a "too small to split" call
+            # stats probe (plan_size_bytes inline — qe already in hand):
+            # approximate is fine for a "too small to split" call
             if int(qe.optimizedPlan().stats().sizeInBytes()) < skip_under_bytes:
                 return df
         # Under AQE (any plan with an exchange), building the RDD runs the

@@ -1102,11 +1102,44 @@ SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
 
 
 def intersect_all_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL (multiset semantics — duplicates preserved)."""
+    """INTERSECT ALL (multiset semantics — duplicates preserved), the
+    literal Catalyst IntersectAll operator. Kept as the operator-coverage
+    artifact and differentially pinned row-identical to the battery's
+    fused recipe (:func:`intersect_all_fused`) in tests/test_sql_extended."""
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
     b = li.filter(F.col("l_discount") > 0.02).select("l_orderkey")
     return a.intersectAll(b)
+
+
+def intersect_all_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL as ONE tagged aggregate: each key's output
+    multiplicity is min(count_a, count_b), so union the tagged legs, count
+    both sides in a single hash shuffle, and replicate each surviving key
+    min-count times (explode over a sequence — the same ReplicateRows
+    device Catalyst's own IntersectAll physical plan uses). One exchange
+    instead of a per-side distinct-count aggregate each plus a join; at
+    scale the replicate factor is the key's duplicate count, which the
+    operator's output carries anyway."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = (
+        li.filter(F.col("l_quantity") > 10)
+        .select("l_orderkey", F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+        .unionAll(
+            li.filter(F.col("l_discount") > 0.02)
+            .select("l_orderkey", F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+        )
+    )
+    return (
+        u.groupBy("l_orderkey")
+        .agg(F.sum("_a").alias("_na"), F.sum("_b").alias("_nb"))
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .select(
+            "l_orderkey",
+            F.explode(F.sequence(F.lit(1), F.least("_na", "_nb"))).alias("_i"),
+        )
+        .select("l_orderkey")
+    )
 
 
 INTERSECT_ALL_SQL = """
@@ -1412,7 +1445,7 @@ def set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("set_ops", set_operations_fused(spark, sf_dir)),
             ("distinct", distinct_values(spark, sf_dir)),
-            ("intersect_all", intersect_all_sets(spark, sf_dir)),
+            ("intersect_all", intersect_all_fused(spark, sf_dir)),
         ]
     )
 

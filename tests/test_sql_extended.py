@@ -123,3 +123,25 @@ def test_set_operations_fused_matches_operator_chain(spark):
     # tree; count exchanges in the final (first) section only
     final = plan.split("Initial Plan")[0]
     assert sum("Exchange" in ln for ln in final.splitlines()) == 1
+
+
+def test_intersect_all_fused_matches_operator(spark):
+    """The battery's single-shuffle INTERSECT ALL recipe (tagged counts +
+    min-count replicate) must be multiset-identical to the literal
+    intersectAll operator, including duplicate multiplicities, and carry
+    exactly one exchange."""
+    from collections import Counter
+
+    from quackpipe_spark.workloads.sql_surface import (
+        intersect_all_fused,
+        intersect_all_sets,
+    )
+
+    op = Counter(r[0] for r in intersect_all_sets(spark, SF_DIR).collect())
+    fused_df = intersect_all_fused(spark, SF_DIR)
+    fused = Counter(r[0] for r in fused_df.collect())
+    assert fused == op and sum(op.values()) > 0
+    assert max(op.values()) > 1  # the data must actually exercise dups
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert sum("Exchange" in ln for ln in final.splitlines()) == 1
