@@ -76,6 +76,7 @@ def main() -> None:
     t0_ns = 1_700_000_000_000_000_000
     span_ns = 4 * 3600 * 1_000_000_000  # 4 hours
     chunk_rows = total_rows // chunks
+    total_rows = chunk_rows * chunks  # rows actually written (floor per chunk)
     step = span_ns // total_rows
     value_col = [float(i % 1000) / 7.0 for i in range(chunk_rows)]
     str_col = [f"str{i % 97}" for i in range(chunk_rows)]

@@ -97,17 +97,20 @@ def _probe_hint(probe: DataFrame, source: DataFrame, max_rows: int | None) -> Da
     funnels up to n rows per partition through one GlobalLimit task,
     which is strictly slower exactly where the gate runs most.
 
-    The gate evaluates the batch lineage once here and the probe's
-    hashing pass evaluates it again — for a DERIVED, un-cached batch
-    (join/agg/UDF output rather than a scan) that would silently double
-    the caller's compute, so such a source is persisted first
-    (MEMORY_AND_DISK; it stays cached for the probe pass that follows —
-    batches are bounded by contract, this is the intended pattern, and a
-    caller who wants cache control can persist before calling)."""
+    A DERIVED, un-cached batch (join/agg/UDF output rather than a scan)
+    is NOT counted: the gate's count() would re-run the whole lineage the
+    probe is about to run again, and persisting it here would leak the
+    cache (the probe is lazy — there is no point after it at which this
+    helper could unpersist). Such a source takes the no-hint path, which
+    is safe at any size, and AQE still converts the probe join to
+    broadcast at runtime when the executed batch turns out small — the
+    hint only exists to FORCE the broadcast where a cheap count can prove
+    it safe. A caller who wants the forced hint on a derived batch can
+    persist it first (then it counts as cached here)."""
     if max_rows is None or max_rows <= 0:
         return probe
     if not _cheap_to_recount(source):
-        source.persist()
+        return probe
     if source.count() <= max_rows:
         return F.broadcast(probe)
     return probe

@@ -468,11 +468,25 @@ def search_postings_index(
     import os
 
     terms = _terms(query)
+
+    def _pending() -> bool:
+        return _is_local_path(path) and any(
+            f.startswith(".append-pending-") for f in os.listdir(path)
+        )
+
+    # marker check BRACKETS the stats read: a crashed append's marker is
+    # persistent so either check sees it; a LIVE append that completes
+    # entirely on one side of the read is consistent (fresh stats + fresh
+    # postings, or neither); one in flight during the read shows its
+    # marker to at least one check. (Markers give crash DURABILITY, not
+    # snapshot isolation — a reader overlapping a live appender can see a
+    # torn batch in the postings scan regardless; the guarantee is that
+    # stats and postings never remain inconsistent once writes quiesce.)
+    pending = _pending()
     st = _read_stats(spark, path)
+    pending = pending or _pending()
     n_docs, avgdl = int(st["N"]), float(st["avgdl"])
-    if _is_local_path(path) and any(
-        f.startswith(".append-pending-") for f in os.listdir(path)
-    ):
+    if pending:
         # a pending marker means the postings may include a batch the
         # stats row doesn't (crashed append — or one in flight). A
         # reader must NOT run repair_postings_stats: rewriting the stats

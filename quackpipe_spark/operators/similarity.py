@@ -627,6 +627,10 @@ def ivf_search_rows(
     — the assign_cells contract)."""
     import math
 
+    if not query_rows:
+        # empty literals would fail analysis with a cryptic VOID-type
+        # element_at error; fail like pq_topk_multi does
+        raise ValueError("query_rows must be non-empty")
     cells_np = np.array([c for c, _ in index.centers], dtype=np.int64)
     Cm = np.array([v for _, v in index.centers], dtype=np.float64)
     Cn = np.maximum(np.linalg.norm(Cm, axis=1), 1e-300)

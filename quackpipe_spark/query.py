@@ -154,7 +154,13 @@ def extract_time_bounds_per_table(
     side's file list. With outer/semi/anti joins present, only the text
     from WHERE onward is scanned — an ON-clause bound on a preserved
     side does not filter its rows and must not prune (see
-    _OUTER_JOIN_KW)."""
+    _OUTER_JOIN_KW).
+
+    A table referenced by MORE THAN ONE relation entry (a self-join:
+    ``events a JOIN events b``) is never pruned: both aliases read the
+    same registered view, so a bound on one alias would silently drop
+    the other alias's rows — and conflicting per-alias bounds would
+    intersect to an empty range that prunes everything."""
     if _PRUNE_UNSAFE.search(sql) or len(_SELECT_KW.findall(sql)) > 1:
         return {}
     scope = sql
@@ -163,6 +169,10 @@ def extract_time_bounds_per_table(
         if m is None:
             return {}
         scope = sql[m.end() :]
+    ref_counts: dict[str, int] = {}
+    for fm in _FROM_JOIN.finditer(sql):
+        t = fm.group(1).split(".")[-1].lower()
+        ref_counts[t] = ref_counts.get(t, 0) + 1
     out: dict[str, tuple[int | None, int | None]] = {}
 
     def _apply(tname: str, op: str, lit: str) -> None:
@@ -177,7 +187,12 @@ def extract_time_bounds_per_table(
             hi = v if hi is None else min(hi, v)
         out[tname] = (lo, hi)
 
-    if len(tables) == 1:
+    def _prunable(tbl_lower: str) -> bool:
+        # missing from ref_counts (e.g. the "_" sentinel of the
+        # single-table wrapper) counts as a single reference
+        return ref_counts.get(tbl_lower, 1) == 1
+
+    if len(tables) == 1 and _prunable(tables[0].lower()):
         for op, lit in _TS_BOUND.findall(scope):
             _apply(tables[0], op, lit)
         for m in _TS_BETWEEN.finditer(scope):
@@ -187,11 +202,11 @@ def extract_time_bounds_per_table(
     canon = {t.lower(): t for t in tables}
     for qual, op, lit in _TS_BOUND_Q.findall(scope):
         tbl = amap.get(qual.lower())
-        if tbl in canon:
+        if tbl in canon and _prunable(tbl):
             _apply(canon[tbl], op, lit)
     for m in _TS_BETWEEN_Q.finditer(scope):
         tbl = amap.get(m.group(1).lower())
-        if tbl in canon:
+        if tbl in canon and _prunable(tbl):
             _apply(canon[tbl], ">=", m.group(2))
             _apply(canon[tbl], "<=", m.group(3))
     return out

@@ -322,6 +322,8 @@ _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[tuple]]:
+    import atexit
+    import shutil
     import tempfile
 
     key = (id(spark), sf_dir)
@@ -329,6 +331,9 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[
     if hit is None:
         built = S.build_seeded_ivf_index(_emb(spark, sf_dir), n_cells=_IVF_CELLS)
         path = tempfile.mkdtemp(prefix="qps_ivf_idx_")
+        # the written index is corpus-sized; without cleanup every
+        # session leaks one copy into the temp filesystem
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         S.write_ivf_index(built, path)
         built.unpersist()
         qrows = sorted(
@@ -338,6 +343,11 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[
             .select("vec_id", "embedding")
             .collect()
         )
+        if not qrows:
+            raise ValueError(
+                "pinned IVF query batch vec_id < 5 is absent from the "
+                "corpus — cannot build the gate query"
+            )
         # the LAZY scan plan is cached too: re-opening the reader per call
         # re-lists files + re-infers schema (~0.13s of driver latency); the
         # plan is not a materialized Dataset — every action still reads the

@@ -295,12 +295,14 @@ def test_diff_fingerprint_indexes(spark, split, tmp_path):
     assert all(got[i] == "same" for i in v1_ids[2:])
 
 
-def test_probe_hint_persists_derived_batch_once(spark):
-    """The gate's count() plus the probe's own pass evaluate the batch
-    lineage twice — for a DERIVED (non-scan) un-cached batch the hint
-    helper must persist it first so the expensive part runs once. A
-    scan-shaped batch must NOT be persisted (count() there is cheap and
-    caching it would waste executor memory)."""
+def test_probe_hint_skips_derived_batch(spark):
+    """A DERIVED (non-scan) un-cached batch must NOT be evaluated by the
+    gate's count() (that would re-run the lineage the probe runs again)
+    and must NOT be persisted (the probe is lazy, so a persist here could
+    never be released — it would leak executor storage across a
+    foreachBatch loop). It takes the no-hint path; AQE still broadcasts
+    small executed batches at runtime. A cached derived batch and a
+    scan-shaped batch still get the forced-gate count."""
     acc = spark.sparkContext.accumulator(0)
 
     def bump(x):
@@ -315,13 +317,21 @@ def test_probe_hint_persists_derived_batch_once(spark):
         .count()
     )
     probe = derived.select("y")
-    D._probe_hint(probe, derived, max_rows=10_000)  # gate count: one pass
-    assert acc.value == 100
-    assert derived.storageLevel.useMemory or derived.storageLevel.useDisk
-    derived.count()  # the probe's "second" pass: served from cache
-    assert acc.value == 100
-    # scan-shaped source: not persisted
+    out = D._probe_hint(probe, derived, max_rows=10_000)
+    assert acc.value == 0  # gate did not evaluate the lineage
+    assert not (derived.storageLevel.useMemory or derived.storageLevel.useDisk)
+    # no forced broadcast hint on the returned probe plan
+    assert "hint" not in out._jdf.queryExecution().logical().toString().lower()
+    # caller-persisted derived batch: counts as cached, gate engages
+    derived.persist()
+    try:
+        out2 = D._probe_hint(probe, derived, max_rows=10_000)
+        assert acc.value == 100  # one pass (the gate count), cached now
+        assert "hint" in out2._jdf.queryExecution().logical().toString().lower()
+    finally:
+        derived.unpersist()
+    # scan-shaped source: gated (cheap count), never persisted
     scan = spark.range(0, 10)
-    D._probe_hint(scan, scan, max_rows=10_000)
+    out3 = D._probe_hint(scan, scan, max_rows=10_000)
     assert not (scan.storageLevel.useMemory or scan.storageLevel.useDisk)
-    derived.unpersist()
+    assert "hint" in out3._jdf.queryExecution().logical().toString().lower()

@@ -310,3 +310,37 @@ def test_join_query_prunes_both_tables_files(spark, tmp_path):
     )
     assert len(full.inputFiles()) == 4
     assert got == sorted(r["v"] for r in full.collect())
+
+
+def test_self_join_never_prunes():
+    """Both aliases of a self-joined table read the SAME registered view,
+    so per-alias bounds must not prune it: a one-sided bound would drop
+    the other alias's rows, and conflicting per-alias bounds would
+    intersect to an empty range that prunes every file."""
+    from quackpipe_spark.query import extract_time_bounds_per_table
+
+    # one-sided qualified bound on a self-join: no pruning
+    assert extract_time_bounds_per_table(
+        "SELECT a.v, b.v FROM events a JOIN events b ON a.k = b.k "
+        "WHERE a.__timestamp >= 100",
+        ["events"],
+    ) == {}
+    # conflicting per-alias bounds (recent vs historical self-join):
+    # must NOT intersect to the impossible (200, 100)
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM events a JOIN events b ON a.k = b.k "
+        "WHERE a.__timestamp >= 200 AND b.__timestamp < 100",
+        ["events"],
+    ) == {}
+    # unqualified bound with the table referenced twice: also skipped
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM events a JOIN events b USING (k) WHERE __timestamp >= 100",
+        ["events"],
+    ) == {}
+    # a distinct second table in the same query still prunes normally
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM events a JOIN events b ON a.k = b.k "
+        "JOIN ticks t ON t.k = a.k "
+        "WHERE a.__timestamp >= 100 AND t.__timestamp >= 7",
+        ["events", "ticks"],
+    ) == {"ticks": (7, None)}
