@@ -215,3 +215,77 @@ def test_pq_200k_vectors_encode_and_search(spark):
     assert search < 90, f"ADC search took {search:.0f}s over 200k codes"
     codes.unpersist()
     corpus.unpersist()
+
+
+def test_ivf_written_index_serving_200k_vectors(spark, tmp_path):
+    # The 100TB serving story end-to-end at 200k vectors: build the
+    # seeded IVF index, WRITE it (postings partitioned by cell), then
+    # serve an 8-query batch through ivf_search_rows — driver-planned
+    # probes, literal-inlined batch, static cell partition pruning. The
+    # clustered corpus (same md5 recipe as the PQ stress) lets us assert
+    # recall by construction: top neighbors must come overwhelmingly
+    # from each query's cluster. Wall rails are loose; the plan
+    # assertion (static PartitionFilters on cell) is the real pin —
+    # a regression to a full-index scan fails it regardless of speed.
+    import time
+
+    from quackpipe_spark.operators import similarity as SIM
+
+    n, n_clusters, dim = 200_000, 64, 32
+    cid = F.col("id") % n_clusters
+
+    def h(expr, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(expr.cast("string"), F.lit(f"|{j}"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("double")
+            / (16**6 / 2.0)
+            - 1.0
+        )
+
+    vec = F.array(
+        *[
+            (h(cid, j) + h(F.col("id"), j + 1000) * 0.05).cast("float")
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    t0 = time.time()
+    idx = SIM.build_seeded_ivf_index(corpus, n_cells=64)
+    path = str(tmp_path / "ivf200k")
+    SIM.write_ivf_index(idx, path)
+    idx.unpersist()
+    build = time.time() - t0
+    lazy = SIM.load_ivf_index(spark, path, pin=False)
+    qrows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in corpus.filter(F.col("vec_id") < 8).collect()
+    )
+    t0 = time.time()
+    res = SIM.ivf_search_rows(lazy, qrows, k=20, nprobe=8)
+    rows = res.collect()
+    search = time.time() - t0
+    assert len(rows) == 8 * 20
+    for qid in range(8):
+        mine = [r for r in rows if r["query_id"] == qid]
+        same = sum(1 for r in mine if r["neighbor_id"] % n_clusters == qid)
+        assert same >= 16, f"query {qid}: only {same}/20 from its cluster"
+    plan = (
+        SIM.ivf_search_rows(lazy, qrows, k=20, nprobe=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_line = next(
+        ln for ln in plan.splitlines() if "FileScan" in ln and "cvec" in ln
+    )
+    assert "PartitionFilters: [" in scan_line
+    assert "cell" in scan_line.split("PartitionFilters:", 1)[1][:200]
+    assert build < 240, f"index build+write took {build:.0f}s for 200k vectors"
+    assert search < 60, f"batch serve took {search:.0f}s over the written index"
