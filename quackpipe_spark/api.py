@@ -18,6 +18,7 @@ from __future__ import annotations
 import gzip
 import json
 import threading
+from itertools import chain
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -172,17 +173,10 @@ class GigapiServer:
                 w = self.wfile
                 w.write(b'{"results": [')
                 try:
-                    if first_row is not None:
-                        w.write(
-                            json.dumps(
-                                first_row.asDict(recursive=True), default=str
-                            ).encode()
-                        )
-                        for row in it:
-                            chunk = json.dumps(
-                                row.asDict(recursive=True), default=str
-                            )
-                            w.write(b", " + chunk.encode())
+                    rows = chain([first_row], it) if first_row is not None else ()
+                    for i, row in enumerate(rows):
+                        chunk = json.dumps(row.asDict(recursive=True), default=str)
+                        w.write((b", " if i else b"") + chunk.encode())
                     w.write(b"]}")
                 except Exception as e:
                     try:

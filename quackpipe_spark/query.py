@@ -115,16 +115,20 @@ def _ts_literal_ns(lit: str) -> int:
     raise ValueError(f"unparseable timestamp literal: {raw!r}")
 
 
-def _alias_map(sql: str) -> dict[str, str]:
-    """Relation-name → table-name map from the FROM/JOIN clauses, keys
-    and values lowercased. An aliased relation is addressable ONLY by
-    its alias (standard SQL); an unaliased one by its (last-segment)
-    name. Keys claimed by two different tables are dropped — attributing
-    a bound through an ambiguous name could prune the wrong side."""
+def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
+    """One pass over the FROM/JOIN clauses: (alias→table map, table→
+    relation-entry count), keys and values lowercased. An aliased
+    relation is addressable ONLY by its alias (standard SQL); an
+    unaliased one by its (last-segment) name. Map keys claimed by two
+    different tables are dropped — attributing a bound through an
+    ambiguous name could prune the wrong side. The counts feed the
+    self-join guard: a table referenced twice is never pruned."""
     amap: dict[str, str] = {}
+    counts: dict[str, int] = {}
     bad: set[str] = set()
     for m in _FROM_JOIN.finditer(sql):
         tbl = m.group(1).split(".")[-1].lower()
+        counts[tbl] = counts.get(tbl, 0) + 1
         alias = (m.group(2) or "").lower()
         if alias in _ALIAS_STOPWORDS:
             alias = ""
@@ -134,7 +138,7 @@ def _alias_map(sql: str) -> dict[str, str]:
         amap[key] = tbl
     for key in bad:
         del amap[key]
-    return amap
+    return amap, counts
 
 
 def extract_time_bounds_per_table(
@@ -169,10 +173,8 @@ def extract_time_bounds_per_table(
         if m is None:
             return {}
         scope = sql[m.end() :]
-    ref_counts: dict[str, int] = {}
-    for fm in _FROM_JOIN.finditer(sql):
-        t = fm.group(1).split(".")[-1].lower()
-        ref_counts[t] = ref_counts.get(t, 0) + 1
+    # relations are declared before WHERE: parse from the full text
+    amap, ref_counts = _relations(sql)
     out: dict[str, tuple[int | None, int | None]] = {}
 
     def _apply(tname: str, op: str, lit: str) -> None:
@@ -198,7 +200,6 @@ def extract_time_bounds_per_table(
         for m in _TS_BETWEEN.finditer(scope):
             _apply(tables[0], ">=", m.group(1))
             _apply(tables[0], "<=", m.group(2))
-    amap = _alias_map(sql)  # relations are declared before WHERE: map from full text
     canon = {t.lower(): t for t in tables}
     for qual, op, lit in _TS_BOUND_Q.findall(scope):
         tbl = amap.get(qual.lower())

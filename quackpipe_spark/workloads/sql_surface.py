@@ -86,16 +86,15 @@ def _union_digests(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     the result is row-identical to the oracle's UNION ALL of per-part
     global aggregates."""
     spark = parts[0][1].sparkSession
-    out = None
+    # ONE local relation holds every part's null-hash seed (N single-row
+    # range scans would each be their own plan leaf)
+    out = spark.createDataFrame(
+        [(part, None) for part, _ in parts], "part string, h long"
+    )
     for part, df in parts:
-        d = df.select(
-            F.lit(part).alias("part"), _row_hash(df).alias("h")
-        ).unionAll(
-            spark.range(1).select(
-                F.lit(part).alias("part"), F.lit(None).cast("long").alias("h")
-            )
+        out = out.unionAll(
+            df.select(F.lit(part).alias("part"), _row_hash(df).alias("h"))
         )
-        out = d if out is None else out.unionAll(d)
     return out.groupBy("part").agg(
         F.count("h").alias("n"),
         F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
