@@ -130,6 +130,22 @@ def split_by_hash(
     row's label is a pure function of (salt, key) — train/val membership
     never drifts between runs or engines, and a later re-shard cannot
     leak validation rows into training."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    for label, cut in split_cuts(weights):
+        cond = bucket < cut
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(list(weights)[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_cuts(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """THE split-boundary arithmetic, single-sourced: cumulative half-up
+    bucket cut per non-terminal label (the terminal label is the CASE
+    else-arm). Shared by :func:`split_by_hash` and the SQL renderer
+    (:func:`split_case_sql`) so the boundaries cannot desynchronize
+    across engines."""
     if not weights:
         raise ValueError("at least one split label required")
     if any(w < 0 for w in weights.values()):
@@ -137,17 +153,12 @@ def split_by_hash(
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
-    bucket = hash_bucket(F.col(key_col), salt)
-    expr = None
+    out: list[tuple[str, int]] = []
     hi = 0.0
-    labels = list(weights.items())
-    for label, w in labels[:-1]:
+    for label, w in list(weights.items())[:-1]:
         hi += w / total * _BUCKETS
-        cond = bucket < int(math.floor(hi + 0.5))  # half-up, see _cut
-        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-    last = F.lit(labels[-1][0])
-    expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(split_col, expr)
+        out.append((label, int(math.floor(hi + 0.5))))  # half-up, see _cut
+    return out
 
 
 def mix_domains(
@@ -271,3 +282,40 @@ def hash_sample_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate mirroring :func:`hash_sample` — used by
     oracle SQL so both engines keep the identical rows."""
     return f"{bucket_sql(key_expr, salt)} < {_cut(fraction)}"
+
+
+def _label_sql(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def split_case_sql(bucket_expr: str, weights: dict[str, float]) -> str:
+    """The DuckDB-side CASE mirroring :func:`split_by_hash`, with
+    boundaries from the shared :func:`split_cuts` arithmetic.
+    ``bucket_expr`` must be the :func:`bucket_sql` of the same key+salt
+    the Spark side uses."""
+    arms = " ".join(
+        f"WHEN {bucket_expr} < {cut} THEN {_label_sql(label)}"
+        for label, cut in split_cuts(weights)
+    )
+    last = _label_sql(list(weights)[-1])
+    return f"CASE {arms} ELSE {last} END" if arms else last
+
+
+def mix_copies_case_sql(
+    bucket_expr: str,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    default: float = 1.0,
+) -> str:
+    """The DuckDB-side per-row copy count mirroring :func:`mix_domains`:
+    floor(w) plus the fractional Bernoulli drawn from the shared bucket,
+    with the same ``default`` for unlisted domains."""
+
+    def _copies(w: float) -> str:
+        return f"{int(math.floor(w))} + CASE WHEN {bucket_expr} < {_cut(w - math.floor(w))} THEN 1 ELSE 0 END"
+
+    arms = " ".join(
+        f"WHEN {domain_col} = {_label_sql(dom)} THEN {_copies(w)}"
+        for dom, w in weights.items()
+    )
+    return f"CASE {arms} ELSE {_copies(default)} END" if arms else _copies(default)

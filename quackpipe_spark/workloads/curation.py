@@ -182,21 +182,13 @@ def _sampling_battery_sql() -> str:
         "SELECT doc_id FROM documents WHERE "
         + S.hash_sample_sql("doc_id", 0.35, "g1")
     )
-    # split boundaries DERIVED from _SPLIT_WEIGHTS with split_by_hash's
-    # exact cumulative half-up arithmetic — hardcoding 8000/9000 would go
-    # stale the moment the weights change while the Spark side tracked
-    import math as _math
-
-    total = sum(_SPLIT_WEIGHTS.values())
-    labels = list(_SPLIT_WEIGHTS.items())
-    hi, arms = 0.0, []
-    for label, w in labels[:-1]:
-        hi += w / total * 10000
-        arms.append(f"WHEN b < {int(_math.floor(hi + 0.5))} THEN '{label}'")
-    case = "CASE " + " ".join(arms) + f" ELSE '{labels[-1][0]}' END"
+    # split boundaries and mix copy-counts come from sampling.py's own
+    # renderers (split_case_sql / mix_copies_case_sql), which share their
+    # arithmetic with split_by_hash / mix_domains — the weights can
+    # change without this oracle going stale
     split_sql = f"""
 SELECT doc_id,
-       {case} AS split
+       {S.split_case_sql('b', _SPLIT_WEIGHTS)} AS split
 FROM (SELECT doc_id, {_bucket_sql('sp1')} AS b FROM documents)
 """
     strat_sql = f"""
@@ -209,15 +201,10 @@ SELECT doc_id FROM (
   FROM documents
 ) WHERE rk <= 10
 """
-    cases = " ".join(
-        f"WHEN source = '{dom}' THEN {int(w)} + "
-        f"CASE WHEN b < {S._cut(w - int(w))} THEN 1 ELSE 0 END"
-        for dom, w in _MIX_WEIGHTS.items()
-    )
     mix_sql = f"""
 SELECT doc_id, CAST(copy AS BIGINT) AS copy FROM (
   SELECT doc_id, unnest(generate_series(0, n - 1)) AS copy FROM (
-    SELECT doc_id, CASE {cases} ELSE 1 END AS n
+    SELECT doc_id, {S.mix_copies_case_sql('b', _MIX_WEIGHTS)} AS n
     FROM (SELECT doc_id, source, {_bucket_sql('m7')} AS b FROM documents)
   ) WHERE n >= 1
 )
@@ -267,8 +254,9 @@ def fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # render the IN-list from the SAME tokenizer the Spark side uses
 # (FTS._terms lowercases/dedupes; a hand-rolled split() would diverge the
-# moment _BM25_QUERY gains uppercase or duplicate terms)
-_BM25_TERMS_SQL = "', '".join(FTS._terms(_BM25_QUERY))
+# moment _BM25_QUERY gains uppercase or duplicate terms); SQL-escape each
+# term so a future query containing an apostrophe breaks neither engine
+_BM25_TERMS_SQL = "', '".join(t.replace("'", "''") for t in FTS._terms(_BM25_QUERY))
 
 BM25_SQL = f"""
 WITH toks AS (

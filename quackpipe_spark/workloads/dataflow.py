@@ -144,3 +144,10 @@ QUERIES = {
 ORACLE = {
     "lineproto_parse_distributed": LINEPROTO_DISTRIBUTED_SQL,
 }
+# parse_lines_df runs the schema-fingerprint discovery pass (a
+# distinct().collect() Spark job) during plan construction — that
+# discovery IS part of the parse query, so the registry's plan cache
+# must rebuild it per call (the llm_ops STATEFUL contract: a memoized
+# plan would silently amortize a collect the timing is supposed to
+# include).
+STATEFUL = {"lineproto_parse_distributed"}

@@ -32,10 +32,15 @@ def asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.filter(F.col("event_type") != "login").select(
         "event_id", "user_id", us.alias("t_us"), "event_type"
     )
-    right = ev.filter(F.col("event_type") == "login").select(
-        F.col("user_id"),
-        us.alias("login_us"),
-        F.col("event_id").alias("login_event_id"),
+    # dedupe logins per (user, µs): ts is ns truncated to µs, so two
+    # ns-distinct logins can collide on one as-of key — asof_join picks
+    # the last payload per time and DuckDB's ASOF an arbitrary tie, so
+    # the survivor must be pinned (max event_id) in BOTH engines or the
+    # hash gate goes flaky the day the data grows a collision
+    right = (
+        ev.filter(F.col("event_type") == "login")
+        .groupBy(F.col("user_id"), us.alias("login_us"))
+        .agg(F.max("event_id").alias("login_event_id"))
     )
     out = asof_join(
         left,
@@ -59,8 +64,11 @@ WITH lefts AS (
   SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
   FROM events WHERE user_id < 100 AND event_type <> 'login'
 ), rights AS (
-  SELECT user_id, epoch_us(ts) AS login_us, event_id AS login_event_id
+  -- max(event_id) per (user, µs): mirrors the Spark side's tie pin
+  -- (ns→µs truncation can collide two logins on one as-of key)
+  SELECT user_id, epoch_us(ts) AS login_us, max(event_id) AS login_event_id
   FROM events WHERE user_id < 100 AND event_type = 'login'
+  GROUP BY user_id, epoch_us(ts)
 )
 SELECT l.event_id, l.user_id, l.event_type, r.login_event_id,
        l.t_us - r.login_us AS us_since_login
@@ -102,10 +110,16 @@ WITH sparse AS (
   FROM (SELECT DISTINCT event_type FROM sparse) k,
        (SELECT unnest(range(lo, hi + 1, 3600)) AS bucket_s FROM bounds) g
 ), dense AS (
+  -- null-safe series key: the Spark gapfill operator joins the grid
+  -- back with eqNullSafe (a NULL event_type is a legitimate series);
+  -- USING(...) would never match it, zero-filling a phantom NULL
+  -- series while dropping its real aggregates
   SELECT g.event_type, g.bucket_s,
          coalesce(s.n, 0) AS n,
          s.avg_value
-  FROM grid g LEFT JOIN sparse s USING (event_type, bucket_s)
+  FROM grid g LEFT JOIN sparse s
+    ON g.event_type IS NOT DISTINCT FROM s.event_type
+   AND g.bucket_s = s.bucket_s
 )
 SELECT event_type, bucket_s, n,
        last_value(avg_value IGNORE NULLS) OVER (

@@ -145,3 +145,52 @@ def test_intersect_all_fused_matches_operator(spark):
     plan = fused_df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert sum("Exchange" in ln for ln in final.splitlines()) == 1
+
+
+def test_gapfill_oracle_null_series_parity(spark):
+    """A NULL event_type is a legitimate gapfill series: the Spark
+    operator joins the dense grid back null-safely, and GAPFILL_SQL must
+    match (its dense join is IS NOT DISTINCT FROM — a USING join would
+    zero-fill a phantom NULL series while dropping its real aggregates).
+    Regression for a reproduced divergence; the shipped testdata has no
+    NULL event_type, so the driver gate can't catch this drift."""
+    import duckdb
+
+    from quackpipe_spark.workloads.timeseries import GAPFILL_SQL
+    from tests.oracle_utils import assert_frames_match
+
+    h = 3600 * 1_000_000_000
+    rows = [
+        (1, "click", 10.0, 1 * h),
+        (2, None, 20.0, 1 * h),
+        (3, "click", 30.0, 3 * h),
+        (4, None, 40.0, 3 * h),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts long"
+    )
+    # gapfill_hourly reads the events table from sf_dir; drive the same
+    # recipe directly over the synthetic frame instead
+    from quackpipe_spark.operators.asof import gapfill
+
+    bucket = F.expr("unix_seconds(date_trunc('HOUR', timestamp_micros(ts DIV 1000)))")
+    sparse = ev.groupBy(F.col("event_type"), bucket.alias("bucket_s")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    dense = gapfill(
+        sparse,
+        key_col="event_type",
+        bucket_col="bucket_s",
+        bucket_step=3600,
+        fill={"n": 0},
+        locf_cols=["avg_value"],
+    ).select(
+        "event_type", "bucket_s", F.col("n").cast("long").alias("n"), "avg_value"
+    )
+    con = duckdb.connect()
+    con.register("events_pd", ev.toPandas())
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, event_type, value, "
+        "make_timestamp(ts // 1000) AS ts FROM events_pd"
+    )
+    assert_frames_match(dense, con.sql(GAPFILL_SQL), "gapfill_null_series")
