@@ -131,6 +131,10 @@ def gapfill(
     sparse aggregate on both branches and is strictly slower. At scale
     full outer's sort-merge is the standard plan regardless.)
     """
+    if bucket_step < 1:
+        # sequence(lo, hi, 0) raises mid-job AFTER the bounds aggregation
+        # already ran; reject at plan time
+        raise ValueError("bucket_step must be >= 1")
     bounds = df.agg(
         F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
     )

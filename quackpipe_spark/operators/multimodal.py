@@ -95,8 +95,11 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
         for pdf in batches:
             rows = []
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                if payload is None:
-                    continue  # nothing to decode — skip like a corrupt blob
+                if payload is None or media_id != media_id or media_id is None:
+                    # no payload, or NULL id (pandas floats it to NaN —
+                    # int(NaN) would crash the stage): skip the row like
+                    # a corrupt blob rather than failing the job
+                    continue
                 if not fake:
                     raise NotImplementedError(
                         "media decode requires image/audio libraries not present "
@@ -120,6 +123,10 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
 def sample_frames(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan: one row per sampled frame index — pure JVM
     (sequence+explode), no Python in the hot path."""
+    if every_n < 1:
+        # sequence(..., step=0) raises mid-job on the first multi-frame
+        # video; reject at plan time like decode_media's dim guard
+        raise ValueError("every_n must be >= 1")
     # n_frames=0 (a real decoder's empty/corrupt video) must yield zero
     # sampled frames, not a runtime error: sequence(0, -1, n) infers
     # illegal boundaries (the shingles trap)

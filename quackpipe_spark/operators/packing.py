@@ -60,9 +60,16 @@ def pack_sequences(
     # sentinel keeps a null-id row's position deterministic (a bare md5
     # of NULL sorts all null ids first as an indistinguishable clump)
     okey = order_key(F.col(id_col), salt)
+    # token-count tiebreak after the id: ≥2 NULL-id docs share the md5
+    # sentinel AND the NULL id tiebreak, so without it their relative
+    # order (hence pack membership) would be partition-layout-dependent.
+    # Full determinism still requires ids unique-or-null-with-distinct-
+    # lengths — duplicate keys with equal lengths are interchangeable in
+    # the pack math but their payloads could differ; unique doc ids are
+    # the documented contract.
     w = (
         Window.partitionBy("shard")
-        .orderBy(okey, F.col(id_col))
+        .orderBy(okey, F.col(id_col), F.col(token_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # pack seq = how many FULL budgets precede this doc's first token:

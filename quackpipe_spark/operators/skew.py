@@ -38,6 +38,16 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
+    if salt < 1:
+        # salt=0 would corrupt silently: sequence(0, -1) infers a negative
+        # step ([0, -1]) while pmod(x, 0) is NULL ANSI-off — the equi-join
+        # never matches and an inner join returns 0 rows without error
+        raise ValueError("salt must be >= 1")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        # withColumn would clobber it and the final drop would delete the
+        # user's column from the output — reject like asof_join does for
+        # its reserved names
+        raise ValueError("inputs must not carry a '_salt' column (reserved)")
     big_s = big.withColumn(
         "_salt",
         F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),

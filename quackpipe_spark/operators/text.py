@@ -170,6 +170,27 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# persisted bigram count tables (the eager "models" of bigram_lm_score):
+# tracked so callers can release them — see release_lm_caches
+_LM_CACHES: list[DataFrame] = []
+
+
+def release_lm_caches() -> int:
+    """Unpersist every bigram-LM count table built by
+    :func:`bigram_lm_score` this session. Call between scoring batches
+    in a long-lived engine; score frames already computed are
+    unaffected, and un-consumed lazy score frames simply recompute their
+    counts. Returns the number of caches released."""
+    n = len(_LM_CACHES)
+    for df in _LM_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _LM_CACHES.clear()
+    return n
+
+
 def bigram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -208,7 +229,14 @@ def bigram_lm_score(
     measured 4 emissions); with it, a scoring action emits the SCORED
     side's bigrams exactly once (plan-pinned). The prefix table and V
     derive from the cached counts; V rides a broadcast one-row
-    crossJoin, never a driver collect."""
+    crossJoin, never a driver collect.
+
+    Cache lifetime: the persisted count table must outlive the returned
+    (lazy) score frame, so it cannot be unpersisted here. It is tracked
+    in a module registry — a long-lived engine scoring many slices calls
+    :func:`release_lm_caches` between batches (or after the score frame
+    is consumed) to release the accumulated model tables; otherwise one
+    cached relation per call lives until session end."""
     if alpha <= 0:
         raise ValueError("alpha must be positive (zero breaks smoothing)")
     train_big = _doc_bigrams(train if train is not None else docs, id_col, text_col)
@@ -216,6 +244,7 @@ def bigram_lm_score(
         F.count("*").alias("_c12")
     ).persist()
     big_counts.count()  # blocking: consumers must hit the cache, not race
+    _LM_CACHES.append(big_counts)
     score_big = _doc_bigrams(docs, id_col, text_col)
     uni_counts = big_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = big_counts.select("w2").distinct().agg(F.count("*").alias("_V"))
@@ -268,7 +297,11 @@ def ngram_counts(
         .filter(F.size("_toks") >= n)
     )
     t = F.col("_toks")
-    grams = gram_array(t, n) if n > 1 else t
+    # n=1: tokenize('') yields [''] (size 1 passes the >= n filter), so a
+    # blank/whitespace-only doc would inject a phantom '' vocab entry —
+    # the same trap bigram_lm_score documents; drop the empty token
+    # (n > 1 can't produce it: a blank doc's single '' fails size >= 2)
+    grams = gram_array(t, n) if n > 1 else F.filter(t, lambda x: x != "")
     counted = (
         base.select(F.col("_d"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")

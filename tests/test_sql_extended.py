@@ -194,3 +194,44 @@ def test_gapfill_oracle_null_series_parity(spark):
         "make_timestamp(ts // 1000) AS ts FROM events_pd"
     )
     assert_frames_match(dense, con.sql(GAPFILL_SQL), "gapfill_null_series")
+
+
+def test_operator_parameter_guards(spark):
+    """Plan-time rejection of parameter values that would otherwise fail
+    mid-job (sequence step 0 / pmod 0) or silently corrupt output
+    (salt=0 joins match nothing ANSI-off; a user '_salt' column would be
+    clobbered then dropped)."""
+    import pytest as _pytest
+
+    from quackpipe_spark.operators.asof import gapfill
+    from quackpipe_spark.operators.multimodal import sample_frames
+    from quackpipe_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1, 2)], "k string, b int, v int")
+    with _pytest.raises(ValueError, match="bucket_step"):
+        gapfill(df, "k", "b", 0, fill={"v": 0})
+    dec = spark.createDataFrame(
+        [(1, "video", 3)], "media_id long, kind string, n_frames int"
+    )
+    with _pytest.raises(ValueError, match="every_n"):
+        sample_frames(dec, every_n=0)
+    big = spark.createDataFrame([(1, "x")], "k long, p string")
+    small = spark.createDataFrame([(1, "y")], "k long, q string")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(big, small, "k", salt=0)
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", big.k), small, "k", salt=4)
+
+
+def test_ngram_counts_no_phantom_empty_token(spark):
+    """A blank/whitespace-only doc must not inject a '' unigram into the
+    vocabulary table (tokenize('') yields [''])."""
+    from quackpipe_spark.operators.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, "alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: r["count"] for r in ngram_counts(docs, n=1, min_count=1).collect()}
+    assert "" not in out
+    assert out == {"alpha": 2, "beta": 1}
