@@ -205,8 +205,10 @@ class GigapiServer:
                 try:
                     if path == "/gigapi/create":
                         spec = _parse_create(self._body())
-                        server.catalog.get_or_create(
-                            spec.get("database", q.get("db", "default")),
+                        cdb = spec.get("database", q.get("db", "default"))
+                        existing = server.catalog.get(cdb, spec["table"])
+                        t = server.catalog.get_or_create(
+                            cdb,
                             spec["table"],
                             fields=spec.get("fields"),
                             order_by=spec.get("order_by"),
@@ -216,7 +218,24 @@ class GigapiServer:
                             # the client asked for (create_table.go:23,69)
                             engine=spec.get("engine", "HiveMerge"),
                         )
-                        self._send(200, {"status": "created"})
+                        if existing is None:
+                            self._send(200, {"status": "created"})
+                        else:
+                            # get_or_create does NOT re-spec an existing
+                            # table; answering "created" would let the
+                            # client believe its layout/order took effect
+                            resp: dict = {"status": "exists"}
+                            mism = []
+                            if spec.get("engine") and spec["engine"] != t.engine:
+                                mism.append(f"engine={t.engine}")
+                            if spec.get("order_by") and spec["order_by"] != t.order_by:
+                                mism.append(f"order_by={t.order_by}")
+                            if mism:
+                                resp["warning"] = (
+                                    "existing table keeps " + ", ".join(mism)
+                                    + "; requested spec was not applied"
+                                )
+                            self._send(200, resp)
                     elif path in _WRITE_PATHS or path.startswith("/gigapi/write/"):
                         # only /gigapi/write/{db} carries the db in the
                         # path (reference: merge.go registers exact routes

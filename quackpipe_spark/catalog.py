@@ -23,6 +23,26 @@ from dataclasses import asdict, dataclass, field
 
 from quackpipe_spark.types import resolve
 
+import re as _re
+
+# db/table identifier contract: word chars + dash, dot allowed interior
+# (never path separators, never a leading dot, never empty) — these names
+# become directory components under the catalog root
+_IDENT_RE = _re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+
+
+def _check_ident(kind: str, value: str) -> None:
+    if (
+        not value
+        or not _IDENT_RE.match(value)
+        or ".." in value
+        or value.endswith(".")
+    ):
+        raise ValueError(
+            f"invalid {kind} name {value!r}: must match [A-Za-z0-9_][A-Za-z0-9_.-]* "
+            "with no '..' (names become filesystem path components)"
+        )
+
 
 @dataclass
 class Table:
@@ -121,17 +141,30 @@ class Catalog:
         engine: str = "HiveMerge",
         order_by: list[str] | None = None,
     ) -> Table:
-        """Auto-create on first write (registry.go:67-85)."""
+        """Auto-create on first write (registry.go:67-85). db/table names
+        are validated BEFORE touching the filesystem: they come straight
+        off the HTTP surface (measurement names, ?db/?table params) and
+        feed os.path.join — an unchecked '../..' or absolute name would
+        write .table.json and parquet anywhere the process can reach."""
+        _check_ident("db", db)
+        _check_ident("table", name)
         with self._lock:
             t = self._tables.get((db, name))
             if t is None:
+                pby = ["date", "hour"] if engine == "HiveMerge" else []
+                clash = [c for c in (fields or {}) if c in pby]
+                if clash:
+                    raise ValueError(
+                        f"column name(s) {clash} are reserved: derived hive "
+                        "partition columns (see update_schema)"
+                    )
                 t = Table(
                     database=db,
                     name=name,
                     path=os.path.join(self.root, db, name),
                     engine=engine,
                     order_by=order_by or ["__timestamp"],
-                    partition_by=["date", "hour"] if engine == "HiveMerge" else [],
+                    partition_by=pby,
                     schema={c: resolve(ty) for c, ty in (fields or {}).items()},
                 )
                 t.save()
@@ -140,9 +173,21 @@ class Catalog:
 
     def update_schema(self, t: Table, new_cols: dict[str, str]) -> None:
         """Union-by-name schema evolution with type-conflict rejection
-        (data_store.go:40-43; hive_merge_tree_service.go:309-329)."""
+        (data_store.go:40-43; hive_merge_tree_service.go:309-329).
+
+        Partition-column names (date/hour for HiveMerge) are rejected as
+        DATA columns: the writer derives them from the time column, so a
+        user column of the same name is either silently replaced (bulk
+        path) or collides with partition discovery at read time
+        (AnalysisException 'duplicate column in data and partition
+        schema'), bricking every later query of the table."""
         with self._lock:
             for col, canon in new_cols.items():
+                if col in t.partition_by:
+                    raise ValueError(
+                        f"column name {col!r} is reserved: it is a derived "
+                        f"hive partition column of table {t.name!r}"
+                    )
                 prev = t.schema.get(col)
                 if prev is not None and prev != canon:
                     raise TypeError(

@@ -119,8 +119,22 @@ class IngestService:
         batches 1..k-1 are already buffered and get written anyway."""
         from quackpipe_spark.writer import effective_schema
 
-        t = self.catalog.get_or_create(db, table, fields=infer_schema(data))
-        self.catalog.update_schema(t, effective_schema(t, data))
+        # all-null columns with no existing type carry no evidence: leave
+        # them OUT of the registered schema (write_columnar excludes them
+        # from the files too; union-by-name null-fills identically) so the
+        # first typed batch establishes the type instead of a VARCHAR
+        # guess locking it forever
+        known = self.catalog.get(db, table)
+        evidized = {
+            c: vals
+            for c, vals in data.items()
+            if not (
+                all(v is None for v in vals)
+                and (known is None or c not in known.schema)
+            )
+        }
+        t = self.catalog.get_or_create(db, table, fields=infer_schema(evidized))
+        self.catalog.update_schema(t, effective_schema(t, evidized))
 
     def flush(self) -> int:
         """Flush all buffers; returns rows written. Synchronous ack:

@@ -77,6 +77,14 @@ def infer_canonical(value) -> str:
     int subclass in python)."""
     if isinstance(value, bool):
         return "BOOLEAN"
+    if isinstance(value, int):
+        # ints beyond int64 are the uint64 upper half (line protocol's
+        # `u` form; the writer wraps them through the int64 slot like the
+        # reference, uint64.go:13); anything outside uint64 is rejected
+        # rather than silently truncated
+        if value > (1 << 64) - 1 or value < -(1 << 63):
+            raise TypeError(f"integer {value} outside int64/uint64 range")
+        return "UBIGINT" if value >= (1 << 63) else "INT8"
     for py, canon in PY_TO_CANONICAL.items():
         if isinstance(value, py):
             return canon

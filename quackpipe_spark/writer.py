@@ -66,11 +66,20 @@ def columnar_to_df(spark: SparkSession, data: dict[str, list]) -> DataFrame:
     fields = []
     from pyspark.sql.types import StructField, StructType
 
+    inferred = infer_schema(data)  # single-sourced inference (no drift)
     for col in pdf.columns:
-        sample = next((v for v in data[col] if v is not None), None)
-        canon = infer_canonical(sample) if sample is not None else "VARCHAR"
-        fields.append(StructField(col, CANONICAL[canon], True))
+        fields.append(StructField(col, CANONICAL[inferred[col]], True))
     return spark.createDataFrame(pdf, StructType(fields))
+
+
+def _hour_rel(hour_epoch: int) -> str:
+    """date=YYYY-MM-DD/hour=HH partition label for an epoch-hour (UTC) —
+    the single source for BOTH local flush routes (write_df mirrors the
+    same floor-of-hour arithmetic in Spark SQL)."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromtimestamp(int(hour_epoch) * 3600, _dt.timezone.utc)
+    return "date={}/hour={:02d}".format(d.strftime("%Y-%m-%d"), d.hour)
 
 
 def infer_schema(data: dict[str, list]) -> dict[str, str]:
@@ -118,6 +127,23 @@ class HiveWriter:
         table, validate/evolve schema, auto-timestamp, partition, write.
         ``n_rows`` supplies the count when ``data`` has no columns (an
         all-null ingest row becomes a pure auto-timestamp row)."""
+        # an ALL-NULL column with no existing type is EXCLUDED from the
+        # write rather than typed VARCHAR: null carries no evidence, the
+        # union-by-name read null-fills absent columns identically, and a
+        # VARCHAR guess would permanently lock the column's type — the
+        # first batch with a real value then establishes it. (A column the
+        # table already knows keeps its type via effective_schema.)
+        if data:  # row count BEFORE any column drop below
+            n_rows = len(next(iter(data.values())))
+        known = self.catalog.get(db, name)
+        drop = [
+            c
+            for c, vals in data.items()
+            if all(v is None for v in vals)
+            and (known is None or c not in known.schema)
+        ]
+        if drop:
+            data = {c: v for c, v in data.items() if c not in drop}
         table = self.catalog.get_or_create(db, name, fields=infer_schema(data))
         schema = effective_schema(table, data)
         # Auto-timestamp (merge_tree_service.go:268-290): whole batch gets
@@ -151,6 +177,19 @@ class HiveWriter:
         # only the physical write is skipped
         if n == 0:
             return []
+        # UBIGINT rides the int64 slot two's-complement-wrapped, like the
+        # reference (uint64.go:13, types.py note): a value >= 2^63 would
+        # otherwise OverflowError out of pa.array / overflow pandas, and
+        # the reference's documented semantic IS the wrap
+        for c, canon in schema.items():
+            if canon == "UBIGINT" and c in data and any(
+                v is not None and v >= (1 << 63) for v in data[c]
+            ):
+                data = dict(data)
+                data[c] = [
+                    v - (1 << 64) if v is not None and v >= (1 << 63) else v
+                    for v in data[c]
+                ]
         if n <= self.ARROW_FAST_PATH_ROWS:
             return self._write_columnar_arrow(table, data, schema)
         df = columnar_to_df(self.spark, data)
@@ -182,7 +221,11 @@ class HiveWriter:
                     for c in cols
                 }
             )
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            # OverflowError: pa.array raises it (not ArrowInvalid) for
+            # python ints ≥ 2^63 — which line protocol's uint64 form
+            # legitimately delivers; it must reach the same fallback, not
+            # fail the whole merged table buffer
             return self._write_columnar_pandas(table, data, schema)
         order_cols = [c for c in table.order_by if c in cols]
         if order_cols:
@@ -192,8 +235,6 @@ class HiveWriter:
                 pc.sort_indices(at, sort_keys=[(c, "ascending") for c in order_cols])
             )
         if table.partition_by:
-            import datetime as _dt
-
             # per-row strftime is the flush hot spot; a micro-batch spans
             # only a handful of distinct hours — format just the uniques.
             # Hour bucketing stays INTEGER floor-division on the raw int64
@@ -202,46 +243,42 @@ class HiveWriter:
             arr = at[tcol].combine_chunks().to_numpy(zero_copy_only=False)
             hour_epoch = arr // 3_600_000_000_000
             uniq = sorted(set(hour_epoch.tolist()))
-            rels = {
-                h: "date={}/hour={:02d}".format(
-                    _dt.datetime.fromtimestamp(h * 3600, _dt.timezone.utc).strftime("%Y-%m-%d"),
-                    _dt.datetime.fromtimestamp(h * 3600, _dt.timezone.utc).hour,
-                )
-                for h in uniq
-            }
             parts = [
-                (rels[h], at.filter(pa.array(hour_epoch == h))) for h in uniq
+                (_hour_rel(h), at.filter(pa.array(hour_epoch == h))) for h in uniq
             ]
         else:
             parts = [("", at)]
+        return [self._commit_part(table, rel, g, tcol) for rel, g in parts]
 
-        written = []
-        for rel, g in parts:
-            live_dir = os.path.join(table.path, rel) if rel else table.path
-            os.makedirs(live_dir, exist_ok=True)
-            newname = f"{uuid.uuid4().hex}.1.parquet"
-            tmp = os.path.join(table.tmp_dir(), newname)
-            pq.write_table(g, tmp, row_group_size=ROW_GROUP_ROWS)
-            dst = os.path.join(live_dir, newname)
-            os.replace(tmp, dst)
-            if tcol in g.column_names:
-                mm = pc.min_max(g[tcol]).as_py()
-                tmin = mm["min"] if mm["min"] is not None else None
-                tmax = mm["max"] if mm["max"] is not None else None
-            else:
-                tmin = tmax = None
-            with locked_index(live_dir) as idx:
-                idx.add(
-                    FileEntry(
-                        name=newname,
-                        size_bytes=os.path.getsize(dst),
-                        row_count=g.num_rows,
-                        min_time=int(tmin) if tmin is not None else None,
-                        max_time=int(tmax) if tmax is not None else None,
-                    )
+    def _commit_part(self, table: Table, rel: str, at, tcol: str) -> str:
+        """One partition's flush commit, shared by the Arrow and pandas
+        routes: parquet write (row-group 8124) to tmp, rename into the
+        live dir, footer-equivalent min/max stats, index upsert."""
+        import pyarrow.compute as pc
+
+        live_dir = os.path.join(table.path, rel) if rel else table.path
+        os.makedirs(live_dir, exist_ok=True)
+        newname = f"{uuid.uuid4().hex}.1.parquet"
+        tmp = os.path.join(table.tmp_dir(), newname)
+        pq.write_table(at, tmp, row_group_size=ROW_GROUP_ROWS)
+        dst = os.path.join(live_dir, newname)
+        os.replace(tmp, dst)
+        if tcol in at.column_names:
+            mm = pc.min_max(at[tcol]).as_py()
+            tmin, tmax = mm["min"], mm["max"]
+        else:
+            tmin = tmax = None
+        with locked_index(live_dir) as idx:
+            idx.add(
+                FileEntry(
+                    name=newname,
+                    size_bytes=os.path.getsize(dst),
+                    row_count=at.num_rows,
+                    min_time=int(tmin) if tmin is not None else None,
+                    max_time=int(tmax) if tmax is not None else None,
                 )
-            written.append(dst)
-        return written
+            )
+        return dst
 
     def _write_columnar_pandas(
         self, table: Table, data: dict[str, list], schema: dict[str, str]
@@ -262,46 +299,24 @@ class HiveWriter:
         if order_cols:
             pdf = pdf.sort_values(order_cols, kind="mergesort")
         if table.partition_by:
-            import datetime as _dt
-
             hour_epoch = pdf[tcol].to_numpy() // 3_600_000_000_000
-            rels = {
-                h: "date={}/hour={:02d}".format(
-                    _dt.datetime.fromtimestamp(h * 3600, _dt.timezone.utc).strftime("%Y-%m-%d"),
-                    _dt.datetime.fromtimestamp(h * 3600, _dt.timezone.utc).hour,
-                )
-                for h in set(hour_epoch.tolist())
-            }
             groups = pdf.groupby(hour_epoch, sort=False)
-            parts = [(rels[h], g) for h, g in groups]
+            parts = [(_hour_rel(h), g) for h, g in groups]
         else:
             parts = [("", pdf)]
-
-        written = []
-        for rel, g in parts:
-            live_dir = os.path.join(table.path, rel) if rel else table.path
-            os.makedirs(live_dir, exist_ok=True)
-            at = pa.Table.from_pandas(
-                g.reset_index(drop=True), schema=pa.schema(arrow_fields), preserve_index=False
+        return [
+            self._commit_part(
+                table,
+                rel,
+                pa.Table.from_pandas(
+                    g.reset_index(drop=True),
+                    schema=pa.schema(arrow_fields),
+                    preserve_index=False,
+                ),
+                tcol,
             )
-            newname = f"{uuid.uuid4().hex}.1.parquet"
-            tmp = os.path.join(table.tmp_dir(), newname)
-            pq.write_table(at, tmp, row_group_size=ROW_GROUP_ROWS)
-            dst = os.path.join(live_dir, newname)
-            os.replace(tmp, dst)
-            tvals = g[tcol].dropna() if tcol in g else None
-            with locked_index(live_dir) as idx:
-                idx.add(
-                    FileEntry(
-                        name=newname,
-                        size_bytes=os.path.getsize(dst),
-                        row_count=len(g),
-                        min_time=int(tvals.min()) if tvals is not None and len(tvals) else None,
-                        max_time=int(tvals.max()) if tvals is not None and len(tvals) else None,
-                    )
-                )
-            written.append(dst)
-        return written
+            for rel, g in parts
+        ]
 
     _SPARK_TO_CANONICAL = {
         "bigint": "INT8",
@@ -349,10 +364,28 @@ class HiveWriter:
             raise TypeError(f"time column {tcol!r} must be int64 epoch ns")
         partitioned = bool(table.partition_by)
         if partitioned:
-            ts = F.timestamp_seconds(F.expr(f"`{tcol}` DIV 1000000000"))
+            # pure integer floor arithmetic, NOT date_format(timestamp):
+            # (a) date_format renders in the session timezone, which
+            # /query can mutate at runtime — labels must stay UTC like
+            # the Arrow flush path and the pruner assume; (b) `DIV`
+            # truncates toward zero, splitting pre-1970 hours across two
+            # mislabeled dirs, while (ts - pmod(ts, H)) is an exact
+            # multiple of H so its DIV is a true floor at any sign.
+            # (CAST(DateType AS STRING) is timezone-free.)
+            H = 3_600_000_000_000  # ns per hour
+            he = f"((`{tcol}` - pmod(`{tcol}`, {H})) DIV {H})"
+            days = f"(({he} - pmod({he}, 24)) DIV 24)"
             staged = (
-                df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
-                .withColumn("hour", F.date_format(ts, "HH"))
+                df.withColumn(
+                    "date",
+                    F.expr(
+                        f"CAST(date_add(DATE'1970-01-01', CAST({days} AS INT)) AS STRING)"
+                    ),
+                )
+                .withColumn(
+                    "hour",
+                    F.expr(f"lpad(CAST(pmod({he}, 24) AS STRING), 2, '0')"),
+                )
             )
         else:
             # "Merge" engine: flat directory, no hive dirs (registry.go:184-190)

@@ -220,3 +220,91 @@ def test_compaction_cascade_many_files(engine, spark):
     for f in _glob.glob(_os.path.join(pdir, "*.parquet")):
         ts = pq.read_table(f, columns=["__timestamp"])["__timestamp"].to_pylist()
         assert ts == sorted(ts)
+
+
+def test_db_table_names_validated(engine):
+    """db/table names become filesystem path components from the HTTP
+    surface — traversal and absolute paths must be rejected before any
+    directory is touched."""
+    svc, catalog, qe = engine
+    for bad_db, bad_t in [
+        ("../../evil", "t"),
+        ("d", "../x"),
+        ("d", "/etc/cron.d/x"),
+        ("", "t"),
+        ("d", ".hidden"),
+        ("d", "a/b"),
+    ]:
+        with pytest.raises(ValueError, match="invalid"):
+            catalog.get_or_create(bad_db, bad_t)
+    # normal names still fine (dots interior, dashes, digits)
+    t = catalog.get_or_create("db-1", "my.table_2")
+    assert t.name == "my.table_2"
+
+
+def test_partition_column_names_reserved(engine):
+    """A user column named date/hour would be clobbered by (bulk path) or
+    collide at read time with (arrow path) the derived hive partition
+    columns — rejected at schema time on both create and evolve."""
+    svc, catalog, qe = engine
+    with pytest.raises(ValueError, match="reserved"):
+        catalog.get_or_create("d", "rsv", fields={"date": "VARCHAR"})
+    t = catalog.get_or_create("d", "rsv2")
+    with pytest.raises(ValueError, match="reserved"):
+        catalog.update_schema(t, {"hour": "VARCHAR"})
+    # flat Merge tables have no derived partitions — date is a fine name
+    flat = catalog.get_or_create("d", "flat_ok", fields={"date": "VARCHAR"}, engine="Merge")
+    assert flat.schema["date"] == "VARCHAR"
+
+
+def test_uint64_overflow_falls_back_not_crashes(engine):
+    """pa.array raises OverflowError (not ArrowInvalid) for ints >= 2^63;
+    the flush must take the pandas fallback, not fail the whole buffer."""
+    svc, catalog, qe = engine
+    svc.store("d", "big", {"v": [2**63 + 5], "__timestamp": [T0]})
+    svc.flush()
+    rows = qe.sql("SELECT count(*) AS n FROM big", db="d").collect()
+    assert rows[0]["n"] == 1
+
+
+def test_bulk_write_partition_labels_utc_and_pre_epoch(engine, spark):
+    """write_df's date/hour labels must be UTC floor-of-hour regardless of
+    session timezone mutations and correct pre-1970 (DIV truncation would
+    mislabel -1ns as 1970-01-01/00)."""
+    svc, catalog, qe = engine
+    t = catalog.get_or_create("d", "tz")
+    catalog.update_schema(t, {"__timestamp": "INT8", "v": "INT8"})
+    df = spark.createDataFrame(
+        [(-1, 1), (3_600_000_000_000, 2)], "__timestamp long, v long"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        svc.writer.write_df(t, df, level=1)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    import glob as _g
+
+    dirs = sorted(
+        os.path.relpath(p, t.path)
+        for p in _g.glob(os.path.join(t.path, "date=*", "hour=*"))
+    )
+    assert dirs == ["date=1969-12-31/hour=23", "date=1970-01-01/hour=01"]
+
+
+def test_all_null_new_column_defers_typing(engine):
+    """An all-null column with no prior type evidence is excluded from the
+    write (union-by-name null-fills it identically) instead of being
+    locked in as VARCHAR, so the first typed batch establishes the type."""
+    svc, catalog, qe = engine
+    svc.store("d", "nulls", {"x": [None], "__timestamp": [T0]})
+    svc.flush()
+    assert "x" not in catalog.get("d", "nulls").schema
+    svc.store("d", "nulls", {"x": [5], "__timestamp": [T0 + NS]})
+    svc.flush()
+    assert catalog.get("d", "nulls").schema["x"] == "INT8"
+    rows = {
+        r["__timestamp"]: r["x"]
+        for r in qe.sql("SELECT __timestamp, x FROM nulls", db="d").collect()
+    }
+    assert rows[T0] is None and rows[T0 + NS] == 5
