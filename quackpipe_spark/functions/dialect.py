@@ -42,9 +42,16 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # epoch_ns: README.md:121 — timestamp → int64 epoch nanoseconds.
     ("epoch_ns", "x TIMESTAMP", "BIGINT", "unix_micros(x) * 1000L"),
     # from_epoch_ns: inverse, ns long → timestamp (our extension).
-    # x DIV 1000, not x/1000: double division loses sub-µs precision for
-    # epoch-ns magnitudes (1.7e18 > 2^53).
-    ("from_epoch_ns", "x BIGINT", "TIMESTAMP", "timestamp_micros(x DIV 1000)"),
+    # Integer FLOOR division, not x/1000 (double loses sub-µs precision
+    # at epoch-ns magnitudes, 1.7e18 > 2^53) and not x DIV 1000 (DIV
+    # truncates toward zero, putting pre-1970 ns one µs late:
+    # -1500 ns lies in [-2µs, -1µs) → floor -2, DIV gave -1).
+    (
+        "from_epoch_ns",
+        "x BIGINT",
+        "TIMESTAMP",
+        "timestamp_micros((x - pmod(x, 1000)) DIV 1000)",
+    ),
     # intDiv: aliases.sql:35 defines it as plain a/b (NOT floor div) —
     # replicated as-is for parity; documented quirk (SURVEY.md §7.5).
     ("intDiv", "a DOUBLE, b DOUBLE", "DOUBLE", "a / b"),
@@ -208,11 +215,40 @@ def rewrite_sql(sql: str) -> str:
     - ``read_parquet('p')`` → ``parquet.`p``` (Spark path-table syntax);
       http(s) URLs fetch through the local cache and s3:// normalizes to
       s3a:// first (the reference's httpfs idiom, BENCHMARK.md:11).
+
+    Rewrites are applied OUTSIDE single-quoted string literals only — a
+    literal ``'count()'`` in a predicate is user data, and rewriting it
+    would silently change which rows match.
     """
     from quackpipe_spark.sources.remote import resolve_scan_path
 
-    sql = _COUNT_NOARG.sub("count(*)", sql)
+    # locate single-quoted literal spans ('' escapes stay inside one
+    # token) and rewrite only matches that START outside them — a
+    # read_parquet('p') call starts in code (its path argument being a
+    # literal is fine, the regex consumes it), while a count() or
+    # read_parquet(...) appearing INSIDE a literal is user data
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    starts = []
+    pos = 0
+    for i, p in enumerate(parts):
+        starts.append((pos, i % 2 == 1))
+        pos += len(p)
+    lit_spans = [
+        (s, s + len(parts[i]))
+        for i, (s, is_lit) in enumerate(starts)
+        if is_lit
+    ]
+
+    def _in_literal(idx: int) -> bool:
+        return any(a <= idx < b for a, b in lit_spans)
+
+    sql = _COUNT_NOARG.sub(
+        lambda m: m.group(0) if _in_literal(m.start()) else "count(*)", sql
+    )
     sql = _READ_PARQUET.sub(
-        lambda m: f"parquet.`{resolve_scan_path(m.group(1))}`", sql
+        lambda m: m.group(0)
+        if _in_literal(m.start())
+        else f"parquet.`{resolve_scan_path(m.group(1))}`",
+        sql,
     )
     return sql

@@ -27,6 +27,7 @@ Two execution paths:
 from __future__ import annotations
 
 import hashlib
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -174,26 +175,39 @@ def _split_fields(s: str) -> list[str]:
     return out
 
 
+_INT_RE = re.compile(r"^-?\d+$")
+_UINT_RE = re.compile(r"^\d+$")
+# finite decimal/scientific only: python float() would also accept
+# '1_5', '+5', 'inf', 'nan' — all malformed per the line-protocol spec,
+# and silently ingesting 1_5 as 15.0 is data corruption, not leniency
+_FLOAT_RE = re.compile(r"^[-+]?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?$")
+
+
 def _parse_field_value(raw: str) -> tuple[str, object]:
     """→ (canonical type, python value). Float default; 123i int; 123u uint;
     quoted string; t/T/true/TRUE/f/... bool (line-protocol spec; parity with
-    models.Point field parsing used at lineproto_parser.go:76-91)."""
+    models.Point field parsing used at lineproto_parser.go:76-91). Numeric
+    forms are validated with strict regexes — int()/float() leniency would
+    accept protocol-invalid text ('1_5' → 15) and corrupt silently."""
     if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
         body = raw[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         return "VARCHAR", body
     if raw.endswith("i"):
+        if not _INT_RE.match(raw[:-1]):
+            raise ValueError(f"malformed integer field value: {raw!r}")
         return "INT8", int(raw[:-1])
     if raw.endswith("u"):
-        v = int(raw[:-1])
-        if v < 0:
-            # uintegers are non-negative by spec; storing -5 in the
-            # UBIGINT-typed column would read back as 2^64-5
-            raise ValueError(f"negative value for unsigned field: {raw!r}")
-        return "UBIGINT", v
+        # uintegers are non-negative by spec; storing -5 in the
+        # UBIGINT-typed column would read back as 2^64-5
+        if not _UINT_RE.match(raw[:-1]):
+            raise ValueError(f"malformed unsigned field value: {raw!r}")
+        return "UBIGINT", int(raw[:-1])
     if raw in ("t", "T", "true", "True", "TRUE"):
         return "BOOLEAN", True
     if raw in ("f", "F", "false", "False", "FALSE"):
         return "BOOLEAN", False
+    if not _FLOAT_RE.match(raw):
+        raise ValueError(f"malformed float field value: {raw!r}")
     return "FLOAT8", float(raw)
 
 
@@ -228,6 +242,9 @@ def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, s
         # would ack a 204 while part of the payload vanished
         raise ValueError(f"unexpected tokens after timestamp: {line!r}")
     if len(parts) == 3:
+        if not _INT_RE.match(parts[2]):
+            # int() leniency would accept '1_0' as 10 — protocol error
+            raise ValueError(f"malformed timestamp {parts[2]!r} in {line!r}")
         ts_ns = int(parts[2]) * mult
     # 'time' is the reserved timestamp column, and a name appearing twice
     # (two tags, two fields, or a tag shadowing a field) would misalign
@@ -269,6 +286,16 @@ def parse_lines(
         if not line or line.startswith("#"):
             continue
         table, tags, fields, ts_ns = parse_line(line, precision)
+        if time_column != "time" and (
+            any(k == time_column for k, _ in tags)
+            or any(n == time_column for n, _, _ in fields)
+        ):
+            # parse_line only rejects the default 'time'; a CUSTOM time
+            # column colliding with a tag/field would reset that column's
+            # list and double-append into it — a silently ragged batch
+            raise ValueError(
+                f"{time_column!r} is the reserved timestamp column: {line!r}"
+            )
         if ts_ns is None:
             ts_ns = time.time_ns()
         ftypes = {name: typ for name, typ, _ in fields}
@@ -329,11 +356,19 @@ def parse_lines_df(spark, lines_df, database: str = "default", precision: str = 
     for row in shapes:
         table, sid, desc = row["table"], int(row["schema_id"]), row["schema_desc"]
         cols = [c.rsplit(":", 1) for c in desc.split("\x1f")] if desc else []
+        # identifier backticks must be DOUBLED inside the DDL string —
+        # tag/field names may legally contain '`' and an unescaped one
+        # fails the whole mapInPandas schema parse
         spark_fields = ", ".join(
-            f"`{name}` {_spark_ddl(resolve(typ))}" for name, typ in cols
+            "`{}` {}".format(name.replace("`", "``"), _spark_ddl(resolve(typ)))
+            for name, typ in cols
         ) + ", `time` bigint"
+        # UBIGINT rides the int64 slot two's-complement-wrapped, same as
+        # the driver flush path (writer.py / uint64.go:13): an unwrapped
+        # value >= 2^63 would crash the Arrow conversion of the batch
+        ubig = {name for name, typ in cols if resolve(typ) == "UBIGINT"}
 
-        def make_parser(want_table, want_sid, colnames):
+        def make_parser(want_table, want_sid, colnames, wrap_cols):
             def parse_iter(it):
                 for pdf in it:
                     recs = []
@@ -346,7 +381,18 @@ def parse_lines_df(spark, lines_df, database: str = "default", precision: str = 
                         if t != want_table or schema_id([k for k, _ in tags], ftypes) != want_sid:
                             continue
                         rec = dict(tags)
-                        rec.update({n: v for n, _, v in fields})
+                        rec.update(
+                            {
+                                n: (
+                                    v - (1 << 64)
+                                    if n in wrap_cols
+                                    and v is not None
+                                    and v >= (1 << 63)
+                                    else v
+                                )
+                                for n, _, v in fields
+                            }
+                        )
                         rec["time"] = ts if ts is not None else time.time_ns()
                         recs.append([rec.get(c) for c in colnames])
                     yield pd.DataFrame(recs, columns=colnames)
@@ -354,7 +400,7 @@ def parse_lines_df(spark, lines_df, database: str = "default", precision: str = 
             return parse_iter
 
         colnames = [name for name, _ in cols] + ["time"]
-        df = lines_df.mapInPandas(make_parser(table, sid, colnames), spark_fields)
+        df = lines_df.mapInPandas(make_parser(table, sid, colnames, ubig), spark_fields)
         out.append((table, sid, df))
     return out
 

@@ -32,7 +32,11 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
         batch_rows = 0
         for pdf in pdfs:
             batch_rows += len(pdf)
-            n += len(pdf)
+            # count NON-NULL values, matching both the skipna sum below
+            # and Spark's own count(value)/sum(value) pair — counting
+            # NULL rows into n while sum skips them would skew any
+            # derived mean
+            n += int(pdf[value_col].notna().sum())
             total += float(pdf[value_col].sum())
         state.update((n, total))
         import pandas as pd
@@ -223,7 +227,14 @@ def streaming_near_dup_flags(
             for _id, text in zip(pdf["_id"], pdf["_text"]):
                 if text is None:
                     continue
-                toks = ws.split(str(text).strip().lower())
+                # mirror the batch tokenize EXACTLY — split(trim(lower)):
+                # Spark trim strips 0x20 spaces only (python .strip()
+                # also eats \t/\n, losing the trailing empty token Spark
+                # keeps for 'foo\n' → different shingles → a near-dup
+                # flagged in batch but not in stream); re.ASCII \s+
+                # matches Java's \s, and re.split keeps edge empties
+                # like Spark's limit=-1
+                toks = ws.split(str(text).lower().strip(" "))
                 if len(toks) < shingle_k:
                     continue
                 sh = {
@@ -247,9 +258,15 @@ def streaming_near_dup_flags(
                     {"_id": out_id, "band": out_band, "bh": out_bh}
                 )
 
-    keyed = docs.select(
-        id_expr.alias("_id"), F.col(text_col).alias("_text")
-    ).mapInPandas(sig_bands, schema=f"_id {keep_type}, band INT, bh STRING")
+    # NULL-id docs can never be flagged or become keepers (batch_ids_of
+    # drops them after the shuffle) — filter them BEFORE shingling so
+    # they don't cost bands× rows of hashing/shuffle and permanent
+    # state-store entries for buckets with no usable member
+    keyed = (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(id_expr.alias("_id"), F.col(text_col).alias("_text"))
+        .mapInPandas(sig_bands, schema=f"_id {keep_type}, band INT, bh STRING")
+    )
 
     output_schema = (
         f"doc_id {keep_type}, partner_id {keep_type}, band INT, band_hash STRING"

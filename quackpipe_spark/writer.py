@@ -172,9 +172,10 @@ class HiveWriter:
             schema[tcol] = "INT8"
         self.catalog.update_schema(table, schema)
         # zero-row batches still ran validation + schema evolution above
-        # (an empty batch may legitimately evolve the schema, and a
-        # missing time column must still error with auto_timestamp off) —
-        # only the physical write is skipped
+        # (a batch with typed evidence may evolve the schema even when a
+        # sibling column is empty, and a missing time column must still
+        # error with auto_timestamp off) — only the physical write is
+        # skipped; no-evidence columns were deferred by the drop above
         if n == 0:
             return []
         # UBIGINT rides the int64 slot two's-complement-wrapped, like the

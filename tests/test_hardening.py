@@ -273,9 +273,11 @@ def test_write_parsed_df_rejects_unmapped_dtype(spark, tmp_path):
         w.write_parsed_df("db", "t", df)
 
 
-def test_zero_row_batch_still_evolves_schema(spark, tmp_path):
-    """A zero-row batch skips only the physical write: schema evolution
-    persists and the missing-time-column validation still fires."""
+def test_zero_row_batch_defers_no_evidence_columns(spark, tmp_path):
+    """A zero-row batch skips only the physical write — but a column with
+    zero values carries NO type evidence, so (like an all-null column) it
+    defers instead of being locked in as a VARCHAR guess; the first typed
+    batch establishes the real type."""
     from quackpipe_spark.catalog import Catalog
     from quackpipe_spark.writer import HiveWriter
 
@@ -284,7 +286,9 @@ def test_zero_row_batch_still_evolves_schema(spark, tmp_path):
     w.write_columnar("db", "t", {"__timestamp": [1], "a": [5]})
     assert w.write_columnar("db", "t", {"newcol": []}) == []
     t = cat.get("db", "t")
-    assert "newcol" in t.schema  # evolution persisted despite zero rows
+    assert "newcol" not in t.schema  # no evidence: deferred, not guessed
+    w.write_columnar("db", "t", {"__timestamp": [2], "newcol": [7]})
+    assert cat.get("db", "t").schema["newcol"] == "INT8"
 
 
 def test_store_rejects_negative_n_rows(spark, tmp_path):
@@ -394,3 +398,63 @@ def test_catalog_reload_after_root_move(spark, tmp_path):
     t = cat2.get("db", "t")
     assert t.path.startswith(new_root)
     assert t.partition_dirs()  # data visible at the new location
+
+
+def test_lineproto_rejects_lenient_numerics():
+    """int()/float() leniency must not ingest protocol-invalid values
+    ('1_5' would silently become 15)."""
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    for bad in ["m f=1_5", "m f=inf", "m f=nan", "m f=+5i", "m f=1_0i", "m f=-3u"]:
+        with pytest.raises(ValueError):
+            parse_line(bad)
+    with pytest.raises(ValueError, match="timestamp"):
+        parse_line("m f=1.0 1_0")
+    # the valid spellings still parse
+    assert parse_line("m f=-1.5e3")[2][0][2] == -1500.0
+    assert parse_line("m f=5i")[2][0] == ("f", "INT8", 5)
+
+
+def test_lineproto_custom_time_column_collision_raises():
+    from quackpipe_spark.sources.lineproto import parse_lines
+
+    with pytest.raises(ValueError, match="reserved"):
+        parse_lines("m,ts=x f=1.0", time_column="ts")
+
+
+def test_distributed_parse_wraps_uint64(spark):
+    """parse_lines_df must two's-complement-wrap uint64 upper-half values
+    through the int64 slot like the driver flush path, not crash the
+    Arrow conversion."""
+    from quackpipe_spark.sources.lineproto import parse_lines_df
+
+    lines_df = spark.createDataFrame(
+        [("m f=18446744073709551615u 1700000000000000000",)], "value string"
+    )
+    [(table, _sid, df)] = parse_lines_df(spark, lines_df)
+    assert table == "m"
+    assert df.collect()[0]["f"] == -1  # 2^64-1 wrapped
+
+
+def test_rewrite_sql_leaves_string_literals_alone():
+    from quackpipe_spark.functions.dialect import rewrite_sql
+
+    assert (
+        rewrite_sql("SELECT count() FROM t WHERE msg = 'count()'")
+        == "SELECT count(*) FROM t WHERE msg = 'count()'"
+    )
+    out = rewrite_sql("SELECT 'read_parquet(''/a'')' AS s FROM t")
+    assert "parquet.`" not in out
+
+
+def test_from_epoch_ns_floors_pre_epoch(spark):
+    """-1500 ns lies in [-2µs, -1µs): floor semantics give -2µs; DIV
+    truncation gave -1µs."""
+    from quackpipe_spark.functions.dialect import register_dialect
+
+    register_dialect(spark)
+    r = spark.sql(
+        "SELECT unix_micros(from_epoch_ns(-1500)) AS us, "
+        "unix_micros(from_epoch_ns(1500)) AS us_pos"
+    ).collect()[0]
+    assert r["us"] == -2 and r["us_pos"] == 1
