@@ -1,15 +1,41 @@
 """CLI entry point.
 
-``python -m quackpipe_spark --stdin`` pipes SQL statements (``;``- or
-newline-separated) straight to the engine — parity with the reference's
-stdin bootstrap used to pre-run SQL in containers (stdin/init.go:15-49).
-``--serve`` starts the HTTP server over ``--root``.
+``python -m quackpipe_spark --stdin`` pipes a ``;``-separated SQL script
+straight to the engine — parity with the reference's stdin bootstrap,
+which hands the whole stdin to DuckDB's multi-statement Exec
+(stdin/init.go:29-49); newlines are statement-internal whitespace there,
+so they are here too. ``--serve`` starts the HTTP server over ``--root``.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a SQL script on ``;`` OUTSIDE single-quoted literals (''
+    escapes stay inside one literal) — a naive ``text.split(';')`` broke
+    ``SELECT 'a;b'`` into two invalid fragments. Newlines are statement-
+    internal whitespace, matching the reference's whole-script Exec."""
+    out, cur, in_quote, i = [], [], False, 0
+    while i < len(text):
+        c = text[i]
+        if c == "'":
+            if in_quote and text[i : i + 2] == "''":
+                cur.append("''")
+                i += 2
+                continue
+            in_quote = not in_quote
+            cur.append(c)
+        elif c == ";" and not in_quote:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [s.strip() for s in out if s.strip()]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -22,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--port", type=int, default=7971)
     args = ap.parse_args(argv)
 
+    # no mode: print help WITHOUT paying several seconds of JVM startup
+    if not (args.stdin or args.serve):
+        ap.print_help()
+        return 2
+
     from quackpipe_spark.session import get_spark
 
     spark = get_spark()
@@ -30,27 +61,23 @@ def main(argv: list[str] | None = None) -> int:
         from quackpipe_spark.query import QueryEngine
 
         qe = QueryEngine(spark, Catalog(args.root))
-        text = sys.stdin.read()
-        for stmt in [s.strip() for s in text.split(";") if s.strip()]:
+        for stmt in split_statements(sys.stdin.read()):
             df = qe.sql(stmt, db=args.db)
             for row in df.collect():
                 print("\t".join(str(v) for v in row))
         return 0
-    if args.serve:
-        from quackpipe_spark.api import GigapiServer
+    from quackpipe_spark.api import GigapiServer
 
-        srv = GigapiServer(spark, args.root, host=args.host, port=args.port)
-        srv.start()
-        print(f"listening on http://{args.host}:{srv._httpd.server_address[1]}")
-        try:
-            import threading
+    srv = GigapiServer(spark, args.root, host=args.host, port=args.port)
+    srv.start()
+    print(f"listening on http://{args.host}:{srv._httpd.server_address[1]}")
+    try:
+        import threading
 
-            threading.Event().wait()
-        except KeyboardInterrupt:
-            srv.stop()
-        return 0
-    ap.print_help()
-    return 2
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ def hash_mod(key: Column, n: int, salt: str = "") -> Column:
         # remainder SIGN between engines (JVM % is non-negative here,
         # Python % is negative) — both corrupt downstream silently
         raise ValueError("hash_mod modulus must be >= 1")
+    if n > (1 << 31) - 1:
+        # the int output cast would WRAP buckets >= 2^31 negative
+        # (ANSI off) — out of the documented [0, n) domain, silently
+        raise ValueError("hash_mod modulus must fit int32")
     h = order_key(key, salt)
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n).cast("int")
 
@@ -234,6 +238,12 @@ def stratified_sample(
     group (quota = rank, not an absolute cutoff; that is inherent to
     fixed-size quotas).
 
+    Determinism contract: ``key_col`` values must be unique within a
+    group. Two rows sharing a key tie on both order columns, and WHICH
+    physical row survives a quota boundary is then partition-layout-
+    dependent (their non-key columns may differ) — the same caveat as
+    pack_sequences' duplicate-id note.
+
     Scale shape: one hash-partitioned window per group with map-side
     rank short-circuiting... rank needs the full group sorted, so the
     real cost is one shuffle on group_col; groups are assumed many and
@@ -309,7 +319,11 @@ def mix_copies_case_sql(
 ) -> str:
     """The DuckDB-side per-row copy count mirroring :func:`mix_domains`:
     floor(w) plus the fractional Bernoulli drawn from the shared bucket,
-    with the same ``default`` for unlisted domains."""
+    with the same ``default`` for unlisted domains. Validates like its
+    Spark twin so both engines fail in lockstep rather than one raising
+    and the other rendering negative copy counts."""
+    if any(w < 0 for w in weights.values()) or default < 0:
+        raise ValueError("mixture weights must be non-negative")
 
     def _copies(w: float) -> str:
         return f"{int(math.floor(w))} + CASE WHEN {bucket_expr} < {_cut(w - math.floor(w))} THEN 1 ELSE 0 END"

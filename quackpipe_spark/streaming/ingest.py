@@ -104,7 +104,12 @@ def _event_time(events: DataFrame, ts_col: str):
         from quackpipe_spark.sources.tables import ntz_epoch_us_expr
 
         return F.timestamp_micros(F.expr(ntz_epoch_us_expr(ts_col)))
-    return F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+    # floor, not DIV: DIV truncates toward zero, lifting pre-1970 ns
+    # ~1µs forward across window boundaries (the writer.py trap);
+    # (x - pmod(x, 1000)) is an exact multiple, so its DIV is a floor
+    return F.timestamp_micros(
+        F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, 1000)) DIV 1000")
+    )
 
 
 def session_windows(
