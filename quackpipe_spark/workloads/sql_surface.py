@@ -75,30 +75,33 @@ def _row_hash(df: DataFrame) -> Column:
 
 
 def _union_digests(parts: list[tuple[str, DataFrame]]) -> DataFrame:
-    """Digest N sub-results with ONE aggregation: each sub-plan projects to
-    (part, row-hash), the narrow streams union, and a single
-    groupBy(part) folds them — versus the old per-part global aggregate,
-    which paid a 2-stage SinglePartition exchange per sub-query (3-4 extra
-    stages per battery of pure scheduling latency, and at scale N
-    all-to-one exchanges instead of one 3-key hash shuffle with map-side
-    partial aggregation). A null-hash seed row per part keeps empty
-    sub-results present in the output (count counts only non-null h), so
-    the result is row-identical to the oracle's UNION ALL of per-part
-    global aggregates."""
-    spark = parts[0][1].sparkSession
-    # ONE local relation holds every part's null-hash seed (N single-row
-    # range scans would each be their own plan leaf)
-    out = spark.createDataFrame(
-        [(part, None) for part, _ in parts], "part string, h long"
-    )
+    """Digest N sub-results as a union of per-part GLOBAL aggregates.
+
+    Each part collapses to one (part, n, chk) row via its own 2-stage
+    SinglePartition aggregate, and the one-row results union. A fused
+    alternative (project every part to (part, row-hash), union the
+    narrow streams, ONE groupBy(part)) was tried in round 8 and measured
+    ~0.35s SLOWER per battery at sf0.1 (grouping_battery 0.62s→0.96s,
+    5-rep medians on an idle box, stable across two full bench runs):
+    the digest rows are ~1-per-task either way after map-side partial
+    aggregation, so the fused shape saves no data movement — and its
+    wider single plan costs more to compile and stage-schedule than the
+    N tiny all-to-one exchanges it removes. At cluster scale both ship
+    kilobytes; the batteries exist for the driver gate, so the
+    empirically faster shape wins. A global aggregate emits its row even
+    on empty input, so empty parts stay present without seed rows."""
+    out = None
     for part, df in parts:
-        out = out.unionAll(
-            df.select(F.lit(part).alias("part"), _row_hash(df).alias("h"))
+        d = (
+            df.select(_row_hash(df).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
+            )
+            .select(F.lit(part).alias("part"), F.col("n"), F.col("chk"))
         )
-    return out.groupBy("part").agg(
-        F.count("h").alias("n"),
-        F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("chk"),
-    )
+        out = d if out is None else out.unionAll(d)
+    return out
 
 
 def _digest_sql(part: str, sub_sql: str, cols: list[tuple[str, str]]) -> str:
