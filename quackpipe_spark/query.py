@@ -115,6 +115,62 @@ def _ts_literal_ns(lit: str) -> int:
     raise ValueError(f"unparseable timestamp literal: {raw!r}")
 
 
+_FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
+_FROM_SCOPE_END = re.compile(
+    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY)\b", re.IGNORECASE
+)
+
+
+def _comma_join_present(sql: str) -> bool:
+    """True if any FROM clause contains a top-level comma — legacy
+    comma-join syntax (``FROM events e, events e2``). _FROM_JOIN only
+    counts relations introduced by a FROM/JOIN keyword, so a
+    comma-introduced relation would evade both the alias map and the
+    referenced-twice self-join guard: a qualified bound on one alias
+    would prune files the comma alias still needs (silent missing
+    rows). Rather than parse the comma list (and its mixed
+    ``JOIN … ON cond, tbl`` forms), pruning is disabled outright when
+    the syntax appears — no pruning is just slower.
+
+    Scope: from each FROM keyword to the first depth-0 clause
+    terminator (WHERE/GROUP/…), end of string, or an unbalanced ')'
+    (covers ``EXTRACT(MONTH FROM ts)`` — the closing paren of the
+    enclosing call ends that scan before any SELECT-list comma is
+    seen). Commas inside parens (function args, row values,
+    TABLESAMPLE) don't count; quoted strings are skipped."""
+    for m in _FROM_KW.finditer(sql):
+        depth = 0
+        i = m.end()
+        while i < len(sql):
+            ch = sql[i]
+            if ch == "'":
+                j = sql.find("'", i + 1)
+                if j < 0:
+                    return True  # unterminated string: refuse to reason
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break  # FROM belonged to an enclosing call (EXTRACT)
+            elif depth == 0:
+                if ch == ",":
+                    return True
+                if ch.isalpha():
+                    t = _FROM_SCOPE_END.match(sql, i)
+                    if t:
+                        break
+                    # skip the word to not re-test each letter
+                    while i + 1 < len(sql) and (
+                        sql[i + 1].isalnum() or sql[i + 1] in "_."
+                    ):
+                        i += 1
+            i += 1
+    return False
+
+
 def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
     """One pass over the FROM/JOIN clauses: (alias→table map, table→
     relation-entry count), keys and values lowercased. An aliased
@@ -148,9 +204,10 @@ def extract_time_bounds_per_table(
     predicates. Bounds must be CONSERVATIVE in both directions:
     unparseable predicates skip pruning, an unresolvable qualifier skips
     that bound, and any construct that could make an ANDed bound wrong —
-    OR, set operations, NOT(...), CASE, subqueries — disables pruning
-    entirely (see _PRUNE_UNSAFE). Wrong pruning is silent missing rows;
-    no pruning is just slower.
+    OR, set operations, NOT(...), CASE, subqueries, legacy comma-joins
+    — disables pruning entirely (see _PRUNE_UNSAFE and
+    _comma_join_present). Wrong pruning is silent missing rows; no
+    pruning is just slower.
 
     Unqualified bounds attribute only when exactly ONE table is
     referenced; qualified bounds (alias.__timestamp) resolve through the
@@ -165,7 +222,11 @@ def extract_time_bounds_per_table(
     same registered view, so a bound on one alias would silently drop
     the other alias's rows — and conflicting per-alias bounds would
     intersect to an empty range that prunes everything."""
-    if _PRUNE_UNSAFE.search(sql) or len(_SELECT_KW.findall(sql)) > 1:
+    if (
+        _PRUNE_UNSAFE.search(sql)
+        or len(_SELECT_KW.findall(sql)) > 1
+        or _comma_join_present(sql)
+    ):
         return {}
     scope = sql
     if _OUTER_JOIN_KW.search(sql):

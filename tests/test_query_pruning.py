@@ -344,3 +344,39 @@ def test_self_join_never_prunes():
         "WHERE a.__timestamp >= 100 AND t.__timestamp >= 7",
         ["events", "ticks"],
     ) == {"ticks": (7, None)}
+
+
+def test_comma_join_disables_pruning():
+    """Legacy comma-join relations aren't captured by the FROM/JOIN
+    relation scan, so a comma SELF-join would evade the referenced-twice
+    guard — a qualified bound on one alias would prune files the comma
+    alias still reads (silent missing rows). Any top-level comma in a
+    FROM scope therefore disables pruning outright."""
+    from quackpipe_spark.query import extract_time_bounds_per_table
+
+    # the motivating bug: comma self-join + one-sided qualified bound
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM events e, events e2 "
+        "WHERE e.__timestamp >= 123 AND e.k = e2.k",
+        ["events"],
+    ) == {}
+    # comma-join over two distinct tables: also conservative (the comma
+    # relation is invisible to the alias map, so nothing is attributable)
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM events e, ticks t "
+        "WHERE e.__timestamp >= 5 AND e.k = t.k",
+        ["events", "ticks"],
+    ) == {}
+    # mixed JOIN ... ON cond, tbl — the comma hides after the ON clause
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM ticks a JOIN ticks2 b ON a.x = b.x, events e2 "
+        "WHERE a.__timestamp >= 5",
+        ["ticks", "ticks2", "events"],
+    ) == {}
+    # non-FROM commas must NOT disable pruning: SELECT list, EXTRACT's
+    # internal FROM, function args, GROUP BY lists
+    assert extract_time_bounds_per_table(
+        "SELECT EXTRACT(MONTH FROM ts), coalesce(a, b) FROM events "
+        "WHERE __timestamp >= 1 GROUP BY a, b",
+        ["events"],
+    ) == {"events": (1, None)}
