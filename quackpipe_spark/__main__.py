@@ -15,26 +15,50 @@ import sys
 
 def split_statements(text: str) -> list[str]:
     """Split a SQL script on ``;`` OUTSIDE single-quoted literals (''
-    escapes stay inside one literal) — a naive ``text.split(';')`` broke
-    ``SELECT 'a;b'`` into two invalid fragments. Newlines are statement-
-    internal whitespace, matching the reference's whole-script Exec."""
-    out, cur, in_quote, i = [], [], False, 0
+    escapes stay inside one literal), ``--`` line comments, and
+    ``/* */`` block comments — the reference hands the whole stdin
+    script to DuckDB's comment-aware multi-statement Exec
+    (stdin/init.go:29-49), so a ``;`` inside a comment must not split
+    (a naive ``text.split(';')`` also broke ``SELECT 'a;b'``).
+    Newlines are statement-internal whitespace, matching the
+    reference's whole-script Exec. Comment text is kept verbatim in
+    the statement (Spark's parser accepts both comment forms), but a
+    fragment containing ONLY comments/whitespace is dropped — it is not
+    a statement and would fail Spark's parser."""
+    out, cur, in_quote, has_code, i = [], [], False, False, 0
     while i < len(text):
         c = text[i]
+        if not in_quote and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = len(text) if j < 0 else j
+            cur.append(text[i:j])
+            i = j
+            continue
+        if not in_quote and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = len(text) if j < 0 else j + 2  # unterminated: comment to EOF
+            cur.append(text[i:j])
+            i = j
+            continue
         if c == "'":
             if in_quote and text[i : i + 2] == "''":
                 cur.append("''")
                 i += 2
                 continue
             in_quote = not in_quote
+            has_code = True
             cur.append(c)
         elif c == ";" and not in_quote:
-            out.append("".join(cur))
-            cur = []
+            if has_code:
+                out.append("".join(cur))
+            cur, has_code = [], False
         else:
+            if not c.isspace():
+                has_code = True
             cur.append(c)
         i += 1
-    out.append("".join(cur))
+    if has_code:
+        out.append("".join(cur))
     return [s.strip() for s in out if s.strip()]
 
 

@@ -222,29 +222,31 @@ def rewrite_sql(sql: str) -> str:
     """
     from quackpipe_spark.sources.remote import resolve_scan_path
 
-    # locate single-quoted literal spans ('' escapes stay inside one
-    # token) and rewrite only matches that START outside them — a
-    # read_parquet('p') call starts in code (its path argument being a
-    # literal is fine, the regex consumes it), while a count() or
-    # read_parquet(...) appearing INSIDE a literal is user data
+    # count() lives entirely in code, so rewrite the CODE parts of a
+    # literal-aware split (odd parts are single-quoted literals, ''
+    # escapes stay inside one token) — a 'count()' inside a literal is
+    # user data and never touched
     parts = re.split(r"('(?:[^']|'')*')", sql)
-    starts = []
+    for i in range(0, len(parts), 2):
+        parts[i] = _COUNT_NOARG.sub("count(*)", parts[i])
+    sql = "".join(parts)
+
+    # read_parquet('p') STARTS in code but its path argument is a
+    # literal the regex must consume, so it can't run per-part; literal
+    # spans are recomputed on the count()-rewritten string (each
+    # count()→count(*) pass shifts offsets +1 — spans computed before
+    # it would mark code as literal and skip real calls)
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    lit_spans = []
     pos = 0
     for i, p in enumerate(parts):
-        starts.append((pos, i % 2 == 1))
+        if i % 2 == 1:
+            lit_spans.append((pos, pos + len(p)))
         pos += len(p)
-    lit_spans = [
-        (s, s + len(parts[i]))
-        for i, (s, is_lit) in enumerate(starts)
-        if is_lit
-    ]
 
     def _in_literal(idx: int) -> bool:
         return any(a <= idx < b for a, b in lit_spans)
 
-    sql = _COUNT_NOARG.sub(
-        lambda m: m.group(0) if _in_literal(m.start()) else "count(*)", sql
-    )
     sql = _READ_PARQUET.sub(
         lambda m: m.group(0)
         if _in_literal(m.start())

@@ -71,14 +71,13 @@ _PRUNE_UNSAFE = re.compile(
     re.IGNORECASE,
 )
 _SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
-# Join flavors whose ON clause does NOT conjunctively filter the
-# preserved side's rows: `t LEFT JOIN u ON t.__timestamp >= x` keeps
-# every t row (null-extended), so pruning t's files from that bound
-# would drop rows. With any of these present, bounds are read from the
-# WHERE clause onward only — a WHERE predicate over one side's column
-# filters that side's rows regardless of join flavor (null-extended
-# rows fail the comparison too), so WHERE-scope bounds stay safe.
-_OUTER_JOIN_KW = re.compile(r"\b(LEFT|RIGHT|FULL|OUTER|SEMI|ANTI)\b", re.IGNORECASE)
+# Bounds are read from the WHERE clause body ONLY (see _where_scope):
+# an ON-clause bound on the preserved side of an outer join keeps every
+# row (null-extended), a SELECT-list comparison is a projected boolean,
+# an ORDER BY comparison a sort key — none filters rows. A WHERE
+# predicate over one side's column filters that side's rows regardless
+# of join flavor (null-extended rows fail the comparison too), so
+# WHERE-scope bounds are safe under every join type.
 _WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
 _ALIAS_STOPWORDS = frozenset(
     "on where group order limit having join left right full inner cross outer "
@@ -119,6 +118,85 @@ _FROM_KW = re.compile(r"\bFROM\b", re.IGNORECASE)
 _FROM_SCOPE_END = re.compile(
     r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY)\b", re.IGNORECASE
 )
+_WHERE_SCOPE_END = re.compile(
+    r"\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY)\b", re.IGNORECASE
+)
+_LIT_SPLIT = re.compile(r"('(?:[^']|'')*')")
+
+
+def _blank_literals(sql: str) -> str:
+    """Replace the CONTENTS of single-quoted literals ('' escape-aware)
+    with spaces, preserving every offset. All keyword scanning (WHERE
+    position, clause terminators, unsafe constructs, FROM/JOIN
+    relations) runs over this blanked text so user data like
+    ``note = 'WHERE __timestamp >= 1'`` can neither move the scanned
+    scope nor fabricate a bound; bound VALUES are then re-read from the
+    original string at the matched span (epoch_ns('…') keeps its
+    timestamp literal)."""
+    parts = _LIT_SPLIT.split(sql)
+    for i in range(1, len(parts), 2):
+        parts[i] = "'" + " " * (len(parts[i]) - 2) + "'"
+    return "".join(parts)
+
+
+def _where_scope(blanked: str) -> tuple[int, int] | None:
+    """[start, end) of the WHERE clause BODY in the blanked text, or
+    None when the query has no top-level WHERE. Bounds are extracted
+    from this scope ONLY: a bare ``__timestamp >= x`` comparison is a
+    row filter exactly when it is a WHERE conjunct — in a SELECT list
+    it is a projected boolean, in ORDER BY a sort key, in an ON clause
+    of a preserved join side a null-extending condition; pruning from
+    any of those silently drops rows. (Subqueries are already refused
+    via the multi-SELECT guard, so the first WHERE is the query's one
+    top-level WHERE.) The scope ends at the first depth-0 clause
+    terminator (GROUP/HAVING/ORDER/…), so a HAVING/ORDER expression
+    can never contribute a bound either."""
+    m = _WHERE_KW.search(blanked)
+    if m is None:
+        return None
+    start = m.end()
+    depth = 0
+    i = start
+    while i < len(blanked):
+        ch = blanked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            t = _WHERE_SCOPE_END.match(blanked, i)
+            if t and (i == 0 or not (blanked[i - 1].isalnum() or blanked[i - 1] in "_.")):
+                return (start, i)
+            while i + 1 < len(blanked) and (
+                blanked[i + 1].isalnum() or blanked[i + 1] in "_."
+            ):
+                i += 1
+        i += 1
+    return (start, len(blanked))
+
+
+_AND_TAIL = re.compile(r"\bAND\s*$", re.IGNORECASE)
+_AND_HEAD = re.compile(r"^\s*AND\b", re.IGNORECASE)
+
+
+def _conjunct(scope: str, start: int, end: int) -> bool:
+    """True if scope[start:end] is a TOP-LEVEL WHERE conjunct: at paren
+    depth 0, preceded by scope-start or AND, followed by scope-end or
+    AND. Anything else — chained comparisons (``__timestamp >= 1000 =
+    false``), function arguments (``coalesce(__timestamp >= 1, x)``),
+    IS TRUE/FALSE wrappers, or ANY parenthesized context (a paren group
+    can itself be an operand: ``c = (b AND __timestamp >= 1)``) — is
+    refused rather than reasoned about. A parenthesized bound just
+    doesn't prune; wrong pruning is silent missing rows."""
+    if scope[:start].count("(") != scope[:start].count(")"):
+        return False  # inside parens (literals are blanked, so counts are code-only)
+    before = scope[:start].rstrip()
+    if before and not _AND_TAIL.search(before):
+        return False
+    after = scope[end:].lstrip()
+    if after and not _AND_HEAD.match(after):
+        return False
+    return True
 
 
 def _comma_join_present(sql: str) -> bool:
@@ -197,6 +275,190 @@ def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
     return amap, counts
 
 
+_WITH_HEAD = re.compile(r"^\s*WITH\b", re.IGNORECASE)
+_RECURSIVE_KW = re.compile(r"\bRECURSIVE\b", re.IGNORECASE)
+_CTE_NAME_AS = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _match_paren(blanked: str, open_idx: int) -> int:
+    """Index of the ')' matching blanked[open_idx] == '(', or -1.
+    Literals are blanked, so every paren seen is code."""
+    depth = 0
+    for i in range(open_idx, len(blanked)):
+        if blanked[i] == "(":
+            depth += 1
+        elif blanked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _scope_bounds(
+    orig: str,
+    blanked: str,
+    canon: dict[str, str],
+    visible_ctes: set[str],
+) -> tuple[dict[str, tuple[int | None, int | None]], dict[str, int]] | None:
+    """Bounds + real-table reference counts for ONE select scope (a CTE
+    body or the main query after the WITH chain).
+
+    Returns ``None`` when the scope's relations can't be trusted (legacy
+    comma-join: its relations are invisible to _FROM_JOIN, so the
+    caller's global reference counting would undercount — the whole
+    statement must refuse pruning). A scope containing unsafe constructs
+    (OR/NOT/CASE/set-ops) or nested SELECTs still reports reference
+    counts — its tables stay visible to the global self-join guard — but
+    contributes no bounds.
+
+    A relation name in ``visible_ctes`` is a CTE reference, not a table
+    read: excluded from counts, and bounds resolving to it are dropped
+    (the CTE's own body already carries any filter that matters)."""
+    if _comma_join_present(blanked):
+        return None
+    amap, counts = _relations(blanked)
+    real_counts = {
+        t: n for t, n in counts.items() if t not in visible_ctes
+    }
+    bounds: dict[str, tuple[int | None, int | None]] = {}
+    if _PRUNE_UNSAFE.search(blanked) or len(_SELECT_KW.findall(blanked)) > 1:
+        return bounds, real_counts
+    span = _where_scope(blanked)
+    if span is None:
+        return bounds, real_counts
+    s0, s1 = span
+    bscope = blanked[s0:s1]
+
+    def _lit(m: re.Match, g: int) -> str:
+        return orig[s0 + m.start(g) : s0 + m.end(g)]
+
+    def _apply(tname: str, op: str, lit: str) -> None:
+        try:
+            v = _ts_literal_ns(lit)
+        except ValueError:
+            return
+        lo, hi = bounds.get(tname, (None, None))
+        if op in (">=", ">"):
+            lo = v if lo is None else max(lo, v)
+        else:
+            hi = v if hi is None else min(hi, v)
+        bounds[tname] = (lo, hi)
+
+    # unqualified bounds attribute only when the scope reads exactly ONE
+    # relation and it is a real catalog table
+    only = None
+    if sum(counts.values()) == 1:
+        t = next(iter(counts))
+        if t not in visible_ctes and t in canon:
+            only = t
+    if only is not None:
+        for m in _TS_BOUND.finditer(bscope):
+            if _conjunct(bscope, m.start(), m.end()):
+                _apply(only, m.group(1), _lit(m, 2))
+        for m in _TS_BETWEEN.finditer(bscope):
+            if _conjunct(bscope, m.start(), m.end()):
+                _apply(only, ">=", _lit(m, 1))
+                _apply(only, "<=", _lit(m, 2))
+    for m in _TS_BOUND_Q.finditer(bscope):
+        tbl = amap.get(m.group(1).lower())
+        if (
+            tbl is not None
+            and tbl not in visible_ctes
+            and tbl in canon
+            and counts.get(tbl, 0) == 1
+            and _conjunct(bscope, m.start(), m.end())
+        ):
+            _apply(tbl, m.group(2), _lit(m, 3))
+    for m in _TS_BETWEEN_Q.finditer(bscope):
+        tbl = amap.get(m.group(1).lower())
+        if (
+            tbl is not None
+            and tbl not in visible_ctes
+            and tbl in canon
+            and counts.get(tbl, 0) == 1
+            and _conjunct(bscope, m.start(), m.end())
+        ):
+            _apply(tbl, ">=", _lit(m, 2))
+            _apply(tbl, "<=", _lit(m, 3))
+    return bounds, real_counts
+
+
+def _cte_bounds(
+    sql: str, blanked: str, tables: list[str]
+) -> dict[str, tuple[int | None, int | None]]:
+    """Per-table bounds for the simple CTE family
+    ``WITH a AS (SELECT …), b AS (SELECT …) SELECT …`` — the #1
+    real-user shape the whole-statement multi-SELECT guard used to
+    refuse (the reference prunes by timerange regardless of SQL shape,
+    README.md:115). Each CTE body and the main query are independent
+    select scopes: a bound extracted from a scope attributes to a real
+    table read by THAT scope, and a table is pruned only when it is
+    read by exactly ONE relation entry across the WHOLE statement —
+    two scopes reading the same table is the self-join hazard in CTE
+    clothing (one scope's bound would drop the other scope's rows).
+
+    Refused outright (→ {}): RECURSIVE, a chain that doesn't parse as
+    ``name AS ( … )[, …] SELECT``, the column-list form
+    ``name (cols) AS``, and any scope with a comma-join (its relations
+    evade the reference counting)."""
+    if _RECURSIVE_KW.search(blanked):
+        return {}
+    m = _WITH_HEAD.match(blanked)
+    scopes: list[tuple[int, int]] = []  # [start, end) spans, blanked offsets
+    cte_spans: list[tuple[str, int, int]] = []  # (name, start, end)
+    i = m.end()
+    while True:
+        nm = _CTE_NAME_AS.match(blanked, i)
+        if nm is None:
+            return {}
+        open_idx = nm.end() - 1
+        close = _match_paren(blanked, open_idx)
+        if close < 0:
+            return {}
+        cte_spans.append((nm.group(1).lower(), open_idx + 1, close))
+        i = close + 1
+        while i < len(blanked) and blanked[i].isspace():
+            i += 1
+        if i < len(blanked) and blanked[i] == ",":
+            i += 1
+            continue
+        break
+    # the main query must be a plain SELECT (INSERT/EXPLAIN/… → refuse)
+    if not _SELECT_KW.match(blanked, i):
+        return {}
+    canon = {t.lower(): t for t in tables}
+    merged: dict[str, tuple[int | None, int | None]] = {}
+    grefs: dict[str, int] = {}
+    visible: set[str] = set()
+    scope_list: list[tuple[int, int, frozenset]] = []
+    for name, a, b in cte_spans:
+        # non-recursive WITH: a CTE's own name is NOT visible in its
+        # body (there it still means the real table), only in LATER
+        # bodies and the main query — matching Spark's resolution
+        scope_list.append((a, b, frozenset(visible)))
+        visible.add(name)
+    scope_list.append((i, len(blanked), frozenset(visible)))
+    for a, b, vis in scope_list:
+        res = _scope_bounds(sql[a:b], blanked[a:b], canon, vis)
+        if res is None:
+            return {}
+        sbounds, scounts = res
+        for t, n in scounts.items():
+            grefs[t] = grefs.get(t, 0) + n
+        for t, (lo, hi) in sbounds.items():
+            plo, phi = merged.get(t, (None, None))
+            # same table bounded in two scopes merges conservatively,
+            # but grefs > 1 will drop it below anyway
+            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+            merged[t] = (lo, hi)
+    return {
+        canon[t]: bh
+        for t, bh in merged.items()
+        if grefs.get(t, 0) == 1 and t in canon
+    }
+
+
 def extract_time_bounds_per_table(
     sql: str, tables: list[str]
 ) -> dict[str, tuple[int | None, int | None]]:
@@ -212,31 +474,46 @@ def extract_time_bounds_per_table(
     Unqualified bounds attribute only when exactly ONE table is
     referenced; qualified bounds (alias.__timestamp) resolve through the
     FROM/JOIN alias map, so a join over two big stores prunes each
-    side's file list. With outer/semi/anti joins present, only the text
-    from WHERE onward is scanned — an ON-clause bound on a preserved
-    side does not filter its rows and must not prune (see
-    _OUTER_JOIN_KW).
+    side's file list.
+
+    Bounds are read from the WHERE clause BODY only (never the SELECT
+    list, ON clauses, or GROUP/HAVING/ORDER tails — a textual
+    comparison there is a projected boolean / join condition / sort
+    key, not a row filter), and each must be a top-level conjunct
+    (:func:`_conjunct`). All keyword scanning runs over literal-blanked
+    text so string data can't move the scope or fabricate bounds.
 
     A table referenced by MORE THAN ONE relation entry (a self-join:
     ``events a JOIN events b``) is never pruned: both aliases read the
     same registered view, so a bound on one alias would silently drop
     the other alias's rows — and conflicting per-alias bounds would
-    intersect to an empty range that prunes everything."""
+    intersect to an empty range that prunes everything.
+
+    ``WITH``-prefixed statements route to :func:`_cte_bounds`: the
+    simple CTE-chain family prunes per scope; everything else about the
+    shape refuses."""
+    blanked = _blank_literals(sql)
+    if _WITH_HEAD.match(blanked):
+        return _cte_bounds(sql, blanked, tables)
     if (
-        _PRUNE_UNSAFE.search(sql)
-        or len(_SELECT_KW.findall(sql)) > 1
-        or _comma_join_present(sql)
+        _PRUNE_UNSAFE.search(blanked)
+        or len(_SELECT_KW.findall(blanked)) > 1
+        or _comma_join_present(blanked)
     ):
         return {}
-    scope = sql
-    if _OUTER_JOIN_KW.search(sql):
-        m = _WHERE_KW.search(sql)
-        if m is None:
-            return {}
-        scope = sql[m.end() :]
+    span = _where_scope(blanked)
+    if span is None:
+        return {}
+    s0, s1 = span
+    bscope = blanked[s0:s1]
     # relations are declared before WHERE: parse from the full text
-    amap, ref_counts = _relations(sql)
+    amap, ref_counts = _relations(blanked)
     out: dict[str, tuple[int | None, int | None]] = {}
+
+    def _lit(m: re.Match, g: int) -> str:
+        # the value re-read from the ORIGINAL text: epoch_ns('…') bound
+        # literals are blanked in bscope but offsets are preserved
+        return sql[s0 + m.start(g) : s0 + m.end(g)]
 
     def _apply(tname: str, op: str, lit: str) -> None:
         try:
@@ -256,21 +533,23 @@ def extract_time_bounds_per_table(
         return ref_counts.get(tbl_lower, 1) == 1
 
     if len(tables) == 1 and _prunable(tables[0].lower()):
-        for op, lit in _TS_BOUND.findall(scope):
-            _apply(tables[0], op, lit)
-        for m in _TS_BETWEEN.finditer(scope):
-            _apply(tables[0], ">=", m.group(1))
-            _apply(tables[0], "<=", m.group(2))
+        for m in _TS_BOUND.finditer(bscope):
+            if _conjunct(bscope, m.start(), m.end()):
+                _apply(tables[0], m.group(1), _lit(m, 2))
+        for m in _TS_BETWEEN.finditer(bscope):
+            if _conjunct(bscope, m.start(), m.end()):
+                _apply(tables[0], ">=", _lit(m, 1))
+                _apply(tables[0], "<=", _lit(m, 2))
     canon = {t.lower(): t for t in tables}
-    for qual, op, lit in _TS_BOUND_Q.findall(scope):
-        tbl = amap.get(qual.lower())
-        if tbl in canon and _prunable(tbl):
-            _apply(canon[tbl], op, lit)
-    for m in _TS_BETWEEN_Q.finditer(scope):
+    for m in _TS_BOUND_Q.finditer(bscope):
         tbl = amap.get(m.group(1).lower())
-        if tbl in canon and _prunable(tbl):
-            _apply(canon[tbl], ">=", m.group(2))
-            _apply(canon[tbl], "<=", m.group(3))
+        if tbl in canon and _prunable(tbl) and _conjunct(bscope, m.start(), m.end()):
+            _apply(canon[tbl], m.group(2), _lit(m, 3))
+    for m in _TS_BETWEEN_Q.finditer(bscope):
+        tbl = amap.get(m.group(1).lower())
+        if tbl in canon and _prunable(tbl) and _conjunct(bscope, m.start(), m.end()):
+            _apply(canon[tbl], ">=", _lit(m, 2))
+            _apply(canon[tbl], "<=", _lit(m, 3))
     return out
 
 

@@ -458,3 +458,47 @@ def test_from_epoch_ns_floors_pre_epoch(spark):
         "unix_micros(from_epoch_ns(1500)) AS us_pos"
     ).collect()[0]
     assert r["us"] == -2 and r["us_pos"] == 1
+
+
+def test_rewrite_sql_count_shift_does_not_stale_literal_spans():
+    """Each count()→count(*) rewrite shifts later offsets +1; literal
+    spans computed on the PRE-rewrite string would mark code positions
+    as literal once enough count() calls precede, skipping a real
+    read_parquet call. 13+ leading count() calls shift a trailing
+    read_parquet past a stale span boundary — it must still rewrite."""
+    from quackpipe_spark.functions.dialect import rewrite_sql
+
+    counts = ", ".join(f"count() AS c{i}" for i in range(14))
+    out = rewrite_sql(f"SELECT {counts}, 'lit' FROM read_parquet('/x.parquet')")
+    assert "read_parquet" not in out
+    assert "parquet.`/x.parquet`" in out
+    assert out.count("count(*)") == 14
+    # and a count() INSIDE a literal is still untouched after the split
+    out2 = rewrite_sql("SELECT count(), 'count()' FROM read_parquet('/y.parquet')")
+    assert out2 == "SELECT count(*), 'count()' FROM parquet.`/y.parquet`"
+
+
+def test_split_statements_ignores_semicolons_in_comments():
+    """';' inside '--' line comments and '/* */' block comments must not
+    split — the reference hands the whole stdin script to DuckDB's
+    comment-aware multi-statement Exec (stdin/init.go:29-49)."""
+    from quackpipe_spark.__main__ import split_statements
+
+    assert split_statements("SELECT 1 -- trailing; comment\n; SELECT 2") == [
+        "SELECT 1 -- trailing; comment",
+        "SELECT 2",
+    ]
+    assert split_statements("SELECT /* a;b */ 1; SELECT 2") == [
+        "SELECT /* a;b */ 1",
+        "SELECT 2",
+    ]
+    # unterminated forms: comment runs to EOF, no phantom statements
+    assert split_statements("SELECT 1; -- done; really") == ["SELECT 1"]
+    assert split_statements("SELECT 1 /* open; forever") == [
+        "SELECT 1 /* open; forever"
+    ]
+    # a '--' INSIDE a string literal is data, not a comment
+    assert split_statements("SELECT '--x;y'; SELECT 2") == [
+        "SELECT '--x;y'",
+        "SELECT 2",
+    ]

@@ -380,3 +380,275 @@ def test_comma_join_disables_pruning():
         "WHERE __timestamp >= 1 GROUP BY a, b",
         ["events"],
     ) == {"events": (1, None)}
+
+def test_bounds_only_from_where_clause_body():
+    """A __timestamp comparison OUTSIDE the WHERE clause body is not a
+    row filter: in a SELECT list it's a projected boolean, in ORDER BY
+    a sort key, in HAVING a post-aggregation predicate over possibly
+    different rows. Extracting a bound from any of those prunes files
+    whose rows the query still wants — silent missing rows."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # the ADVICE repro: projected qualified comparison in a join query
+    assert ex(
+        "SELECT e.__timestamp >= 1000 AS recent FROM events e "
+        "JOIN m ON e.k = m.k",
+        ["events", "m"],
+    ) == {}
+    # projected comparison in a single-table query (unqualified path)
+    assert ex(
+        "SELECT __timestamp >= 1000 AS recent FROM events", ["events"]
+    ) == {}
+    # ORDER BY / HAVING comparisons after the WHERE body
+    assert ex(
+        "SELECT * FROM events WHERE v > 0 ORDER BY __timestamp >= 1000",
+        ["events"],
+    ) == {}
+    assert ex(
+        "SELECT k FROM events WHERE v > 0 GROUP BY k "
+        "HAVING max(__timestamp) >= 1000",
+        ["events"],
+    ) == {}
+    # projected comparison AND a real WHERE bound: only WHERE extracts
+    assert ex(
+        "SELECT __timestamp >= 9999 AS late FROM events "
+        "WHERE __timestamp >= 100",
+        ["events"],
+    ) == {"events": (100, None)}
+    # no WHERE at all → nothing to extract
+    assert ex("SELECT __timestamp >= 5 FROM events", ["events"]) == {}
+
+
+def test_bounds_require_top_level_conjunct():
+    """Inside the WHERE body a bound must be a TOP-LEVEL conjunct:
+    chained comparisons, function arguments, and parenthesized operand
+    groups all change its meaning and must not prune."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # chained comparison: (__timestamp >= 1000) = false selects OLD rows
+    assert ex(
+        "SELECT * FROM events WHERE __timestamp >= 1000 = false", ["events"]
+    ) == {}
+    # function argument
+    assert ex(
+        "SELECT * FROM events WHERE coalesce(__timestamp >= 1000, true)",
+        ["events"],
+    ) == {}
+    # parenthesized group used as an operand
+    assert ex(
+        "SELECT * FROM events WHERE flag = (v > 0 AND __timestamp >= 1000)",
+        ["events"],
+    ) == {}
+    # plain ANDed conjuncts still prune, in any position
+    assert ex(
+        "SELECT * FROM events WHERE v > 0 AND __timestamp >= 50 AND w < 9",
+        ["events"],
+    ) == {"events": (50, None)}
+    assert ex(
+        "SELECT * FROM events WHERE __timestamp BETWEEN 5 AND 9 AND v > 0",
+        ["events"],
+    ) == {"events": (5, 9)}
+
+
+def test_string_literals_cannot_move_scope_or_fabricate_bounds():
+    """Keyword scanning runs over literal-blanked text: user data like
+    'WHERE __timestamp >= 1' must neither fabricate a bound nor shift
+    the detected WHERE position; epoch_ns('...') bound literals are
+    still read from the original text."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # a literal containing WHERE + a bound fabricates nothing
+    assert ex(
+        "SELECT * FROM events WHERE note = 'WHERE __timestamp >= 1'",
+        ["events"],
+    ) == {}
+    # a literal mentioning a bound before the real WHERE doesn't shift it
+    assert ex(
+        "SELECT '__timestamp >= 7' AS doc FROM events "
+        "WHERE __timestamp >= 100",
+        ["events"],
+    ) == {"events": (100, None)}
+    # epoch_ns timestamp literal is re-read from the original string
+    NS = 10**9
+    got = ex(
+        "SELECT * FROM events "
+        "WHERE __timestamp >= epoch_ns('2024-01-05 00:00:00'::TIMESTAMP)",
+        ["events"],
+    )
+    assert got == {"events": (1704412800 * NS, None)}
+
+
+def test_cte_bounds_simple_chain():
+    """WITH x AS (bounded single-table SELECT) SELECT ... — the #1
+    real-user shape: bounds inside a CTE body attribute to that body's
+    one table (reference prunes by timerange regardless of SQL shape,
+    README.md:115)."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    assert ex(
+        "WITH recent AS (SELECT * FROM events WHERE __timestamp >= 100) "
+        "SELECT count(*) AS n FROM recent",
+        ["events"],
+    ) == {"events": (100, None)}
+    assert ex(
+        "WITH w AS (SELECT * FROM events WHERE __timestamp BETWEEN 5 AND 9 AND v > 0) "
+        "SELECT * FROM w",
+        ["events"],
+    ) == {"events": (5, 9)}
+    # two CTEs over two tables: each body prunes its own table
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10), "
+        "b AS (SELECT * FROM ticks WHERE __timestamp < 99) "
+        "SELECT * FROM a JOIN b ON a.k = b.k",
+        ["events", "ticks"],
+    ) == {"events": (10, None), "ticks": (None, 99)}
+    # main-query WHERE with a qualified bound on a REAL table joined to
+    # a CTE still prunes the real table
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10) "
+        "SELECT * FROM a JOIN ticks t ON a.k = t.k WHERE t.__timestamp < 50",
+        ["events", "ticks"],
+    ) == {"events": (10, None), "ticks": (None, 50)}
+
+
+def test_cte_bounds_multi_scope_reads_never_prune():
+    """A table read by MORE THAN ONE scope (two bodies, or body + main
+    subquery) is the self-join hazard in CTE clothing: one scope's
+    bound would drop the other scope's rows."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # body + main both read events
+    assert ex(
+        "WITH recent AS (SELECT * FROM events WHERE __timestamp >= 100) "
+        "SELECT * FROM recent r JOIN events e ON r.k = e.k",
+        ["events"],
+    ) == {}
+    # two bodies read events with conflicting bounds
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 200), "
+        "b AS (SELECT * FROM events WHERE __timestamp < 100) "
+        "SELECT * FROM a JOIN b ON a.k = b.k",
+        ["events"],
+    ) == {}
+    # bounded in body, ALSO read by a main-scope subquery
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 100) "
+        "SELECT * FROM a WHERE k IN (SELECT k FROM events)",
+        ["events"],
+    ) == {}
+    # an unrelated second table stays prunable
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 200), "
+        "b AS (SELECT * FROM events WHERE __timestamp < 100) "
+        "SELECT * FROM a JOIN b ON a.k = b.k "
+        "JOIN ticks t ON t.k = a.k WHERE t.__timestamp >= 7",
+        ["events", "ticks"],
+    ) == {"ticks": (7, None)}
+
+
+def test_cte_bounds_shadowing_and_unsafe_scopes():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # CTE shadowing a real table: the main query's `events` is the CTE,
+    # so its bound must NOT prune the real table the body reads
+    assert ex(
+        "WITH events AS (SELECT k, __timestamp FROM ticks) "
+        "SELECT * FROM events WHERE __timestamp >= 5",
+        ["events", "ticks"],
+    ) == {}
+    # non-recursive self-shadowing: inside the body, `events` is still
+    # the REAL table — the body's bound prunes it
+    assert ex(
+        "WITH events AS (SELECT * FROM events WHERE __timestamp >= 100) "
+        "SELECT * FROM events",
+        ["events"],
+    ) == {"events": (100, None)}
+    # an unsafe construct in ONE scope only disables THAT scope's bounds
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10 OR v = 1), "
+        "b AS (SELECT * FROM ticks WHERE __timestamp < 99) "
+        "SELECT * FROM a JOIN b ON a.k = b.k",
+        ["events", "ticks"],
+    ) == {"ticks": (None, 99)}
+    # ...but its tables still count toward the multi-scope guard
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10), "
+        "b AS (SELECT * FROM events WHERE v = 1 OR v = 2) "
+        "SELECT * FROM a JOIN b ON a.k = b.k",
+        ["events"],
+    ) == {}
+
+
+def test_cte_bounds_refused_shapes():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # RECURSIVE
+    assert ex(
+        "WITH RECURSIVE r AS (SELECT * FROM events WHERE __timestamp >= 1) "
+        "SELECT * FROM r",
+        ["events"],
+    ) == {}
+    # column-list form doesn't parse → refuse
+    assert ex(
+        "WITH r(k) AS (SELECT k FROM events WHERE __timestamp >= 1) "
+        "SELECT * FROM r",
+        ["events"],
+    ) == {}
+    # comma-join ANYWHERE poisons the whole statement (its relations
+    # evade reference counting)
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10) "
+        "SELECT * FROM a, ticks WHERE a.k = ticks.k",
+        ["events", "ticks"],
+    ) == {}
+    # main that isn't a plain SELECT
+    assert ex(
+        "WITH a AS (SELECT * FROM events WHERE __timestamp >= 10) "
+        "INSERT INTO t SELECT * FROM a",
+        ["events"],
+    ) == {}
+    # 'WITH' inside a string literal is data, not a CTE — normal path
+    assert ex(
+        "SELECT * FROM events WHERE note = 'WITH x AS' AND __timestamp >= 4",
+        ["events"],
+    ) == {"events": (4, None)}
+
+
+def test_cte_query_prunes_files_end_to_end(spark, tmp_path):
+    """A CTE-bounded query reads only the overlapping files and returns
+    the same rows as the unpruned plan."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+
+    NS = 10**9
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    t0 = 1_700_000_000 * NS
+    # two files a day apart
+    svc.store("d", "ev", {"v": [1, 2], "__timestamp": [t0, t0 + NS]})
+    svc.flush()
+    svc.store("d", "ev", {"v": [3], "__timestamp": [t0 + 86_400 * NS]})
+    svc.flush()
+    qe = QueryEngine(spark, cat)
+    tbl = cat.get("d", "ev")
+    assert len(qe.table_files(tbl)) == 2
+
+    q = (
+        f"WITH recent AS (SELECT * FROM ev WHERE __timestamp >= {t0 + 86_000 * NS}) "
+        "SELECT sum(v) AS s FROM recent"
+    )
+    got = qe.sql(q, db="d").collect()[0]["s"]
+    assert got == 3
+    # the registered view for ev held ONE file during that query
+    from quackpipe_spark.query import extract_time_bounds_per_table
+
+    bounds = extract_time_bounds_per_table(q, ["ev"])
+    assert bounds == {"ev": (t0 + 86_000 * NS, None)}
+    assert len(qe.table_files(tbl, *bounds["ev"])) == 1
+    # unpruned result identical
+    assert (
+        qe.sql("WITH recent AS (SELECT * FROM ev) SELECT sum(v) AS s FROM recent", db="d")
+        .collect()[0]["s"]
+        == 6
+    )
