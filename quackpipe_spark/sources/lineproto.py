@@ -316,96 +316,145 @@ def parse_lines(
     return batches
 
 
-def parse_lines_df(spark, lines_df, database: str = "default", precision: str = "ns"):
-    """Distributed bulk parse: DataFrame[value: string] → list of
-    (table, schema_id, DataFrame) per fingerprint.
+class ParsedFrames(list):
+    """List of ``(table, schema_id, DataFrame)`` whose frames are all
+    projections of ONE persisted parse of the input corpus. The caller
+    that consumes the frames owns the cache: call :meth:`unpersist`
+    (or use as a context manager) once the frames' actions have run —
+    unpersisting earlier is still correct but recomputes the parse per
+    consumed frame."""
 
-    Discovery pass finds the distinct (table, schema_id, schema) set from a
-    sample-free full scan (cheap: fingerprints only), then one mapInPandas
-    pass per fingerprint materializes typed columns. Designed for backfill
-    jobs where the line corpus is large but the schema set is small.
+    def __init__(self, items, inter):
+        super().__init__(items)
+        self._inter = inter
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._inter.unpersist(blocking)
+
+    def __enter__(self) -> "ParsedFrames":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
+# generic single-parse intermediate: one typed value map per canonical
+# type keeps every field JVM-representable without a lossy string
+# round-trip; the per-fingerprint frames are pure map-lookup projections
+_INTER_DDL = (
+    "table string, schema_id decimal(20,0), schema_desc string, "
+    "tags map<string,string>, svals map<string,string>, "
+    "ivals map<string,bigint>, uvals map<string,bigint>, "
+    "fvals map<string,double>, bvals map<string,boolean>, time bigint"
+)
+_INTER_COLS = [
+    "table", "schema_id", "schema_desc",
+    "tags", "svals", "ivals", "uvals", "fvals", "bvals", "time",
+]
+
+
+def parse_lines_df(
+    spark,
+    lines_df,
+    database: str = "default",
+    precision: str = "ns",
+    parse_counter=None,
+):
+    """Distributed bulk parse: DataFrame[value: string] →
+    :class:`ParsedFrames` of (table, schema_id, DataFrame) per
+    fingerprint.
+
+    SINGLE-PASS: one mapInPandas job parses every line exactly once into
+    a persisted generic intermediate (fingerprint + one value map per
+    canonical type); the fingerprint set is then read from that
+    intermediate and each per-fingerprint frame is a JVM-side
+    filter + map-lookup projection of the SAME cached parse. A corpus
+    with S schema shapes costs ONE python parse pass, not S+1 (the
+    prior design re-ran the full parse per fingerprint). Reference
+    contract: one streaming parse per batch
+    (lineproto_parser.go:26-167).
+
+    ``parse_counter``: optional SparkContext accumulator incremented
+    once per parsed line (diagnostic hook; the exactly-once test rides
+    it).
     """
     import pandas as pd
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
 
-    from quackpipe_spark.types import CANONICAL, resolve
+    from quackpipe_spark.types import resolve
 
-    def fingerprint_iter(it):
+    def parse_once(it):
         for pdf in it:
-            rows = []
+            recs = []
             for line in pdf["value"]:
                 line = (line or "").strip()
                 if not line or line.startswith("#"):
                     continue
-                table, tags, fields, _ = parse_line(line, precision)
+                table, tags, fields, ts = parse_line(line, precision)
+                if parse_counter is not None:
+                    parse_counter.add(1)
                 ftypes = {n: t for n, t, _ in fields}
                 sid = schema_id([k for k, _ in tags], ftypes)
                 # unit-separator joined, name(:type) rsplit on the LAST
                 # colon — tag/field names may legally contain ':' or ','
-                schema_desc = "\x1f".join(
-                    sorted([f"{k}:VARCHAR" for k, _ in tags] + [f"{n}:{t}" for n, t in ftypes.items()])
+                desc = "\x1f".join(
+                    sorted(
+                        [f"{k}:VARCHAR" for k, _ in tags]
+                        + [f"{n}:{t}" for n, t in ftypes.items()]
+                    )
                 )
-                rows.append((table, sid, schema_desc))
-            yield pd.DataFrame(rows, columns=["table", "schema_id", "schema_desc"])
+                vals = {"VARCHAR": {}, "INT8": {}, "UBIGINT": {}, "FLOAT8": {}, "BOOLEAN": {}}
+                for n, typ, v in fields:
+                    # UBIGINT rides the int64 slot two's-complement-
+                    # wrapped, same as the driver flush path
+                    # (writer.py / uint64.go:13): an unwrapped value
+                    # >= 2^63 would crash the Arrow conversion
+                    if typ == "UBIGINT" and v >= (1 << 63):
+                        v -= 1 << 64
+                    vals[typ][n] = v
+                recs.append(
+                    (
+                        table, sid, desc,
+                        dict(tags), vals["VARCHAR"], vals["INT8"],
+                        vals["UBIGINT"], vals["FLOAT8"], vals["BOOLEAN"],
+                        ts if ts is not None else time.time_ns(),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=_INTER_COLS)
 
-    finger = lines_df.mapInPandas(
-        fingerprint_iter, "table string, schema_id decimal(20,0), schema_desc string"
+    inter = lines_df.mapInPandas(parse_once, _INTER_DDL).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    shapes = finger.distinct().collect()
+    # discovery materializes the cache; (table, schema_desc) determines
+    # schema_id (the fingerprint is a pure function of the sorted
+    # name:type multiset), so filtering on desc avoids pushing a
+    # >int64-range decimal literal through the comparison
+    shapes = inter.select("table", "schema_id", "schema_desc").distinct().collect()
 
     out = []
     for row in shapes:
         table, sid, desc = row["table"], int(row["schema_id"]), row["schema_desc"]
         cols = [c.rsplit(":", 1) for c in desc.split("\x1f")] if desc else []
-        # identifier backticks must be DOUBLED inside the DDL string —
-        # tag/field names may legally contain '`' and an unescaped one
-        # fails the whole mapInPandas schema parse
-        spark_fields = ", ".join(
-            "`{}` {}".format(name.replace("`", "``"), _spark_ddl(resolve(typ)))
-            for name, typ in cols
-        ) + ", `time` bigint"
-        # UBIGINT rides the int64 slot two's-complement-wrapped, same as
-        # the driver flush path (writer.py / uint64.go:13): an unwrapped
-        # value >= 2^63 would crash the Arrow conversion of the batch
-        ubig = {name for name, typ in cols if resolve(typ) == "UBIGINT"}
-
-        def make_parser(want_table, want_sid, colnames, wrap_cols):
-            def parse_iter(it):
-                for pdf in it:
-                    recs = []
-                    for line in pdf["value"]:
-                        line = (line or "").strip()
-                        if not line or line.startswith("#"):
-                            continue
-                        t, tags, fields, ts = parse_line(line, precision)
-                        ftypes = {n: ty for n, ty, _ in fields}
-                        if t != want_table or schema_id([k for k, _ in tags], ftypes) != want_sid:
-                            continue
-                        rec = dict(tags)
-                        rec.update(
-                            {
-                                n: (
-                                    v - (1 << 64)
-                                    if n in wrap_cols
-                                    and v is not None
-                                    and v >= (1 << 63)
-                                    else v
-                                )
-                                for n, _, v in fields
-                            }
-                        )
-                        rec["time"] = ts if ts is not None else time.time_ns()
-                        recs.append([rec.get(c) for c in colnames])
-                    yield pd.DataFrame(recs, columns=colnames)
-
-            return parse_iter
-
-        colnames = [name for name, _ in cols] + ["time"]
-        df = lines_df.mapInPandas(make_parser(table, sid, colnames, ubig), spark_fields)
+        sel = []
+        for name, typ in cols:
+            canon = resolve(typ)
+            if canon == "VARCHAR":
+                # names are unique across tags+fields (parse_line
+                # rejects duplicates), so exactly one map has the key
+                expr = F.coalesce(
+                    F.col("tags").getItem(name), F.col("svals").getItem(name)
+                )
+            else:
+                src = {"INT8": "ivals", "UBIGINT": "uvals",
+                       "FLOAT8": "fvals", "BOOLEAN": "bvals"}[canon]
+                expr = F.col(src).getItem(name)
+            sel.append(expr.alias(name))
+        sel.append(F.col("time").alias("time"))
+        df = inter.filter(
+            (F.col("table") == table) & (F.col("schema_desc") == desc)
+        ).select(*sel)
         out.append((table, sid, df))
-    return out
+    return ParsedFrames(out, inter)
 
 
-def _spark_ddl(canonical: str) -> str:
-    from quackpipe_spark.types import CANONICAL
-
-    return CANONICAL[canonical].simpleString()

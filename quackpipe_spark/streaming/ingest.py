@@ -70,10 +70,13 @@ def stream_lines_to_table(
                     for p in promises:
                         p.result(timeout=300)
                 return
-            for table, _sid, df in parse_lines_df(
+            # ParsedFrames context: the batch's frames all project ONE
+            # persisted parse; release the cache once every table wrote
+            with parse_lines_df(
                 spark, batch_df, database=db, precision=precision
-            ):
-                service.writer.write_parsed_df(db, table, df)
+            ) as frames:
+                for table, _sid, df in frames:
+                    service.writer.write_parsed_df(db, table, df)
         finally:
             batch_df.unpersist()
 

@@ -120,13 +120,23 @@ def lineproto_parse_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines_df = spark.sql(
         f"SELECT * FROM (VALUES {lines_vals}) AS t(value)"
     ).repartition(4)
-    frames = [
-        df for (table, _sid, df) in parse_lines_df(spark, lines_df) if table == "weather"
-    ]
+    # the returned union is collected by the CALLER, so this call's
+    # single-parse cache must stay alive past return; the query is
+    # STATEFUL (rebuilt per rep), so release the PREVIOUS rep's cache
+    # here — the leak is bounded to one tiny cached frame
+    global _last_parse_cache
+    if _last_parse_cache is not None:
+        _last_parse_cache.unpersist()
+    all_frames = parse_lines_df(spark, lines_df)
+    _last_parse_cache = all_frames
+    frames = [df for (table, _sid, df) in all_frames if table == "weather"]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out.select("location", "season", "temperature", "humidity", "time")
+
+
+_last_parse_cache = None
 
 
 LINEPROTO_DISTRIBUTED_SQL = """

@@ -136,3 +136,54 @@ def test_negative_unsigned_field_rejected():
 
     with _pytest.raises(ValueError, match="unsigned"):
         parse_line("m f=-5u")
+
+
+def test_parse_lines_df_parses_each_line_exactly_once(spark):
+    """The single-pass contract: a corpus with S schema shapes costs ONE
+    python parse per line, not S+1 — discovery and every per-fingerprint
+    frame project the same persisted parse. Consuming ALL frames must
+    leave the accumulator at exactly n_lines."""
+    from quackpipe_spark.sources.lineproto import parse_lines_df
+
+    lines = [
+        "weather,location=us-east temperature=75.0 1465839830100400201",
+        "weather,location=us-west temperature=48.0,humidity=0.61 1465839830100400202",
+        "metrics,host=db-01 mem_bytes=1073741824i,uptime=7200i 1700000000000000000",
+        "weather,location=us-mid temperature=82.0 1465839830100400200",
+        "metrics,host=db-02 mem_bytes=536870912i,uptime=3600i 1700000001000000000",
+    ]
+    lines_df = spark.createDataFrame([(l,) for l in lines], "value string").repartition(3)
+    acc = spark.sparkContext.accumulator(0)
+    with parse_lines_df(spark, lines_df, parse_counter=acc) as frames:
+        # 3 distinct fingerprints: weather 1-field, weather 2-field, metrics
+        assert len(frames) == 3
+        total = sum(df.count() for (_t, _sid, df) in frames)
+    assert total == len(lines)
+    # ONE parse per line: discovery materialized the cache, the three
+    # frame counts read it — the old design would sit at 4x here
+    assert acc.value == len(lines)
+
+
+def test_parse_lines_df_typed_values_roundtrip(spark):
+    """The generic-intermediate projection preserves exact typed values:
+    float (incl. scientific), int, wrapped uint64, bool, quoted string
+    with escapes, and per-row timestamps."""
+    from quackpipe_spark.sources.lineproto import parse_lines_df
+
+    big = (1 << 64) - 3
+    lines = [
+        f'm,tag=a f=1.5e-3,n=-7i,u={big}u,b=true,s="x\\"y" 1700000000000000001',
+        'm,tag=b f=2.25,n=9i,u=5u,b=false,s="z" 1700000000000000002',
+    ]
+    lines_df = spark.createDataFrame([(l,) for l in lines], "value string")
+    with parse_lines_df(spark, lines_df) as frames:
+        assert len(frames) == 1
+        (_t, _sid, df) = frames[0]
+        rows = {r["tag"]: r for r in df.collect()}
+    a, b = rows["a"], rows["b"]
+    assert a["f"] == 1.5e-3 and b["f"] == 2.25
+    assert a["n"] == -7 and b["n"] == 9
+    assert a["u"] == big - (1 << 64) and b["u"] == 5  # two's-complement wrap
+    assert a["b"] is True and b["b"] is False
+    assert a["s"] == 'x"y' and b["s"] == "z"
+    assert a["time"] == 1700000000000000001
