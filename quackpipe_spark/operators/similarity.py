@@ -28,11 +28,22 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from quackpipe_spark.operators.util import fan_out, plan_size_bytes
+
+
+def _list_mat(arr) -> np.ndarray:
+    """Arrow list<numeric> array (fixed row length, no nulls — callers
+    filter ragged/null vectors upstream) → (n, dims) float64 matrix via
+    the flat values buffer. ``flatten()`` honors slice offsets, so a
+    sliced batch reshapes correctly."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
 
 
 def dot(a, b) -> Column:
@@ -171,22 +182,39 @@ def assign_cells(
     difference survives the round() only if two scores straddle the same
     1e-{round_to} rounding edge within ~1e-15 (never observed on the test
     corpora; acceptable for a blocking/probing decision)."""
+
     cells_np = np.array([c for c, _ in centers], dtype=np.int64)
     Cm = np.array([v for _, v in centers], dtype=np.float64)
     Cn = np.maximum(np.linalg.norm(Cm, axis=1), 1e-300)
     n_probes = min(probes, len(centers))
 
-    @F.pandas_udf("array<int>")
-    def _topcells(vecs: pd.Series) -> pd.Series:
+    @F.arrow_udf("array<int>")
+    def _topcells(vecs: pa.Array) -> pa.Array:
+        # arrow_udf, not pandas_udf: the list<double> column reaches numpy
+        # via a flat buffer reshape instead of a per-row python-list
+        # round-trip (~0.05 s per boundary at gate scale, linear at real
+        # scale); the float64 matrix — and therefore every score and cell
+        # choice — is bit-identical to the pandas path's
         if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        M = np.array(vecs.tolist(), dtype=np.float64)
+            return pa.array([], type=pa.list_(pa.int32()))
+        M = _list_mat(vecs)
         nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
         scores = np.round((M @ Cm.T) / (nrm[:, None] * Cn[None, :]), round_to)
         order = np.lexsort(
             (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
         )[:, :n_probes]
-        return pd.Series([cells_np[o].astype("int32").tolist() for o in order])
+        return pa.array(
+            [cells_np[o].astype("int32").tolist() for o in order],
+            type=pa.list_(pa.int32()),
+        )
+
+    # the explode below carries an implicit size>0 filter; on a
+    # deterministic UDF Catalyst collapses that filter INTO the
+    # projection and evaluates the UDF twice per row (two
+    # ArrowEvalPython stages, verified in the formatted plan). The
+    # function IS deterministic — the marker only forbids Catalyst
+    # from re-evaluating it, halving the assignment stage.
+    _topcells = _topcells.asNondeterministic()
 
     nrm_cols = [norm(F.col(vec_col)).alias("nrm")] if with_norm else []
     if carry_probes:
@@ -243,87 +271,180 @@ def blocked_near_pairs(
     O(cell²) score matrix fits an executor. Oversized hot cells are the
     quantizer's skew case: raise n_cells or probes rather than salting,
     which cannot split an all-pairs block without a triangle join."""
+
     if n_cells is None:
         n_cells = auto_cells(corpus)
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
-    # per-byte work here is one vectorized matmul — a small corpus is
-    # cheaper serial than split (fan_out's skip_under_bytes rationale)
-    assigned = assign_cells(
-        fan_out(corpus, skip_under_bytes=32 << 20),
-        centers,
-        id_col,
-        vec_col,
-        probes=probes,
-        carry_probes=True,
-        with_norm=False,  # re-derived bit-identically from diag(S) below
-    )
     # emit with slack below threshold, round+filter JVM-side: np.round is
     # half-to-even while Spark/DuckDB round() is half-up, so the EXACT
     # rounding that decides threshold membership must not happen in numpy
     slack = threshold - 10.0 ** (-round_to) / 2 - 1e-12
+    id_t = dict(corpus.dtypes)[id_col]
+    out_schema = f"a {id_t}, b {id_t}, _rawcos double"
 
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        p = len(pdf)
-        if p < 2:
-            return pd.DataFrame({"a": [], "b": [], "_rawcos": []}).astype(
-                {"a": "int64", "b": "int64", "_rawcos": "float64"}
-            )
-        pdf = pdf.sort_values(id_col)  # position order = id order → a < b
-        ids = pdf[id_col].to_numpy()
-        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        S = np.zeros((p, p))
-        for i in range(M.shape[1]):  # ascending-dim rank-1 accumulation
-            col = M[:, i]
-            S += col[:, None] * col[None, :]
-        # diag(S) IS the sequential ascending-dim fold of x², so these
-        # norms are bit-identical to the JVM aggregate / DuckDB list_sum
-        # fold — no nrm column needs computing upstream or shuffling here
-        nr = np.sqrt(np.diag(S))
-        C = S / (nr[:, None] * nr[None, :])
-        ai, bi = np.triu_indices(p, 1)
-        keep = C[ai, bi] >= slack
-        ai, bi, cos = ai[keep], bi[keep], C[ai, bi][keep]
-        # canonical-cell dedup: a pair sharing BOTH probe cells would be
-        # emitted twice; emit only from the pair's minimum shared cell so
-        # the result needs no global distinct (one whole shuffle of the
-        # pair set saved — the pair set is the big thing here at scale)
-        cell = int(pdf["cell"].iloc[0])
-        pcs = [set(x) for x in pdf["pcells"]]
-        emit = np.fromiter(
-            (min(pcs[x] & pcs[y]) == cell for x, y in zip(ai, bi)),
-            dtype=bool,
-            count=len(ai),
-        )
-        return pd.DataFrame(
-            {"a": ids[ai[emit]], "b": ids[bi[emit]], "_rawcos": cos[emit]}
-        )
-
-    # never more cell-stage partitions than cells: the stage has at most
-    # n_cells groups, so extra partitions are pure task/Arrow overhead
-    # (at real scale n_cells ≥ 4×par and this pins partitions = par); the
-    # explicit hash exchange on cell also satisfies the groupBy's
-    # clustering, so no second exchange follows. Tiny inputs (under the
-    # same 32MB bound fan_out uses) cap the stage at 8 tasks: each task
-    # is an Arrow+Python roundtrip (~10-20ms of fixed cost), so 32 tasks
-    # over a few thousand rows is pure overhead (measured 0.69→0.53s);
-    # the cap never engages at real scale, where the probe reads ≥32MB.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     sz = plan_size_bytes(corpus)
     if sz is not None and sz < (32 << 20):
-        par = min(par, 8)
-    scored = (
-        assigned.repartition(min(par, n_cells), "cell")
-        .groupBy("cell")
-        .applyInPandas(
-            _cell_pairs,
-            schema=f"a {dict(corpus.dtypes)[id_col]}, b {dict(corpus.dtypes)[id_col]}, _rawcos double",
+        # FUSED serial path for tiny inputs: coalesce(1) + ONE mapInArrow
+        # kernel doing assignment AND per-cell pair scoring — zero
+        # exchanges and one Python stage instead of two (each boundary is
+        # ~0.15-0.2 s of fixed cost at gate scale). Same spirit as the
+        # 8-task Arrow cap this replaces: inert at real scale, where the
+        # distributed path below runs. The kernel iterates the SAME
+        # per-cell blocks (_pair_block) the distributed path shuffles
+        # into, so the emitted pair set is identical by construction.
+        scored = _near_pairs_fused(
+            corpus, centers, id_col, vec_col, probes, slack, out_schema
         )
-    )
+    else:
+        assigned = assign_cells(
+            fan_out(corpus, skip_under_bytes=32 << 20),
+            centers,
+            id_col,
+            vec_col,
+            probes=probes,
+            carry_probes=True,
+            with_norm=False,  # re-derived bit-identically from diag(S)
+        )
+
+        def _cell_pairs(tbl: pa.Table) -> pa.Table:
+            pa_id_t = tbl.schema.field(id_col).type
+            target = pa.schema(
+                [("a", pa_id_t), ("b", pa_id_t), ("_rawcos", pa.float64())]
+            )
+            if tbl.num_rows < 2:
+                return target.empty_table()
+            ids = np.asarray(tbl[id_col].to_pylist())
+            order = np.argsort(ids, kind="stable")  # id order → a < b
+            pcs = [set(x) for x in tbl["pcells"].to_pylist()]
+            a, b, cos = _pair_block(
+                ids[order],
+                _list_mat(tbl[vec_col])[order],
+                [pcs[o] for o in order],
+                tbl["cell"][0].as_py(),
+                slack,
+            )
+            return pa.table(
+                {"a": pa.array(a), "b": pa.array(b), "_rawcos": pa.array(cos)}
+            ).cast(target)
+
+        # never more cell-stage partitions than cells: the stage has at
+        # most n_cells groups, so extra partitions are pure task/Arrow
+        # overhead (at real scale n_cells ≥ 4×par and this pins
+        # partitions = par); the explicit hash exchange on cell also
+        # satisfies the groupBy's clustering, so no second exchange
+        # follows.
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        scored = (
+            assigned.repartition(min(par, n_cells), "cell")
+            .groupBy("cell")
+            .applyInArrow(_cell_pairs, schema=out_schema)
+        )
     return scored.select(
         "a", "b", F.round(F.col("_rawcos"), round_to).alias("cos")
     ).filter(
         F.col("cos") >= threshold
     )  # already distinct: each pair was emitted only from its canonical cell
+
+
+def _pair_block(ids, M, pcs, cell, slack):
+    """All near pairs of one cell's members. Inputs are id-SORTED
+    (position order = id order → emitted a < b); ``pcs`` is each member's
+    full probe-cell set. Shared verbatim by the distributed cell stage
+    and the fused serial kernel so both paths emit the identical set.
+
+    Ascending-dim rank-1 accumulation: diag(S) IS the sequential fold of
+    x², so norms — and every cosine — are bit-identical to the JVM
+    aggregate / DuckDB list_sum fold (vectorized across pairs, never
+    reordered within one).
+
+    Canonical-cell dedup: a pair sharing BOTH probe cells would be
+    emitted twice; emit only from the pair's minimum shared cell so the
+    result needs no global distinct (one whole shuffle of the pair set
+    saved — the pair set is the big thing at scale)."""
+    p = len(ids)
+    S = np.zeros((p, p))
+    for i in range(M.shape[1]):
+        col = M[:, i]
+        S += col[:, None] * col[None, :]
+    nr = np.sqrt(np.diag(S))
+    C = S / (nr[:, None] * nr[None, :])
+    ai, bi = np.triu_indices(p, 1)
+    keep = C[ai, bi] >= slack
+    ai, bi, cos = ai[keep], bi[keep], C[ai, bi][keep]
+    emit = np.fromiter(
+        (min(pcs[x] & pcs[y]) == cell for x, y in zip(ai, bi)),
+        dtype=bool,
+        count=len(ai),
+    )
+    return ids[ai[emit]], ids[bi[emit]], cos[emit]
+
+
+def _near_pairs_fused(
+    corpus: DataFrame,
+    centers: Centers,
+    id_col: str,
+    vec_col: str,
+    probes: int,
+    slack: float,
+    out_schema: str,
+) -> DataFrame:
+    """Single-task fused assign+score for sub-32MB inputs (see
+    blocked_near_pairs). Assignment math is the same rounded-BLAS top-k
+    as assign_cells' _topcells; each cell block then goes through the
+    shared _pair_block, so the output matches the distributed path
+    pair-for-pair."""
+
+    cells_np = np.array([c for c, _ in centers], dtype=np.int64)
+    Cm = np.array([v for _, v in centers], dtype=np.float64)
+    Cn = np.maximum(np.linalg.norm(Cm, axis=1), 1e-300)
+    n_probes = min(probes, len(centers))
+
+    def _fused(batches):
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        pa_id_t = tbl.schema.field(id_col).type
+        target = pa.schema(
+            [("a", pa_id_t), ("b", pa_id_t), ("_rawcos", pa.float64())]
+        )
+        if tbl.num_rows < 2:
+            return
+        ids_all = np.asarray(tbl[id_col].to_pylist())
+        M_all = _list_mat(tbl[vec_col])
+        nrm = np.maximum(np.linalg.norm(M_all, axis=1), 1e-300)
+        scores = np.round((M_all @ Cm.T) / (nrm[:, None] * Cn[None, :]), 6)
+        order_pc = np.lexsort(
+            (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
+        )[:, :n_probes]
+        pcs_all = [set(cells_np[o].tolist()) for o in order_pc]
+        outs = []
+        for cell in sorted({c for s in pcs_all for c in s}):
+            idx = np.nonzero(
+                np.fromiter((cell in s for s in pcs_all), bool, count=len(pcs_all))
+            )[0]
+            if len(idx) < 2:
+                continue
+            sub = idx[np.argsort(ids_all[idx], kind="stable")]
+            a, b, cos = _pair_block(
+                ids_all[sub], M_all[sub], [pcs_all[j] for j in sub], cell, slack
+            )
+            if len(a):
+                outs.append((a, b, cos))
+        if not outs:
+            return
+        out = pa.table(
+            {
+                "a": pa.array(np.concatenate([o[0] for o in outs])),
+                "b": pa.array(np.concatenate([o[1] for o in outs])),
+                "_rawcos": pa.array(np.concatenate([o[2] for o in outs])),
+            }
+        ).cast(target)
+        yield from out.to_batches()
+
+    return corpus.select(id_col, vec_col).coalesce(1).mapInArrow(
+        _fused, out_schema
+    )
 
 
 def semantic_dedup(

@@ -68,19 +68,38 @@ def test_scan_reuse_cache(spark):
     assert a is b
 
 
-def test_blocked_near_pairs_single_pass_no_selfjoin(spark):
-    """Within-cell scoring must be ONE grouped-Arrow pass over the
-    assignment (linear data movement), not a self-join whose interpreted
-    per-pair fold and double-computed subtree were the old plan's cost:
-    exactly one shuffle (the cell groupBy), one FlatMapGroupsInPandas,
-    and no join in the plan."""
+def test_blocked_near_pairs_single_pass_no_selfjoin(spark, monkeypatch):
+    """Pair scoring must be linear data movement, never a self-join whose
+    interpreted per-pair fold and double-computed subtree were the old
+    plan's cost. Two physical shapes, both pinned: the tiny-input FUSED
+    path is one MapInArrow with ZERO exchanges (assignment and scoring in
+    the same kernel); the distributed path is exactly one shuffle (the
+    cell groupBy) feeding one grouped-Arrow stage."""
     from quackpipe_spark.operators import similarity as S2
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     pairs = S2.blocked_near_pairs(emb, threshold=0.40, n_cells=8, probes=2)
     p = plan_text(pairs)
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInArrow" in p
+    assert "Exchange" not in p, "fused path must not shuffle"
     assert "Join" not in p, "pair scoring must not self-join the assignment"
+
+    monkeypatch.setattr(S2, "plan_size_bytes", lambda df: 1 << 40)
+    pairs_d = S2.blocked_near_pairs(emb, threshold=0.40, n_cells=8, probes=2)
+    pd_ = plan_text(pairs_d)
+    assert "FlatMapGroupsInArrow" in pd_ or "FlatMapGroupsInPandas" in pd_
+
+    def op_ids(plan: str, name: str) -> set:
+        import re as _re
+
+        return set(_re.findall(r"\((\d+)\) " + name + r"\b", plan))
+
+    assert len(op_ids(pd_, "Exchange")) == 1, "one cell shuffle only"
+    # the assignment UDF must run ONCE per row — a deterministic UDF
+    # under explode's implicit size filter gets collapsed into two
+    # ArrowEvalPython stages (the asNondeterministic marker pins this)
+    assert len(op_ids(pd_, "ArrowEvalPython")) == 1
+    assert "Join" not in pd_
 
 
 def test_jaccard_verify_shingles_candidates_only(spark):

@@ -84,3 +84,37 @@ def test_semantic_dedup_on_real_embeddings(spark):
         (F.col("vec_id") == F.col("component")) != F.col("is_canonical")
     ).count()
     assert bad == 0
+
+
+def test_fused_and_distributed_near_pairs_identical(spark, monkeypatch):
+    """blocked_near_pairs has two physical paths — the fused single-task
+    kernel (sub-32MB inputs) and the shuffled per-cell stage — that must
+    emit the IDENTICAL pair set with bit-identical cosines. Force the
+    distributed path by making the size probe report a huge plan."""
+    import quackpipe_spark.operators.similarity as S
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where("embedding is not null and size(embedding) = 64")
+        .select("vec_id", "embedding")
+    )
+    fused = sorted(
+        map(tuple, S.blocked_near_pairs(emb, threshold=0.3, n_cells=8, probes=2).collect())
+    )
+    monkeypatch.setattr(S, "plan_size_bytes", lambda df: 1 << 40)
+    dist = sorted(
+        map(tuple, S.blocked_near_pairs(emb, threshold=0.3, n_cells=8, probes=2).collect())
+    )
+    assert fused == dist and len(fused) > 0
+    # string-id corpora ride the same kernels
+    emb_s = emb.selectExpr("concat('d', vec_id) AS vec_id", "embedding")
+    dist_s = sorted(
+        map(tuple, S.blocked_near_pairs(emb_s, threshold=0.3, n_cells=8, probes=2).collect())
+    )
+    monkeypatch.undo()
+    fused_s = sorted(
+        map(tuple, S.blocked_near_pairs(emb_s, threshold=0.3, n_cells=8, probes=2).collect())
+    )
+    # (no count comparison vs the int-id run: md5('d0') ≠ md5('0') picks
+    # different centers, so the pair sets legitimately differ)
+    assert fused_s == dist_s and len(fused_s) > 0
