@@ -602,23 +602,33 @@ def set_operations_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     a key appears (exactly once) iff it is in (A ∪ B), in O, and not in
     N. The oracle keeps the operator SQL text; DuckDB folds it the same
     way. The literal operator chain stays in :func:`set_operations`,
-    differentially pinned to this recipe."""
+    differentially pinned to this recipe.
+
+    The three customer legs further share ONE scan: per-row flag
+    projection (ab = BUILDING∨rich, neg = negative) instead of one
+    filtered leg each — max() over the key folds row-level flags the
+    same as leg-level ones, and rows matching no predicate are dropped
+    before the exchange. One customer pass instead of three."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
 
-    def leg(df: DataFrame, key: str, ab: int, o_: int, neg: int) -> DataFrame:
-        return df.select(
-            F.col(key).alias("c_custkey"),
-            F.lit(ab).alias("_ab"),
-            F.lit(o_).alias("_o"),
-            F.lit(neg).alias("_neg"),
+    cust = c.select(
+        "c_custkey",
+        F.when(
+            (F.col("c_mktsegment") == "BUILDING") | (F.col("c_acctbal") > 5000), 1
         )
-
-    u = (
-        leg(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey", 1, 0, 0)
-        .unionAll(leg(c.filter(F.col("c_acctbal") > 5000), "c_custkey", 1, 0, 0))
-        .unionAll(leg(o, "o_custkey", 0, 1, 0))
-        .unionAll(leg(c.filter(F.col("c_acctbal") < 0), "c_custkey", 0, 0, 1))
+        .otherwise(0)
+        .alias("_ab"),
+        F.lit(0).alias("_o"),
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("_neg"),
+    ).filter((F.col("_ab") + F.col("_neg")) > 0)
+    u = cust.unionAll(
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit(0).alias("_ab"),
+            F.lit(1).alias("_o"),
+            F.lit(0).alias("_neg"),
+        )
     )
     return (
         u.groupBy("c_custkey")
@@ -1122,16 +1132,19 @@ def intersect_all_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     device Catalyst's own IntersectAll physical plan uses). One exchange
     instead of a per-side distinct-count aggregate each plus a join; at
     scale the replicate factor is the key's duplicate count, which the
-    operator's output carries anyway."""
+    operator's output carries anyway.
+
+    Both legs read the SAME table, so they also share one scan: per-row
+    side flags (_a = qty>10, _b = disc>0.02) replace the two filtered
+    legs — sum() over the key yields the identical per-side counts, and
+    rows matching neither predicate drop before the exchange. Halves
+    the heaviest scan in the battery (lineitem, read twice before)."""
     li = _t(spark, sf_dir, "lineitem")
-    u = (
-        li.filter(F.col("l_quantity") > 10)
-        .select("l_orderkey", F.lit(1).alias("_a"), F.lit(0).alias("_b"))
-        .unionAll(
-            li.filter(F.col("l_discount") > 0.02)
-            .select("l_orderkey", F.lit(0).alias("_a"), F.lit(1).alias("_b"))
-        )
-    )
+    u = li.select(
+        "l_orderkey",
+        F.when(F.col("l_quantity") > 10, 1).otherwise(0).alias("_a"),
+        F.when(F.col("l_discount") > 0.02, 1).otherwise(0).alias("_b"),
+    ).filter((F.col("_a") + F.col("_b")) > 0)
     return (
         u.groupBy("l_orderkey")
         .agg(F.sum("_a").alias("_na"), F.sum("_b").alias("_nb"))
