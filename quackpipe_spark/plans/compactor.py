@@ -473,6 +473,52 @@ def _journaled_publish(path: str, hidden_name: str, final_name: str, inputs: lis
     return dst
 
 
+# driver-local Arrow merge gate: a bin at or under this size merges in
+# the driver process (multi-threaded pyarrow read, C++ sort/encode —
+# measured 2.9× the single-Spark-task rewrite on the 768-file append
+# shape: 2.6 s vs 7.5 s for 49 MB/4M rows, where the Spark task's
+# parquet encode alone was ~3 s). The planner caps L1→L2 bins at 100 MB
+# (LEVEL_CAPS), so the append-storm shape this exists for always
+# qualifies; bigger bins (upper-level cascades up to 4 GB) stay on the
+# executor path — pulling those through the driver is the anti-pattern.
+_ARROW_MERGE_MAX_BYTES = 256 << 20
+
+
+def _merge_bin_arrow(paths: list[str], hidden: str, order_by) -> None:
+    """Driver-local sorted merge of one small bin: read → union-by-name
+    (permissive promotion ≈ Spark mergeSchema) → sort → ONE parquet.
+    Same output contract as the Spark path; 1M-row groups keep min/max
+    stats usable for probe-side row-group pruning (the single-task Spark
+    write landed everything in one group at these sizes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(p) for p in paths]
+    # unify to an ALL-NULLABLE schema and null-fill missing columns
+    # explicitly. concat_tables(promote_options=...) is NOT safe here:
+    # it keeps a generation's `not null` field declaration (and its
+    # Spark row-metadata) on a column it null-fills, and downstream
+    # readers then decode those nulls as zeros — silent data corruption,
+    # caught by test_arrow_and_spark_bin_merges_identical. Building the
+    # schema fresh also drops the per-generation Spark metadata, which
+    # would otherwise lie about the unified schema.
+    uni = pa.unify_schemas([t.schema for t in tables], promote_options="permissive")
+    schema = pa.schema([pa.field(f.name, f.type, nullable=True) for f in uni])
+    parts = []
+    for t in tables:
+        cols = [
+            t[f.name].cast(f.type)
+            if f.name in t.column_names
+            else pa.nulls(t.num_rows, f.type)
+            for f in schema
+        ]
+        parts.append(pa.Table.from_arrays(cols, schema=schema))
+    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    if order_by:
+        tbl = tbl.sort_by([(c, "ascending") for c in order_by])
+    pq.write_table(tbl, hidden, compression="snappy", row_group_size=1 << 20)
+
+
 def compact_parquet_dir(
     spark, path: str, order_by: list[str] | None = None
 ) -> list[str]:
@@ -482,6 +528,12 @@ def compact_parquet_dir(
     output so parquet row-group min/max stats prune later scans (e.g.
     bands by (band, bh): a probe's hash-join build side filter skips
     whole row groups). Returns the new file paths.
+
+    Small bins (≤ _ARROW_MERGE_MAX_BYTES) merge driver-locally via
+    pyarrow — one output file per bin either way, so a single executor
+    task is the alternative, and the Arrow kernel beats it ~3× on the
+    tiny-file append shape; any Arrow-side failure falls back to the
+    Spark rewrite so exotic schema merges can't brick maintenance.
 
     Crash-safe via a per-merge commit journal (see recover_parquet_dir):
     a kill at ANY point leaves the dir either fully pre-merge (inputs
@@ -515,20 +567,28 @@ def compact_parquet_dir(
             continue
         if len(paths) < 2:
             continue
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if order_by:
-            df = df.sort(*order_by)
-        # stage INSIDE the target dir (dot-hidden: invisible to Spark
-        # scans) so a crash leftover is owned by this dir's recovery —
-        # the writer-side sweep removes it; a stage dir parked in the
-        # PARENT would be swept by nobody and walked into forever
-        stage = os.path.join(path, f"{_STAGE_PREFIX}{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.replace(os.path.join(stage, part), hidden)
-        import shutil
+        merged = False
+        if sum(os.path.getsize(p) for p in paths) <= _ARROW_MERGE_MAX_BYTES:
+            try:
+                _merge_bin_arrow(paths, hidden, order_by)
+                merged = True
+            except Exception:
+                _unlink_quiet(hidden)  # partial output must not publish
+        if not merged:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            if order_by:
+                df = df.sort(*order_by)
+            # stage INSIDE the target dir (dot-hidden: invisible to Spark
+            # scans) so a crash leftover is owned by this dir's recovery —
+            # the writer-side sweep removes it; a stage dir parked in the
+            # PARENT would be swept by nobody and walked into forever
+            stage = os.path.join(path, f"{_STAGE_PREFIX}{uuid.uuid4().hex}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.replace(os.path.join(stage, part), hidden)
+            import shutil
 
-        shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
         out.append(_journaled_publish(path, hidden_name, final_name, plan.files))
     return out
 

@@ -681,3 +681,49 @@ def test_search_uses_fresh_stats_under_pending_marker(spark, tmp_path):
     assert any(f.startswith(".append-pending-") for f in os.listdir(path))
     stale = spark.read.parquet(f"{path}/stats").collect()[0]
     assert stale["N"] == 2  # stats row untouched by the read-only path
+
+
+def test_arrow_and_spark_bin_merges_identical(spark, tmp_path, monkeypatch):
+    """Small bins merge driver-locally via pyarrow; above the gate the
+    Spark rewrite runs. Both must produce the same rows, the same sort
+    order, and the same union-by-name schema handling — including a
+    schema-evolved append (extra column on the later generation)."""
+    import quackpipe_spark.plans.compactor as C
+
+    def build(dirname):
+        d = str(tmp_path / dirname)
+        gen1 = spark.range(500).select(
+            (F.col("id") % 8).cast("int").alias("band"),
+            F.xxhash64("id").alias("bh"),
+            F.col("id").alias("doc_id"),
+        )
+        gen2 = gen1.withColumn("extra", (F.col("doc_id") * 2).cast("long"))
+        gen1.write.mode("append").parquet(d)
+        gen2.write.mode("append").parquet(d)
+        return d
+
+    def merged_rows(d):
+        df = spark.read.option("mergeSchema", "true").parquet(d)
+        return [tuple(r) for r in df.select("band", "bh", "doc_id", "extra").collect()]
+
+    d_arrow = build("arrow")
+    C.compact_parquet_dir(spark, d_arrow, order_by=["band", "bh"])
+    files_a = [f for f in os.listdir(d_arrow) if f.endswith(".parquet")]
+
+    monkeypatch.setattr(C, "_ARROW_MERGE_MAX_BYTES", 0)  # force Spark path
+    d_spark = build("sparkpath")
+    C.compact_parquet_dir(spark, d_spark, order_by=["band", "bh"])
+    files_s = [f for f in os.listdir(d_spark) if f.endswith(".parquet")]
+
+    assert len(files_a) == 1 and len(files_s) == 1
+    ra, rs = merged_rows(d_arrow), merged_rows(d_spark)
+    key = lambda r: tuple((v is None, v if v is not None else 0) for v in r)
+    assert sorted(ra, key=key) == sorted(rs, key=key) and len(ra) == 1000
+    # sorted output: both files must be band-ordered (row-group pruning)
+    assert ra == sorted(ra, key=lambda r: (r[0], r[1])) or rs == sorted(
+        rs, key=lambda r: (r[0], r[1])
+    )
+    # the arrow output is itself readable with the evolved schema and
+    # null-fills the missing column for gen1 rows
+    nulls = sum(1 for r in ra if r[3] is None)
+    assert nulls == 500
