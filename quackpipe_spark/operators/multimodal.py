@@ -1,12 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side contract is real and tested — schema, partition-preserving
-mapInPandas plumbing, Arrow batch shapes, deterministic metadata extraction
-— while the actual media decode is stubbed (no image/audio libs in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode so downstream
-stages (resize geometry, frame sampling cadence, feature vectors) are
-exercised end-to-end.
+mapInPandas plumbing, Arrow batch shapes, deterministic metadata extraction.
+Decode has two modes:
+
+- ``fake=True`` — deterministic digest-derived decode so downstream stages
+  (resize geometry, frame sampling cadence, feature vectors) are exercised
+  end-to-end with no media libraries.
+- ``fake=False`` — REAL decode behind import gates: WAV audio via the
+  stdlib ``wave`` module (always available), other audio via ``soundfile``
+  when installed, images via Pillow when installed; video and
+  missing-library cases raise NotImplementedError loudly (a library gap is
+  a config error, not a corrupt row). Tests for gated decoders skip where
+  the library is absent, like the jar-gated S3 e2e.
 
 At scale the pattern is: binary column stays columnar in parquet (no
 base64 blowup), decode happens executor-side in Arrow-batched Python with
@@ -58,9 +64,86 @@ def _fake_decode(digest: bytes, kind: str) -> dict:
     return {"width": 0, "height": 0, "n_frames": 1 + c % 100}  # audio: frames≈chunks
 
 
+def _decode_image_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
+    """Pillow-gated image decode: true (width, height, n_frames) plus a
+    content feature — the 8×8 grayscale thumbnail's row means scaled to
+    [0, 1] (a classic perceptual-hash precursor; deterministic)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow (not installed); pass fake=True "
+            "for the deterministic stub"
+        ) from e
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    n = int(getattr(img, "n_frames", 1))
+    thumb = img.convert("L").resize((8, 8))
+    px = list(thumb.getdata())
+    rows = [sum(px[r * 8 : r * 8 + 8]) / (8 * 255.0) for r in range(8)]
+    return {"width": w, "height": h, "n_frames": n}, rows[:dim]
+
+
+def _decode_audio_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
+    """Audio decode: WAV rides the stdlib ``wave`` module (no extra deps,
+    exercised in CI); other containers go through ``soundfile`` when
+    installed. Metadata maps onto the media schema as n_frames = sample
+    frames (width/height stay 0); the feature carries (sample_rate,
+    channels, sample_width, duration_s) — the relational-side fields a
+    curation pipeline filters on."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate, ch, sw, nf = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+            )
+        feat = [float(rate), float(ch), float(sw), nf / rate if rate else 0.0]
+        return {"width": 0, "height": 0, "n_frames": nf}, feat[:dim]
+    except wave.Error:
+        pass
+    try:
+        import soundfile
+    except ImportError as e:
+        # Distinguish "recognized format, missing backend" (must fail
+        # loudly — silently dropping every FLAC on a misconfigured
+        # cluster acks an empty decode) from garbage bytes (corrupt row,
+        # caller skips): sniff the container magic.
+        head = bytes(payload[:8])
+        known = (b"fLaC", b"OggS", b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")
+        if head.startswith(known) or payload[4:8] == b"ftyp":
+            raise NotImplementedError(
+                "non-WAV audio decode requires soundfile (not installed); "
+                "pass fake=True for the deterministic stub"
+            ) from e
+        raise ValueError("unrecognized audio payload") from e
+    data, rate = soundfile.read(io.BytesIO(payload))
+    nf = int(data.shape[0])
+    ch = int(data.shape[1]) if data.ndim > 1 else 1
+    feat = [float(rate), float(ch), 0.0, nf / rate if rate else 0.0]
+    return {"width": 0, "height": 0, "n_frames": nf}, feat[:dim]
+
+
+def _decode_real(payload: bytes, kind: str, dim: int) -> tuple[dict, list[float]]:
+    if kind == "image":
+        return _decode_image_real(payload, dim)
+    if kind == "audio":
+        return _decode_audio_real(payload, dim)
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} has no gated backend (no video "
+        "library is import-gated); pass fake=True for the deterministic stub"
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 8) -> DataFrame:
     """mapInPandas decode/feature-extract: binary → (dims, frames, feature
-    vector). Real decode is stubbed (see module docstring).
+    vector). ``fake=False`` uses the import-gated real decoders (see
+    module docstring); a row whose payload fails to PARSE is skipped like
+    a corrupt blob, but a MISSING LIBRARY raises — silently skipping every
+    row of a misconfigured cluster would ack an empty decode as success.
 
     Fans out first (gated): a compact single-file source would otherwise
     run the whole Python decode in ONE Arrow worker — decode is the
@@ -100,18 +183,24 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
                     # int(NaN) would crash the stage): skip the row like
                     # a corrupt blob rather than failing the job
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "media decode requires image/audio libraries not present "
-                        "in this environment; pass fake=True for the deterministic stub"
-                    )
-                digest = hashlib.sha256(bytes(payload)).digest()
-                meta = _fake_decode(digest, kind)
-                feature = [
-                    struct.unpack(">f", digest[4 * i : 4 * i + 4])[0] for i in range(batch_feature_dim)
-                ]
-                # NaN/inf from raw bytes → clamp to keep features usable
-                feature = [x if x == x and abs(x) < 1e30 else 0.0 for x in feature]
+                if fake:
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    meta = _fake_decode(digest, kind)
+                    feature = [
+                        struct.unpack(">f", digest[4 * i : 4 * i + 4])[0]
+                        for i in range(batch_feature_dim)
+                    ]
+                    # NaN/inf from raw bytes → clamp to keep features usable
+                    feature = [x if x == x and abs(x) < 1e30 else 0.0 for x in feature]
+                else:
+                    try:
+                        meta, feature = _decode_real(
+                            bytes(payload), kind, batch_feature_dim
+                        )
+                    except NotImplementedError:
+                        raise  # missing backend: fail the job, loudly
+                    except Exception:
+                        continue  # corrupt payload: skip the row
                 rows.append((int(media_id), kind, meta["width"], meta["height"], meta["n_frames"], feature))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "width", "height", "n_frames", "feature"]
