@@ -112,3 +112,53 @@ def test_batch_rows_conserved(lines):
     for b in batches:
         lengths = {len(v) for v in b.data.values()}
         assert len(lengths) == 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tags=st.dictionaries(keys, tag_values, max_size=4),
+    fields=st.dictionaries(
+        keys,
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
+)
+def test_fast_path_matches_general_scanner(tags, fields, ts):
+    """parse_line's escape-free fast path must be byte-for-byte equivalent
+    to the general scanner on every line it claims: force the general
+    path by appending an escaped no-op tag to an otherwise identical
+    line and compare the overlapping structure."""
+    from quackpipe_spark.sources import lineproto as L
+
+    tags = {k: v for k, v in tags.items() if k != "time"}
+    fields = {k: v for k, v in fields.items() if k not in tags and k != "time"}
+    if not fields:
+        fields = {"f0": 1.5}
+    head = "m" + "".join(f",{k}={v}" for k, v in tags.items())
+    body = ",".join(f"{k}={render_field(v)}" for k, v in fields.items())
+    line = f"{head} {body}" + (f" {ts}" if ts is not None else "")
+    if "\\" in line or '"' in line:
+        return  # string fields render quoted — not fast-path eligible
+    fast = parse_line(line)
+    # general scanner on the IDENTICAL line (bypass the dispatch)
+    parts = L._split_top(line.strip())
+    h = L._split_escaped(parts[0], ",")
+    g_tags = []
+    for t in h[1:]:
+        k, v = L._partition_unescaped(t, "=")
+        g_tags.append((L._unescape(k), L._unescape(v)))
+    g_fields = []
+    for f in L._split_fields(parts[1]):
+        k, v = L._partition_unescaped(f, "=")
+        typ, val = L._parse_field_value(v)
+        g_fields.append((L._unescape(k), typ, val))
+    general = L._finish_line(
+        line, parts, g_tags, g_fields, 1, L._unescape(h[0])
+    )
+    assert fast == general
