@@ -469,7 +469,14 @@ def parse_lines_df(
     # schema_id (the fingerprint is a pure function of the sorted
     # name:type multiset), so filtering on desc avoids pushing a
     # >int64-range decimal literal through the comparison
-    shapes = inter.select("table", "schema_id", "schema_desc").distinct().collect()
+    try:
+        shapes = inter.select("table", "schema_id", "schema_desc").distinct().collect()
+    except Exception:
+        # a malformed line fails discovery BEFORE the caller holds the
+        # ParsedFrames handle — unpersist here or the cache entry leaks
+        # for the session (one per failed backfill batch)
+        inter.unpersist()
+        raise
 
     out = []
     for row in shapes:
