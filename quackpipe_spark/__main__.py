@@ -14,41 +14,55 @@ import sys
 
 
 def split_statements(text: str) -> list[str]:
-    """Split a SQL script on ``;`` OUTSIDE single-quoted literals (''
-    escapes stay inside one literal), ``--`` line comments, and
-    ``/* */`` block comments — the reference hands the whole stdin
-    script to DuckDB's comment-aware multi-statement Exec
-    (stdin/init.go:29-49), so a ``;`` inside a comment must not split
-    (a naive ``text.split(';')`` also broke ``SELECT 'a;b'``).
-    Newlines are statement-internal whitespace, matching the
-    reference's whole-script Exec. Comment text is kept verbatim in
-    the statement (Spark's parser accepts both comment forms), but a
-    fragment containing ONLY comments/whitespace is dropped — it is not
-    a statement and would fail Spark's parser."""
-    out, cur, in_quote, has_code, i = [], [], False, False, 0
+    """Split a SQL script on ``;`` OUTSIDE string literals and comments —
+    the reference hands the whole stdin script to DuckDB's comment-aware
+    multi-statement Exec (stdin/init.go:29-49), so a ``;`` inside either
+    must not split (a naive ``text.split(';')`` also broke
+    ``SELECT 'a;b'``). Literal forms: single-quoted ('' escape) AND
+    double-quoted ("" escape) — Spark parses double quotes as string
+    literals (doubleQuotedIdentifiers is off by default), so a ``--`` or
+    ``;`` inside one is data. Block comments NEST, matching Spark's
+    bracketed-comment grammar (an inner ``*/`` must not close the outer
+    comment). Newlines are statement-internal whitespace; comment text
+    is kept verbatim in its statement, but a fragment containing ONLY
+    comments/whitespace is dropped — it is not a statement and would
+    fail Spark's parser."""
+    out, cur, quote, has_code, i = [], [], "", False, 0
     while i < len(text):
         c = text[i]
-        if not in_quote and text[i : i + 2] == "--":
+        if not quote and text[i : i + 2] == "--":
             j = text.find("\n", i)
             j = len(text) if j < 0 else j
             cur.append(text[i:j])
             i = j
             continue
-        if not in_quote and text[i : i + 2] == "/*":
-            j = text.find("*/", i + 2)
-            j = len(text) if j < 0 else j + 2  # unterminated: comment to EOF
+        if not quote and text[i : i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < len(text) and depth:
+                if text[j : j + 2] == "/*":
+                    depth += 1
+                    j += 2
+                elif text[j : j + 2] == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            # unterminated: comment to EOF
             cur.append(text[i:j])
             i = j
             continue
-        if c == "'":
-            if in_quote and text[i : i + 2] == "''":
-                cur.append("''")
+        if c in ("'", '"'):
+            if quote == c and text[i : i + 2] == c + c:
+                cur.append(c + c)
                 i += 2
                 continue
-            in_quote = not in_quote
+            if not quote:
+                quote = c
+            elif quote == c:
+                quote = ""
             has_code = True
             cur.append(c)
-        elif c == ";" and not in_quote:
+        elif c == ";" and not quote:
             if has_code:
                 out.append("".join(cur))
             cur, has_code = [], False

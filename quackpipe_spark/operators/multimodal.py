@@ -111,13 +111,20 @@ def _decode_audio_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
         # Distinguish "recognized format, missing backend" (must fail
         # loudly — silently dropping every FLAC on a misconfigured
         # cluster acks an empty decode) from garbage bytes (corrupt row,
-        # caller skips): sniff the container magic.
-        head = bytes(payload[:8])
+        # caller skips): sniff the container magic. RIFF/WAVE is in the
+        # list too — the stdlib module only handles integer-PCM WAVs, so
+        # a valid IEEE-float WAV (format tag 3, scipy/librosa's default)
+        # lands here via wave.Error and needs soundfile, loudly.
+        head = bytes(payload[:12])
         known = (b"fLaC", b"OggS", b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")
-        if head.startswith(known) or payload[4:8] == b"ftyp":
+        if (
+            head.startswith(known)
+            or head[4:8] == b"ftyp"
+            or (head[:4] == b"RIFF" and head[8:12] == b"WAVE")
+        ):
             raise NotImplementedError(
-                "non-WAV audio decode requires soundfile (not installed); "
-                "pass fake=True for the deterministic stub"
+                "audio decode for this format requires soundfile (not "
+                "installed); pass fake=True for the deterministic stub"
             ) from e
         raise ValueError("unrecognized audio payload") from e
     data, rate = soundfile.read(io.BytesIO(payload))

@@ -36,6 +36,27 @@ from pyspark.sql.window import Window
 from quackpipe_spark.operators.util import fan_out, plan_size_bytes
 
 
+def _probe_order(
+    M: np.ndarray,
+    cells_np: np.ndarray,
+    Cm: np.ndarray,
+    Cn: np.ndarray,
+    n_probes: int,
+    round_to: int,
+) -> np.ndarray:
+    """THE quantizer-probe kernel: (rows, dims) matrix → (rows, n_probes)
+    indexes into ``cells_np`` of each row's nearest centers by rounded
+    cosine, ties broken on ascending cell id. One definition shared by
+    assign_cells' UDF and the fused small-input kernel so the two
+    size-gated physical paths can never drift in assignment semantics
+    (same rounding, same tie-break)."""
+    nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+    scores = np.round((M @ Cm.T) / (nrm[:, None] * Cn[None, :]), round_to)
+    return np.lexsort(
+        (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
+    )[:, :n_probes]
+
+
 def _list_mat(arr) -> np.ndarray:
     """Arrow list<numeric> array (fixed row length, no nulls — callers
     filter ragged/null vectors upstream) → (n, dims) float64 matrix via
@@ -197,12 +218,7 @@ def assign_cells(
         # choice — is bit-identical to the pandas path's
         if len(vecs) == 0:
             return pa.array([], type=pa.list_(pa.int32()))
-        M = _list_mat(vecs)
-        nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
-        scores = np.round((M @ Cm.T) / (nrm[:, None] * Cn[None, :]), round_to)
-        order = np.lexsort(
-            (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
-        )[:, :n_probes]
+        order = _probe_order(_list_mat(vecs), cells_np, Cm, Cn, n_probes, round_to)
         return pa.array(
             [cells_np[o].astype("int32").tolist() for o in order],
             type=pa.list_(pa.int32()),
@@ -281,6 +297,10 @@ def blocked_near_pairs(
     slack = threshold - 10.0 ** (-round_to) / 2 - 1e-12
     id_t = dict(corpus.dtypes)[id_col]
     out_schema = f"a {id_t}, b {id_t}, _rawcos double"
+    # ONE assignment-rounding constant feeds both physical paths (the
+    # fused kernel and assign_cells) — they share _probe_order, so the
+    # size gate can never change which cell a vector lands in
+    assign_round_to = 6
 
     sz = plan_size_bytes(corpus)
     if sz is not None and sz < (32 << 20):
@@ -293,7 +313,8 @@ def blocked_near_pairs(
         # per-cell blocks (_pair_block) the distributed path shuffles
         # into, so the emitted pair set is identical by construction.
         scored = _near_pairs_fused(
-            corpus, centers, id_col, vec_col, probes, slack, out_schema
+            corpus, centers, id_col, vec_col, probes, slack, out_schema,
+            assign_round_to,
         )
     else:
         assigned = assign_cells(
@@ -302,6 +323,7 @@ def blocked_near_pairs(
             id_col,
             vec_col,
             probes=probes,
+            round_to=assign_round_to,
             carry_probes=True,
             with_norm=False,  # re-derived bit-identically from diag(S)
         )
@@ -387,12 +409,13 @@ def _near_pairs_fused(
     probes: int,
     slack: float,
     out_schema: str,
+    round_to: int,
 ) -> DataFrame:
     """Single-task fused assign+score for sub-32MB inputs (see
-    blocked_near_pairs). Assignment math is the same rounded-BLAS top-k
-    as assign_cells' _topcells; each cell block then goes through the
-    shared _pair_block, so the output matches the distributed path
-    pair-for-pair."""
+    blocked_near_pairs). Assignment rides the SHARED _probe_order kernel
+    (same rounding, same tie-break as assign_cells); each cell block then
+    goes through the shared _pair_block, so the output matches the
+    distributed path pair-for-pair."""
 
     cells_np = np.array([c for c, _ in centers], dtype=np.int64)
     Cm = np.array([v for _, v in centers], dtype=np.float64)
@@ -412,11 +435,7 @@ def _near_pairs_fused(
             return
         ids_all = np.asarray(tbl[id_col].to_pylist())
         M_all = _list_mat(tbl[vec_col])
-        nrm = np.maximum(np.linalg.norm(M_all, axis=1), 1e-300)
-        scores = np.round((M_all @ Cm.T) / (nrm[:, None] * Cn[None, :]), 6)
-        order_pc = np.lexsort(
-            (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
-        )[:, :n_probes]
+        order_pc = _probe_order(M_all, cells_np, Cm, Cn, n_probes, round_to)
         pcs_all = [set(cells_np[o].tolist()) for o in order_pc]
         outs = []
         for cell in sorted({c for s in pcs_all for c in s}):

@@ -515,7 +515,12 @@ def _merge_bin_arrow(paths: list[str], hidden: str, order_by) -> None:
         parts.append(pa.Table.from_arrays(cols, schema=schema))
     tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
     if order_by:
-        tbl = tbl.sort_by([(c, "ascending") for c in order_by])
+        # null_placement matches Spark's ascending default (NULLS FIRST);
+        # pyarrow's own default is nulls-last, which would cluster a
+        # schema-evolved null-filled key differently per merge path
+        tbl = tbl.sort_by(
+            [(c, "ascending") for c in order_by], null_placement="at_start"
+        )
     pq.write_table(tbl, hidden, compression="snappy", row_group_size=1 << 20)
 
 

@@ -119,8 +119,11 @@ _FROM_SCOPE_END = re.compile(
     r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY)\b", re.IGNORECASE
 )
 _WHERE_SCOPE_END = re.compile(
-    r"\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY)\b", re.IGNORECASE
-)
+    r"\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY|SORT|DISTRIBUTE|CLUSTER)\b",
+    re.IGNORECASE,
+)  # SORT/DISTRIBUTE/CLUSTER BY are Spark's hive-style tails — a bound
+# there is a sort/partition key, not a row filter. A COLUMN named e.g.
+# `sort` ends the scope early too: that only under-prunes (conservative).
 _LIT_SPLIT = re.compile(r"('(?:[^']|'')*')")
 
 

@@ -502,3 +502,84 @@ def test_split_statements_ignores_semicolons_in_comments():
         "SELECT '--x;y'",
         "SELECT 2",
     ]
+
+
+def test_split_statements_double_quoted_literals_and_nested_comments():
+    """Spark parses double-quoted strings as literals (the
+    doubleQuotedIdentifiers conf is off by default), so '--' or ';'
+    inside one is data; bracketed comments NEST in Spark's grammar, so
+    an inner '*/' must not close the outer comment."""
+    from quackpipe_spark.__main__ import split_statements
+
+    assert split_statements('SELECT "a -- b"; SELECT 1') == [
+        'SELECT "a -- b"',
+        "SELECT 1",
+    ]
+    assert split_statements('SELECT "x;y"; SELECT 2') == ['SELECT "x;y"', "SELECT 2"]
+    # "" escape stays inside one literal
+    assert split_statements('SELECT "a""b;c"; SELECT 3') == [
+        'SELECT "a""b;c"',
+        "SELECT 3",
+    ]
+    # nested block comment: the ';' between inner and outer '*/' is
+    # comment text, not a separator
+    assert split_statements("SELECT 1 /* o /* i */ ; still */; SELECT 2") == [
+        "SELECT 1 /* o /* i */ ; still */",
+        "SELECT 2",
+    ]
+
+
+def test_where_scope_excludes_spark_clause_tails():
+    """SORT BY / DISTRIBUTE BY / CLUSTER BY are Spark clause tails — a
+    __timestamp comparison there is a sort/partition key, never a row
+    filter, and must not prune."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    assert ex(
+        "SELECT * FROM events WHERE v > 0 SORT BY __timestamp >= 99",
+        ["events"],
+    ) == {}
+    assert ex(
+        "SELECT * FROM events WHERE v > 0 DISTRIBUTE BY __timestamp >= 99",
+        ["events"],
+    ) == {}
+    assert ex(
+        "SELECT * FROM events WHERE v > 0 CLUSTER BY __timestamp >= 99",
+        ["events"],
+    ) == {}
+    # a real WHERE bound before the tail still prunes
+    assert ex(
+        "SELECT * FROM events WHERE __timestamp >= 7 SORT BY v",
+        ["events"],
+    ) == {"events": (7, None)}
+
+
+def test_float_wav_raises_loudly_without_soundfile(spark):
+    """An IEEE-float WAV (format tag 3 — scipy/librosa's default) is a
+    RECOGNIZED format the stdlib wave module can't decode: without
+    soundfile it must fail the job loudly, never be silently skipped as
+    corrupt (a cluster of float WAVs must not ack an empty decode)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    try:
+        import soundfile  # noqa: F401
+
+        _pytest.skip("soundfile installed — the loud-failure branch is moot")
+    except ImportError:
+        pass
+    from quackpipe_spark.operators import multimodal as M2
+
+    # minimal RIFF/WAVE container with fmt tag 3 (IEEE float)
+    n, rate = 4, 8000
+    data = b"".join(_struct.pack("<f", 0.25) for _ in range(n))
+    fmt = _struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    media = spark.createDataFrame(
+        [(1, "audio", wav)], "media_id long, kind string, payload binary"
+    )
+    with _pytest.raises(Exception, match="soundfile"):
+        M2.decode_media(media, fake=False).collect()

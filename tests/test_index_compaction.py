@@ -727,3 +727,40 @@ def test_arrow_and_spark_bin_merges_identical(spark, tmp_path, monkeypatch):
     # null-fills the missing column for gen1 rows
     nulls = sum(1 for r in ra if r[3] is None)
     assert nulls == 500
+
+
+def test_arrow_merge_null_sort_order_matches_spark(spark, tmp_path, monkeypatch):
+    """pyarrow sorts nulls LAST by default while Spark's df.sort is NULLS
+    FIRST — the arrow merge must pass null_placement so a schema-evolved
+    null-filled sort key clusters identically on both paths."""
+    import quackpipe_spark.plans.compactor as C
+
+    def build(dirname):
+        d = str(tmp_path / dirname)
+        # gen1 lacks the sort key entirely → null-filled on merge
+        spark.range(50).selectExpr("id AS doc_id").write.mode("append").parquet(d)
+        spark.range(50, 100).selectExpr(
+            "cast(id % 4 as int) AS band", "id AS doc_id"
+        ).write.mode("append").parquet(d)
+        return d
+
+    def first_rows(d):
+        import pyarrow.parquet as pq
+
+        f = next(
+            str(p) for p in __import__("pathlib").Path(d).iterdir()
+            if p.name.endswith(".parquet")
+        )
+        t = pq.read_table(f)
+        return t["band"].to_pylist()[:55]
+
+    d_a = build("nulls_arrow")
+    C.compact_parquet_dir(spark, d_a, order_by=["band"])
+    monkeypatch.setattr(C, "_ARROW_MERGE_MAX_BYTES", 0)
+    d_s = build("nulls_spark")
+    C.compact_parquet_dir(spark, d_s, order_by=["band"])
+    ra, rs = first_rows(d_a), first_rows(d_s)
+    # both paths: the 50 null keys lead (Spark NULLS FIRST semantics)
+    assert ra[:50] == [None] * 50, ra[:5]
+    assert rs[:50] == [None] * 50, rs[:5]
+    assert ra[50:55] == rs[50:55] == [0, 0, 0, 0, 0]
