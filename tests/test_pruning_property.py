@@ -1,0 +1,113 @@
+"""Differential property test for time-range file pruning: ANY query the
+pruner touches must return the same rows as the same query with pruning
+disabled. Wrong pruning is silent missing rows — this is the generative
+backstop behind test_query_pruning's example-based cases, covering the
+WHERE-conjunct scoping and the round-9 CTE-chain reach."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+
+    root = tmp_path_factory.mktemp("prune_prop")
+    cat = Catalog(str(root))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    # four files with disjoint, known time ranges so wrong pruning is
+    # visible: any dropped file loses rows some predicate still wants
+    for lo in (0, 100, 200, 300):
+        svc.store(
+            "d",
+            "ev",
+            {
+                "v": list(range(lo, lo + 100)),
+                "k": [i % 7 for i in range(lo, lo + 100)],
+                "__timestamp": list(range(lo, lo + 100)),
+            },
+        )
+        svc.flush()
+        svc.store(
+            "d",
+            "aux",
+            {"k": [i % 7 for i in range(lo, lo + 50)], "__timestamp": list(range(lo, lo + 50))},
+        )
+        svc.flush()
+    qe = QueryEngine(spark, cat)
+    assert len(qe.table_files(cat.get("d", "ev"))) == 4
+    return qe
+
+
+bound_val = st.integers(min_value=-20, max_value=450)
+cmp_op = st.sampled_from([">=", ">", "<", "<="])
+
+
+@st.composite
+def ts_predicate(draw):
+    form = draw(st.integers(0, 2))
+    if form == 0:
+        return f"__timestamp {draw(cmp_op)} {draw(bound_val)}"
+    if form == 1:
+        a, b = draw(bound_val), draw(bound_val)
+        return f"__timestamp BETWEEN {min(a, b)} AND {max(a, b)}"
+    return f"v {draw(cmp_op)} {draw(bound_val)}"
+
+
+@st.composite
+def query(draw):
+    p1 = draw(ts_predicate())
+    p2 = draw(ts_predicate())
+    glue = draw(st.sampled_from(["AND", "OR"]))
+    where = f"{p1} {glue} {p2}"
+    shape = draw(st.integers(0, 5))
+    if shape == 0:
+        return f"SELECT count(*) AS n, sum(v) AS s FROM ev WHERE {where}"
+    if shape == 1:  # projected comparison + real filter
+        return (
+            f"SELECT __timestamp >= {draw(bound_val)} AS recent, v FROM ev "
+            f"WHERE {where} ORDER BY v LIMIT 500"
+        )
+    if shape == 2:  # CTE body bound
+        return (
+            f"WITH r AS (SELECT * FROM ev WHERE {where}) "
+            f"SELECT count(*) AS n, sum(v) AS s FROM r"
+        )
+    if shape == 3:  # CTE + join with second table, qualified bounds
+        return (
+            f"WITH r AS (SELECT * FROM ev WHERE {p1}) "
+            f"SELECT count(*) AS n FROM r JOIN aux a ON r.k = a.k "
+            f"WHERE a.__timestamp {draw(cmp_op)} {draw(bound_val)}"
+        )
+    if shape == 4:  # two CTEs reading the SAME table (must not prune)
+        return (
+            f"WITH x AS (SELECT * FROM ev WHERE {p1}), "
+            f"y AS (SELECT * FROM ev WHERE {p2}) "
+            f"SELECT count(*) AS n FROM x JOIN y ON x.k = y.k"
+        )
+    return (  # NOT / nested parens
+        f"SELECT count(*) AS n FROM ev WHERE NOT ({p1}) AND {p2}"
+    )
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(q=query())
+def test_pruned_equals_unpruned(store, monkeypatch, q):
+    import quackpipe_spark.query as Q
+
+    pruned = sorted(map(tuple, store.sql(q, db="d").collect()))
+    monkeypatch.setattr(Q, "extract_time_bounds_per_table", lambda sql, tables: {})
+    try:
+        unpruned = sorted(map(tuple, store.sql(q, db="d").collect()))
+    finally:
+        monkeypatch.undo()
+    assert pruned == unpruned, q
