@@ -18,6 +18,7 @@ from __future__ import annotations
 import gzip
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from itertools import chain
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -236,15 +237,20 @@ class GigapiServer:
                                     + "; requested spec was not applied"
                                 )
                             self._send(200, resp)
-                    elif path in _WRITE_PATHS or path.startswith("/gigapi/write/"):
+                    elif path in _WRITE_PATHS or (
+                        path.startswith("/gigapi/write/")
+                        and "/" not in path[len("/gigapi/write/") :]
+                        and path != "/gigapi/write/"
+                    ):
                         # only /gigapi/write/{db} carries the db in the
                         # path (reference: merge.go registers exact routes
-                        # plus that one pattern); a suffix on any OTHER
-                        # write route must 404 above rather than silently
-                        # ingest into 'default'. A trailing slash
-                        # ('/gigapi/write/') yields db='' — which would
-                        # create tables directly under the catalog ROOT,
-                        # where database dirs live
+                        # plus that one SINGLE-SEGMENT pattern); a suffix
+                        # on any other write route, a multi-segment path
+                        # ('/gigapi/write/a/b' — Go's '{db}' matches one
+                        # segment, so routing its LAST segment as the db
+                        # would silently misroute into an auto-created db),
+                        # and a trailing slash (db='' → tables under the
+                        # catalog ROOT) must all 404 instead
                         db = (
                             q.get("db")
                             or (path.rsplit("/", 1)[-1] if path.startswith("/gigapi/write/") else "")
@@ -276,8 +282,24 @@ class GigapiServer:
                                 db=db,
                                 precision=q.get("precision", "ns"),
                             )
-                        for p in promises:
-                            p.result(30)
+                        try:
+                            for p in promises:
+                                p.result(30)
+                        except FuturesTimeout:
+                            # AMBIGUOUS outcome: the rows are buffered and a
+                            # later flush will likely still write them — a
+                            # plain 400 would invite a client retry that
+                            # duplicates every row. 503 + explicit wording,
+                            # distinct from a clean rejection.
+                            self._send(
+                                503,
+                                {
+                                    "error": "flush timeout: write outcome "
+                                    "unknown (rows remain buffered and may "
+                                    "still be written); do not blindly retry"
+                                },
+                            )
+                            return
                         self.send_response(204)
                         self.end_headers()
                     elif path == "/query":

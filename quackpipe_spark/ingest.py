@@ -175,7 +175,13 @@ class IngestService:
         self.flush()
 
 
-def ingest_lines(service: IngestService, text: str, db: str = "default", precision: str = "ns"):
+def ingest_lines(
+    service: IngestService,
+    text: str,
+    db: str = "default",
+    precision: str = "ns",
+    skip_malformed: bool = False,
+):
     """HTTP /write body → parsed batches → buffered store. Returns the
     list of per-batch promises (handler awaits all, insert_into.go:58-80).
 
@@ -187,7 +193,11 @@ def ingest_lines(service: IngestService, text: str, db: str = "default", precisi
     reference's schema-on-write monotonicity.)"""
     from quackpipe_spark.sources.lineproto import parse_lines
 
-    batches = list(parse_lines(text, database=db, precision=precision))
+    batches = list(
+        parse_lines(
+            text, database=db, precision=precision, skip_malformed=skip_malformed
+        )
+    )
     for batch in batches:
         service.validate_schema(batch.database, batch.table, batch.data)
     return [

@@ -72,6 +72,23 @@ def _is_local_path(path: str) -> bool:
     return "://" not in path or path.startswith("file:")
 
 
+def _norm_index_path(path: str) -> str:
+    """Strip a ``file:`` scheme down to the plain OS path. Every public
+    index entry point normalizes FIRST: the os.* machinery would
+    otherwise take the URI string verbatim (os.makedirs('file:///x')
+    creates a junk cwd-relative 'file:' tree) while Spark resolves the
+    real path — stats/markers and data silently land in different
+    places. Plain local paths and true remote schemes pass through."""
+    if path.startswith("file://"):
+        rest = path[7:]
+        # file://host/p is not supported; file:///p and file://p both
+        # resolve to the absolute local path
+        return rest if rest.startswith("/") else "/" + rest
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
 def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None:
     """Publish the corpus-stats row as ONE parquet file via tmp+rename —
     atomic at the file level, so a reader never sees a missing or
@@ -128,6 +145,7 @@ def repair_postings_stats(spark, path: str) -> None:
     index's single writer."""
     import os
 
+    path = _norm_index_path(path)
     post = spark.read.parquet(f"{path}/postings")
     # the id column is whatever the build used: the one column that isn't
     # part of the fixed postings shape
@@ -159,6 +177,7 @@ def write_postings(
     just-written compact parquet rather than re-running the postings
     lineage (a second explode over the raw corpus — the build must stay
     ONE heavy pass)."""
+    path = _norm_index_path(path)
     spark = postings.sparkSession
     out = postings.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
     out.write.partitionBy("term_bucket").mode("overwrite").parquet(
@@ -207,6 +226,7 @@ def append_postings(
     import os
     import uuid as _uuid
 
+    path = _norm_index_path(path)
     spark = docs.sparkSession
     local = _is_local_path(path)
     if local:
@@ -228,15 +248,25 @@ def append_postings(
         marker = os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
         with open(marker, "w"):
             pass
-    post = build_postings(docs, id_col, text_col)
-    out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
-    out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
-    b = (
-        post.groupBy(id_col)
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
-        .collect()[0]
-    )
+    # PIN the batch postings: the parquet append and the stats
+    # aggregation are two actions over the same heavy tokenize/explode
+    # lineage — unpinned, the batch pays it twice, and a source that is
+    # nondeterministic between the two actions (a directory still being
+    # written, a sampled frame) would write postings and stats from
+    # DIFFERENT data, the exact drift the marker/repair machinery
+    # exists to prevent
+    post = build_postings(docs, id_col, text_col).persist()
+    try:
+        out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
+        out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
+        b = (
+            post.groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+            .collect()[0]
+        )
+    finally:
+        post.unpersist()
     n_new = int(b["n"] or 0)
     if n_new:
         new_n = int(st["N"]) + n_new
@@ -266,7 +296,7 @@ def append_postings(
 def load_postings(spark, path: str) -> DataFrame:
     """Reopen the postings table (all buckets — for re-aggregation or
     in-memory pinning; the per-query path is search_postings_index)."""
-    return spark.read.parquet(f"{path}/postings").drop("term_bucket")
+    return spark.read.parquet(f"{_norm_index_path(path)}/postings").drop("term_bucket")
 
 
 def compact_postings_index(spark, path: str) -> list[str]:
@@ -280,13 +310,21 @@ def compact_postings_index(spark, path: str) -> list[str]:
     unchanged — same rows, fewer files."""
     from quackpipe_spark.plans.compactor import compact_parquet_tree
 
-    return compact_parquet_tree(spark, f"{path}/postings", order_by=["term"])
+    return compact_parquet_tree(
+        spark, f"{_norm_index_path(path)}/postings", order_by=["term"]
+    )
 
 
 def _terms(query: str) -> list[str]:
     # driver-side tokenization MUST mirror dedup.tokenize (trim+lower+\s+)
     # so a query term matches the postings' term domain exactly
-    terms = sorted({t for t in re.split(r"\s+", query.strip().lower()) if t})
+    # re.ASCII: Java's \s is ASCII-only, so a Unicode space (NBSP etc.)
+    # is TERM TEXT in the index — a Unicode-aware split here would break
+    # the query term apart and probe the wrong buckets (silent zero
+    # hits); stateful.py's tokenizer mirror pins the same flag
+    terms = sorted(
+        {t for t in re.split(r"\s+", query.strip(" ").lower(), flags=re.ASCII) if t}
+    )
     if not terms:
         raise ValueError("empty query")
     return terms
@@ -467,6 +505,7 @@ def search_postings_index(
     reads ≤ q of n_buckets directories for a q-term query."""
     import os
 
+    path = _norm_index_path(path)
     terms = _terms(query)
 
     def _pending() -> bool:

@@ -81,8 +81,13 @@ class PartitionIndex:
         return idx
 
     def save(self) -> None:
-        """Atomic write: tmp + rename (parity with the bak-rename dance,
-        json_index.go:335-414)."""
+        """Atomic + durable write: tmp + fsync + rename + dir fsync
+        (parity with the bak-rename dance, json_index.go:335-414). The
+        index IS the partition's authoritative live-file list — a rename
+        made durable before the tmp file's data blocks (delayed
+        allocation) could survive a power loss as an EMPTY metadata.json,
+        and table_files would then silently serve zero rows from a
+        partition whose parquet is all still on disk."""
         p = os.path.join(self.path, self.INDEX_NAME)
         tmp = p + ".tmp"
         payload = {
@@ -91,7 +96,20 @@ class PartitionIndex:
         }
         with open(tmp, "w") as f:
             json.dump(payload, f)
+            f.flush()
+            try:
+                os.fsync(f.fileno())
+            except OSError:
+                pass
         os.replace(tmp, p)
+        try:
+            fd = os.open(self.path, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
 
     def add(self, entry: FileEntry) -> None:
         self.files[entry.name] = entry

@@ -304,6 +304,7 @@ def parse_lines(
     database: str = "default",
     precision: str = "ns",
     time_column: str = "time",
+    skip_malformed: bool = False,
 ) -> list[ParsedBatch]:
     """Parse many lines into schema-homogeneous columnar batches.
 
@@ -313,6 +314,12 @@ def parse_lines(
     clock ns (merge_tree_service.go:268-290 AutoTimestamp semantics are
     applied later in ingest; here we stamp at parse time like the
     reference's ``time`` from line protocol).
+
+    ``skip_malformed``: drop unparseable lines instead of raising —
+    the streaming door's opt-in poison-pill policy (a raised ValueError
+    there fails the micro-batch and Structured Streaming replays the
+    same offsets forever). The HTTP door keeps the default: reject the
+    whole request with 400 like the reference.
     """
     if isinstance(text_or_lines, str):
         lines = text_or_lines.splitlines()
@@ -324,7 +331,12 @@ def parse_lines(
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        table, tags, fields, ts_ns = parse_line(line, precision)
+        try:
+            table, tags, fields, ts_ns = parse_line(line, precision)
+        except ValueError:
+            if skip_malformed:
+                continue
+            raise
         if time_column != "time" and (
             any(k == time_column for k, _ in tags)
             or any(n == time_column for n, _, _ in fields)
@@ -398,6 +410,7 @@ def parse_lines_df(
     database: str = "default",
     precision: str = "ns",
     parse_counter=None,
+    skip_malformed: bool = False,
 ):
     """Distributed bulk parse: DataFrame[value: string] →
     :class:`ParsedFrames` of (table, schema_id, DataFrame) per
@@ -415,7 +428,8 @@ def parse_lines_df(
 
     ``parse_counter``: optional SparkContext accumulator incremented
     once per parsed line (diagnostic hook; the exactly-once test rides
-    it).
+    it). ``skip_malformed``: drop unparseable lines instead of failing
+    the job (see parse_lines — the streaming poison-pill policy).
     """
     import pandas as pd
     from pyspark import StorageLevel
@@ -430,7 +444,12 @@ def parse_lines_df(
                 line = (line or "").strip()
                 if not line or line.startswith("#"):
                     continue
-                table, tags, fields, ts = parse_line(line, precision)
+                try:
+                    table, tags, fields, ts = parse_line(line, precision)
+                except ValueError:
+                    if skip_malformed:
+                        continue
+                    raise
                 if parse_counter is not None:
                     parse_counter.add(1)
                 ftypes = {n: t for n, t, _ in fields}

@@ -28,6 +28,7 @@ def stream_lines_to_table(
     trigger_seconds: float = 1.0,
     checkpoint_dir: str | None = None,
     driver_path_max_rows: int = 50_000,
+    malformed: str = "fail",
 ):
     """Attach a foreachBatch hive-writer to a streaming DataFrame of raw
     line-protocol text (column ``value``). Returns the StreamingQuery.
@@ -42,7 +43,18 @@ def stream_lines_to_table(
     recovered source replaying hours of data) parses with mapInPandas and
     writes with the distributed sorted writer instead: collecting it would
     put the whole burst in driver memory at once.
+
+    ``malformed``: the poison-pill policy. ``"fail"`` (default) raises —
+    the micro-batch fails, the checkpoint does not commit, and the stream
+    halts on the bad offsets (loud, like the HTTP door's 400, but the
+    stream REPLAYS the same batch forever until the source is fixed).
+    ``"skip"`` drops unparseable lines and ingests the rest — the policy
+    for sources that can't be repaired in place; skipped lines are gone
+    (no dead-letter table yet), so choose it deliberately.
     """
+    if malformed not in ("fail", "skip"):
+        raise ValueError(f"malformed must be 'fail' or 'skip', got {malformed!r}")
+    skip = malformed == "skip"
     from quackpipe_spark.ingest import IngestService, ingest_lines
     from quackpipe_spark.sources.lineproto import parse_lines_df
 
@@ -61,7 +73,10 @@ def stream_lines_to_table(
                 rows = batch_df.collect()
                 text = "\n".join(r["value"] for r in rows if r["value"])
                 if text:
-                    promises = ingest_lines(service, text, db=db, precision=precision)
+                    promises = ingest_lines(
+                        service, text, db=db, precision=precision,
+                        skip_malformed=skip,
+                    )
                     service.flush()
                     # flush() routes write failures to the promises and
                     # swallows them otherwise — re-raise HERE so the
@@ -73,7 +88,8 @@ def stream_lines_to_table(
             # ParsedFrames context: the batch's frames all project ONE
             # persisted parse; release the cache once every table wrote
             with parse_lines_df(
-                spark, batch_df, database=db, precision=precision
+                spark, batch_df, database=db, precision=precision,
+                skip_malformed=skip,
             ) as frames:
                 for table, _sid, df in frames:
                     service.writer.write_parsed_df(db, table, df)
@@ -120,15 +136,24 @@ def session_windows(
     ts_col: str = "ts",
     key_col: str = "user_id",
     gap: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Native session windows (gap-merged) — works on batch and streaming
-    DataFrames; the streaming form adds a watermark upstream. Equivalent
-    to the lag+cumsum sessionization in the batch surface (cross-checked
-    in tests), but expressed with Spark's built-in session_window so the
+    DataFrames. STREAMING CALLERS MUST PASS ``watermark``: the event-time
+    column is derived INSIDE this function (the engine's native int64-ns
+    domain has no timestamp column to watermark upstream), so without the
+    parameter a streaming plan has no watermark to attach and Spark
+    rejects session-window aggregation at query start. Batch callers can
+    omit it (a batch watermark is a no-op anyway). Equivalent to the
+    lag+cumsum sessionization in the batch surface (cross-checked in
+    tests), but expressed with Spark's built-in session_window so the
     streaming state store handles late-merge semantics."""
     ts = _event_time(events, ts_col)
+    events = events.withColumn("_event_time", ts)
+    if watermark is not None:
+        events = events.withWatermark("_event_time", watermark)
     return (
-        events.withColumn("_event_time", ts)
+        events
         .groupBy(F.session_window("_event_time", gap).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
         .select(

@@ -166,17 +166,18 @@ def test_streaming_bulk_batch_distributed_path(spark, tmp_path):
 
 
 def test_http_write_edge_routing(server):
-    # trailing slash must not yield db='' (tables would land at the
-    # catalog ROOT, corrupting the db/table layout) — falls back to default
+    # trailing slash = empty {db} segment: Go's ServeMux wildcard
+    # requires a non-empty segment, so the faithful answer is 404 —
+    # and db='' would have landed tables at the catalog ROOT anyway
     status, _ = _post(
         server.base + "/gigapi/write/?precision=s", b"edge v=1i 1717405200"
     )
-    assert status == 204
-    status, body = _post(
-        server.base + "/query?db=default",
-        json.dumps({"query": "SELECT count() AS n FROM edge"}).encode(),
+    assert status == 404
+    # ...and multi-segment paths are not the single-segment {db} route
+    status, _ = _post(
+        server.base + "/gigapi/write/a/b?precision=s", b"edge v=1i 1717405200"
     )
-    assert json.loads(body)["results"][0]["n"] == 1
+    assert status == 404
     # ndjson without an explicit target table is a 400, not silent
     # misrouting into db.default
     status, body = _post(

@@ -583,3 +583,84 @@ def test_float_wav_raises_loudly_without_soundfile(spark):
     )
     with _pytest.raises(Exception, match="soundfile"):
         M2.decode_media(media, fake=False).collect()
+
+
+def test_fts_index_accepts_file_scheme_paths(spark, tmp_path):
+    """A file:-scheme index path must resolve to the SAME place for the
+    os.*-based stats/marker machinery and for Spark — previously the
+    stats landed in a junk cwd-relative 'file:' tree and every search
+    failed with PATH_NOT_FOUND."""
+    from quackpipe_spark.operators import fts as FTS
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha alpha delta")],
+        "doc_id long, text string",
+    )
+    plain = str(tmp_path / "idx")
+    FTS.write_postings(FTS.build_postings(docs), f"file://{plain}", n_buckets=4)
+    import os
+
+    assert os.path.exists(f"{plain}/stats/stats.parquet")
+    assert not os.path.exists("file:")
+    got = FTS.search_postings_index(spark, f"file://{plain}", "alpha", topk=3).collect()
+    assert [r["doc_id"] for r in got][:1] == [3]
+    # appends through the URI spelling keep stats consistent
+    more = spark.createDataFrame([(9, "alpha zeta")], "doc_id long, text string")
+    FTS.append_postings(more, f"file:{plain}")
+    got2 = FTS.search_postings_index(spark, plain, "zeta", topk=3).collect()
+    assert [r["doc_id"] for r in got2] == [9]
+
+
+def test_streaming_skip_malformed_policy(spark, tmp_path):
+    """malformed='skip' ingests the good lines of a poisoned batch on
+    BOTH size-gated paths; the default raises (checkpoint must not
+    commit a batch whose lines were dropped silently)."""
+    from quackpipe_spark.ingest import IngestService, ingest_lines
+    from quackpipe_spark.sources.lineproto import parse_lines, parse_lines_df
+
+    good_bad = "m f=1 100\nnot a line\nm f=2 200"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_lines(good_bad)
+    batches = parse_lines(good_bad, skip_malformed=True)
+    assert sum(b.num_rows() for b in batches) == 2
+    # distributed path
+    ldf = spark.createDataFrame([(l,) for l in good_bad.splitlines()], "value string")
+    with _pytest.raises(Exception):
+        with parse_lines_df(spark, ldf) as frames:
+            sum(df.count() for _, _, df in frames)
+    with parse_lines_df(spark, ldf, skip_malformed=True) as frames:
+        assert sum(df.count() for _, _, df in frames) == 2
+
+
+def test_multi_segment_write_path_404s(spark, tmp_path):
+    """/gigapi/write/a/b is not the reference's single-segment
+    /gigapi/write/{db} route — it must 404, not silently auto-create and
+    ingest into db 'b'."""
+    import urllib.request
+
+    from quackpipe_spark.api import GigapiServer
+
+    srv = GigapiServer(spark, str(tmp_path / "root"), host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        port = srv._httpd.server_address[1]
+
+        def post(p):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{p}", data=b"m f=1 100", method="POST"
+            )
+            try:
+                return urllib.request.urlopen(req).status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("/gigapi/write/metrics/cpu") == 404
+        assert post("/gigapi/write/") == 404
+        assert post("/gigapi/write/metrics") == 204
+        import os
+
+        assert not os.path.exists(str(tmp_path / "root" / "cpu"))
+    finally:
+        srv.stop()
