@@ -258,7 +258,18 @@ def band_table(
     ``carry_cols`` ride the same projection — a join-back for a rider
     column would put a SECOND copy of the whole signature pipeline in
     the plan (two aggregation subtrees over one exchange, each computing
-    every md5)."""
+    every md5).
+
+    Recipe validation: bands must divide num_hashes. Silent truncation
+    would give a different recall curve than requested, and
+    bands > num_hashes would degenerate every band hash to md5('') —
+    the banded self-join then builds the full n×n cross product (a
+    runaway job at corpus scale) with no error."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     rows = num_hashes // bands
     band_hashes = F.array(
         *[
@@ -933,7 +944,11 @@ def strip_duplicate_passages(
         how="left_anti",
     )
     rebuilt = _rebuild_in_order(kept, id_col, "pos", "tok", " ")
-    n_tokens = F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
+    # size(NULL) is -1 under this engine's ANSI-off legacy sizeOfNull (the
+    # line_dedup lesson at _line_table) — coalesce alone cannot fix it
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(tokenize(F.col(text_col)))
+    )
     return (
         docs.join(rebuilt, id_col, "left")
         .withColumn("n_tokens", n_tokens)
@@ -1029,6 +1044,11 @@ def simhash_near_pairs(
     # fold runs once, not per join side
     sigs = sigs.persist()
     sigs.count()
+    if bands < 1 or bits % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature width: got bits={bits}, "
+            f"bands={bands}"
+        )
     width = bits // bands
     mask = (1 << width) - 1
 

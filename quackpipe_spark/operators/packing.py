@@ -52,6 +52,16 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")  # % 0 would NULL every shard
+    if n_shards > (1 << (63 - _SEQ_BITS)):
+        # pack_id = shard << _SEQ_BITS | seq must fit int64: beyond 2^23
+        # shards the multiply wraps (ANSI off, silently) and two distinct
+        # shards can emit COLLIDING pack_ids — merged packs downstream
+        # with no error. 8M shards is far past any real parallelism; the
+        # bound fails loudly instead of corrupting.
+        raise ValueError(
+            f"n_shards must be <= {1 << (63 - _SEQ_BITS)} so pack_id "
+            f"(shard * 2^{_SEQ_BITS} + seq) fits int64; got {n_shards}"
+        )
     # shard straight from the md5 domain — squeezing through the 10000-
     # bucket sampling granularity would cap parallelism at 10000 shards
     # and skew shard sizes whenever 10000 % n_shards != 0

@@ -343,7 +343,11 @@ def parse_lines(
         ):
             # parse_line only rejects the default 'time'; a CUSTOM time
             # column colliding with a tag/field would reset that column's
-            # list and double-append into it — a silently ragged batch
+            # list and double-append into it — a silently ragged batch.
+            # Under skip_malformed this line is exactly as malformed as a
+            # parse failure: drop it, don't poison the stream.
+            if skip_malformed:
+                continue
             raise ValueError(
                 f"{time_column!r} is the reserved timestamp column: {line!r}"
             )

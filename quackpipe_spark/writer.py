@@ -52,24 +52,32 @@ _ARROW_TYPES = {
 }
 
 
-def columnar_to_df(spark: SparkSession, data: dict[str, list]) -> DataFrame:
-    """Columnar dict (name → python list) → DataFrame via Arrow.
+def columnar_to_df(
+    spark: SparkSession, data: dict[str, list], schema: dict[str, str] | None = None
+) -> DataFrame:
+    """Columnar dict (name → python list) → DataFrame via Arrow DIRECT.
+
+    ``schema`` is the canonical name→type map the caller already
+    computed (write_columnar's effective_schema); inference runs only
+    when absent. Re-inferring here typed an all-null KNOWN column as
+    VARCHAR on the bulk (>5M row) path — a string-typed parquet column
+    landing in a table whose other files hold int64, bricking every
+    later merged read. Building through pyarrow (not pandas) also keeps
+    a None-mixed int column int64-with-nulls: pandas floats it to
+    float64, which NaNs hour buckets and rounds epoch-ns (2^63 ≫ 2^53).
 
     Length validation parity with VerifyData (data_store.go:32-43).
     """
-    import pandas as pd
+    import pyarrow as pa
 
     lengths = {k: len(v) for k, v in data.items()}
     if len(set(lengths.values())) > 1:
         raise ValueError(f"ragged columns: {lengths}")
-    pdf = pd.DataFrame(data)
-    fields = []
-    from pyspark.sql.types import StructField, StructType
-
-    inferred = infer_schema(data)  # single-sourced inference (no drift)
-    for col in pdf.columns:
-        fields.append(StructField(col, CANONICAL[inferred[col]], True))
-    return spark.createDataFrame(pdf, StructType(fields))
+    canon = schema or infer_schema(data)
+    at = pa.table(
+        {c: pa.array(vals, type=_ARROW_TYPES[canon[c]]) for c, vals in data.items()}
+    )
+    return spark.createDataFrame(at)
 
 
 def _hour_rel(hour_epoch: int) -> str:
@@ -193,7 +201,7 @@ class HiveWriter:
                 ]
         if n <= self.ARROW_FAST_PATH_ROWS:
             return self._write_columnar_arrow(table, data, schema)
-        df = columnar_to_df(self.spark, data)
+        df = columnar_to_df(self.spark, data, schema)
         return self.write_df(table, df, level=1, one_file_per_partition=True)
 
     def _write_columnar_arrow(
@@ -342,6 +350,20 @@ class HiveWriter:
             )
         schema = {c: self._SPARK_TO_CANONICAL[t] for c, t in df.dtypes}
         table = self.catalog.get_or_create(db, name, fields=schema)
+        # a Spark bigint is the PHYSICAL slot for both INT8 and UBIGINT
+        # (CANONICAL maps both to LongType); a table whose column was
+        # established as UBIGINT via line-protocol ('123u') must accept a
+        # bigint backfill as-is, not raise a spurious UBIGINT-vs-INT8
+        # conflict — keep the existing canonical type when the physical
+        # types agree
+        for c, canon in list(schema.items()):
+            known = table.schema.get(c)
+            if (
+                known is not None
+                and known != canon
+                and CANONICAL[known] == CANONICAL[canon]
+            ):
+                schema[c] = known
         tcol = self.time_column(table)
         if table.auto_timestamp and tcol not in df.columns:
             # whole batch stamped with arrival ns (merge_tree_service.go:

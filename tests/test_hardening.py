@@ -664,3 +664,107 @@ def test_multi_segment_write_path_404s(spark, tmp_path):
         assert not os.path.exists(str(tmp_path / "root" / "cpu"))
     finally:
         srv.stop()
+
+
+def test_bulk_columnar_path_honors_known_schema(spark, tmp_path, monkeypatch):
+    """The >ARROW_FAST_PATH_ROWS bulk path must type columns from the
+    table's effective schema, not re-infer: an all-null batch of a KNOWN
+    int column previously wrote a VARCHAR parquet column into an int64
+    table (bricking merged reads), and a None-mixed int column floated
+    through pandas (rounding epoch-scale values)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "root"))
+    w = HiveWriter(spark, cat)
+    monkeypatch.setattr(HiveWriter, "ARROW_FAST_PATH_ROWS", 0)  # force bulk path
+    big = (1 << 62) + 3  # > 2^53: float64 round-trip would corrupt it
+    w.write_columnar(
+        "d", "t", {"v": [big, None, 7], "__timestamp": [1000, 2000, 3000]}
+    )
+    # all-null batch of the now-known int column
+    w.write_columnar("d", "t", {"v": [None], "__timestamp": [4000]})
+    from quackpipe_spark.query import QueryEngine
+
+    qe = QueryEngine(spark, cat)
+    rows = {
+        r["__timestamp"]: r["v"]
+        for r in qe.sql("SELECT v, __timestamp FROM t", db="d").collect()
+    }
+    assert rows == {1000: big, 2000: None, 3000: 7, 4000: None}
+
+
+def test_write_parsed_df_bigint_into_ubigint_column(spark, tmp_path):
+    """A bulk backfill presents UBIGINT columns as Spark bigint (the one
+    physical slot both share) — it must not raise a spurious type
+    conflict against a table established via '123u' line protocol."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService, ingest_lines
+    from quackpipe_spark.query import QueryEngine
+
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    big = (1 << 63) + 5  # upper half: the value that establishes UBIGINT
+    ingest_lines(svc, f"m u={big}u 1000", db="d")
+    svc.flush()
+    assert cat.get("d", "m").schema["u"] == "UBIGINT"
+    backfill = spark.createDataFrame(
+        [(9, 2000)], "u long, __timestamp long"
+    )
+    svc.writer.write_parsed_df("d", "m", backfill)
+    qe = QueryEngine(spark, cat)
+    got = sorted(r["u"] for r in qe.sql("SELECT u FROM m", db="d").collect())
+    assert got == [big - (1 << 64), 9]  # wrapped int64 slot + backfill row
+    assert cat.get("d", "m").schema["u"] == "UBIGINT"  # type kept
+
+
+def test_band_recipe_validation():
+    """bands must divide num_hashes/bits: truncation changes the recall
+    curve silently, and bands > num_hashes degenerates every band hash
+    to md5('') — a full n x n self-join at corpus scale."""
+    import pytest as _pytest
+
+    from quackpipe_spark.operators import dedup as D
+
+    class _FakeDF:
+        pass
+
+    with _pytest.raises(ValueError, match="divide"):
+        D.band_table(_FakeDF(), num_hashes=16, bands=32)
+    with _pytest.raises(ValueError, match="divide"):
+        D.band_table(_FakeDF(), num_hashes=16, bands=3)
+
+
+def test_skip_malformed_covers_custom_time_collision():
+    """Under skip_malformed a line whose tag/field collides with the
+    CUSTOM time column is dropped like any other malformed line — it
+    must not poison the stream the flag exists to protect."""
+    from quackpipe_spark.sources.lineproto import parse_lines
+
+    lines = "m ts=1,f=2 100\nm f=3 200"
+    batches = parse_lines(lines, time_column="ts", skip_malformed=True)
+    assert sum(b.num_rows() for b in batches) == 1
+
+
+def test_pack_documents_rejects_pack_id_overflow(spark):
+    import pytest as _pytest
+
+    from quackpipe_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b", 2)], "doc_id long, text string, n_tokens long")
+    with _pytest.raises(ValueError, match="fits int64"):
+        pack_sequences(docs, n_shards=1 << 24)
+
+
+def test_strip_passages_null_text_token_counts(spark):
+    """NULL-text docs report n_tokens=0 / n_removed_tokens=0 — under the
+    engine's ANSI-off session size(NULL) is -1 and coalesce alone cannot
+    guard it (the line_dedup lesson)."""
+    from quackpipe_spark.operators.dedup import strip_duplicate_passages
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in strip_duplicate_passages(docs, k=4).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_removed_tokens"] == 0
+    assert rows[1]["n_tokens"] == 8
