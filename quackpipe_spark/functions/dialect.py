@@ -197,6 +197,10 @@ def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) 
 
 
 _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+# literal-aware split capturing BOTH quote styles (odd parts = literals;
+# ''/"" doubling stays inside one token) — Spark's default parses "…" as
+# a string literal, not an identifier
+_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the
@@ -216,17 +220,21 @@ def rewrite_sql(sql: str) -> str:
       http(s) URLs fetch through the local cache and s3:// normalizes to
       s3a:// first (the reference's httpfs idiom, BENCHMARK.md:11).
 
-    Rewrites are applied OUTSIDE single-quoted string literals only — a
-    literal ``'count()'`` in a predicate is user data, and rewriting it
-    would silently change which rows match.
+    Rewrites are applied OUTSIDE string literals only — BOTH quote
+    styles: Spark parses double quotes as string literals too (the
+    doubleQuotedIdentifiers conf is off), so a predicate like
+    ``msg = "count()"`` is user data; rewriting it would silently change
+    which rows match (and a ``read_parquet('https://…')`` inside a
+    double-quoted string would even trigger a driver-side fetch at
+    rewrite time).
     """
     from quackpipe_spark.sources.remote import resolve_scan_path
 
     # count() lives entirely in code, so rewrite the CODE parts of a
-    # literal-aware split (odd parts are single-quoted literals, ''
-    # escapes stay inside one token) — a 'count()' inside a literal is
-    # user data and never touched
-    parts = re.split(r"('(?:[^']|'')*')", sql)
+    # literal-aware split (odd parts are quoted literals; ''/"" escapes
+    # stay inside one token) — a 'count()' inside a literal is user data
+    # and never touched
+    parts = _LITERAL_SPLIT.split(sql)
     for i in range(0, len(parts), 2):
         parts[i] = _COUNT_NOARG.sub("count(*)", parts[i])
     sql = "".join(parts)
@@ -236,7 +244,7 @@ def rewrite_sql(sql: str) -> str:
     # spans are recomputed on the count()-rewritten string (each
     # count()→count(*) pass shifts offsets +1 — spans computed before
     # it would mark code as literal and skip real calls)
-    parts = re.split(r"('(?:[^']|'')*')", sql)
+    parts = _LITERAL_SPLIT.split(sql)
     lit_spans = []
     pos = 0
     for i, p in enumerate(parts):

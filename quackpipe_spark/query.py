@@ -124,21 +124,24 @@ _WHERE_SCOPE_END = re.compile(
 )  # SORT/DISTRIBUTE/CLUSTER BY are Spark's hive-style tails — a bound
 # there is a sort/partition key, not a row filter. A COLUMN named e.g.
 # `sort` ends the scope early too: that only under-prunes (conservative).
-_LIT_SPLIT = re.compile(r"('(?:[^']|'')*')")
+_LIT_SPLIT = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
 
 
 def _blank_literals(sql: str) -> str:
-    """Replace the CONTENTS of single-quoted literals ('' escape-aware)
-    with spaces, preserving every offset. All keyword scanning (WHERE
-    position, clause terminators, unsafe constructs, FROM/JOIN
-    relations) runs over this blanked text so user data like
-    ``note = 'WHERE __timestamp >= 1'`` can neither move the scanned
-    scope nor fabricate a bound; bound VALUES are then re-read from the
+    """Replace the CONTENTS of string literals — BOTH quote styles, since
+    Spark parses double quotes as string literals too (''/"" doubling
+    stays inside one token) — with spaces, preserving every offset. All
+    keyword scanning (WHERE position, clause terminators, unsafe
+    constructs, FROM/JOIN relations) runs over this blanked text so user
+    data like ``note = "WHERE __timestamp >= 1"`` can neither move the
+    scanned scope nor fabricate a bound (a fabricated bound PRUNES —
+    silent missing rows); bound VALUES are then re-read from the
     original string at the matched span (epoch_ns('…') keeps its
     timestamp literal)."""
     parts = _LIT_SPLIT.split(sql)
     for i in range(1, len(parts), 2):
-        parts[i] = "'" + " " * (len(parts[i]) - 2) + "'"
+        q = parts[i][0]
+        parts[i] = q + " " * (len(parts[i]) - 2) + q
     return "".join(parts)
 
 

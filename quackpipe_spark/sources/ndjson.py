@@ -63,7 +63,14 @@ def parse_ndjson(
                 ftypes[k] = infer_canonical(v)
         obj = {k: v for k, v in obj.items() if v is not None}
         sid = schema_id([], ftypes)
-        if cur is None or cur.schema_id != sid or cur_bytes >= MAX_BATCH_BYTES:
+        # split BEFORE appending when this line would breach the cap —
+        # checking the running total alone let every capped batch exceed
+        # MAX_BATCH_BYTES by up to one full line (ndjson_insert_parser.go:40)
+        if (
+            cur is None
+            or cur.schema_id != sid
+            or cur_bytes + len(line.encode()) > MAX_BATCH_BYTES
+        ):
             cur = ParsedBatch(database=database, table=table, schema_id=sid)
             for k in obj:
                 cur.data[k] = []

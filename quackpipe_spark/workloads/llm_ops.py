@@ -329,7 +329,10 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[
     key = (id(spark), sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is None:
-        built = S.build_seeded_ivf_index(_emb(spark, sf_dir), n_cells=_IVF_CELLS)
+        # 64-dim non-null contract like every other ANN gate: one ragged
+        # or NULL embedding would crash assign_cells' matrix build inside
+        # the index job while the oracle kept returning rows
+        built = S.build_seeded_ivf_index(_emb64(spark, sf_dir), n_cells=_IVF_CELLS)
         path = tempfile.mkdtemp(prefix="qps_ivf_idx_")
         # the written index is corpus-sized; without cleanup every
         # session leaks one copy into the temp filesystem
@@ -338,7 +341,7 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[
         built.unpersist()
         qrows = sorted(
             (r["vec_id"], list(r["embedding"]))
-            for r in _emb(spark, sf_dir)
+            for r in _emb64(spark, sf_dir)
             .filter(F.col("vec_id") < 5)
             .select("vec_id", "embedding")
             .collect()
@@ -386,17 +389,22 @@ def _ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE) -> str:
     """The seeded-IVF search restated for DuckDB: identical center seeding
     (md5(id) order), identical probes-nearest-cell assignment (cosine
     rounded to 6, tie-break on cell id — the assign_cells contract), then
-    rank within probed cells only. Approximate result, exactly mirrored."""
+    rank within probed cells only. Approximate result, exactly mirrored
+    (both engines filter to the 64-dim non-null contract first)."""
     return f"""
-WITH seeds AS (
+WITH e64 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
          embedding AS center
-  FROM embeddings
+  FROM e64
   QUALIFY cell <= {n_cells}
 ),
 base AS (
   SELECT vec_id, embedding, sqrt({_emb_dot('embedding', 'embedding')}) AS nrm
-  FROM embeddings
+  FROM e64
 ),
 cell_scores AS (
   SELECT b.vec_id, b.embedding, b.nrm, s.cell,

@@ -16,7 +16,7 @@ Event time convention: ``events.ts`` is int64 epoch-ns in Spark
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -391,8 +391,8 @@ JOIN_SEMI_ANTI_SQL = """
 SELECT p_partkey, 'matched' AS status FROM part
 WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 UNION ALL
-SELECT p_partkey, 'unmatched' AS status FROM part
-WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+SELECT p_partkey, 'unmatched' AS status FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p.p_partkey)
 """
 
 
@@ -516,7 +516,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
     us = F.expr("ts DIV 1000")  # ns → µs, integer div (duckdb parity; /1000 in
     # double would lose sub-µs precision at epoch-ns magnitude)
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # order by the µs-TRUNCATED time + id, NOT raw ns: DuckDB's ts is a
+    # µs TIMESTAMP, so two ns-distinct events in one µs tie there and
+    # break on event_id — ordering by ns here would pick a different
+    # session-boundary row for that pair (the asof µs-collision class)
+    w = Window.partitionBy("user_id").orderBy(F.asc(us), F.asc("event_id"))
     gapped = ev.select(
         "user_id",
         "event_id",

@@ -768,3 +768,39 @@ def test_strip_passages_null_text_token_counts(spark):
     rows = {r["doc_id"]: r for r in strip_duplicate_passages(docs, k=4).collect()}
     assert rows[2]["n_tokens"] == 0 and rows[2]["n_removed_tokens"] == 0
     assert rows[1]["n_tokens"] == 8
+
+
+def test_double_quoted_literals_protected_everywhere():
+    """Spark parses "…" as a string literal (doubleQuotedIdentifiers off):
+    the dialect rewriter must not rewrite count()/read_parquet() inside
+    one, and the pruner must not extract a bound fabricated by one."""
+    from quackpipe_spark.functions.dialect import rewrite_sql
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    out = rewrite_sql('SELECT count() FROM t WHERE msg = "count()"')
+    assert out == 'SELECT count(*) FROM t WHERE msg = "count()"'
+    out2 = rewrite_sql('SELECT 1 FROM t WHERE n = "read_parquet(\'x\')"')
+    assert "parquet.`" not in out2
+    assert ex(
+        'SELECT * FROM events WHERE note = "x AND __timestamp >= 1"',
+        ["events"],
+    ) == {}
+    assert ex(
+        'SELECT * FROM events WHERE __timestamp >= 5 AND note = "y"',
+        ["events"],
+    ) == {"events": (5, None)}
+
+
+def test_ndjson_batch_cap_splits_before_append():
+    """A capped batch must stay AT OR UNDER MAX_BATCH_BYTES — the old
+    running-total check let every capped batch overshoot by one line."""
+    import json as _json
+
+    from quackpipe_spark.sources import ndjson as N
+
+    line = _json.dumps({"v": "x" * 1024})
+    n_per = N.MAX_BATCH_BYTES // len(line.encode())
+    batches = N.parse_ndjson("\n".join([line] * (n_per + 5)))
+    assert len(batches) == 2
+    assert batches[0].num_rows() == n_per  # exactly the cap, not cap+1
+    assert batches[1].num_rows() == 5
