@@ -1,0 +1,93 @@
+"""Bulk line-protocol parse throughput harness — pins the two round-9
+parse-path designs so regressions surface round-over-round (the role
+bench_ingest.py / bench_compact.py play for flush and merge):
+
+1. **single-pass distributed parse** (`parse_lines_df`): a multi-schema
+   backfill corpus through ONE mapInPandas parse into the persisted
+   typed-map intermediate, then every per-fingerprint frame consumed.
+   The pre-r9 design re-parsed the corpus once per schema fingerprint
+   (S+1 passes); the exactly-once contract is accumulator-asserted here
+   as well as in tests.
+2. **driver-side parse_line** (the HTTP door's hot loop): escape-free
+   fast path vs the general scanner, µs/line each.
+
+Usage: python bench_parse.py [n_lines] [n_schemas]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    n_lines = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_schemas = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from quackpipe_spark.session import get_spark
+    from quackpipe_spark.sources.lineproto import parse_line, parse_lines_df
+
+    spark = get_spark(app_name="quackpipe_parse_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    rows = []
+    for i in range(n_lines):
+        s = i % n_schemas
+        fields = ",".join(f"f{j}={i}.5" for j in range(s + 1))
+        rows.append(f"m{s},host=h{i % 50} {fields} {1_700_000_000_000_000_000 + i}")
+
+    # driver-side per-line cost (fast path; escaped variant for the
+    # general scanner)
+    sample = rows[:20_000]
+    t0 = time.perf_counter()
+    for r in sample:
+        parse_line(r)
+    fast_us = (time.perf_counter() - t0) / len(sample) * 1e6
+    esc = [r.replace("host=", "ho\\ st=") for r in sample]
+    t0 = time.perf_counter()
+    for r in esc:
+        parse_line(r)
+    gen_us = (time.perf_counter() - t0) / len(esc) * 1e6
+
+    ldf = (
+        spark.createDataFrame([(r,) for r in rows], "value string")
+        .repartition(32)
+        .persist()
+    )
+    ldf.count()
+    acc = spark.sparkContext.accumulator(0)
+    t0 = time.perf_counter()
+    with parse_lines_df(spark, ldf, parse_counter=acc) as frames:
+        n_frames = len(frames)
+        total = sum(df.count() for _, _, df in frames)
+    dt = time.perf_counter() - t0
+    assert total == n_lines, f"row loss: {total} != {n_lines}"
+    assert acc.value == n_lines, (
+        f"exactly-once violated: {acc.value} parses for {n_lines} lines"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "bulk_parse_throughput",
+                "unit": "sec",
+                "value": round(dt, 3),
+                "lines": n_lines,
+                "schemas": n_schemas,
+                "frames": n_frames,
+                "lines_per_s": round(n_lines / dt),
+                "parses_per_line": 1,
+                "driver_parse_us_per_line_fast": round(fast_us, 1),
+                "driver_parse_us_per_line_general": round(gen_us, 1),
+            }
+        )
+    )
+    ldf.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
