@@ -65,7 +65,7 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 5))
+    shape = draw(st.integers(0, 7))
     if shape == 0:
         return f"SELECT count(*) AS n, sum(v) AS s FROM ev WHERE {where}"
     if shape == 1:  # projected comparison + real filter
@@ -90,13 +90,21 @@ def query(draw):
             f"y AS (SELECT * FROM ev WHERE {p2}) "
             f"SELECT count(*) AS n FROM x JOIN y ON x.k = y.k"
         )
-    return (  # NOT / nested parens
-        f"SELECT count(*) AS n FROM ev WHERE NOT ({p1}) AND {p2}"
+    if shape == 5:  # NOT / nested parens
+        return f"SELECT count(*) AS n FROM ev WHERE NOT ({p1}) AND {p2}"
+    if shape == 6:  # double-quoted literal carrying bound-shaped text
+        return (
+            f'SELECT count(*) AS n FROM ev '
+            f'WHERE k >= 0 AND "x {p1}" != "y" AND {p2}'
+        )
+    return (  # Spark SORT BY tail carrying a comparison
+        f"SELECT v, __timestamp {draw(cmp_op)} {draw(bound_val)} AS flag "
+        f"FROM ev WHERE {p1} SORT BY {p2}"
     )
 
 
 @settings(
-    max_examples=50,
+    max_examples=60,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
