@@ -51,6 +51,12 @@ def split_statements(text: str) -> list[str]:
             cur.append(text[i:j])
             i = j
             continue
+        if quote and c == "\\" and i + 1 < len(text):
+            # Spark's default parser honors backslash escapes inside
+            # string literals — \' must not close the literal
+            cur.append(text[i : i + 2])
+            i += 2
+            continue
         if c in ("'", '"'):
             if quote == c and text[i : i + 2] == c + c:
                 cur.append(c + c)

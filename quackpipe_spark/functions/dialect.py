@@ -200,7 +200,12 @@ _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 # literal-aware split capturing BOTH quote styles (odd parts = literals;
 # ''/"" doubling stays inside one token) — Spark's default parses "…" as
 # a string literal, not an identifier
-_LITERAL_SPLIT = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+# backslash escapes are live under Spark's default parser — a split that
+# misses \' would treat literal content as code (rewriting user data and
+# even fetching read_parquet URLs found inside strings)
+_LITERAL_SPLIT = re.compile(
+    r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")"
+)
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the

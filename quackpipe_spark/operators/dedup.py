@@ -1042,13 +1042,16 @@ def simhash_near_pairs(
     # the banded self-join consumes sigs on both sides — cache the (small:
     # one long per doc) signature table eagerly so the per-row signature
     # fold runs once, not per join side
-    sigs = sigs.persist()
-    sigs.count()
     if bands < 1 or bits % bands != 0:
+        # pure-arithmetic check BEFORE the persist+count below — after
+        # them it would burn a corpus-scale signature job and leak the
+        # pinned frame on the raise
         raise ValueError(
             f"bands must divide the signature width: got bits={bits}, "
             f"bands={bands}"
         )
+    sigs = sigs.persist()
+    sigs.count()
     width = bits // bands
     mask = (1 << width) - 1
 

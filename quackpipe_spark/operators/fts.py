@@ -81,9 +81,19 @@ def _norm_index_path(path: str) -> str:
     places. Plain local paths and true remote schemes pass through."""
     if path.startswith("file://"):
         rest = path[7:]
-        # file://host/p is not supported; file:///p and file://p both
-        # resolve to the absolute local path
-        return rest if rest.startswith("/") else "/" + rest
+        if not rest.startswith("/"):
+            # file://HOST/p (RFC 8089): only the local forms are
+            # meaningful here — proceeding would silently operate under
+            # a /HOST/... tree, the exact misplacement this helper exists
+            # to prevent. localhost maps to the path; anything else is
+            # rejected loudly.
+            host, _, tail = rest.partition("/")
+            if host != "localhost":
+                raise ValueError(
+                    f"unsupported file:// host {host!r} in index path {path!r}"
+                )
+            rest = "/" + tail
+        return rest
     if path.startswith("file:"):
         return path[5:]
     return path

@@ -124,7 +124,13 @@ _WHERE_SCOPE_END = re.compile(
 )  # SORT/DISTRIBUTE/CLUSTER BY are Spark's hive-style tails — a bound
 # there is a sort/partition key, not a row filter. A COLUMN named e.g.
 # `sort` ends the scope early too: that only under-prunes (conservative).
-_LIT_SPLIT = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+# literal tokens honor BOTH escape conventions live under Spark's default
+# parser: backslash escapes (escapedStringLiterals=false) AND ''/""
+# doubling — missing the backslash form desyncs the split and lets string
+# data fabricate a bound (the round-9 fix-the-fixes finding)
+_LIT_SPLIT = re.compile(
+    r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")"
+)
 
 
 def _blank_literals(sql: str) -> str:

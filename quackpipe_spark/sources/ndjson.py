@@ -65,11 +65,14 @@ def parse_ndjson(
         sid = schema_id([], ftypes)
         # split BEFORE appending when this line would breach the cap —
         # checking the running total alone let every capped batch exceed
-        # MAX_BATCH_BYTES by up to one full line (ndjson_insert_parser.go:40)
+        # MAX_BATCH_BYTES by up to one full line (ndjson_insert_parser.go:40).
+        # Encoded BYTES, computed once per line: len(str) counts characters
+        # and under-counts multi-byte UTF-8 up to 4x against the 10 MB cap
+        nbytes = len(line.encode())
         if (
             cur is None
             or cur.schema_id != sid
-            or cur_bytes + len(line.encode()) > MAX_BATCH_BYTES
+            or cur_bytes + nbytes > MAX_BATCH_BYTES
         ):
             cur = ParsedBatch(database=database, table=table, schema_id=sid)
             for k in obj:
@@ -79,9 +82,7 @@ def parse_ndjson(
         for k in cur.data:
             cur.data[k].append(obj.get(k))
         cur.n_rows += 1
-        cur_bytes += len(line.encode())  # encoded BYTES: len(str) counts
-        # characters and under-counts multi-byte UTF-8 up to 4x against
-        # the 10 MB cap (ndjson_insert_parser.go:40)
+        cur_bytes += nbytes
     return batches
 
 

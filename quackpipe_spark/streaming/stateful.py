@@ -210,6 +210,15 @@ def streaming_near_dup_flags(
     (≈ bands × distinct near-dup classes), not stream volume; for
     bounded retention add a watermark upstream and EventTimeTimeout
     eviction."""
+    if bands < 1 or num_hashes % bands != 0:
+        # same recipe validation as dedup.band_table: truncation changes
+        # the recall curve silently, and bands > num_hashes degenerates
+        # every band hash to md5('') — ONE global bucket, so every doc
+        # but the minimum gets flagged as a near-dup with no error
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
     import hashlib
     import re
 

@@ -74,10 +74,25 @@ def columnar_to_df(
     if len(set(lengths.values())) > 1:
         raise ValueError(f"ragged columns: {lengths}")
     canon = schema or infer_schema(data)
-    at = pa.table(
-        {c: pa.array(vals, type=_ARROW_TYPES[canon[c]]) for c, vals in data.items()}
-    )
-    return spark.createDataFrame(at)
+    try:
+        at = pa.table(
+            {c: pa.array(vals, type=_ARROW_TYPES[canon[c]]) for c, vals in data.items()}
+        )
+        return spark.createDataFrame(at)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, OverflowError):
+        # oddly-typed batch (a value Arrow can't coerce into the declared
+        # type, e.g. a float in a first-value-inferred int column): fall
+        # back to the pandas route WITH the declared schema — the same
+        # fallback _write_columnar_arrow keeps, so write success can't
+        # depend on which side of the 5M-row gate a batch lands
+        import pandas as pd
+
+        from pyspark.sql.types import StructField, StructType
+
+        fields = StructType(
+            [StructField(c, CANONICAL[canon[c]], True) for c in data]
+        )
+        return spark.createDataFrame(pd.DataFrame(data), fields)
 
 
 def _hour_rel(hour_epoch: int) -> str:

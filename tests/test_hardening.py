@@ -804,3 +804,84 @@ def test_ndjson_batch_cap_splits_before_append():
     assert len(batches) == 2
     assert batches[0].num_rows() == n_per  # exactly the cap, not cap+1
     assert batches[1].num_rows() == 5
+
+
+def test_backslash_escaped_quotes_protected_everywhere():
+    """Spark's default parser honors backslash escapes in string
+    literals: a literal containing \\' must not desync the pruner's
+    blanking (fabricated bound → silent missing rows), the dialect
+    rewriter (mutated user data / driver-side URL fetch), or the stdin
+    statement splitter."""
+    from quackpipe_spark.__main__ import split_statements
+    from quackpipe_spark.functions.dialect import rewrite_sql
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    q = r"SELECT * FROM ev WHERE note = 'ab\' AND __timestamp >= 400 AND x = \'cd'"
+    assert ex(q, ["ev"]) == {}
+    out = rewrite_sql(r"SELECT 1 FROM t WHERE msg = 'a\' count() \'b'")
+    assert "count(*)" not in out
+    out2 = rewrite_sql(r"SELECT 1 FROM t WHERE m = 'x\' read_parquet(''/y.parquet'') \'z'")
+    assert "parquet.`" not in out2
+    assert split_statements(r"SELECT 'a\';b'; SELECT 2") == [
+        r"SELECT 'a\';b'",
+        "SELECT 2",
+    ]
+
+
+def test_streaming_near_dup_band_validation(spark):
+    import pytest as _pytest
+
+    from quackpipe_spark.streaming.stateful import streaming_near_dup_flags
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divide"):
+        streaming_near_dup_flags(docs, num_hashes=16, bands=32)
+
+
+def test_simhash_band_validation_runs_before_any_job(spark):
+    """The recipe check must fire before the persist+count — after them
+    an invalid call burns a corpus-scale job and leaks the pinned frame."""
+    import pytest as _pytest
+
+    from quackpipe_spark.operators import dedup as D
+
+    class _Boom:
+        def persist(self):
+            raise AssertionError("persist ran before validation")
+
+    with _pytest.raises(ValueError, match="divide"):
+        D.simhash_near_pairs(_Boom(), bands=5)
+
+
+def test_columnar_bulk_fallback_for_uncoercible_batch(spark, tmp_path, monkeypatch):
+    """A batch whose later values don't coerce into the first-value-
+    inferred type must write on the bulk path too (the Arrow fast path
+    keeps a pandas fallback; the bulk path must not diverge)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.writer import HiveWriter
+
+    cat = Catalog(str(tmp_path / "root"))
+    w = HiveWriter(spark, cat)
+    monkeypatch.setattr(HiveWriter, "ARROW_FAST_PATH_ROWS", 0)
+    # first value int → INT8 inferred; 2.5 needs the coercion fallback
+    w.write_columnar("d", "t", {"v": [1, 2.5], "__timestamp": [1000, 2000]})
+    from quackpipe_spark.query import QueryEngine
+
+    got = sorted(
+        r["v"] for r in QueryEngine(spark, cat).sql("SELECT v FROM t", db="d").collect()
+    )
+    assert got == [1, 2]  # int-typed column truncates like the fast path
+
+
+def test_norm_index_path_rejects_remote_host():
+    import pytest as _pytest
+
+    from quackpipe_spark.operators.fts import _norm_index_path
+
+    assert _norm_index_path("file:///a/b") == "/a/b"
+    assert _norm_index_path("file:/a/b") == "/a/b"
+    assert _norm_index_path("file://localhost/a/b") == "/a/b"
+    assert _norm_index_path("/a/b") == "/a/b"
+    assert _norm_index_path("s3a://bkt/x") == "s3a://bkt/x"
+    with _pytest.raises(ValueError, match="host"):
+        _norm_index_path("file://nas01/a/b")
