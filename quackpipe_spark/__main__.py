@@ -26,57 +26,33 @@ def split_statements(text: str) -> list[str]:
     comment). Newlines are statement-internal whitespace; comment text
     is kept verbatim in its statement, but a fragment containing ONLY
     comments/whitespace is dropped — it is not a statement and would
-    fail Spark's parser."""
-    out, cur, quote, has_code, i = [], [], "", False, 0
-    while i < len(text):
-        c = text[i]
-        if not quote and text[i : i + 2] == "--":
-            j = text.find("\n", i)
-            j = len(text) if j < 0 else j
-            cur.append(text[i:j])
-            i = j
-            continue
-        if not quote and text[i : i + 2] == "/*":
-            depth, j = 1, i + 2
-            while j < len(text) and depth:
-                if text[j : j + 2] == "/*":
-                    depth += 1
-                    j += 2
-                elif text[j : j + 2] == "*/":
-                    depth -= 1
-                    j += 2
-                else:
-                    j += 1
-            # unterminated: comment to EOF
-            cur.append(text[i:j])
-            i = j
-            continue
-        if quote and c == "\\" and i + 1 < len(text):
-            # Spark's default parser honors backslash escapes inside
-            # string literals — \' must not close the literal
-            cur.append(text[i : i + 2])
-            i += 2
-            continue
-        if c in ("'", '"'):
-            if quote == c and text[i : i + 2] == c + c:
-                cur.append(c + c)
-                i += 2
-                continue
-            if not quote:
-                quote = c
-            elif quote == c:
-                quote = ""
+    fail Spark's parser. Tokenization is the shared scanner
+    (:func:`quackpipe_spark.sqltext.scan_segments`) — the same lexing
+    rules as the pruner and the dialect rewriter, so the three can't
+    drift apart again (the round-9/10 scanner-desync findings)."""
+    from quackpipe_spark.sqltext import scan_segments
+
+    out: list[str] = []
+    cur: list[str] = []
+    has_code = False
+    for kind, a, b in scan_segments(text):
+        seg = text[a:b]
+        if kind == "lit":
+            cur.append(seg)
             has_code = True
-            cur.append(c)
-        elif c == ";" and not quote:
-            if has_code:
-                out.append("".join(cur))
-            cur, has_code = [], False
+        elif kind == "comment":
+            cur.append(seg)
         else:
-            if not c.isspace():
-                has_code = True
-            cur.append(c)
-        i += 1
+            pieces = seg.split(";")
+            for idx, p in enumerate(pieces):
+                if idx:  # a ';' statement boundary precedes this piece
+                    if has_code:
+                        out.append("".join(cur))
+                    cur, has_code = [], False
+                if p:
+                    cur.append(p)
+                    if not has_code and p.strip():
+                        has_code = True
     if has_code:
         out.append("".join(cur))
     return [s.strip() for s in out if s.strip()]
@@ -107,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
         qe = QueryEngine(spark, Catalog(args.root))
         for stmt in split_statements(sys.stdin.read()):
             df = qe.sql(stmt, db=args.db)
-            for row in df.collect():
+            # toLocalIterator: one partition in driver memory at a time —
+            # a bootstrap script can SELECT an entire table without an
+            # unbounded driver materialization
+            for row in df.toLocalIterator():
                 print("\t".join(str(v) for v in row))
         return 0
     from quackpipe_spark.api import GigapiServer

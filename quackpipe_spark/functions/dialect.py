@@ -197,24 +197,37 @@ def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) 
 
 
 _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
-# literal-aware split capturing BOTH quote styles (odd parts = literals;
-# ''/"" doubling stays inside one token) — Spark's default parses "…" as
-# a string literal, not an identifier
-# backslash escapes are live under Spark's default parser — a split that
-# misses \' would treat literal content as code (rewriting user data and
-# even fetching read_parquet URLs found inside strings)
-_LITERAL_SPLIT = re.compile(
-    r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")"
-)
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the
 # /query path) intercepts the call first and honors union_by_name /
 # hive_partitioning / filename through a configured reader view.
+# Matched against BLANKED text (literal contents are spaces there), so
+# the path group is [^']+ of spaces whose TRUE value is read from the
+# original string at the same span.
 _READ_PARQUET = re.compile(
     r"\bread_parquet\s*\(\s*'([^']+)'(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\w+))*\s*\)",
     re.IGNORECASE,
 )
+
+
+def _sub_on_blanked(sql: str, pattern: re.Pattern, repl) -> str:
+    """Apply ``pattern`` → ``repl(match)`` where matches are FOUND in
+    the comment+literal-blanked view of ``sql`` (so a ``count()`` or
+    ``read_parquet('…')`` inside a string literal or a comment is
+    invisible — it is user data / dead text, not code) but replacement
+    spans are cut from the ORIGINAL string. ``repl`` receives the match
+    (offsets valid in both views) and the original string."""
+    from quackpipe_spark.sqltext import blank_noncode
+
+    blanked = blank_noncode(sql)
+    out, last = [], 0
+    for m in pattern.finditer(blanked):
+        out.append(sql[last : m.start()])
+        out.append(repl(m, sql))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def rewrite_sql(sql: str) -> str:
@@ -225,45 +238,27 @@ def rewrite_sql(sql: str) -> str:
       http(s) URLs fetch through the local cache and s3:// normalizes to
       s3a:// first (the reference's httpfs idiom, BENCHMARK.md:11).
 
-    Rewrites are applied OUTSIDE string literals only — BOTH quote
-    styles: Spark parses double quotes as string literals too (the
-    doubleQuotedIdentifiers conf is off), so a predicate like
-    ``msg = "count()"`` is user data; rewriting it would silently change
-    which rows match (and a ``read_parquet('https://…')`` inside a
-    double-quoted string would even trigger a driver-side fetch at
-    rewrite time).
+    Rewrites apply to CODE only. Matches are located in the
+    comment+literal-blanked view (:mod:`quackpipe_spark.sqltext` — the
+    one scanner shared with the pruner and the stdin splitter), so a
+    predicate like ``msg = "count()"`` is user data and never touched,
+    a ``read_parquet('https://…')`` inside any literal never triggers a
+    driver-side fetch, and — the round-10 advice finding — an
+    apostrophe inside a ``--`` comment (``-- don't``) cannot flip quote
+    parity and expose a real literal's contents as code.
     """
     from quackpipe_spark.sources.remote import resolve_scan_path
 
-    # count() lives entirely in code, so rewrite the CODE parts of a
-    # literal-aware split (odd parts are quoted literals; ''/"" escapes
-    # stay inside one token) — a 'count()' inside a literal is user data
-    # and never touched
-    parts = _LITERAL_SPLIT.split(sql)
-    for i in range(0, len(parts), 2):
-        parts[i] = _COUNT_NOARG.sub("count(*)", parts[i])
-    sql = "".join(parts)
+    # count() lives entirely in code; each count()→count(*) shifts
+    # offsets +1, so the read_parquet pass re-blanks afterwards
+    sql = _sub_on_blanked(sql, _COUNT_NOARG, lambda m, s: "count(*)")
 
     # read_parquet('p') STARTS in code but its path argument is a
-    # literal the regex must consume, so it can't run per-part; literal
-    # spans are recomputed on the count()-rewritten string (each
-    # count()→count(*) pass shifts offsets +1 — spans computed before
-    # it would mark code as literal and skip real calls)
-    parts = _LITERAL_SPLIT.split(sql)
-    lit_spans = []
-    pos = 0
-    for i, p in enumerate(parts):
-        if i % 2 == 1:
-            lit_spans.append((pos, pos + len(p)))
-        pos += len(p)
-
-    def _in_literal(idx: int) -> bool:
-        return any(a <= idx < b for a, b in lit_spans)
-
-    sql = _READ_PARQUET.sub(
-        lambda m: m.group(0)
-        if _in_literal(m.start())
-        else f"parquet.`{resolve_scan_path(m.group(1))}`",
+    # literal: the shape matches on the blanked view and the true path
+    # is re-read from the original at the group span (offsets are
+    # preserved by blanking)
+    return _sub_on_blanked(
         sql,
+        _READ_PARQUET,
+        lambda m, s: f"parquet.`{resolve_scan_path(s[m.start(1):m.end(1)])}`",
     )
-    return sql

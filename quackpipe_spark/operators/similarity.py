@@ -61,10 +61,34 @@ def _list_mat(arr) -> np.ndarray:
     """Arrow list<numeric> array (fixed row length, no nulls — callers
     filter ragged/null vectors upstream) → (n, dims) float64 matrix via
     the flat values buffer. ``flatten()`` honors slice offsets, so a
-    sliced batch reshapes correctly."""
+    sliced batch reshapes correctly.
+
+    The contract is CHECKED, not assumed: ``flatten()`` silently DROPS
+    a null row's slot and ``reshape(len, -1)`` still succeeds whenever
+    the remaining value count happens to divide — one null or ragged
+    vector would shear every subsequent row into a garbage matrix with
+    no error (wrong cell assignments, wrong cosines). The old pandas
+    path (``np.array(vecs.tolist())``) failed loudly on the same
+    violation; this one must too."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
+    if arr.null_count:
+        raise ValueError(
+            f"_list_mat: embedding column has {arr.null_count} null row(s); "
+            "callers must filter null vectors before the kernel"
+        )
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    if len(arr) == 0:
+        return flat.reshape(0, 0)
+    # exact per-row length check — a total that happens to divide (row
+    # lengths 2,3,1 over 3 rows) would still reshape into garbage
+    lens = np.asarray(arr.value_lengths(), dtype=np.int64)
+    if lens.min() != lens.max():
+        raise ValueError(
+            f"_list_mat: ragged embedding column (row lengths "
+            f"{lens.min()}..{lens.max()}); fixed row length is a precondition"
+        )
+    return flat.reshape(len(arr), -1)
 
 
 def dot(a, b) -> Column:

@@ -124,31 +124,22 @@ _WHERE_SCOPE_END = re.compile(
 )  # SORT/DISTRIBUTE/CLUSTER BY are Spark's hive-style tails — a bound
 # there is a sort/partition key, not a row filter. A COLUMN named e.g.
 # `sort` ends the scope early too: that only under-prunes (conservative).
-# literal tokens honor BOTH escape conventions live under Spark's default
-# parser: backslash escapes (escapedStringLiterals=false) AND ''/""
-# doubling — missing the backslash form desyncs the split and lets string
-# data fabricate a bound (the round-9 fix-the-fixes finding)
-_LIT_SPLIT = re.compile(
-    r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")"
-)
-
-
 def _blank_literals(sql: str) -> str:
-    """Replace the CONTENTS of string literals — BOTH quote styles, since
-    Spark parses double quotes as string literals too (''/"" doubling
-    stays inside one token) — with spaces, preserving every offset. All
-    keyword scanning (WHERE position, clause terminators, unsafe
-    constructs, FROM/JOIN relations) runs over this blanked text so user
-    data like ``note = "WHERE __timestamp >= 1"`` can neither move the
-    scanned scope nor fabricate a bound (a fabricated bound PRUNES —
-    silent missing rows); bound VALUES are then re-read from the
-    original string at the matched span (epoch_ns('…') keeps its
-    timestamp literal)."""
-    parts = _LIT_SPLIT.split(sql)
-    for i in range(1, len(parts), 2):
-        q = parts[i][0]
-        parts[i] = q + " " * (len(parts[i]) - 2) + q
-    return "".join(parts)
+    """Replace the CONTENTS of string literals (BOTH quote styles,
+    ``''``/``""`` doubling AND backslash escapes handled) and ENTIRE
+    comment spans (``--``-to-EOL, nested ``/* */``) with spaces,
+    preserving every offset — one shared scanner,
+    :func:`quackpipe_spark.sqltext.blank_noncode`. All keyword scanning
+    (WHERE position, clause terminators, unsafe constructs, FROM/JOIN
+    relations) runs over this blanked text so neither string data like
+    ``note = "WHERE __timestamp >= 1"`` nor a commented-out predicate
+    like ``-- AND __timestamp >= x`` can move the scanned scope or
+    fabricate a bound (a fabricated bound PRUNES — silent missing
+    rows); bound VALUES are then re-read from the original string at
+    the matched span (epoch_ns('…') keeps its timestamp literal)."""
+    from quackpipe_spark.sqltext import blank_noncode
+
+    return blank_noncode(sql)
 
 
 def _where_scope(blanked: str) -> tuple[int, int] | None:
@@ -471,6 +462,74 @@ def _cte_bounds(
     }
 
 
+_FROM_DERIVED = re.compile(r"\b(?:FROM|JOIN)\s*\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _derived_bounds(
+    sql: str, blanked: str, tables: list[str]
+) -> dict[str, tuple[int | None, int | None]]:
+    """Per-table bounds for the ONE-derived-table family
+    ``SELECT … FROM ( SELECT … WHERE __timestamp >= X ) t …`` — the
+    derived-table spelling of the CTE chain :func:`_cte_bounds` already
+    prunes (the reference prunes by time range regardless of SQL shape,
+    README.md:115). The subquery body and the outer query are two
+    independent select scopes, each analyzed by :func:`_scope_bounds`
+    under the same guards as CTE bodies.
+
+    Soundness: a WHERE conjunct of the subquery filters THAT scope's
+    own table read in every consuming context — files wholly outside
+    the bound contain only rows the scope's WHERE rejects, so the
+    subquery's output (and anything composed on top of it, set-ops and
+    NOT EXISTS included) is byte-identical after pruning. The global
+    reference count (inner + outer scopes summed) keeps the self-join
+    guard: a table read by more than one relation entry anywhere in the
+    statement is never pruned. The derived alias is invisible to
+    _relations (no FROM/JOIN-introduced name), so an alias that shadows
+    a real table name (``FROM (SELECT … FROM orders) events``) can
+    never attribute an outer bound to the real table.
+
+    Refused outright (→ {}): zero or 2+ ``FROM/JOIN ( SELECT`` groups
+    (covers nested derived tables and derived-JOIN-derived), an
+    unterminated group, and any scope with a comma-join."""
+    if not tables:
+        return {}
+    groups: list[tuple[int, int]] = []
+    for m in _FROM_DERIVED.finditer(blanked):
+        open_idx = blanked.index("(", m.start())
+        close = _match_paren(blanked, open_idx)
+        if close < 0:
+            return {}
+        groups.append((open_idx + 1, close))
+    if len(groups) != 1:
+        return {}
+    a, b = groups[0]
+    canon = {t.lower(): t for t in tables}
+    inner = _scope_bounds(sql[a:b], blanked[a:b], canon, frozenset())
+    # the outer scope sees the group's interior as whitespace (offsets
+    # preserved so bound literals still re-read from the original)
+    pad = " " * (b - a)
+    outer = _scope_bounds(
+        sql[:a] + pad + sql[b:], blanked[:a] + pad + blanked[b:], canon, frozenset()
+    )
+    if inner is None or outer is None:
+        return {}
+    merged: dict[str, tuple[int | None, int | None]] = {}
+    grefs: dict[str, int] = {}
+    for sbounds, scounts in (inner, outer):
+        for t, n in scounts.items():
+            grefs[t] = grefs.get(t, 0) + n
+        for t, (lo, hi) in sbounds.items():
+            plo, phi = merged.get(t, (None, None))
+            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+            merged[t] = (lo, hi)
+    return {
+        canon[t]: bh
+        for t, bh in merged.items()
+        if grefs.get(t, 0) == 1 and t in canon
+    }
+
+
 def extract_time_bounds_per_table(
     sql: str, tables: list[str]
 ) -> dict[str, tuple[int | None, int | None]]:
@@ -507,11 +566,11 @@ def extract_time_bounds_per_table(
     blanked = _blank_literals(sql)
     if _WITH_HEAD.match(blanked):
         return _cte_bounds(sql, blanked, tables)
-    if (
-        _PRUNE_UNSAFE.search(blanked)
-        or len(_SELECT_KW.findall(blanked)) > 1
-        or _comma_join_present(blanked)
-    ):
+    if len(_SELECT_KW.findall(blanked)) > 1:
+        # multi-SELECT: the one-derived-table family analyzes per scope
+        # (each scope under the same guards); every other shape refuses
+        return _derived_bounds(sql, blanked, tables)
+    if _PRUNE_UNSAFE.search(blanked) or _comma_join_present(blanked):
         return {}
     span = _where_scope(blanked)
     if span is None:

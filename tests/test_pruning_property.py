@@ -65,7 +65,7 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 7))
+    shape = draw(st.integers(0, 11))
     if shape == 0:
         return f"SELECT count(*) AS n, sum(v) AS s FROM ev WHERE {where}"
     if shape == 1:  # projected comparison + real filter
@@ -97,10 +97,35 @@ def query(draw):
             f'SELECT count(*) AS n FROM ev '
             f'WHERE k >= 0 AND "x {p1}" != "y" AND {p2}'
         )
-    return (  # Spark SORT BY tail carrying a comparison
-        f"SELECT v, __timestamp {draw(cmp_op)} {draw(bound_val)} AS flag "
-        f"FROM ev WHERE {p1} SORT BY {p2}"
-    )
+    if shape == 7:  # Spark SORT BY tail carrying a comparison
+        return (
+            f"SELECT v, __timestamp {draw(cmp_op)} {draw(bound_val)} AS flag "
+            f"FROM ev WHERE {p1} SORT BY {p2}"
+        )
+    if shape == 8:  # derived-table bound (round-10 reach)
+        return (
+            f"SELECT count(*) AS n, sum(v) AS s FROM "
+            f"(SELECT * FROM ev WHERE {where}) t"
+        )
+    if shape == 9:  # derived + join, qualified outer bound
+        return (
+            f"SELECT count(*) AS n FROM (SELECT * FROM ev WHERE {p1}) t "
+            f"JOIN aux a ON t.k = a.k "
+            f"WHERE a.__timestamp {draw(cmp_op)} {draw(bound_val)}"
+        )
+    if shape == 10:  # derived reading the SAME table as outer (no prune)
+        return (
+            f"SELECT count(*) AS n FROM (SELECT k FROM ev WHERE {p1}) t "
+            f"JOIN ev e ON t.k = e.k WHERE e.__timestamp {draw(cmp_op)} {draw(bound_val)}"
+        )
+    # comments carrying bound-shaped text (round-10 advice: a commented
+    # predicate must never fabricate a live bound)
+    style = draw(st.integers(0, 2))
+    if style == 0:
+        return f"SELECT count(*) AS n FROM ev WHERE {p1} -- AND {p2}"
+    if style == 1:
+        return f"SELECT count(*) AS n FROM ev WHERE {p1} /* {p2} */ AND {p2}"
+    return f"SELECT count(*) AS n FROM ev -- don't\nWHERE {p1}"
 
 
 @settings(

@@ -652,3 +652,116 @@ def test_cte_query_prunes_files_end_to_end(spark, tmp_path):
         .collect()[0]["s"]
         == 6
     )
+
+
+def test_derived_table_bounds_prune():
+    """round-10: `FROM (SELECT … WHERE __timestamp >= X) t` prunes like
+    the CTE spelling — the reference prunes by time range regardless of
+    SQL shape (README.md:115)."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    assert ex(
+        "SELECT count(*) AS n FROM "
+        "(SELECT * FROM events WHERE __timestamp >= 100 AND __timestamp < 200) t",
+        ["events"],
+    ) == {"events": (100, 200)}
+    # derived JOIN real table: inner bound + qualified outer bound
+    assert ex(
+        "SELECT count(*) AS n FROM "
+        "(SELECT * FROM events WHERE __timestamp >= 100) t "
+        "JOIN orders o ON t.k = o.k WHERE o.__timestamp < 50",
+        ["events", "orders"],
+    ) == {"events": (100, None), "orders": (None, 50)}
+    # JOIN-introduced derived table
+    assert ex(
+        "SELECT count(*) AS n FROM orders o JOIN "
+        "(SELECT * FROM events WHERE __timestamp > 7) t ON o.k = t.k",
+        ["events", "orders"],
+    ) == {"events": (7, None)}
+
+
+def test_derived_table_bounds_refused_shapes():
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # nested derived tables → two FROM-( groups → refuse
+    assert ex(
+        "SELECT * FROM (SELECT * FROM "
+        "(SELECT * FROM events WHERE __timestamp >= 5) u) t",
+        ["events"],
+    ) == {}
+    # two derived tables → refuse
+    assert ex(
+        "SELECT * FROM (SELECT k FROM events WHERE __timestamp >= 5) a "
+        "JOIN (SELECT k FROM orders WHERE __timestamp >= 5) b ON a.k = b.k",
+        ["events", "orders"],
+    ) == {}
+    # same table read by inner AND outer → self-join hazard → no prune
+    assert ex(
+        "SELECT count(*) AS n FROM "
+        "(SELECT k FROM events WHERE __timestamp >= 100) t "
+        "JOIN events e ON t.k = e.k",
+        ["events"],
+    ) == {}
+    # alias shadowing a real table name: outer bound must NOT attribute
+    # to the real table through the alias
+    assert ex(
+        "SELECT * FROM (SELECT * FROM orders WHERE k = 1) events "
+        "WHERE events.__timestamp >= 5",
+        ["events", "orders"],
+    ) == {}
+    # unqualified OUTER bound never attributes through the derived wall
+    assert ex(
+        "SELECT * FROM (SELECT * FROM events) t WHERE __timestamp >= 5",
+        ["events"],
+    ) == {}
+    # unsafe construct INSIDE the subquery refuses its bounds
+    assert ex(
+        "SELECT * FROM "
+        "(SELECT * FROM events WHERE __timestamp >= 5 OR k = 1) t",
+        ["events"],
+    ) == {}
+    # IN (SELECT …) is not a derived table — still refused outright
+    assert ex(
+        "SELECT * FROM events WHERE __timestamp >= 5 "
+        "AND k IN (SELECT k FROM orders)",
+        ["events", "orders"],
+    ) == {}
+    # comma-join anywhere still disables everything
+    assert ex(
+        "SELECT * FROM (SELECT * FROM events WHERE __timestamp >= 5) t, orders",
+        ["events", "orders"],
+    ) == {}
+
+
+def test_derived_query_prunes_files_end_to_end(spark, tmp_path):
+    """The derived-table spelling reads only the overlapping files and
+    matches the unpruned plan."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine, extract_time_bounds_per_table
+
+    NS = 10**9
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    t0 = 1_700_000_000 * NS
+    svc.store("d", "ev", {"v": [1, 2], "__timestamp": [t0, t0 + NS]})
+    svc.flush()
+    svc.store("d", "ev", {"v": [3], "__timestamp": [t0 + 86_400 * NS]})
+    svc.flush()
+    qe = QueryEngine(spark, cat)
+    tbl = cat.get("d", "ev")
+    assert len(qe.table_files(tbl)) == 2
+
+    q = (
+        f"SELECT sum(v) AS s FROM "
+        f"(SELECT * FROM ev WHERE __timestamp >= {t0 + 86_000 * NS}) recent"
+    )
+    assert qe.sql(q, db="d").collect()[0]["s"] == 3
+    bounds = extract_time_bounds_per_table(q, ["ev"])
+    assert bounds == {"ev": (t0 + 86_000 * NS, None)}
+    assert len(qe.table_files(tbl, *bounds["ev"])) == 1
+    assert (
+        qe.sql("SELECT sum(v) AS s FROM (SELECT * FROM ev) t", db="d")
+        .collect()[0]["s"]
+        == 6
+    )
