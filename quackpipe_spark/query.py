@@ -643,6 +643,22 @@ class QueryEngine:
         # so the view's file list is captured before the lock releases and
         # execution/collect proceeds unlocked.
         self._sql_lock = threading.Lock()
+        # Bounded LRU of analyzed plans for the /query serving path:
+        # (db, rewritten SQL, session tz, per-table pruned FILE LISTS) →
+        # DataFrame. Keying on the resolved file lists makes staleness
+        # impossible by construction — ingest/compaction changes a
+        # table's file set, so the next identical query MISSES and
+        # re-analyzes; no invalidation hooks to get wrong. A hit skips
+        # parse+analyze+optimize AND (after the first action) Spark's
+        # memoized physical plan + AQE adaptation — the per-call
+        # compile/schedule floor BASELINE.md pins at ~0.1–0.3 s, while
+        # DuckDB re-plans in single-digit ms. bench.py does not route
+        # through QueryEngine.sql, so the honest bench still compiles
+        # fresh per rep.
+        from collections import OrderedDict
+
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._plan_cache_cap = 64
         register_dialect(spark)
         # epoch_ns('…') literals evaluate in the SESSION timezone inside
         # Catalyst while the pruner parses them as UTC — pin UTC (the
@@ -655,6 +671,50 @@ class QueryEngine:
         # (tz is re-checked per query — see _prune_ok(); a client can
         # mutate the session timezone at runtime, even via POST /query
         # itself, after which UTC-parsed bounds would mismatch Catalyst.)
+
+    # time-dependent or nondeterministic expressions: a cached
+    # DataFrame's optimized plan is memoized by Spark, so Catalyst's
+    # ComputeCurrentTime fold would freeze now()/current_date at first
+    # execution and rand()/uuid() would replay a fixed seed — a repeat
+    # query must keep per-call semantics, so these never cache.
+    # TABLESAMPLE (seedless) is nondeterministic too.
+    _CACHE_UNSAFE = re.compile(
+        r"\b(?:now|rand|randn|random|uuid|shuffle|monotonically_increasing_id"
+        r"|input_file_name|spark_partition_id)\s*\("
+        r"|\b(?:current_timestamp|current_date|localtimestamp|current_timezone"
+        r"|current_user|session_user|tablesample)\b"
+        r"|\bunix_timestamp\s*\(\s*\)",
+        re.IGNORECASE,
+    )
+    _NAME_AS_PAREN = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+    def _plan_cacheable(self, query: str, catalog_names: set[str]) -> bool:
+        """True when a repeat of ``query`` may serve the cached
+        DataFrame. Requirements: a plain SELECT/WITH statement (commands
+        — SET/CREATE/INSERT/… — execute eagerly inside spark.sql, so a
+        cache hit would silently skip re-execution), no time-dependent
+        or nondeterministic expressions (see _CACHE_UNSAFE), and every
+        FROM/JOIN relation resolves to a catalog table (whose file list
+        is in the key) or a name defined in the query itself (CTE) — an
+        unknown name is a session temp view or path table whose contents
+        the key can't pin."""
+        from quackpipe_spark.sqltext import blank_noncode
+
+        blanked = blank_noncode(query)
+        if not re.match(r"\s*(SELECT|WITH)\b", blanked, re.IGNORECASE):
+            return False
+        if self._CACHE_UNSAFE.search(blanked) or "parquet.`" in query:
+            return False
+        local = {m.group(1).lower() for m in self._NAME_AS_PAREN.finditer(blanked)}
+        for m in _FROM_JOIN.finditer(blanked):
+            if "." in m.group(1):
+                # a qualified name bypasses the bare temp view — resolves
+                # in the session catalog, whose contents the key can't pin
+                return False
+            name = m.group(1).lower()
+            if name not in catalog_names and name not in local:
+                return False
+        return True
 
     def _prune_ok(self) -> bool:
         """Time pruning is safe only under a UTC session — checked PER
@@ -683,8 +743,15 @@ class QueryEngine:
                 out.append(os.path.join(pdir, entry.name))
         return out
 
-    def table_df(self, table: Table, lo: int | None = None, hi: int | None = None) -> DataFrame:
-        files = self.table_files(table, lo, hi)
+    def table_df(
+        self,
+        table: Table,
+        lo: int | None = None,
+        hi: int | None = None,
+        files: list[str] | None = None,
+    ) -> DataFrame:
+        if files is None:
+            files = self.table_files(table, lo, hi)
         if not files:
             # empty relation with the table's known schema PLUS the hive
             # partition columns a non-empty read would discover (date
@@ -789,10 +856,39 @@ class QueryEngine:
         if self._prune_ok() and refs:
             bounds = extract_time_bounds_per_table(query, [t.name for t in refs])
         with self._sql_lock:
+            per_table: list[tuple[Table, list[str]]] = []
             for t in refs:
                 tracks_ts = (
                     t.order_by[0] if t.order_by else "__timestamp"
                 ) == "__timestamp"
                 lo, hi = bounds.get(t.name, (None, None)) if tracks_ts else (None, None)
-                self.table_df(t, lo, hi).createOrReplaceTempView(t.name)
-            return self.spark.sql(query)
+                per_table.append((t, self.table_files(t, lo, hi)))
+            key = None
+            if self._plan_cacheable(query, {t.name.lower() for t in refs}):
+                try:
+                    tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+                except Exception:
+                    tz = ""
+                key = (
+                    db,
+                    query,
+                    tz,
+                    tuple(
+                        # file list pins the scan; schema+partition_by pin
+                        # the empty-relation DataFrame shape when no files
+                        (t.name, tuple(files), tuple(t.schema.items()), tuple(t.partition_by))
+                        for t, files in per_table
+                    ),
+                )
+                hit = self._plan_cache.get(key)
+                if hit is not None:
+                    self._plan_cache.move_to_end(key)
+                    return hit
+            for t, files in per_table:
+                self.table_df(t, files=files).createOrReplaceTempView(t.name)
+            df = self.spark.sql(query)
+            if key is not None:
+                self._plan_cache[key] = df
+                if len(self._plan_cache) > self._plan_cache_cap:
+                    self._plan_cache.popitem(last=False)
+            return df

@@ -1,0 +1,91 @@
+"""Serving-path plan cache (QueryEngine.sql LRU): a repeat query serves
+the SAME analyzed DataFrame (skipping parse/analyze/optimize and Spark's
+memoized physical plan), while ingest/compaction invalidate by
+construction — the key carries each referenced table's pruned FILE LIST,
+so a changed file set can never hit. Commands, nondeterministic
+expressions, and relations the key can't pin are never cached."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def qe(spark, tmp_path):
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    svc.store("d", "ev", {"v": [1, 2, 3], "__timestamp": [10, 20, 30]})
+    svc.flush()
+    engine = QueryEngine(spark, cat)
+    engine._ingest = svc  # test handle
+    return engine
+
+
+def test_repeat_query_hits_and_returns_same_rows(qe):
+    q = "SELECT sum(v) AS s FROM ev WHERE __timestamp >= 15"
+    df1 = qe.sql(q, db="d")
+    assert df1.collect()[0]["s"] == 5
+    df2 = qe.sql(q, db="d")
+    assert df2 is df1  # cache hit: the identical analyzed plan
+    assert df2.collect()[0]["s"] == 5
+    # a different bound is a different key (and different files possibly)
+    df3 = qe.sql("SELECT sum(v) AS s FROM ev WHERE __timestamp >= 25", db="d")
+    assert df3 is not df1
+
+
+def test_ingest_invalidates_by_file_list(qe):
+    q = "SELECT sum(v) AS s FROM ev"
+    assert qe.sql(q, db="d").collect()[0]["s"] == 6
+    qe._ingest.store("d", "ev", {"v": [100], "__timestamp": [40]})
+    qe._ingest.flush()
+    # same text, new file set → MISS → new rows visible
+    assert qe.sql(q, db="d").collect()[0]["s"] == 106
+
+
+def test_commands_and_nondeterminism_never_cache(qe):
+    names = {"ev"}
+    ok = qe._plan_cacheable
+    assert ok("SELECT v FROM ev", names)
+    assert ok("WITH a AS (SELECT v FROM ev) SELECT * FROM a", names)
+    # commands execute eagerly inside spark.sql — a hit would skip them
+    assert not ok("SET spark.sql.session.timeZone=UTC", names)
+    assert not ok("CREATE TEMP VIEW x AS SELECT 1", names)
+    assert not ok("INSERT INTO ev VALUES (1, 2)", names)
+    assert not ok("EXPLAIN SELECT v FROM ev", names)
+    # time-dependent / nondeterministic must stay per-call
+    assert not ok("SELECT now() AS t FROM ev", names)
+    assert not ok("SELECT current_date FROM ev", names)
+    assert not ok("SELECT rand() FROM ev", names)
+    assert not ok("SELECT unix_timestamp() FROM ev", names)
+    assert not ok("SELECT * FROM ev TABLESAMPLE (10 PERCENT)", names)
+    # ...but the same tokens inside literals/comments are fine
+    assert ok("SELECT v FROM ev WHERE note = 'now()' -- rand()", names)
+    assert ok("SELECT unix_timestamp(note) FROM ev", names)
+    # relations the key can't pin: session views, qualified names, paths
+    assert not ok("SELECT * FROM some_session_view", names)
+    assert not ok("SELECT * FROM db1.ev", names)
+    assert not ok("SELECT * FROM parquet.`/tmp/x`", names)
+    # WITHDRAWALS is not WITH
+    assert not ok("WITHDRAWALS", names)
+
+
+def test_cache_is_bounded(qe):
+    for i in range(qe._plan_cache_cap + 8):
+        qe.sql(f"SELECT v + {i} AS v2 FROM ev", db="d")
+    assert len(qe._plan_cache) <= qe._plan_cache_cap
+
+
+def test_tz_change_misses(qe):
+    q = "SELECT count(*) AS n FROM ev"
+    df1 = qe.sql(q, db="d")
+    tz = qe.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        qe.spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df2 = qe.sql(q, db="d")
+        assert df2 is not df1
+    finally:
+        qe.spark.conf.set("spark.sql.session.timeZone", tz)
