@@ -33,15 +33,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
-    rows = []
-    for i in range(n_lines):
+    def _line(i: int) -> str:
         s = i % n_schemas
         fields = ",".join(f"f{j}={i}.5" for j in range(s + 1))
-        rows.append(f"m{s},host=h{i % 50} {fields} {1_700_000_000_000_000_000 + i}")
+        return f"m{s},host=h{i % 50} {fields} {1_700_000_000_000_000_000 + i}"
 
     # driver-side per-line cost (fast path; escaped variant for the
     # general scanner)
-    sample = rows[:20_000]
+    sample = [_line(i) for i in range(min(n_lines, 20_000))]
     t0 = time.perf_counter()
     for r in sample:
         parse_line(r)
@@ -52,11 +51,34 @@ def main() -> None:
         parse_line(r)
     gen_us = (time.perf_counter() - t0) / len(esc) * 1e6
 
-    ldf = (
-        spark.createDataFrame([(r,) for r in rows], "value string")
-        .repartition(32)
-        .persist()
-    )
+    if n_lines > 1_000_000:
+        # corpus generated EXECUTOR-side with the same formula (a
+        # driver list-of-tuples at 20M lines spends minutes in pickle
+        # transfer before the first parse) — bigint concat renders
+        # without scientific notation, so lines are byte-identical to
+        # the driver build
+        from pyspark.sql import functions as F
+
+        ldf = (
+            spark.range(n_lines)
+            .select(
+                F.expr(
+                    f"concat('m', pmod(id, {n_schemas}), ',host=h', pmod(id, 50), ' ', "
+                    f"array_join(transform(sequence(0, cast(pmod(id, {n_schemas}) as int)), "
+                    f"j -> concat('f', j, '=', id, '.5')), ','), "
+                    f"' ', id + 1700000000000000000)"
+                ).alias("value")
+            )
+            .repartition(32)
+            .persist()
+        )
+    else:
+        rows = [_line(i) for i in range(n_lines)]
+        ldf = (
+            spark.createDataFrame([(r,) for r in rows], "value string")
+            .repartition(32)
+            .persist()
+        )
     ldf.count()
     acc = spark.sparkContext.accumulator(0)
     t0 = time.perf_counter()

@@ -1,0 +1,174 @@
+"""Scale-run harness (round 10): turn the 100TB story from plan-shape
+argument into measurement.
+
+Modes:
+
+  python bench_scale.py compare SMALL.json SCALED.json AMP
+      Join two bench.py outputs (same query set, AMP× data) into one
+      JSON line: per-query seconds at both scales, the scaled/small
+      ratio, and the WORK ratio (time ratio / AMP — <1 means the query
+      is cheaper per row at scale, i.e. the sf0.1 number was fixed
+      per-action floor; >1 means superlinear growth worth diagnosing).
+
+  python bench_scale.py prune-stress [N_FILES]
+      Build a real hive store with N_FILES flushed files (default
+      1500), then measure: per-partition index resolution time, a
+      narrow time-bounded query (should touch ~1 file), and the same
+      query with pruning disabled — the thousands-of-files pruner
+      claim, measured instead of argued.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+
+def compare(small_path: str, scaled_path: str, amp: float) -> dict:
+    with open(small_path) as f:
+        small = json.load(f)
+    with open(scaled_path) as f:
+        scaled = json.load(f)
+    qs = sorted(set(small["queries"]) & set(scaled["queries"]))
+    missing = sorted(
+        set(small["queries"]) ^ set(scaled["queries"])
+    )
+    rows = {}
+    for q in qs:
+        s, g = small["queries"][q], scaled["queries"][q]
+        ratio = round(g / s, 2) if s > 0 else None
+        rows[q] = {
+            "small_s": s,
+            "scaled_s": g,
+            "ratio": ratio,
+            "work_ratio": round(ratio / amp, 3) if ratio is not None else None,
+        }
+    superlinear = sorted(
+        (q for q, r in rows.items() if r["ratio"] is not None and r["ratio"] > amp),
+        key=lambda q: -rows[q]["ratio"],
+    )
+    out = {
+        "metric": "scale_ratio",
+        "amp": amp,
+        "unit": "sec",
+        "small_total": small["value"],
+        "scaled_total": scaled["value"],
+        "total_ratio": round(scaled["value"] / small["value"], 2),
+        "queries": rows,
+        "superlinear": superlinear,
+    }
+    if missing:
+        out["not_compared"] = missing
+    for k in ("failures", "partial_reps"):
+        for name, src in (("small", small), ("scaled", scaled)):
+            if src.get(k):
+                out[f"{name}_{k}"] = src[k]
+    return out
+
+
+def prune_stress(n_files: int) -> dict:
+    import tempfile
+
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.session import get_spark
+
+    spark = get_spark(app_name="quackpipe_prune_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="prune_stress_")
+    cat = Catalog(root)
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    NS = 10**9
+    t0_ns = 1_700_000_000 * NS
+    rows_per_file = 2_000
+    t_build0 = time.perf_counter()
+    for i in range(n_files):
+        # one file per HOUR bucket → n_files distinct hive partitions,
+        # each with its own metadata.json — the worst resolution shape
+        base = t0_ns + i * 3600 * NS
+        svc.store(
+            "d",
+            "ev",
+            {
+                "v": list(range(rows_per_file)),
+                "__timestamp": [base + j * 1000 for j in range(rows_per_file)],
+            },
+        )
+        svc.flush()
+    build_s = time.perf_counter() - t_build0
+    qe = QueryEngine(spark, cat)
+    tbl = cat.get("d", "ev")
+
+    t0 = time.perf_counter()
+    all_files = qe.table_files(tbl)
+    resolve_all_s = time.perf_counter() - t0
+    assert len(all_files) == n_files, (len(all_files), n_files)
+
+    lo = t0_ns + (n_files // 2) * 3600 * NS
+    hi = lo + 3600 * NS - 1
+    t0 = time.perf_counter()
+    pruned_files = qe.table_files(tbl, lo, hi)
+    resolve_pruned_s = time.perf_counter() - t0
+
+    q = f"SELECT count(*) AS n, sum(v) AS s FROM ev WHERE __timestamp BETWEEN {lo} AND {hi}"
+
+    def _run(disable_prune: bool) -> float:
+        ts = []
+        for _ in range(5):
+            qe._plan_cache.clear()
+            if disable_prune:
+                import quackpipe_spark.query as Q
+
+                orig = Q.extract_time_bounds_per_table
+                Q.extract_time_bounds_per_table = lambda sql, tables: {}
+                try:
+                    t0 = time.perf_counter()
+                    r = qe.sql(q, db="d").collect()
+                finally:
+                    Q.extract_time_bounds_per_table = orig
+            else:
+                t0 = time.perf_counter()
+                r = qe.sql(q, db="d").collect()
+            assert r[0]["n"] == rows_per_file
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    pruned_s = _run(False)
+    unpruned_s = _run(True)
+    # plan-cache repeat over the big store
+    qe.sql(q, db="d").collect()
+    t0 = time.perf_counter()
+    qe.sql(q, db="d").collect()
+    cached_s = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "metric": "prune_stress",
+        "n_files": n_files,
+        "rows_per_file": rows_per_file,
+        "build_s": round(build_s, 1),
+        "resolve_all_files_s": round(resolve_all_s, 4),
+        "resolve_pruned_files_s": round(resolve_pruned_s, 4),
+        "files_pruned_to": len(pruned_files),
+        "narrow_query_pruned_s": round(pruned_s, 3),
+        "narrow_query_unpruned_s": round(unpruned_s, 3),
+        "prune_speedup": round(unpruned_s / pruned_s, 1),
+        "repeat_query_cached_s": round(cached_s, 3),
+    }
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode == "compare":
+        print(json.dumps(compare(sys.argv[2], sys.argv[3], float(sys.argv[4]))))
+    elif mode == "prune-stress":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+        print(json.dumps(prune_stress(n)))
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -327,7 +327,21 @@ def blocked_near_pairs(
     assign_round_to = 6
 
     sz = plan_size_bytes(corpus)
-    if sz is not None and sz < (32 << 20):
+    # The fused path's cost is QUADRATIC per cell (the r10 scale run
+    # measured 0.46s→69s at 20× data with pinned cells: a bytes-only
+    # gate serialized ~25 Gflops of pair scoring onto one core), so the
+    # gate bounds estimated pairwise WORK, not input bytes: rows are
+    # over-estimated from vector bytes alone (sz / 4·dims — the true row
+    # is wider, so the estimate errs toward the distributed path), and
+    # the fused kernel runs only when per_cell² · n_cells · dims stays
+    # well under one core-second.
+    fused_ok = False
+    if sz is not None and sz < (32 << 20) and centers:
+        dims = len(centers[0][1])
+        rows_est = sz / max(1, 4 * dims)
+        per_cell = rows_est * probes / max(1, n_cells)
+        fused_ok = per_cell * per_cell * n_cells * dims <= 2**28
+    if fused_ok:
         # FUSED serial path for tiny inputs: coalesce(1) + ONE mapInArrow
         # kernel doing assignment AND per-cell pair scoring — zero
         # exchanges and one Python stage instead of two (each boundary is

@@ -20,8 +20,9 @@ Two execution paths:
 - ``parse_lines`` — driver-side, used by the HTTP ingest endpoint
   (micro-batches; the reference parses on one node too).
 - ``parse_lines_df`` — distributed: a DataFrame of raw lines is parsed
-  per-partition with mapInPandas for bulk backfills, producing one
-  DataFrame per schema fingerprint.
+  per-partition with mapInArrow for bulk backfills (escape-free lines
+  vectorized in pyarrow.compute, the rest through the per-line
+  reference scanner), producing one DataFrame per schema fingerprint.
 """
 
 from __future__ import annotations
@@ -222,7 +223,8 @@ def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, s
     _partition_unescaped to str.partition, and _unescape to identity.
     A differential property test pins the equivalence
     (test_lineproto_property). ~4× per-line, which is the bulk ingest
-    hot loop (both the driver HTTP path and the mapInPandas parse)."""
+    hot loop (both the driver HTTP path and the distributed parse's
+    per-line fallback)."""
     mult = _PRECISION_NS.get(precision)
     if mult is None:
         raise ValueError(f"unknown precision {precision!r}")
@@ -393,19 +395,384 @@ class ParsedFrames(list):
         self.unpersist()
 
 
-# generic single-parse intermediate: one typed value map per canonical
-# type keeps every field JVM-representable without a lossy string
-# round-trip; the per-fingerprint frames are pure map-lookup projections
+# generic single-parse intermediate: ALL primitive columns. Values ride
+# ONE JSON document per line (tags + typed fields in a flat object) and
+# are decoded JVM-side per fingerprint with from_json against that
+# fingerprint's exact schema — Jackson parses integral values as exact
+# longs and py3 repr round-trips doubles, so no value is lossy, and
+# NaN/Inf can't appear (the field-value grammar rejects them). The
+# previous intermediate carried five map<string,*> columns, whose
+# pandas→Arrow conversion dominated bulk-parse cost at 20M lines
+# (BENCH_PARSE_r10: ~150 of 174 µs/line-core was outside the parse
+# loop); primitive string columns convert at memcpy speed.
 _INTER_DDL = (
     "table string, schema_id decimal(20,0), schema_desc string, "
-    "tags map<string,string>, svals map<string,string>, "
-    "ivals map<string,bigint>, uvals map<string,bigint>, "
-    "fvals map<string,double>, bvals map<string,boolean>, time bigint"
+    "doc string, time bigint"
 )
-_INTER_COLS = [
-    "table", "schema_id", "schema_desc",
-    "tags", "svals", "ivals", "uvals", "fvals", "bvals", "time",
-]
+_INTER_COLS = ["table", "schema_id", "schema_desc", "doc", "time"]
+
+# bool tokens the field-value grammar accepts (parse_line/_parse_field_value)
+_VEC_TRUE = ("t", "T", "true", "True", "TRUE")
+_VEC_BOOL = _VEC_TRUE + ("f", "F", "false", "False", "FALSE")
+_TYPE_CANON = {"i": "INT8", "u": "UBIGINT", "b": "BOOLEAN", "d": "FLOAT8"}
+
+
+def _sid_desc(tag_keys, ftypes, sid_memo, shape_key):
+    """Memoized (schema_id, desc) — the md5 fingerprint + sorted desc
+    cost ~5 µs/line while a corpus has few shapes. Bounded: an
+    adversarial corpus with unbounded shapes clears the memo."""
+    ent = sid_memo.get(shape_key)
+    if ent is None:
+        desc = "\x1f".join(
+            sorted(
+                [f"{k}:VARCHAR" for k in tag_keys]
+                + [f"{n}:{t}" for n, t in ftypes.items()]
+            )
+        )
+        ent = (schema_id(list(tag_keys), ftypes), desc)
+        if len(sid_memo) > 4096:
+            sid_memo.clear()
+        sid_memo[shape_key] = ent
+    return ent
+
+
+def _parse_lines_py(lines, precision, sid_memo, parse_counter, skip_malformed):
+    """Per-line reference path (the general scanner): list of stripped
+    lines → (kept_offsets, table, sid, desc, doc, time) column lists.
+    ``kept_offsets`` indexes into ``lines`` (a skip_malformed drop or a
+    comment/empty leaves its offset out)."""
+    import json as _json
+
+    dumps = _json.dumps
+    kept, c_table, c_sid, c_desc, c_doc, c_time = [], [], [], [], [], []
+    for off, line in enumerate(lines):
+        line = (line or "").strip()
+        if not line or line.startswith("#"):
+            continue
+        try:
+            table, tags, fields, ts = parse_line(line, precision)
+        except ValueError:
+            if skip_malformed:
+                continue
+            raise
+        if parse_counter is not None:
+            parse_counter.add(1)
+        shape = (
+            tuple(k for k, _ in tags),
+            tuple((n, t) for n, t, _ in fields),
+        )
+        ftypes = {n: t for n, t, _ in fields}
+        sid, desc = _sid_desc([k for k, _ in tags], ftypes, sid_memo, shape)
+        obj = dict(tags)
+        for n, typ, v in fields:
+            # UBIGINT rides the int64 slot two's-complement-wrapped,
+            # same as the driver flush path (writer.py / uint64.go:13):
+            # an unwrapped value >= 2^63 would overflow the bigint decode
+            if typ == "UBIGINT" and v >= (1 << 63):
+                v -= 1 << 64
+            obj[n] = v
+        kept.append(off)
+        c_table.append(table)
+        c_sid.append(sid)
+        c_desc.append(desc)
+        c_doc.append(dumps(obj, separators=(",", ":")))
+        c_time.append(ts if ts is not None else time.time_ns())
+    return kept, c_table, c_sid, c_desc, c_doc, c_time
+
+
+def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
+    """Vectorized parse of ONE shape group (same tag-key and field-key
+    signature). Returns (block | None, slow_positions): the block holds
+    per-row metadata + the JSON doc column for rows the vector path
+    could finish; every row it can't PROVE it parses identically to
+    parse_line goes back to ``slow_positions`` for the per-line path.
+
+    Guarantees relied on (established by the caller's routing): lines
+    contain no backslash, no double quote, no control chars, no double
+    spaces, exactly 3 tokens, a non-negative int64 timestamp, and a
+    measurement without '=' — under those, str.split degenerates to the
+    same token structure parse_line's fast path sees, and values are
+    JSON-safe verbatim."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(gpos)
+    sh, sfld = sigkey.split("\x00")
+    hkeys = sh.split(",")
+    meas, tag_keys = hkeys[0], hkeys[1:]
+    fkeys = sfld.split(",")
+    if not meas:
+        return None, gpos  # empty measurement: per-line raises
+    names = tag_keys + fkeys
+    if "time" in names or len(set(names)) != len(names):
+        return None, gpos  # reserved/duplicate name: per-line raises
+    slow = np.zeros(m, dtype=bool)
+    parts: list = ["{"]
+
+    def _col_tokens(split_list, n_tok):
+        flat = pc.list_flatten(split_list)
+        if len(flat) != m * n_tok:
+            return None  # defensive: ragged split → whole group slow
+        base = np.arange(m, dtype=np.int64) * n_tok
+        return [flat.take(pa.array(base + j)) for j in range(n_tok)]
+
+    first = True
+    if tag_keys:
+        hcols = _col_tokens(pc.split_pattern(head_g, ","), len(hkeys))
+        if hcols is None:
+            return None, gpos
+        for k, tok in zip(tag_keys, hcols[1:]):
+            # token == key means no '=' → malformed tag per-line error
+            slow |= np.asarray(
+                pc.equal(pc.utf8_length(tok), len(k)).to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+            val = pc.utf8_slice_codeunits(tok, start=len(k) + 1, stop=1 << 30)
+            parts += [("" if first else ",") + _json.dumps(k) + ':"', val, '"']
+            first = False
+    fcols = _col_tokens(pc.split_pattern(fstr_g, ","), len(fkeys))
+    if fcols is None:
+        return None, gpos
+    tcols = []
+    for k, tok in zip(fkeys, fcols):
+        slow |= np.asarray(
+            pc.equal(pc.utf8_length(tok), len(k)).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        raw = pc.utf8_slice_codeunits(tok, start=len(k) + 1, stop=1 << 30)
+        # value grammar, restricted to the subset whose VERBATIM text is
+        # both int64-safe and valid JSON (≤18 digits; floats with a
+        # digit on each side of the dot) — protocol-legal values outside
+        # it ('.5', '5.', '+5', 19-digit ints) take the per-line path
+        is_i = np.asarray(
+            pc.match_substring_regex(raw, r"^-?\d{1,18}i$").to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        is_u = np.asarray(
+            pc.match_substring_regex(raw, r"^\d{1,18}u$").to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        is_b = np.asarray(
+            pc.is_in(raw, value_set=pa.array(list(_VEC_BOOL))).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=bool,
+        )
+        is_d = np.asarray(
+            pc.match_substring_regex(
+                raw, r"^-?\d+(\.\d+)?([eE][-+]?\d+)?$"
+            ).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        tcode = np.full(m, "?", dtype="U1")
+        tcode[is_d] = "d"
+        tcode[is_b] = "b"
+        tcode[is_u] = "u"
+        tcode[is_i] = "i"
+        slow |= tcode == "?"
+        tcols.append(tcode)
+        num = pc.replace_substring_regex(raw, "[iu]$", "")
+        boolv = pc.if_else(
+            pc.is_in(raw, value_set=pa.array(list(_VEC_TRUE))), "true", "false"
+        )
+        val = pc.if_else(pa.array(is_b), boolv, num)
+        parts += [("" if first else ",") + _json.dumps(k) + ":", val]
+        first = False
+    parts.append("}")
+    doc = pc.binary_join_element_wise(*parts, "")
+
+    # per-row type signature → (sid, desc); shape variation within a
+    # group (f=1i on one line, f=1.5 on the next) is legal but rare —
+    # the constant-class shortcut skips the per-row join that otherwise
+    # costs ~2 µs/line
+    sid_arr = np.empty(m, dtype=object)
+    desc_arr = np.empty(m, dtype=object)
+    if m and not slow.all():
+        ns = ~slow
+        if all((c[ns] == c[ns][0]).all() for c in tcols):
+            groups = [("".join(c[ns][0] for c in tcols), ns)]
+        else:
+            tsig_rows = np.array(["".join(r) for r in np.stack(tcols, axis=1)], dtype=object)
+            groups = [
+                (t, (tsig_rows == t) & ns) for t in np.unique(tsig_rows[ns])
+            ]
+        for tsig, sel in groups:
+            ftypes = {k: _TYPE_CANON[c] for k, c in zip(fkeys, tsig)}
+            sid, desc = _sid_desc(
+                tag_keys, ftypes, sid_memo, (sigkey, tsig)
+            )
+            sid_arr[sel] = sid
+            desc_arr[sel] = desc
+    if slow.all():
+        return None, gpos
+    keep = ~slow
+    block = {
+        "pos": gpos[keep],
+        "table": [meas] * int(keep.sum()),
+        "sid": list(sid_arr[keep]),
+        "desc": list(desc_arr[keep]),
+        "doc": doc.filter(pa.array(keep)),
+        "time": ts64[keep],
+    }
+    return block, gpos[slow]
+
+
+def _parse_batch_arrow(
+    values, out_schema, precision, sid_memo, parse_counter, skip_malformed
+):
+    """One Arrow batch of raw lines → one intermediate RecordBatch.
+
+    Routing: lines that are PROVABLY on the escape-free fast grammar
+    (no ``\\``/``"``/control chars/double spaces, exactly 3 tokens,
+    int64 timestamp, measurement without '=') parse vectorized in
+    pyarrow.compute, grouped by shape signature; everything else —
+    including every malformed shape, so error behavior is byte-for-byte
+    parse_line's — takes the per-line path. A differential property
+    test pins path equivalence (test_lineproto_property)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mult = _PRECISION_NS.get(precision)
+    if mult is None:
+        raise ValueError(f"unknown precision {precision!r}")
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    s = pc.utf8_trim_whitespace(pc.fill_null(values.cast(pa.string()), ""))
+    keep = pc.and_(
+        pc.invert(pc.equal(s, "")), pc.invert(pc.starts_with(s, "#"))
+    )
+    s = s.filter(keep)
+    n = len(s)
+    allpos = np.arange(n, dtype=np.int64)
+    blocks: list = []
+    slow_parts: list = []
+    if n:
+        hazard = pc.match_substring_regex(s, r'["\\]|  |[\x00-\x1f]')
+        fast = np.asarray(
+            pc.and_(
+                pc.invert(hazard), pc.equal(pc.count_substring(s, " "), 2)
+            ).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        slow_parts.append(allpos[~fast])
+        fpos = allpos[fast]
+        if len(fpos):
+            sf = s.take(pa.array(fpos))
+            toks = pc.list_flatten(pc.split_pattern(sf, " "))
+            mfast = len(fpos)
+            base = np.arange(mfast, dtype=np.int64) * 3
+            head = toks.take(pa.array(base))
+            fstr = toks.take(pa.array(base + 1))
+            tsv = toks.take(pa.array(base + 2))
+            ok_ts = pc.or_(
+                pc.match_substring_regex(tsv, r"^\d{1,18}$"),
+                pc.and_(
+                    pc.match_substring_regex(tsv, r"^\d{19}$"),
+                    pc.less_equal(tsv, "9223372036854775807"),
+                ),
+            )
+            meas_ok = pc.invert(
+                pc.match_substring(
+                    pc.list_element(pc.split_pattern(head, ",", max_splits=1), 0),
+                    "=",
+                )
+            )
+            ok = np.asarray(
+                pc.and_(ok_ts, meas_ok).to_numpy(zero_copy_only=False), dtype=bool
+            )
+            slow_parts.append(fpos[~ok])
+            if ok.any():
+                sel = pa.array(ok)
+                head, fstr, tsv = head.filter(sel), fstr.filter(sel), tsv.filter(sel)
+                fpos = fpos[ok]
+                ts64 = np.asarray(
+                    pc.cast(tsv, pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+                if mult != 1:
+                    lim = (2**63 - 1) // mult
+                    over = ts64 > lim
+                    if over.any():
+                        slow_parts.append(fpos[over])
+                        sel = pa.array(~over)
+                        head, fstr, tsv = (
+                            head.filter(sel),
+                            fstr.filter(sel),
+                            tsv.filter(sel),
+                        )
+                        fpos, ts64 = fpos[~over], ts64[~over]
+                    ts64 = ts64 * mult
+                sig = pc.binary_join_element_wise(
+                    pc.replace_substring_regex(head, "=[^,]*", ""),
+                    pc.replace_substring_regex(fstr, "=[^,]*", ""),
+                    "\x00",
+                )
+                signp = np.asarray(sig.to_numpy(zero_copy_only=False), dtype=object)
+                uniq, inv = np.unique(signp, return_inverse=True)
+                for gi, sigkey in enumerate(uniq):
+                    rows = np.where(inv == gi)[0]
+                    ridx = pa.array(rows)
+                    block, slow_pos = _vec_group(
+                        sigkey,
+                        head.take(ridx),
+                        fstr.take(ridx),
+                        ts64[rows],
+                        fpos[rows],
+                        sid_memo,
+                    )
+                    slow_parts.append(slow_pos)
+                    if block is not None:
+                        blocks.append(block)
+
+    slow_pos = (
+        np.sort(np.concatenate(slow_parts)) if slow_parts else np.empty(0, np.int64)
+    )
+    if len(slow_pos):
+        slow_lines = s.take(pa.array(slow_pos)).to_pylist()
+    else:
+        slow_lines = []
+    kept, st, ssid, sdesc, sdoc, stime = _parse_lines_py(
+        slow_lines, precision, sid_memo, parse_counter, skip_malformed
+    )
+    if parse_counter is not None:
+        parse_counter.add(sum(len(b["pos"]) for b in blocks))
+
+    # assemble in ORIGINAL line order (blocks are shape-grouped)
+    pos_all = np.concatenate(
+        [b["pos"] for b in blocks] + [slow_pos[kept]]
+        if blocks or len(slow_pos)
+        else [np.empty(0, np.int64)]
+    )
+    order = pa.array(np.argsort(pos_all, kind="stable"))
+    table = pa.array(
+        [v for b in blocks for v in b["table"]] + st, type=pa.string()
+    ).take(order)
+    sid = pa.array(
+        [v for b in blocks for v in b["sid"]] + ssid, type=pa.decimal128(20, 0)
+    ).take(order)
+    desc = pa.array(
+        [v for b in blocks for v in b["desc"]] + sdesc, type=pa.string()
+    ).take(order)
+    doc_arr = pa.concat_arrays(
+        [b["doc"] for b in blocks] + [pa.array(sdoc, type=pa.string())]
+    ).take(order)
+    tm = pa.array(
+        np.concatenate([b["time"] for b in blocks] + [np.asarray(stime, np.int64)])
+        if blocks or stime
+        else np.empty(0, np.int64),
+        type=pa.int64(),
+    ).take(order)
+    return pa.RecordBatch.from_arrays(
+        [table, sid, desc, doc_arr, tm], schema=out_schema
+    )
 
 
 def parse_lines_df(
@@ -420,7 +787,7 @@ def parse_lines_df(
     :class:`ParsedFrames` of (table, schema_id, DataFrame) per
     fingerprint.
 
-    SINGLE-PASS: one mapInPandas job parses every line exactly once into
+    SINGLE-PASS: one mapInArrow job parses every line exactly once into
     a persisted generic intermediate (fingerprint + one value map per
     canonical type); the fingerprint set is then read from that
     intermediate and each per-fingerprint frame is a JVM-side
@@ -435,57 +802,40 @@ def parse_lines_df(
     it). ``skip_malformed``: drop unparseable lines instead of failing
     the job (see parse_lines — the streaming poison-pill policy).
     """
-    import pandas as pd
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from quackpipe_spark.types import resolve
 
     def parse_once(it):
-        for pdf in it:
-            recs = []
-            for line in pdf["value"]:
-                line = (line or "").strip()
-                if not line or line.startswith("#"):
-                    continue
-                try:
-                    table, tags, fields, ts = parse_line(line, precision)
-                except ValueError:
-                    if skip_malformed:
-                        continue
-                    raise
-                if parse_counter is not None:
-                    parse_counter.add(1)
-                ftypes = {n: t for n, t, _ in fields}
-                sid = schema_id([k for k, _ in tags], ftypes)
-                # unit-separator joined, name(:type) rsplit on the LAST
-                # colon — tag/field names may legally contain ':' or ','
-                desc = "\x1f".join(
-                    sorted(
-                        [f"{k}:VARCHAR" for k, _ in tags]
-                        + [f"{n}:{t}" for n, t in ftypes.items()]
-                    )
-                )
-                vals = {"VARCHAR": {}, "INT8": {}, "UBIGINT": {}, "FLOAT8": {}, "BOOLEAN": {}}
-                for n, typ, v in fields:
-                    # UBIGINT rides the int64 slot two's-complement-
-                    # wrapped, same as the driver flush path
-                    # (writer.py / uint64.go:13): an unwrapped value
-                    # >= 2^63 would crash the Arrow conversion
-                    if typ == "UBIGINT" and v >= (1 << 63):
-                        v -= 1 << 64
-                    vals[typ][n] = v
-                recs.append(
-                    (
-                        table, sid, desc,
-                        dict(tags), vals["VARCHAR"], vals["INT8"],
-                        vals["UBIGINT"], vals["FLOAT8"], vals["BOOLEAN"],
-                        ts if ts is not None else time.time_ns(),
-                    )
-                )
-            yield pd.DataFrame(recs, columns=_INTER_COLS)
+        import pyarrow as pa
 
-    inter = lines_df.mapInPandas(parse_once, _INTER_DDL).persist(
+        # (tag names, field name:type tuple) → (schema_id, desc): the
+        # md5 fingerprint + sorted desc build cost ~5 µs/line and a
+        # corpus has FEW shapes — memoize per executor batch stream.
+        # Bounded: an adversarial corpus with unbounded shapes clears
+        # the memo instead of growing it.
+        sid_memo: dict = {}
+        out_schema = pa.schema(
+            [
+                ("table", pa.string()),
+                ("schema_id", pa.decimal128(20, 0)),
+                ("schema_desc", pa.string()),
+                ("doc", pa.string()),
+                ("time", pa.int64()),
+            ]
+        )
+        for batch in it:
+            yield _parse_batch_arrow(
+                batch.column(0),
+                out_schema,
+                precision,
+                sid_memo,
+                parse_counter,
+                skip_malformed,
+            )
+
+    inter = lines_df.mapInArrow(parse_once, _INTER_DDL).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # discovery materializes the cache; (table, schema_desc) determines
@@ -501,24 +851,24 @@ def parse_lines_df(
         inter.unpersist()
         raise
 
+    from pyspark.sql.types import StructField, StructType
+
+    from quackpipe_spark.types import CANONICAL
+
     out = []
     for row in shapes:
         table, sid, desc = row["table"], int(row["schema_id"]), row["schema_desc"]
         cols = [c.rsplit(":", 1) for c in desc.split("\x1f")] if desc else []
-        sel = []
-        for name, typ in cols:
-            canon = resolve(typ)
-            if canon == "VARCHAR":
-                # names are unique across tags+fields (parse_line
-                # rejects duplicates), so exactly one map has the key
-                expr = F.coalesce(
-                    F.col("tags").getItem(name), F.col("svals").getItem(name)
-                )
-            else:
-                src = {"INT8": "ivals", "UBIGINT": "uvals",
-                       "FLOAT8": "fvals", "BOOLEAN": "bvals"}[canon]
-                expr = F.col(src).getItem(name)
-            sel.append(expr.alias(name))
+        # decode the JSON doc against THIS fingerprint's exact schema —
+        # names are unique across tags+fields (parse_line rejects
+        # duplicates), so the flat object is unambiguous; Jackson reads
+        # integral values as exact longs (no double round-trip) and the
+        # whole decode is one codegen'd JVM expression
+        struct = StructType(
+            [StructField(name, CANONICAL[resolve(typ)], True) for name, typ in cols]
+        )
+        p = F.from_json(F.col("doc"), struct)
+        sel = [p.getField(name).alias(name) for name, _ in cols]
         sel.append(F.col("time").alias("time"))
         df = inter.filter(
             (F.col("table") == table) & (F.col("schema_desc") == desc)

@@ -40,7 +40,7 @@ def stream_lines_to_table(
     Size gate: steady-state micro-batches (≤ ``driver_path_max_rows``)
     take the driver-side Arrow fast path — lowest latency, same as the
     reference's RecordBuilder flush. A larger batch (a backfill burst, a
-    recovered source replaying hours of data) parses with mapInPandas and
+    recovered source replaying hours of data) parses with mapInArrow and
     writes with the distributed sorted writer instead: collecting it would
     put the whole burst in driver memory at once.
 

@@ -224,9 +224,17 @@ _EMB_CELLS, _EMB_PROBES = 32, 2
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-dim non-null contract (see ann_topk_bruteforce): a ragged vector
-    # would crash assign_cells' np.array batch outright
+    # would crash assign_cells' np.array batch outright.
+    # n_cells SCALES with the corpus (max(32, ceil(n/512)) — the same
+    # arithmetic the oracle SQL computes from its own count, so parity
+    # holds at every SF): the r10 scale run showed 32 pinned cells turn
+    # the blocked pair space quadratic at 20× data (0.46s→69s). At
+    # sf0.1 and below the formula still yields 32, so gate numbers are
+    # unchanged; the count() is one cheap job, the index-build step.
+    emb = _emb64(spark, sf_dir)
+    n_cells = max(_EMB_CELLS, -(-emb.count() // 512))
     return S.blocked_near_pairs(
-        _emb64(spark, sf_dir), threshold=0.40, n_cells=_EMB_CELLS, probes=_EMB_PROBES
+        emb, threshold=0.40, n_cells=n_cells, probes=_EMB_PROBES
     )
 
 
@@ -240,10 +248,14 @@ WITH e64 AS (
   WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 seeds AS (
+  -- cell count scales with the corpus: greatest({_EMB_CELLS}, ceil(n/512)),
+  -- the same arithmetic the Spark side computes from emb.count()
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
          embedding AS center
   FROM e64
-  QUALIFY cell <= {_EMB_CELLS}
+  QUALIFY cell <= (SELECT greatest({_EMB_CELLS},
+                                   CAST(ceil(count(*) / 512.0) AS BIGINT))
+                   FROM e64)
 ),
 base AS (
   SELECT vec_id, embedding, sqrt({_emb_dot('embedding', 'embedding')}) AS nrm

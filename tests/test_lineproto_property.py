@@ -162,3 +162,75 @@ def test_fast_path_matches_general_scanner(tags, fields, ts):
         line, parts, g_tags, g_fields, 1, L._unescape(h[0])
     )
     assert fast == general
+
+
+def test_vectorized_df_parse_matches_driver_parse(spark):
+    """r10 differential: parse_lines_df's vectorized escape-free block
+    parser (pyarrow.compute, shape-grouped) must produce the SAME
+    decoded frames as the driver's per-line reference path for a corpus
+    covering every routing edge — fast shapes, escapes, quoted strings,
+    '=' in measurement and tag values, empty values, comments,
+    protocol-legal-but-not-JSON floats, 19-digit and wrapping uints,
+    within-group type variation, unicode, control chars, and malformed
+    lines under skip_malformed."""
+    from quackpipe_spark.sources.lineproto import parse_lines, parse_lines_df
+
+    corpus = [
+        "m0,host=h1 f0=1.5,f1=2i 1700000000000000001",
+        "m0,host=h2 f0=2.5,f1=3i 1700000000000000002",
+        "m0,host=h3 f0=7i,f1=3i 1700000000000000003",  # type variation in f0
+        "m1 only=42u 9223372036854775807",  # 19-digit ts at int64 max
+        "m1 only=9223372036854775808u 5",  # uint wraps two's-complement
+        "m2,t=v f=.5 6",  # legal float, not JSON
+        "m2,t=v f=5. 7",
+        "m2,t=v f=+5 8",
+        'm3,esc=a\\ b s="qu\\"oted" 9',  # escapes + quoted string
+        "m=x,t=v f=1 10",  # '=' in measurement
+        "m4,t=a=b f=2 11",  # '=' inside tag value
+        "m4,t= f=3 12",  # empty tag value
+        "m5,t=éü f=t 13",  # unicode tag value, bool field
+        "m5,t=x f=F 14",
+        "# comment line",
+        "",
+        "m6 f=1u,g=-3i,h=1e3,k=True 15",
+        "m6 f=2u,g=-4i,h=2.5e-3,k=f 16",
+        "bad line with no fields",  # malformed → dropped (skip)
+        "m7,x f=1 17",  # malformed tag (no '=') → dropped
+        "m8 f=notanumber 18",  # malformed value → dropped
+        "m9,tab=a\tb f=1 19",  # control char → slow path, valid tag
+        "m10 time=1 20",  # reserved name → dropped
+        "m10 f=1,f=2 21",  # duplicate field → dropped
+        "m11 f=1",  # no-double-space but 2 tokens → slow, stamped ts
+        "m12,ké=vé f=1 22",  # non-ascii TAG KEY: codepoint slicing contract
+        "m12,k=v é=2.5 23",  # non-ascii FIELD KEY
+        "mé,k=v f=1 24",  # non-ascii measurement
+    ]
+    # exclude the stamped-ts line from value comparison (nondeterministic)
+    compare = [ln for ln in corpus if ln != "m11 f=1"]
+
+    def _wrap(v):
+        # the DF intermediate rides UBIGINT two's-complement-wrapped in
+        # the int64 slot (writer parity); the driver batch keeps the raw
+        # uint — normalize for comparison
+        if isinstance(v, int) and not isinstance(v, bool) and v >= (1 << 63):
+            return v - (1 << 64)
+        return v
+
+    driver = {}
+    for b in parse_lines(compare, skip_malformed=True):
+        rows = driver.setdefault((b.table, b.schema_id), [])
+        names = list(b.data)
+        for i in range(b.num_rows()):
+            rows.append(tuple(sorted((n, _wrap(b.data[n][i])) for n in names)))
+
+    ldf = spark.createDataFrame([(r,) for r in compare], "value string")
+    dist = {}
+    with parse_lines_df(spark, ldf, skip_malformed=True) as frames:
+        for table, sid, df in frames:
+            rows = dist.setdefault((table, sid), [])
+            for r in df.collect():
+                d = r.asDict()
+                rows.append(tuple(sorted(d.items())))
+    assert set(driver) == set(dist), (sorted(driver), sorted(dist))
+    for key in driver:
+        assert sorted(driver[key]) == sorted(dist[key]), key
