@@ -864,6 +864,13 @@ class QueryEngine:
                 lo, hi = bounds.get(t.name, (None, None)) if tracks_ts else (None, None)
                 per_table.append((t, self.table_files(t, lo, hi)))
             key = None
+            if re.match(r"\s*(SET|RESET)\b", query, re.IGNORECASE):
+                # a conf change (ansi.enabled, caseSensitive, …) can alter
+                # the semantics of an already-analyzed plan — the key only
+                # pins the timezone, so flush everything. (Conf mutations
+                # made directly on the SparkSession bypass this engine and
+                # are out of scope.)
+                self._plan_cache.clear()
             if self._plan_cacheable(query, {t.name.lower() for t in refs}):
                 try:
                     tz = self.spark.conf.get("spark.sql.session.timeZone", "")

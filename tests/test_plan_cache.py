@@ -89,3 +89,15 @@ def test_tz_change_misses(qe):
         assert df2 is not df1
     finally:
         qe.spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_set_statement_flushes_cache(qe):
+    """A conf change through the engine can alter the semantics of an
+    already-analyzed plan (ansi.enabled, caseSensitive, ...) — the key
+    pins only the timezone, so any SET/RESET flushes everything."""
+    q = "SELECT count(*) AS n FROM ev"
+    df1 = qe.sql(q, db="d")
+    assert qe.sql(q, db="d") is df1
+    qe.sql("SET spark.sql.ansi.enabled=false", db="d")
+    df2 = qe.sql(q, db="d")
+    assert df2 is not df1
