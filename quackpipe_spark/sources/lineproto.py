@@ -196,13 +196,23 @@ def _parse_field_value(raw: str) -> tuple[str, object]:
     if raw.endswith("i"):
         if not _INT_RE.match(raw[:-1]):
             raise ValueError(f"malformed integer field value: {raw!r}")
-        return "INT8", int(raw[:-1])
+        v = int(raw[:-1])
+        # range-checked like the reference's strconv.ParseInt: an
+        # unrepresentable value must reject THIS LINE (skippable under
+        # the poison-pill policy), not blow up the whole batch later at
+        # the Arrow int64 conversion
+        if not -(1 << 63) <= v < (1 << 63):
+            raise ValueError(f"integer field value out of int64 range: {raw!r}")
+        return "INT8", v
     if raw.endswith("u"):
         # uintegers are non-negative by spec; storing -5 in the
         # UBIGINT-typed column would read back as 2^64-5
         if not _UINT_RE.match(raw[:-1]):
             raise ValueError(f"malformed unsigned field value: {raw!r}")
-        return "UBIGINT", int(raw[:-1])
+        v = int(raw[:-1])
+        if v >= (1 << 64):
+            raise ValueError(f"unsigned field value out of uint64 range: {raw!r}")
+        return "UBIGINT", v
     if raw in ("t", "T", "true", "True", "TRUE"):
         return "BOOLEAN", True
     if raw in ("f", "F", "false", "False", "FALSE"):
@@ -287,6 +297,12 @@ def _finish_line(line, parts, tags, fields, mult, measurement):
             # int() leniency would accept '1_0' as 10 — protocol error
             raise ValueError(f"malformed timestamp {parts[2]!r} in {line!r}")
         ts_ns = int(parts[2]) * mult
+        # reference parity (strconv.ParseInt range error): an
+        # unrepresentable timestamp rejects THIS LINE — otherwise one
+        # poison line fails the whole batch at the Arrow int64 cast,
+        # even under skip_malformed
+        if not -(1 << 63) <= ts_ns < (1 << 63):
+            raise ValueError(f"timestamp out of int64-ns range: {parts[2]!r} in {line!r}")
     # 'time' is the reserved timestamp column, and a name appearing twice
     # (two tags, two fields, or a tag shadowing a field) would misalign
     # the columnar batch append — both are protocol errors, rejected here

@@ -234,3 +234,93 @@ def test_vectorized_df_parse_matches_driver_parse(spark):
     assert set(driver) == set(dist), (sorted(driver), sorted(dist))
     for key in driver:
         assert sorted(driver[key]) == sorted(dist[key]), key
+
+
+# --- generative differential: vectorized arrow batch vs per-line path ------
+
+_key_st = st.text(
+    alphabet=st.characters(
+        blacklist_characters=' ,=\\"\n\r\t#', blacklist_categories=("Cs", "Cc")
+    ),
+    min_size=1,
+    max_size=5,
+)
+_tagval_st = st.text(
+    alphabet=st.characters(
+        blacklist_characters=" ,\\\n\r\t", blacklist_categories=("Cs", "Cc")
+    ),
+    max_size=6,
+)
+_fieldval_st = st.one_of(
+    st.integers(min_value=-(2**70), max_value=2**70).map(lambda v: f"{v}i"),
+    st.integers(min_value=0, max_value=2**70).map(lambda v: f"{v}u"),
+    st.sampled_from(["t", "T", "true", "f", "FALSE", "False"]),
+    st.floats(allow_nan=False, allow_infinity=False).map(repr),
+    st.sampled_from([".5", "5.", "+5", "1e3", "-0.0", "1e400", "-1e400"]),
+    st.text(alphabet=st.sampled_from(list("abc\\\"' ;")), max_size=5).map(
+        lambda s: '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    ),
+    st.sampled_from(["x", "1_5", "nan", ""]),  # malformed
+)
+
+
+@st.composite
+def _lp_line(draw):
+    meas = draw(_key_st)
+    tags = draw(st.lists(st.tuples(_key_st, _tagval_st), max_size=3))
+    fields = draw(st.lists(st.tuples(_key_st, _fieldval_st), min_size=1, max_size=4))
+    ts = draw(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**63 - 1),
+            st.integers(min_value=-5, max_value=-1),
+            st.integers(min_value=2**63, max_value=2**64),
+        )
+    )
+    head = meas + "".join(f",{k}={v}" for k, v in tags)
+    body = ",".join(f"{k}={v}" for k, v in fields)
+    pad = draw(st.sampled_from(["", " ", "  ", "\t"]))
+    return f"{pad}{head} {body} {ts}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=st.lists(st.one_of(_lp_line(), st.sampled_from(
+    ["", "# note", "m,=v f=1 5", "m f= 5", "m, f=1 5", "m  f=1 5"]
+)), max_size=25))
+def test_arrow_batch_differential(corpus):
+    """The vectorized arrow batch parser must produce exactly the
+    per-line reference path's rows, in original order, for ANY corpus
+    (skip_malformed drops matching line-for-line; out-of-range
+    ints/uints/timestamps reject per line on both paths). doc compares
+    by json.loads — the two paths may pick different valid encodings of
+    the same value. (Lines WITHOUT a timestamp are generated only in
+    the spark e2e differential — their stamped time is
+    nondeterministic.)"""
+    import json
+
+    import pyarrow as pa
+
+    from quackpipe_spark.sources.lineproto import (
+        _parse_batch_arrow,
+        _parse_lines_py,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("table", pa.string()),
+            ("schema_id", pa.decimal128(20, 0)),
+            ("schema_desc", pa.string()),
+            ("doc", pa.string()),
+            ("time", pa.int64()),
+        ]
+    )
+    rb = _parse_batch_arrow(
+        pa.array(corpus, type=pa.string()), out_schema, "ns", {}, None, True
+    )
+    kept, t, sid, desc, doc, tm = _parse_lines_py(corpus, "ns", {}, None, True)
+    assert rb.column("table").to_pylist() == t
+    assert [int(x) for x in rb.column("schema_id").to_pylist()] == sid
+    assert rb.column("schema_desc").to_pylist() == desc
+    got_docs = [json.loads(x) for x in rb.column("doc").to_pylist()]
+    exp_docs = [json.loads(x) for x in doc]
+    assert got_docs == exp_docs
+    assert rb.column("time").to_pylist() == tm
