@@ -101,3 +101,40 @@ def test_set_statement_flushes_cache(qe):
     qe.sql("SET spark.sql.ansi.enabled=false", db="d")
     df2 = qe.sql(q, db="d")
     assert df2 is not df1
+
+
+def test_plan_cache_randomized_interleaving(qe, spark):
+    """Seeded random interleaving of queries and ingests: every result
+    served by the caching engine equals a cache-free engine's result on
+    the same store at the same moment — the staleness-impossible-by-key
+    claim, exercised across hits, misses, and evictions."""
+    import random
+
+    from quackpipe_spark.query import QueryEngine
+
+    nocache = QueryEngine(spark, qe.catalog)
+    nocache._plan_cache_cap = 0  # insert-then-evict: no reuse ever
+    rng = random.Random(7)
+    templates = [
+        "SELECT sum(v) AS s FROM ev",
+        "SELECT count(*) AS n FROM ev WHERE __timestamp >= 15",
+        "SELECT max(v) AS m FROM ev WHERE __timestamp BETWEEN 10 AND 60",
+        "SELECT v FROM ev WHERE v > 1 ORDER BY v",
+    ]
+    next_ts = 100
+    hits = 0
+    for step in range(30):
+        if rng.random() < 0.35:
+            qe._ingest.store(
+                "d", "ev", {"v": [step + 1000], "__timestamp": [next_ts]}
+            )
+            qe._ingest.flush()
+            next_ts += 10
+        q = rng.choice(templates)
+        before = len(qe._plan_cache)
+        got = sorted(map(tuple, qe.sql(q, db="d").collect()))
+        if len(qe._plan_cache) == before:
+            hits += 1
+        want = sorted(map(tuple, nocache.sql(q, db="d").collect()))
+        assert got == want, (step, q)
+    assert hits > 0  # the interleaving actually exercised cache hits

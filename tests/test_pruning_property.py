@@ -65,7 +65,17 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 11))
+    shape = draw(st.integers(0, 13))
+    if shape == 12:  # derived table nested inside EXISTS (still prunes ev)
+        return (
+            f"SELECT count(*) AS n FROM aux a WHERE EXISTS "
+            f"(SELECT 1 FROM (SELECT k FROM ev WHERE {p1}) t WHERE t.k = a.k)"
+        )
+    if shape == 13:  # derived under a set-op: inner bound stays sound
+        return (
+            f"SELECT k FROM (SELECT k FROM ev WHERE {p1}) t "
+            f"EXCEPT SELECT k FROM aux"
+        )
     if shape == 0:
         return f"SELECT count(*) AS n, sum(v) AS s FROM ev WHERE {where}"
     if shape == 1:  # projected comparison + real filter

@@ -765,3 +765,31 @@ def test_derived_query_prunes_files_end_to_end(spark, tmp_path):
         .collect()[0]["s"]
         == 6
     )
+
+
+def test_derived_table_bounds_nested_contexts():
+    """A subquery's own WHERE conjunct filters THAT scope's table read in
+    every consuming context — pruned files contain only rows the scope's
+    WHERE rejects, so the scope's output (and anything composed on top,
+    EXISTS and set-ops included) is identical after pruning."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # derived inside EXISTS: still prunes the inner table
+    assert ex(
+        "SELECT count(*) AS n FROM orders o WHERE EXISTS "
+        "(SELECT 1 FROM (SELECT k FROM events WHERE __timestamp >= 9) t "
+        "WHERE t.k = o.k)",
+        ["events", "orders"],
+    ) == {"events": (9, None)}
+    # derived under a set-op
+    assert ex(
+        "SELECT k FROM (SELECT k FROM events WHERE __timestamp >= 9) t "
+        "EXCEPT SELECT k FROM orders",
+        ["events", "orders"],
+    ) == {"events": (9, None)}
+    # ... but not when the set-op's other leg reads the SAME table
+    assert ex(
+        "SELECT k FROM (SELECT k FROM events WHERE __timestamp >= 9) t "
+        "EXCEPT SELECT k FROM events",
+        ["events"],
+    ) == {}
