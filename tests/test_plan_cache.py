@@ -138,3 +138,42 @@ def test_plan_cache_randomized_interleaving(qe, spark):
         want = sorted(map(tuple, nocache.sql(q, db="d").collect()))
         assert got == want, (step, q)
     assert hits > 0  # the interleaving actually exercised cache hits
+
+
+def test_http_query_path_uses_cache_and_sees_new_writes(spark, tmp_path):
+    """End-to-end through the HTTP door: a repeated /query hits the plan
+    cache, and a /write between repeats invalidates it (new rows appear)
+    — the dashboard pattern the cache exists for."""
+    import json
+    import urllib.request
+
+    from quackpipe_spark.api import GigapiServer
+
+    srv = GigapiServer(spark, str(tmp_path / "root"), port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv._httpd.server_address[1]}"
+
+    def post(path, body):
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, resp.read()
+
+    try:
+        assert post("/write?db=d&precision=s", b"w t=1.0 1717405200")[0] == 204
+        srv.ingest.flush()
+        q = json.dumps({"query": "SELECT count() AS n, round(sum(t),1) AS s FROM w"}).encode()
+        st1, b1 = post("/query?db=d", q)
+        assert st1 == 200 and json.loads(b1)["results"][0]["n"] == 1
+        n_cache = len(srv.query._plan_cache)
+        assert n_cache == 1
+        st2, b2 = post("/query?db=d", q)  # repeat: served from cache
+        assert st2 == 200 and json.loads(b2) == json.loads(b1)
+        assert len(srv.query._plan_cache) == n_cache
+        assert post("/write?db=d&precision=s", b"w t=2.0 1717405260")[0] == 204
+        srv.ingest.flush()
+        st3, b3 = post("/query?db=d", q)  # new file set: MISS, new rows
+        assert st3 == 200
+        got = json.loads(b3)["results"][0]
+        assert got["n"] == 2 and got["s"] == 3.0
+    finally:
+        srv.stop()
