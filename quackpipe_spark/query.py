@@ -803,13 +803,17 @@ class QueryEngine:
         #   hive_partitioning=false → recursiveFileLookup (disables
         #                    partition-column discovery, like DuckDB)
         #   filename       → input_file_name() projected as `filename`
-        def _rp_view(m: re.Match) -> str:
+        def _rp_view(m: re.Match, orig: str) -> str:
             from quackpipe_spark.sources.remote import resolve_scan_path
 
-            src = m.group(1).strip()
+            # m matched on the comment+literal-BLANKED view; the path and
+            # option literals are spaces there, so their true text is
+            # re-read from the original at the same spans (offsets are
+            # preserved by blanking)
+            src = orig[m.start(1) : m.end(1)].strip()
             opts = {
                 k.lower(): v.strip("'").lower()
-                for k, v in self._RP_OPT.findall(m.group(2) or "")
+                for k, v in self._RP_OPT.findall(orig[m.start(2) : m.end(2)])
             }
             if src.upper().startswith("ARRAY"):
                 inner = src[src.index("[") + 1 : src.rindex("]")]
@@ -833,7 +837,21 @@ class QueryEngine:
             df.createOrReplaceTempView(name)
             return name
 
-        query = self._RP_CALL.sub(_rp_view, query)
+        # read_parquet interception matches the BLANKED view of the query
+        # (one scanner with the rewriter/pruner): a read_parquet('http://…')
+        # inside a string literal or a comment is user data / dead text —
+        # intercepting it would mutate the literal AND fetch the URL
+        # driver-side at registration time (the rewrite_sql hazard, which
+        # this pre-pass reproduced until r10)
+        from quackpipe_spark.sqltext import blank_noncode
+
+        out, last = [], 0
+        for m in self._RP_CALL.finditer(blank_noncode(query)):
+            out.append(query[last : m.start()])
+            out.append(_rp_view(m, query))
+            last = m.end()
+        out.append(query[last:])
+        query = "".join(out)
         query = rewrite_sql(query)
         # case-INSENSITIVE reference scan: Spark resolves view names
         # case-insensitively, so "FROM Weather" hits the temp view

@@ -793,3 +793,47 @@ def test_derived_table_bounds_nested_contexts():
         "EXCEPT SELECT k FROM events",
         ["events"],
     ) == {}
+
+
+def test_rp_interception_ignores_literals_and_comments(spark, tmp_path):
+    """QueryEngine.sql's read_parquet pre-pass (which registers reader
+    views and can fetch http paths driver-side) must match on the
+    blanked view: a read_parquet inside a double-quoted literal or a
+    comment is user data / dead text. Until r10 this pre-pass ran over
+    RAW text — a literal containing read_parquet('http://…') was
+    rewritten AND fetched at registration time."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.ingest import IngestService
+    from quackpipe_spark.query import QueryEngine
+
+    cat = Catalog(str(tmp_path / "root"))
+    svc = IngestService(spark, cat, save_timeout_s=3600)
+    svc.store("d", "ev", {"v": [1], "__timestamp": [10]})
+    svc.flush()
+    qe = QueryEngine(spark, cat)
+    # in a double-quoted literal: returned verbatim, never fetched
+    # (a fetch to port 1 would raise inside sql())
+    rows = qe.sql(
+        'SELECT "read_parquet(\'http://127.0.0.1:1/x.parquet\')" AS s FROM ev',
+        db="d",
+    ).collect()
+    assert rows[0]["s"] == "read_parquet('http://127.0.0.1:1/x.parquet')"
+    # in a comment: dead text
+    assert (
+        qe.sql(
+            "SELECT count(*) AS n FROM ev "
+            "-- read_parquet('http://127.0.0.1:1/x.parquet')",
+            db="d",
+        ).collect()[0]["n"]
+        == 1
+    )
+    # a REAL call right next to a comment still intercepts
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(pa.table({"a": [1, 2]}), p)
+    got = qe.sql(
+        f"SELECT count(*) AS n FROM read_parquet('{p}') -- tail", db="d"
+    ).collect()
+    assert got[0]["n"] == 2
