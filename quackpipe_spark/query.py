@@ -679,7 +679,8 @@ class QueryEngine:
     # query must keep per-call semantics, so these never cache.
     # TABLESAMPLE (seedless) is nondeterministic too.
     _CACHE_UNSAFE = re.compile(
-        r"\b(?:now|rand|randn|random|uuid|shuffle|monotonically_increasing_id"
+        r"\b(?:now|curdate|rand|randn|random|uuid|shuffle"
+        r"|monotonically_increasing_id"
         r"|input_file_name|spark_partition_id)\s*\("
         r"|\b(?:current_timestamp|current_date|localtimestamp|current_timezone"
         r"|current_user|session_user|tablesample)\b"
@@ -882,7 +883,11 @@ class QueryEngine:
                 lo, hi = bounds.get(t.name, (None, None)) if tracks_ts else (None, None)
                 per_table.append((t, self.table_files(t, lo, hi)))
             key = None
-            if re.match(r"\s*(SET|RESET)\b", query, re.IGNORECASE):
+            # match against the comment-blanked text: '-- note\nSET ...'
+            # still executes the conf change, so it must still flush
+            if re.match(
+                r"\s*(SET|RESET)\b", _blank_literals(query), re.IGNORECASE
+            ):
                 # a conf change (ansi.enabled, caseSensitive, …) can alter
                 # the semantics of an already-analyzed plan — the key only
                 # pins the timezone, so flush everything. (Conf mutations
@@ -899,9 +904,21 @@ class QueryEngine:
                     query,
                     tz,
                     tuple(
-                        # file list pins the scan; schema+partition_by pin
-                        # the empty-relation DataFrame shape when no files
-                        (t.name, tuple(files), tuple(t.schema.items()), tuple(t.partition_by))
+                        # file-list DIGEST pins the scan (the full tuple held
+                        # every path string — ~100 bytes × 1500 files × 64
+                        # cache entries; an md5 over the sorted list keeps the
+                        # staleness-impossible-by-key property at 32 bytes);
+                        # schema+partition_by pin the empty-relation DataFrame
+                        # shape when no files
+                        (
+                            t.name,
+                            len(files),
+                            hashlib.md5(
+                                "\n".join(sorted(files)).encode()
+                            ).hexdigest(),
+                            tuple(t.schema.items()),
+                            tuple(t.partition_by),
+                        )
                         for t, files in per_table
                     ),
                 )

@@ -842,8 +842,16 @@ def parse_lines_df(
             ]
         )
         for batch in it:
+            # select the value column BY NAME: a multi-column lines_df
+            # would otherwise silently parse whatever sits at position 0
+            idx = batch.schema.get_field_index("value")
+            if idx < 0:
+                raise ValueError(
+                    "parse_lines_df expects a 'value' string column; got "
+                    f"{batch.schema.names}"
+                )
             yield _parse_batch_arrow(
-                batch.column(0),
+                batch.column(idx),
                 out_schema,
                 precision,
                 sid_memo,
@@ -851,7 +859,9 @@ def parse_lines_df(
                 skip_malformed,
             )
 
-    inter = lines_df.mapInArrow(parse_once, _INTER_DDL).persist(
+    # project to the contract column up front: prunes sibling columns
+    # from the Arrow transfer and fails fast when 'value' is absent
+    inter = lines_df.select("value").mapInArrow(parse_once, _INTER_DDL).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # discovery materializes the cache; (table, schema_desc) determines

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from quackpipe_spark.sources.lineproto import parse_line, parse_lines, schema_id
@@ -129,6 +129,11 @@ def test_batch_rows_conserved(lines):
     ),
     ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
 )
+@example(
+    tags={"0": "0", "f0": "0"},
+    fields={"0": 0},
+    ts=None,
+).via("discovered failure")
 def test_fast_path_matches_general_scanner(tags, fields, ts):
     """parse_line's escape-free fast path must be byte-for-byte equivalent
     to the general scanner on every line it claims: force the general
@@ -139,7 +144,13 @@ def test_fast_path_matches_general_scanner(tags, fields, ts):
     tags = {k: v for k, v in tags.items() if k != "time"}
     fields = {k: v for k, v in fields.items() if k not in tags and k != "time"}
     if not fields:
-        fields = {"f0": 1.5}
+        # fallback field name must not collide with a generated tag name
+        # (hypothesis found tags={'0':'0','f0':'0'} building a duplicate-name
+        # line the engine correctly rejects on both paths)
+        fb = "f0"
+        while fb in tags:
+            fb += "_"
+        fields = {fb: 1.5}
     head = "m" + "".join(f",{k}={v}" for k, v in tags.items())
     body = ",".join(f"{k}={render_field(v)}" for k, v in fields.items())
     line = f"{head} {body}" + (f" {ts}" if ts is not None else "")

@@ -101,6 +101,22 @@ def test_set_statement_flushes_cache(qe):
     qe.sql("SET spark.sql.ansi.enabled=false", db="d")
     df2 = qe.sql(q, db="d")
     assert df2 is not df1
+    # a comment-prefixed SET still executes the conf change — it must
+    # still flush (the match runs over comment-blanked text)
+    assert qe.sql(q, db="d") is df2
+    qe.sql("-- tuning note\nSET spark.sql.ansi.enabled=false", db="d")
+    assert qe.sql(q, db="d") is not df2
+    df3 = qe.sql(q, db="d")
+    assert qe.sql(q, db="d") is df3
+    qe.sql("/* hint */ RESET spark.sql.ansi.enabled", db="d")
+    assert qe.sql(q, db="d") is not df3
+
+
+def test_curdate_never_caches(qe):
+    # curdate() is Spark's alias of current_date — folded at first
+    # analysis, so a cached plan would serve yesterday's date
+    assert not qe._plan_cacheable("SELECT curdate() AS d FROM ev", {"ev"})
+    assert qe._plan_cacheable("SELECT v FROM ev WHERE note = 'curdate()'", {"ev"})
 
 
 def test_plan_cache_randomized_interleaving(qe, spark):
