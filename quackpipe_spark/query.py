@@ -792,6 +792,20 @@ class QueryEngine:
         re.IGNORECASE,
     )
     _RP_OPT = re.compile(r"(\w+)\s*=\s*('[^']*'|\w+)")
+    # read_parquet_mergetree(ARRAY['f1','f2'], 'col1,col2') — chsql's
+    # k-way merge scan of sorted parquet files (merge_service_fs.go:266,
+    # merge_service_s3.go:114): reads the union and yields rows ordered
+    # by the comma-separated sort columns. The reference invokes it
+    # internally for compaction but it is chsql public surface a /query
+    # user can issue on their own files; Spark equivalent is a
+    # mergeSchema read + Catalyst sort (SURVEY §4 — same plan the
+    # compactor uses; Spark's SortExec merges pre-sorted runs after
+    # a cheap in-partition check).
+    _RPMT_CALL = re.compile(
+        r"read_parquet_mergetree\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
+        r"\s*,\s*('[^']+')\s*\)",
+        re.IGNORECASE,
+    )
 
     def sql(self, query: str, db: str = "default") -> DataFrame:
         """Execute dialect-rewritten SQL with tables resolved to pruned
@@ -838,21 +852,45 @@ class QueryEngine:
             df.createOrReplaceTempView(name)
             return name
 
-        # read_parquet interception matches the BLANKED view of the query
-        # (one scanner with the rewriter/pruner): a read_parquet('http://…')
-        # inside a string literal or a comment is user data / dead text —
-        # intercepting it would mutate the literal AND fetch the URL
-        # driver-side at registration time (the rewrite_sql hazard, which
-        # this pre-pass reproduced until r10)
+        def _rpmt_view(m: re.Match, orig: str) -> str:
+            from quackpipe_spark.sources.remote import resolve_scan_path
+
+            src = orig[m.start(1) : m.end(1)].strip()
+            order = orig[m.start(2) : m.end(2)].strip().strip("'")
+            if src.upper().startswith("ARRAY"):
+                inner = src[src.index("[") + 1 : src.rindex("]")]
+                files = [f.strip().strip("'\"") for f in inner.split(",")]
+            else:
+                files = [src.strip("'")]
+            files = [resolve_scan_path(f) for f in files]
+            cols = [c.strip() for c in order.split(",") if c.strip()]
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*files)
+                .orderBy(*cols)
+            )
+            name = "_rpmt_" + hashlib.md5(
+                ("|".join(files) + "|" + order).encode()
+            ).hexdigest()[:12]
+            df.createOrReplaceTempView(name)
+            return name
+
+        # read_parquet / read_parquet_mergetree interception matches the
+        # BLANKED view of the query (one scanner with the rewriter/pruner):
+        # a read_parquet('http://…') inside a string literal or a comment
+        # is user data / dead text — intercepting it would mutate the
+        # literal AND fetch the URL driver-side at registration time (the
+        # rewrite_sql hazard, which this pre-pass reproduced until r10)
         from quackpipe_spark.sqltext import blank_noncode
 
-        out, last = [], 0
-        for m in self._RP_CALL.finditer(blank_noncode(query)):
-            out.append(query[last : m.start()])
-            out.append(_rp_view(m, query))
-            last = m.end()
-        out.append(query[last:])
-        query = "".join(out)
+        for pat, mk in ((self._RPMT_CALL, _rpmt_view), (self._RP_CALL, _rp_view)):
+            out, last = [], 0
+            for m in pat.finditer(blank_noncode(query)):
+                out.append(query[last : m.start()])
+                out.append(mk(m, query))
+                last = m.end()
+            out.append(query[last:])
+            query = "".join(out)
         query = rewrite_sql(query)
         # case-INSENSITIVE reference scan: Spark resolves view names
         # case-insensitively, so "FROM Weather" hits the temp view

@@ -1200,14 +1200,34 @@ GROUP BY c_mktsegment
 
 
 def approx_count_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL). Rows-only for the driver: HLL sketches
-    are engine-specific so exact output can't cross-match; the error-bound
-    contract (<5% vs exact) is asserted in tests/test_sql_extended.py."""
+    """approx_count_distinct (HLL), oracle-matched via an exact+tolerance
+    contract: the raw HLL estimate is engine-specific (sketch internals
+    differ), but the CONTRACT — "the estimate is within the configured
+    error of the exact count" — is engine-checkable. Each engine emits
+    per group the exact distinct count plus a boolean computed from ITS
+    OWN estimate vs ITS OWN exact count; identical rows/schema/hash when
+    both sketches honor their bound. Spark rsd=0.02 (≈2% stderr), DuckDB
+    HLL ≈0.4%: tolerance 6% = 3σ for the looser engine. The tight <5%
+    numeric check stays in tests/test_sql_extended.py."""
     ev = _t(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count("*").alias("n"),
+        (F.abs(approx - exact) <= 0.06 * exact).alias("within_tolerance"),
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.06 * count(DISTINCT user_id) AS within_tolerance
+FROM events
+GROUP BY event_type
+"""
 
 
 def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,7 +1797,7 @@ ORACLE = {
     "quantiles_by_group": QUANTILES_SQL,
     "union_by_name_schema_evolution": UNION_BY_NAME_SQL,
     "sql_cte_text": SQL_CTE_SQL,
-    # approx_count_distinct_events: rows-only (HLL engine-specific)
+    "approx_count_distinct_events": APPROX_DISTINCT_SQL,
     "q4_order_priority": Q4_SQL,
     "q12_shipmode_priority": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,

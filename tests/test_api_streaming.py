@@ -128,13 +128,21 @@ def test_windowed_counts_batch_parity(spark, duck):
     assert_frames_match(df, rel, "windowed_counts")
 
 
-def test_streaming_bulk_batch_distributed_path(spark, tmp_path):
+def test_streaming_bulk_batch_distributed_path(spark, tmp_path, monkeypatch):
     """A micro-batch above driver_path_max_rows must take the distributed
-    parse+write path (mapInPandas → sorted hive write), never collect() —
-    and produce the same on-disk table contract as the driver path."""
+    parse+write path (mapInArrow → sorted hive write), never collect() —
+    and produce the same on-disk table contract as the driver path. The
+    driver-side entrypoint is replaced with a tripwire so 'same result
+    via the wrong path' cannot pass."""
+    import quackpipe_spark.ingest as ingest_mod
     from quackpipe_spark.catalog import Catalog
     from quackpipe_spark.query import QueryEngine
     from quackpipe_spark.streaming import stream_lines_to_table
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side ingest_lines used for a bulk batch")
+
+    monkeypatch.setattr(ingest_mod, "ingest_lines", _boom)
 
     src = tmp_path / "incoming"
     src.mkdir()

@@ -142,6 +142,48 @@ def test_read_parquet_options_forms(spark, tmp_path):
     assert all("g1.parquet" in r["filename"] for r in df.collect())
 
 
+def test_read_parquet_mergetree_user_sql(spark, tmp_path):
+    """read_parquet_mergetree(ARRAY[...], 'col') — chsql's k-way merge
+    scan (merge_service_fs.go:266): the reference uses it internally for
+    compaction but a /query user can issue it on their own files; rows
+    come back globally ordered by the sort columns, with union-by-name
+    schema merging across files."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+
+    d = tmp_path / "runs"
+    # two sorted runs with interleaved key ranges + a schema difference
+    spark.createDataFrame(
+        [(1, "a"), (3, "c"), (5, "e")], "k long, v string"
+    ).coalesce(1).sortWithinPartitions("k").write.parquet(str(d / "r1.parquet"))
+    spark.createDataFrame(
+        [(2, "b", 1.5), (4, "d", 2.5)], "k long, v string, extra double"
+    ).coalesce(1).sortWithinPartitions("k").write.parquet(str(d / "r2.parquet"))
+    qe = QueryEngine(spark, Catalog(str(tmp_path / "root")))
+
+    f1, f2 = str(d / "r1.parquet"), str(d / "r2.parquet")
+    df = qe.sql(
+        f"SELECT * FROM read_parquet_mergetree(ARRAY['{f1}', '{f2}'], 'k')"
+    )
+    rows = df.collect()
+    assert [r["k"] for r in rows] == [1, 2, 3, 4, 5]  # merged, globally sorted
+    assert rows[1]["extra"] == 1.5 and rows[0]["extra"] is None  # union_by_name
+
+    # multi-column order spec: 'col1,col2' (OrderBy joined with ',')
+    df = qe.sql(
+        f"SELECT k, v FROM read_parquet_mergetree(ARRAY['{f1}', '{f2}'], 'v,k')"
+    )
+    assert [r["v"] for r in df.collect()] == ["a", "b", "c", "d", "e"]
+
+    # literal/comment immunity: the call inside a string or comment is
+    # data/dead text — it must NOT be intercepted (shared blanked scanner)
+    df = qe.sql(
+        "SELECT 'read_parquet_mergetree(ARRAY[''/x''], ''k'')' AS s"
+        " -- read_parquet_mergetree(ARRAY['/y'], 'k')"
+    )
+    assert df.collect()[0]["s"].startswith("read_parquet_mergetree(ARRAY[")
+
+
 def test_rewrite_sql_tolerates_options():
     """The engine-less rewriter must not choke on the options tail."""
     from quackpipe_spark.functions.dialect import rewrite_sql
