@@ -36,6 +36,8 @@ _CAST_FAMILIES = [
     ("toUInt64", "BIGINT"),  # unsigned caveat: SURVEY §7.2
     ("toFloat32", "FLOAT"),
     ("toFloat64", "DOUBLE"),
+    # plain toFloat: aliases.sql:33-35 (CAST AS DOUBLE + OrNull/OrZero)
+    ("toFloat", "DOUBLE"),
 ]
 
 _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
@@ -160,6 +162,66 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
         " % 10000 AS INT)"
         " < CAST(round(least(greatest(fraction, 0.0D), 1.0D) * 10000) AS INT)",
     ),
+    # DuckDB-dialect epoch family: the reference's /query engine IS
+    # DuckDB, so users write epoch()/epoch_ms()/epoch_us() in dashboards
+    # (our own oracle SQL does too) — shim the spellings Spark lacks.
+    ("epoch", "x TIMESTAMP", "BIGINT", "unix_seconds(x)"),
+    ("epoch_ms", "x TIMESTAMP", "BIGINT", "unix_millis(x)"),
+    ("epoch_us", "x TIMESTAMP", "BIGINT", "unix_micros(x)"),
+    # chsql arithmetic aliases (ClickHouse operator-function spellings).
+    # intDivOrZero follows the reference's intDiv quirk (plain /, not
+    # floor div) and returns 0 on a zero/NULL divisor.
+    ("plus", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"),
+    ("minus", "a DOUBLE, b DOUBLE", "DOUBLE", "a - b"),
+    ("modulo", "a BIGINT, b BIGINT", "BIGINT", "a % b"),
+    (
+        "intDivOrZero",
+        "a DOUBLE, b DOUBLE",
+        "DOUBLE",
+        "CASE WHEN b = 0 OR b IS NULL THEN 0 ELSE a / b END",
+    ),
+    # chsql date-helper long tail. CH toStartOfWeek default mode 0 =
+    # Sunday start (Spark's WEEK trunc is Monday — hence the dayofweek
+    # arithmetic); toDayOfWeek is CH Monday=1..Sunday=7 against Spark's
+    # Sunday=1 dayofweek.
+    ("toStartOfMonth", "x TIMESTAMP", "DATE", "CAST(date_trunc('MONTH', x) AS DATE)"),
+    ("toStartOfQuarter", "x TIMESTAMP", "DATE", "CAST(date_trunc('QUARTER', x) AS DATE)"),
+    ("toStartOfYear", "x TIMESTAMP", "DATE", "CAST(date_trunc('YEAR', x) AS DATE)"),
+    ("toStartOfWeek", "x TIMESTAMP", "DATE", "date_sub(CAST(x AS DATE), dayofweek(x) - 1)"),
+    ("toQuarter", "x TIMESTAMP", "INT", "quarter(x)"),
+    (
+        "toStartOfFiveMinutes",
+        "x TIMESTAMP",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(x) - pmod(unix_seconds(x), 300))",
+    ),
+    (
+        "toStartOfFifteenMinutes",
+        "x TIMESTAMP",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(x) - pmod(unix_seconds(x), 900))",
+    ),
+    # CH parseDateTimeBestEffort: lenient string→timestamp (NULL on
+    # failure in the OrNull spirit; CH proper throws — documented
+    # deviation, matching chsql-on-DuckDB's try semantics)
+    ("parseDateTimeBestEffort", "s STRING", "TIMESTAMP", "try_to_timestamp(s)"),
+    ("toDayOfYear", "x TIMESTAMP", "INT", "dayofyear(x)"),
+    ("toDayOfWeek", "x TIMESTAMP", "INT", "pmod(dayofweek(x) + 5, 7) + 1"),
+    (
+        "toYYYYMMDDhhmmss",
+        "x TIMESTAMP",
+        "BIGINT",
+        "year(x) * 10000000000L + month(x) * 100000000L + day(x) * 1000000L"
+        " + hour(x) * 10000L + minute(x) * 100L + second(x)",
+    ),
+    # chsql JSON family — one JVM get_json_object per call, no UDFs.
+    # Key is a bare field name (the common chsql call shape); nested
+    # paths can be passed as 'a.b' since $.a.b is exactly that.
+    ("JSONHas", "j STRING, k STRING", "BOOLEAN", "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    ("JSONExtractString", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+    ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+    ("JSONExtractBool", "j STRING, k STRING", "BOOLEAN", "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
     (
         "token_count",
         "s STRING",
@@ -186,6 +248,16 @@ def register_dialect(spark: SparkSession) -> None:
                 spark, name + "OrZero", "x STRING", sqltype,
                 f"coalesce(try_cast(x AS {sqltype}), CAST(0 AS {sqltype}))",
             )
+        if name.startswith("toUInt"):
+            # the reference's aliases.sql:24-31 spells the unsigned
+            # variants 'toUInt8rZero'/'toUInt8rNull' (no 'O') — register
+            # those exact names too so queries that ran on the reference
+            # run here verbatim
+            _create(spark, name + "rNull", "x STRING", sqltype, f"try_cast(x AS {sqltype})")
+            _create(
+                spark, name + "rZero", "x STRING", sqltype,
+                f"coalesce(try_cast(x AS {sqltype}), CAST(0 AS {sqltype}))",
+            )
     for name, args, rettype, body in _SCALAR_FUNCTIONS:
         _create(spark, name, args, rettype, body)
 
@@ -197,6 +269,12 @@ def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) 
 
 
 _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+# arrayJoin(arr) in a SELECT list explodes the row per element (CH's
+# row-multiplying function); Spark's explode() has exactly those
+# semantics in a select list, so a name rewrite suffices. (Case-pinned
+# to CH spelling: 'arrayjoin' all-lower is not a CH name, and Spark's
+# own array_join is a different, scalar function.)
+_ARRAY_JOIN = re.compile(r"\barrayJoin\s*\(")
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the
@@ -234,6 +312,8 @@ def rewrite_sql(sql: str) -> str:
     """Rewrite dialect constructs Spark can't express as functions.
 
     - ``count()`` → ``count(*)`` (ClickHouse zero-arg count).
+    - ``arrayJoin(expr)`` → ``explode(expr)`` (CH's row-multiplying
+      function; Spark's explode has those semantics in a select list).
     - ``read_parquet('p')`` → ``parquet.`p``` (Spark path-table syntax);
       http(s) URLs fetch through the local cache and s3:// normalizes to
       s3a:// first (the reference's httpfs idiom, BENCHMARK.md:11).
@@ -252,6 +332,7 @@ def rewrite_sql(sql: str) -> str:
     # count() lives entirely in code; each count()→count(*) shifts
     # offsets +1, so the read_parquet pass re-blanks afterwards
     sql = _sub_on_blanked(sql, _COUNT_NOARG, lambda m, s: "count(*)")
+    sql = _sub_on_blanked(sql, _ARRAY_JOIN, lambda m, s: "explode(")
 
     # read_parquet('p') STARTS in code but its path argument is a
     # literal: the shape matches on the blanked view and the true path

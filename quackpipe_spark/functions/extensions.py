@@ -41,7 +41,30 @@ def compression_ratio(text: pd.Series) -> pd.Series:
     return text.map(ratio).astype("float64")
 
 
+@pandas_udf("string")
+def strftime_vec(ts: pd.Series, fmt: pd.Series) -> pd.Series:
+    """C-style strftime (DuckDB's strftime(ts, fmt) dialect surface).
+    Format directives are runtime values, so this can't be a SQL-body
+    function (a Java date_format pattern would re-interpret the LITERAL
+    text of the format string as pattern letters); Python's strftime is
+    the same directive set DuckDB implements. Vectorized per Arrow
+    batch, grouped by distinct format (one .dt.strftime pass per format
+    — in practice the format is a constant, so exactly one pass)."""
+    out = pd.Series(index=ts.index, dtype="object")
+    valid = ts.notna() & fmt.notna()
+    for f in fmt[valid].unique():
+        sel = valid & (fmt == f)
+        out[sel] = ts[sel].dt.strftime(f)
+    return out
+
+
 def register_example_udfs(spark: SparkSession) -> None:
     """Make the sample UDFs callable from SQL (spark.sql / the /query
     endpoint) as well as the DataFrame API."""
     spark.udf.register("compression_ratio", compression_ratio)
+    spark.udf.register("strftime", strftime_vec)
+    # formatDateTime: chsql spelling of the same operation. Documented
+    # deviation: directives follow C strftime (%M = minute), matching
+    # DuckDB/chsql-on-DuckDB rather than modern ClickHouse's
+    # %M-as-month-name behavior.
+    spark.udf.register("formatDateTime", strftime_vec)

@@ -679,9 +679,10 @@ class QueryEngine:
     # query must keep per-call semantics, so these never cache.
     # TABLESAMPLE (seedless) is nondeterministic too.
     _CACHE_UNSAFE = re.compile(
-        r"\b(?:now|curdate|rand|randn|random|uuid|shuffle"
+        r"\b(?:now|curdate|rand|randn|random|randstr|uniform|uuid|shuffle"
         r"|monotonically_increasing_id"
-        r"|input_file_name|spark_partition_id)\s*\("
+        r"|input_file_name|spark_partition_id"
+        r"|user|current_database|current_schema|current_catalog)\s*\("
         r"|\b(?:current_timestamp|current_date|localtimestamp|current_timezone"
         r"|current_user|session_user|tablesample)\b"
         r"|\bunix_timestamp\s*\(\s*\)",

@@ -920,6 +920,76 @@ FROM h
 """
 
 
+def ch_dialect_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chsql long-tail audit (r11): date helpers beyond the hour family
+    (week/month/quarter/year starts with CH mode-0 Sunday weeks, CH
+    Monday=1 toDayOfWeek, toYYYYMMDDhhmmss), arithmetic aliases
+    (plus/minus/modulo/intDivOrZero), the plain toFloat cast family and
+    the reference's exact 'toUInt*rZero/rNull' spellings
+    (aliases.sql:24-35), and the JSON extract family over the events
+    props column — all Catalyst-inlined SQL functions, no UDFs."""
+    _dialect(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    t = "from_epoch_ns(ts)"
+    return ev.select(
+        "event_id",
+        # the dialect functions return DATE (CH contract; unit-tested);
+        # stringified here because pandas renders DuckDB DATEs as
+        # midnight Timestamps, which would false-mismatch the comparator
+        F.expr(f"CAST(toStartOfMonth({t}) AS STRING)").alias("month_start"),
+        F.expr(f"CAST(toStartOfQuarter({t}) AS STRING)").alias("quarter_start"),
+        F.expr(f"CAST(toStartOfYear({t}) AS STRING)").alias("year_start"),
+        F.expr(f"CAST(toStartOfWeek({t}) AS STRING)").alias("week_start"),
+        F.expr(f"toQuarter({t})").alias("qtr"),
+        F.expr(f"toDayOfYear({t})").alias("doy"),
+        F.expr(f"toDayOfWeek({t})").alias("dow"),
+        F.expr(f"toYYYYMMDDhhmmss({t})").alias("ts_num"),
+        F.expr("round(plus(value, 1.5), 4)").alias("v_plus"),
+        F.expr("round(minus(value, 1.5), 4)").alias("v_minus"),
+        F.expr("modulo(event_id, 7)").alias("mod7"),
+        F.expr("intDivOrZero(value, 0.0)").alias("div0"),
+        F.expr("round(intDivOrZero(value, 2.0), 4)").alias("div2"),
+        F.expr("toFloat(toString(round(value, 3)))").alias("v_f"),
+        F.expr("toUInt16rZero(event_type)").alias("uint_zero"),
+        F.expr("toUInt16rNull(event_type)").alias("uint_null"),
+        F.expr("JSONHas(props, 'k')").alias("has_k"),
+        F.expr("JSONHas(props, 'missing')").alias("has_missing"),
+        F.expr("JSONExtractInt(props, 'k')").alias("k_int"),
+        F.expr("JSONExtractString(props, 'k')").alias("k_str"),
+        F.expr("JSONExtractFloat(props, 'k')").alias("k_float"),
+    )
+
+
+CH_DATETIME_JSON_SQL = """
+SELECT event_id,
+       CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month_start,
+       CAST(CAST(date_trunc('quarter', ts) AS DATE) AS VARCHAR) AS quarter_start,
+       CAST(CAST(date_trunc('year', ts) AS DATE) AS VARCHAR) AS year_start,
+       CAST(CAST(CAST(ts AS DATE) - INTERVAL (dayofweek(ts)) DAY AS DATE) AS VARCHAR) AS week_start,
+       CAST(quarter(ts) AS INT) AS qtr,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(isodow(ts) AS INT) AS dow,
+       CAST(year(ts) * 10000000000 + month(ts) * 100000000 + day(ts) * 1000000
+            + hour(ts) * 10000 + minute(ts) * 100 + CAST(floor(second(ts)) AS BIGINT)
+            AS BIGINT) AS ts_num,
+       round(value + 1.5, 4) AS v_plus,
+       round(value - 1.5, 4) AS v_minus,
+       CAST(event_id % 7 AS BIGINT) AS mod7,
+       0.0 AS div0,
+       round(value / 2.0, 4) AS div2,
+       CAST(CAST(round(value, 3) AS VARCHAR) AS DOUBLE) AS v_f,
+       CAST(coalesce(try_cast(event_type AS INT), 0) AS INT) AS uint_zero,
+       try_cast(event_type AS INT) AS uint_null,
+       json_extract(props, '$.k') IS NOT NULL AS has_k,
+       json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+       try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS k_float
+FROM events
+WHERE user_id < 50
+"""
+
+
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts per user across event types (explicit values →
     no extra distinct-discovery job; matches oracle CASE aggregation)."""
@@ -1765,6 +1835,10 @@ QUERIES = {
     "time_bucket_events": time_bucket_events,
     "epoch_ns_range": epoch_ns_range,
     "ch_dialect_functions": ch_dialect_functions,
+    # ch_dialect_datetime_json is differential-tested locally
+    # (tests/test_sql_extended.py) rather than registered: the driver
+    # gate records exactly 50 rows and every slot is taken — adding a
+    # 51st would silently push another family out of the window.
     "pivot_event_types": pivot_event_types,
     "quantiles_by_group": quantiles_by_group,
     "union_by_name_schema_evolution": union_by_name_schema_evolution,

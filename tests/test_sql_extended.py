@@ -235,3 +235,115 @@ def test_ngram_counts_no_phantom_empty_token(spark):
     out = {r["ngram"]: r["count"] for r in ngram_counts(docs, n=1, min_count=1).collect()}
     assert "" not in out
     assert out == {"alpha": 2, "beta": 1}
+
+
+def test_chsql_long_tail_functions(spark):
+    """r11 chsql macro audit: reference typo spellings, toFloat family,
+    arithmetic aliases, week/day-of-week CH semantics, JSON family, and
+    the arrayJoin→explode rewrite."""
+    from quackpipe_spark.functions.dialect import register_dialect, rewrite_sql
+
+    register_dialect(spark)
+    row = spark.sql(
+        "SELECT toUInt16rZero('x') AS uz, toUInt16rNull('x') AS un,"
+        " toUInt32rZero('7') AS u7,"
+        " toFloat('2.5') AS f, toFloatOrZero('x') AS fz, toFloatOrNull('x') AS fn,"
+        " plus(2.0, 3.0) AS p, minus(2.0, 3.0) AS m, modulo(10, 3) AS md,"
+        " intDivOrZero(10.0, 0.0) AS d0, intDivOrZero(10.0, 4.0) AS d4,"
+        # 2024-06-05 is a Wednesday: CH mode-0 week starts Sunday 06-02,
+        # CH toDayOfWeek(Monday=1) gives 3
+        " toStartOfWeek(TIMESTAMP '2024-06-05 10:00:00') AS ws,"
+        " toDayOfWeek(TIMESTAMP '2024-06-05 10:00:00') AS dw,"
+        " toStartOfWeek(TIMESTAMP '2024-06-02 00:00:00') AS ws_sun,"
+        " toQuarter(TIMESTAMP '2024-06-05 10:00:00') AS q,"
+        " toYYYYMMDDhhmmss(TIMESTAMP '2024-06-05 10:02:03') AS num,"
+        " JSONExtractInt('{\"a\": 5}', 'a') AS ji,"
+        " JSONExtractString('{\"a\": {\"b\": \"x\"}}', 'a.b') AS js,"
+        " JSONHas('{\"a\": 5}', 'b') AS jh"
+    ).collect()[0]
+    assert row["uz"] == 0 and row["un"] is None and row["u7"] == 7
+    assert row["f"] == 2.5 and row["fz"] == 0.0 and row["fn"] is None
+    assert row["p"] == 5.0 and row["m"] == -1.0 and row["md"] == 1
+    assert row["d0"] == 0.0 and row["d4"] == 2.5  # plain /, reference quirk
+    assert str(row["ws"]) == "2024-06-02" and row["dw"] == 3
+    assert str(row["ws_sun"]) == "2024-06-02"  # Sunday is its own week start
+    assert row["q"] == 2 and row["num"] == 20240605100203
+    assert row["ji"] == 5 and row["js"] == "x" and row["jh"] is False
+
+    # arrayJoin explodes rows like CH; inside literals/comments untouched
+    assert rewrite_sql("SELECT arrayJoin(array(1, 2)) AS x") == (
+        "SELECT explode(array(1, 2)) AS x"
+    )
+    assert (
+        rewrite_sql("SELECT 'arrayJoin(' AS s -- arrayJoin(")
+        == "SELECT 'arrayJoin(' AS s -- arrayJoin("
+    )
+    vals = [
+        r["x"]
+        for r in spark.sql(rewrite_sql("SELECT arrayJoin(array(1, 2, 3)) AS x")).collect()
+    ]
+    assert vals == [1, 2, 3]
+
+
+def test_duckdb_epoch_family_and_strftime(spark):
+    """DuckDB dialect spellings a reference /query user would send:
+    epoch()/epoch_ms()/epoch_us() (SQL-inline) and strftime /
+    formatDateTime (Arrow-vectorized UDF — C directive set), checked
+    against DuckDB's own output on the same instants."""
+    import duckdb
+
+    from quackpipe_spark.functions.dialect import register_dialect
+    from quackpipe_spark.functions.extensions import register_example_udfs
+
+    register_dialect(spark)
+    register_example_udfs(spark)
+    q = (
+        "SELECT epoch(TIMESTAMP '2024-06-03 13:00:01') AS s,"
+        " epoch_ms(TIMESTAMP '2024-06-03 13:00:01.5') AS ms,"
+        " epoch_us(TIMESTAMP '2024-06-03 13:00:01.000007') AS us,"
+        " strftime(TIMESTAMP '2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S day %j') AS f1,"
+        " formatDateTime(TIMESTAMP '2024-06-03 13:05:07', '%d/%m/%Y') AS f2,"
+        " strftime(CAST(NULL AS TIMESTAMP), '%Y') AS fnull"
+    )
+    got = spark.sql(q).collect()[0]
+    want = duckdb.sql(
+        "SELECT epoch(TIMESTAMP '2024-06-03 13:00:01') AS s,"
+        " epoch_ms(TIMESTAMP '2024-06-03 13:00:01.5') AS ms,"
+        " epoch_us(TIMESTAMP '2024-06-03 13:00:01.000007') AS us,"
+        " strftime(TIMESTAMP '2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S day %j') AS f1,"
+        " strftime(TIMESTAMP '2024-06-03 13:05:07', '%d/%m/%Y') AS f2"
+    ).fetchone()
+    assert (got["s"], got["ms"], got["us"]) == (want[0], want[1], want[2])
+    assert got["f1"] == want[3] and got["f2"] == want[4]
+    assert got["fnull"] is None
+
+
+def test_chsql_minute_buckets_and_best_effort_parse(spark):
+    from quackpipe_spark.functions.dialect import register_dialect
+
+    register_dialect(spark)
+    row = spark.sql(
+        "SELECT toStartOfFiveMinutes(TIMESTAMP '2024-06-03 13:07:31') AS m5,"
+        " toStartOfFifteenMinutes(TIMESTAMP '2024-06-03 13:07:31') AS m15,"
+        " parseDateTimeBestEffort('2024-06-03 13:07:31') AS ok,"
+        " parseDateTimeBestEffort('not a time') AS bad"
+    ).collect()[0]
+    assert str(row["m5"]) == "2024-06-03 13:05:00"
+    assert str(row["m15"]) == "2024-06-03 13:00:00"
+    assert str(row["ok"]).startswith("2024-06-03 13:07:31") and row["bad"] is None
+
+
+def test_ch_dialect_datetime_json_vs_oracle(spark, duck):
+    """Full differential for the r11 chsql long-tail audit query — same
+    check the driver gate runs (rows / columns / values vs DuckDB), kept
+    local because the 50-slot gate registry is full."""
+    from tests.conftest import SF_DIR
+    from tests.oracle_utils import assert_frames_match
+
+    from quackpipe_spark.workloads.sql_surface import (
+        CH_DATETIME_JSON_SQL,
+        ch_dialect_datetime_json,
+    )
+
+    df = ch_dialect_datetime_json(spark, SF_DIR)
+    assert_frames_match(df, duck.sql(CH_DATETIME_JSON_SQL), "ch_dialect_datetime_json")
