@@ -342,9 +342,25 @@ def jaccard_verify(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shset"))
     )
+    # SHUFFLE_HASH on the sets side: Catalyst's static size estimate for
+    # the collect_set aggregate undershoots badly enough to pick
+    # BroadcastHashJoin(BuildRight=sets) — at 100x data that broadcast
+    # collects ~1 GiB of shingle arrays to the driver and the job dies
+    # on maxResultSize (caught by the r11 full-scale run). Hash-join on
+    # the pair keys ships each fat array through one exchange instead;
+    # no sort is wasted on array rows, and the small-SF case stays fast
+    # (the exchange is a few MB there).
     j = pairs.join(
-        sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa")), "a"
-    ).join(sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb")), "b")
+        sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa")).hint(
+            "shuffle_hash"
+        ),
+        "a",
+    ).join(
+        sets.select(F.col(id_col).alias("b"), F.col("shset").alias("sb")).hint(
+            "shuffle_hash"
+        ),
+        "b",
+    )
     inter = F.size(F.array_intersect("sa", "sb"))
     return (
         j.select(
