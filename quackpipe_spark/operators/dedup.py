@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 #: fallback.
 PROBE_BROADCAST_MAX_ROWS = 1_000_000
 
+#: Ceiling (in candidate-id rows) under which jaccard_verify broadcasts
+#: the candidate id set for its docs semi-join. Bigint ids cost ~40 B/row
+#: as a driver HashedRelation, so 1M ids ≈ 40 MB — comfortably inside
+#: maxResultSize while still covering every sane blocking outcome; past
+#: it the semi-join shuffles (and AQE can re-broadcast from real stats).
+_BROADCAST_IDS_MAX = 1_000_000
+
 
 # Optimized-plan node names whose recomputation is no more expensive
 # than reading them once: scans, row-local projections/filters over a
@@ -328,15 +335,24 @@ def jaccard_verify(
     Output (a, b, jaccard) filtered to ≥ threshold.
 
     Scale: broadcasting cand_ids assumes candidates ≪ corpus — that is
-    the contract of any blocking scheme worth running (ids only, ~8 B/row);
-    a doc in many pairs replicates its array per pair, same row growth as
-    the exploded-join alternative."""
+    the contract of any blocking scheme worth running (ids only, ~8 B/row)
+    — but the broadcast is COUNT-GATED like the incremental-dedup batch
+    side: an unconditional hint would collect an unbounded id set to the
+    driver on a boilerplate-heavy corpus (1e8 candidate ids ≈ 800 MB of
+    HashedRelation — the maxResultSize zone). Over the gate the semi-join
+    shuffles instead, and AQE still converts it back to broadcast at
+    runtime if the post-shuffle side turns out small. The count is one
+    cheap job: every caller hands in a persisted, already-counted pair
+    set. A doc in many pairs replicates its array per pair, same row
+    growth as the exploded-join alternative."""
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    if cand_ids.count() <= _BROADCAST_IDS_MAX:
+        cand_ids = F.broadcast(cand_ids)
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
     sets = (
         shingle_table(cand_docs, id_col, text_col, shingle_k)
         .groupBy(id_col)
@@ -820,8 +836,15 @@ def line_dedup(
     n_lines = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         F.size(F.split(F.col(text_col), "\n"))
     )
+    # MERGE hint: rebuilt holds the full cleaned corpus TEXT per doc and
+    # sits on an exchange-free agg (id-partitioning reuse), so AQE has
+    # no runtime stats and the static estimate had Catalyst BROADCAST
+    # the whole corpus to the driver — under the 1 GiB ceiling at the
+    # tested scales, the same maxResultSize death as jaccard_verify one
+    # scale up (r11 100× plan audit). Sort-merge spills; text payloads
+    # just flow through the sorters.
     return (
-        docs.join(rebuilt, id_col, "left")
+        docs.join(rebuilt.hint("merge"), id_col, "left")
         .withColumn("n_lines", n_lines)
         .withColumn(
             "n_removed", F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))
@@ -965,8 +988,11 @@ def strip_duplicate_passages(
     n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         F.size(tokenize(F.col(text_col)))
     )
+    # MERGE hint: same corpus-text-broadcast hazard as line_dedup's
+    # reassembly join (see there) — rebuilt is exchange-free, so only
+    # the static estimate guards the broadcast choice.
     return (
-        docs.join(rebuilt, id_col, "left")
+        docs.join(rebuilt.hint("merge"), id_col, "left")
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "n_removed_tokens",

@@ -370,7 +370,14 @@ def analyze(
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.repartition(par, F.col(id_col))
     rep = _top_bigram(base, id_col, text_col)
-    return _proj(base).join(rep, id_col, "left").withColumn(
+    # MERGE hint: rep is a corpus-scaled per-doc aggregate with NO
+    # shuffle below it (it reuses base's id-partitioning), so AQE never
+    # sees its real size and the static estimate had Catalyst BROADCAST
+    # it — collecting a per-doc relation to the driver and discarding
+    # the co-partitioned design this docstring describes (r11 100× plan
+    # audit). The hint pins the exchange-free co-partitioned sort-merge
+    # at every scale.
+    return _proj(base).join(rep.hint("merge"), id_col, "left").withColumn(
         "top_bigram_ratio", F.coalesce(F.col("top_bigram_ratio"), F.lit(0.0))
     )
 

@@ -309,6 +309,88 @@ def test_line_dedup_dup_keys_aggregate_is_partial(spark):
     assert "Exchange SinglePartition" not in p  # nothing serializes globally
 
 
+def phys(df) -> str:
+    """Physical plan toString — unlike explain('formatted'), each node
+    appears exactly once, so substring counts are node counts."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rebuilt_text_joins_are_merge_not_broadcast(spark):
+    """The reassembly joins of line_dedup and strip_duplicate_passages
+    carry the full corpus text per doc on an EXCHANGE-FREE aggregate
+    (id-partitioning reuse), so AQE never sees their real size — the
+    static estimate chose BroadcastHashJoin, collecting the corpus to
+    the driver (the jaccard_verify maxResultSize class, r11 100× plan
+    audit). Pin the merge hint: the rebuilt side must feed a
+    SortMergeJoin, and the only broadcast allowed in line_dedup is the
+    thresholded dup-key set (which sits ABOVE a shuffle, so AQE can
+    demote it from real stats)."""
+    from quackpipe_spark.operators.dedup import line_dedup, strip_duplicate_passages
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = phys(line_dedup(docs))
+    assert "SortMergeJoin" in p
+    assert p.count("BroadcastExchange") <= 1  # dup-key set only
+    p2 = phys(strip_duplicate_passages(docs))
+    assert "SortMergeJoin" in p2
+
+
+def test_text_analyze_rep_join_not_broadcast(spark):
+    """analyze(): the per-doc bigram aggregate is exchange-free, so its
+    closing join must be the co-partitioned sort-merge the docstring
+    promises — a broadcast here collects a corpus-scaled relation to
+    the driver on nothing but a static estimate."""
+    from quackpipe_spark.operators import text as T2
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = phys(T2.analyze(docs))
+    assert "SortMergeJoin" in p
+    assert "BroadcastExchange" not in p
+
+
+def test_jaccard_verify_sets_joins_shuffle_hash(spark):
+    """jaccard_verify: the pair⋈shingle-set joins must be shuffled hash
+    joins — Catalyst's static estimate of the collect_set aggregate
+    picked BroadcastHashJoin with the ARRAY relation as build side,
+    which died on maxResultSize at 100× (fixed r11). The id-only
+    candidate semi-join may broadcast (count-gated); the fat-array
+    joins must not."""
+    from quackpipe_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = docs.limit(2).select(
+        (docs.doc_id * 0).alias("a"), (docs.doc_id * 0 + 1).alias("b")
+    ).distinct()
+    p = phys(D.jaccard_verify(docs, pairs))
+    assert p.count("ShuffledHashJoin") == 2
+
+
+def test_jaccard_verify_gate_path_correct(spark, monkeypatch):
+    """Above the id-broadcast gate the semi-join must still produce the
+    same pairs (shuffle path), and the gate must actually drop the
+    explicit broadcast hint."""
+    from quackpipe_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).cache()
+    docs.count()
+    pairs = docs.select(
+        (docs.doc_id * 0).alias("a"), (docs.doc_id * 0 + 1).alias("b")
+    ).distinct()
+    baseline = sorted(
+        tuple(r) for r in D.jaccard_verify(docs, pairs, threshold=0.0).collect()
+    )
+    monkeypatch.setattr(D, "_BROADCAST_IDS_MAX", 0)
+    gated = sorted(
+        tuple(r) for r in D.jaccard_verify(docs, pairs, threshold=0.0).collect()
+    )
+    assert gated == baseline
+    docs.unpersist()
+
+
 def test_lineproto_literals_are_local_table_scans(spark):
     """The lineproto gate queries must plan their literal inputs as
     LocalTableScan (JVM) — a Scan ExistingRDD means every action pays a
