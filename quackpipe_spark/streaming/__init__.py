@@ -1,4 +1,5 @@
 from quackpipe_spark.streaming.ingest import (  # noqa: F401
+    DEAD_LETTER_TABLE,
     session_windows,
     stream_lines_to_table,
     windowed_counts,

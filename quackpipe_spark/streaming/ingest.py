@@ -18,6 +18,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Table that receives rejected lines under ``malformed="dead_letter"``.
+#: A regular engine table (auto-created, hive-partitioned, queryable
+#: through /query like any other), so the dead letters inherit the same
+#: retention/compaction story as the data they failed to join.
+DEAD_LETTER_TABLE = "_dead_letter"
+
+
+def _malformed_lines(batch_df: DataFrame, precision: str) -> DataFrame:
+    """(line, error) rows for exactly the lines the engine parser
+    rejects. The parser IS the validator — same code object the parse
+    paths call — so a line can never be dead-lettered by one rule and
+    ingested by another, and the recorded error text matches what
+    ``malformed="fail"`` would have raised. One Arrow-batched pass;
+    blank/comment lines are not errors (every parse path skips them)."""
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            bad_l: list[str] = []
+            bad_e: list[str] = []
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                line = v.strip()
+                if not line or line.startswith("#"):
+                    continue
+                try:
+                    parse_line(line, precision)
+                except ValueError as e:
+                    bad_l.append(v)
+                    bad_e.append(str(e))
+            yield pd.DataFrame({"line": bad_l, "error": bad_e})
+
+    return batch_df.select("value").mapInPandas(check, "line string, error string")
+
 
 def stream_lines_to_table(
     spark,
@@ -49,12 +86,21 @@ def stream_lines_to_table(
     halts on the bad offsets (loud, like the HTTP door's 400, but the
     stream REPLAYS the same batch forever until the source is fixed).
     ``"skip"`` drops unparseable lines and ingests the rest — the policy
-    for sources that can't be repaired in place; skipped lines are gone
-    (no dead-letter table yet), so choose it deliberately.
+    for sources that can't be repaired in place; skipped lines are GONE,
+    so choose it deliberately. ``"dead_letter"`` ingests the good lines
+    like ``"skip"`` but lands every rejected line in the
+    ``_dead_letter`` table of the same db (columns: line, error,
+    batch_id, auto ``__timestamp``) — a regular queryable engine table,
+    written BEFORE the good rows so a mid-batch crash replays into
+    duplicate dead letters rather than silently losing any (dead-letter
+    rows carry batch_id precisely so replays are dedupable).
     """
-    if malformed not in ("fail", "skip"):
-        raise ValueError(f"malformed must be 'fail' or 'skip', got {malformed!r}")
-    skip = malformed == "skip"
+    if malformed not in ("fail", "skip", "dead_letter"):
+        raise ValueError(
+            f"malformed must be 'fail', 'skip' or 'dead_letter', got {malformed!r}"
+        )
+    skip = malformed in ("skip", "dead_letter")
+    dead_letter = malformed == "dead_letter"
     from quackpipe_spark.ingest import IngestService, ingest_lines
     from quackpipe_spark.sources.lineproto import parse_lines_df
 
@@ -69,6 +115,20 @@ def stream_lines_to_table(
             n = batch_df.count()
             if n == 0:
                 return
+            if dead_letter:
+                # one validator pass over the pinned batch; written first
+                # (see docstring) and only when non-empty, so the common
+                # clean batch pays a scan but no write job
+                bad = (
+                    _malformed_lines(batch_df, precision)
+                    .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                    .persist()
+                )
+                try:
+                    if bad.count() > 0:
+                        service.writer.write_parsed_df(db, DEAD_LETTER_TABLE, bad)
+                finally:
+                    bad.unpersist()
             if n <= driver_path_max_rows:
                 rows = batch_df.collect()
                 text = "\n".join(r["value"] for r in rows if r["value"])

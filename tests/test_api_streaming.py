@@ -289,3 +289,65 @@ def test_query_error_shapes_around_streaming(server, spark):
     assert "kaboom-late" in doc["error"]
     assert doc["results"]  # the early partitions streamed
     assert all(r["v"] < 750 for r in doc["results"])
+
+
+def test_streaming_dead_letter_table(spark, tmp_path):
+    """malformed='dead_letter': good lines ingest (distributed path
+    forced, so the policy composes with the bulk gate), rejected lines
+    land in the _dead_letter table with the parser's own error text and
+    the batch id — queryable like any other table, nothing silently
+    gone."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+    from quackpipe_spark.streaming import stream_lines_to_table
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    good = [
+        f"dl,zone=z{i % 2} temp={20 + i} {1717405200000000000 + i * 10**9}"
+        for i in range(40)
+    ]
+    bad = [
+        "dl,zone=z1 temp=notanumber 1717405200000000000",  # bad field value
+        "dl,zone=z1,zone=z2 temp=1 1717405200000000000",  # duplicate tag
+        "dl,zone=z3 temp=2 99999999999999999999999999",  # ts out of range
+    ]
+    lines = good[:20] + bad + good[20:]
+    (src / "mixed.lp").write_text("\n".join(lines) + "\n")
+    catalog = Catalog(str(tmp_path / "root"))
+    stream = spark.readStream.format("text").load(str(src))
+    q = stream_lines_to_table(
+        spark, catalog, stream, db="iot",
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_seconds=0.5,
+        driver_path_max_rows=10, malformed="dead_letter",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qe = QueryEngine(spark, catalog)
+    assert qe.sql("SELECT count() AS n FROM dl", db="iot").collect()[0]["n"] == 40
+    dead = qe.sql(
+        "SELECT line, error, batch_id FROM _dead_letter ORDER BY line", db="iot"
+    ).collect()
+    assert sorted(r["line"] for r in dead) == sorted(bad)
+    for r in dead:
+        assert r["error"] and r["batch_id"] is not None
+    # the error text is the parser's own (exact policy parity with 'fail')
+    by_line = {r["line"]: r["error"] for r in dead}
+    assert "duplicate tag" in by_line[bad[1]]
+    assert "out of int64-ns range" in by_line[bad[2]]
+
+
+def test_streaming_dead_letter_rejects_bad_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.streaming import stream_lines_to_table
+
+    catalog = Catalog(str(tmp_path / "root"))
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS value"
+    )
+    with _pytest.raises(ValueError, match="dead_letter"):
+        stream_lines_to_table(spark, catalog, stream, malformed="nope")
