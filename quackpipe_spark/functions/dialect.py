@@ -222,6 +222,12 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)"),
     ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
     ("JSONExtractBool", "j STRING, k STRING", "BOOLEAN", "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
+    # DuckDB spellings /query users reach for: regexp_matches is an
+    # UNANCHORED search (exactly Spark's rlike), starts_with/ends_with
+    # are the underscore forms of Spark's startswith/endswith.
+    ("regexp_matches", "s STRING, r STRING", "BOOLEAN", "s RLIKE r"),
+    ("starts_with", "s STRING, p STRING", "BOOLEAN", "startswith(s, p)"),
+    ("ends_with", "s STRING, p STRING", "BOOLEAN", "endswith(s, p)"),
     (
         "token_count",
         "s STRING",

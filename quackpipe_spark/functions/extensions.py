@@ -58,6 +58,21 @@ def strftime_vec(ts: pd.Series, fmt: pd.Series) -> pd.Series:
     return out
 
 
+@pandas_udf("timestamp")
+def strptime_vec(s: pd.Series, fmt: pd.Series) -> pd.Series:
+    """C-style strptime (DuckDB's strptime(str, fmt)). Same
+    runtime-format-value reasoning as strftime_vec; grouped per distinct
+    format. Documented deviation: failures yield NULL (DuckDB's
+    try_strptime semantics) rather than erroring the whole Arrow batch —
+    the OrNull house style for lenient parses."""
+    out = pd.Series(pd.NaT, index=s.index, dtype="datetime64[ns]")
+    valid = s.notna() & fmt.notna()
+    for f in fmt[valid].unique():
+        sel = valid & (fmt == f)
+        out[sel] = pd.to_datetime(s[sel], format=f, errors="coerce")
+    return out
+
+
 def register_example_udfs(spark: SparkSession) -> None:
     """Make the sample UDFs callable from SQL (spark.sql / the /query
     endpoint) as well as the DataFrame API."""
@@ -68,3 +83,5 @@ def register_example_udfs(spark: SparkSession) -> None:
     # DuckDB/chsql-on-DuckDB rather than modern ClickHouse's
     # %M-as-month-name behavior.
     spark.udf.register("formatDateTime", strftime_vec)
+    spark.udf.register("strptime", strptime_vec)
+    spark.udf.register("try_strptime", strptime_vec)

@@ -347,3 +347,35 @@ def test_ch_dialect_datetime_json_vs_oracle(spark, duck):
 
     df = ch_dialect_datetime_json(spark, SF_DIR)
     assert_frames_match(df, duck.sql(CH_DATETIME_JSON_SQL), "ch_dialect_datetime_json")
+
+
+def test_duckdb_strptime_and_regex_spellings(spark):
+    """DuckDB dialect: strptime/try_strptime (C directives, NULL on
+    failure = try_strptime semantics, documented deviation for plain
+    strptime), regexp_matches (unanchored search), starts_with /
+    ends_with — all checked against DuckDB's own output."""
+    import duckdb
+
+    from quackpipe_spark.functions.dialect import register_dialect
+    from quackpipe_spark.functions.extensions import register_example_udfs
+
+    register_dialect(spark)
+    register_example_udfs(spark)
+    got = spark.sql(
+        "SELECT strptime('2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S') AS t,"
+        " try_strptime('garbage', '%Y-%m-%d') AS bad,"
+        " regexp_matches('hello world', 'o w') AS m1,"
+        " regexp_matches('hello', '^world$') AS m2,"
+        " starts_with('quackpipe', 'quack') AS sw,"
+        " ends_with('quackpipe', 'pipe') AS ew"
+    ).collect()[0]
+    want = duckdb.sql(
+        "SELECT strptime('2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S') AS t,"
+        " try_strptime('garbage', '%Y-%m-%d') AS bad,"
+        " regexp_matches('hello world', 'o w') AS m1,"
+        " regexp_matches('hello', '^world$') AS m2,"
+        " starts_with('quackpipe', 'quack') AS sw,"
+        " ends_with('quackpipe', 'pipe') AS ew"
+    ).fetchone()
+    assert str(got["t"]) == str(want[0]) and got["bad"] is None and want[1] is None
+    assert (got["m1"], got["m2"], got["sw"], got["ew"]) == want[2:]
