@@ -1080,7 +1080,17 @@ def simhash_near_pairs(
     a stateless filter instead of a DISTINCT shuffle over the candidate
     pair set. No broadcast hint: the banded table is corpus-sized, so the
     planner must pick broadcast-vs-SMJ from stats (it broadcasts the
-    persisted table at small scale, shuffles at 100 TB)."""
+    persisted table at small scale, shuffles at 100 TB).
+
+    Scale: bucket collisions (and therefore verify work) grow as
+    n² / 2^(bits/bands) — band WIDTH is the selectivity lever. When
+    bands > max_hamming the pigeonhole recall is EXACT, so the minimal
+    split bands = max_hamming + 1 is strictly better at scale (same
+    result set, widest bands); pass it explicitly. With bands ≤
+    max_hamming recall is the documented heuristic and narrowing bands
+    changes the result set — that trade stays caller-chosen. For
+    corpora past ~10M docs, grow ``bits`` (64-bit signatures) so the
+    quadratic term stays negligible."""
     # the banded self-join consumes sigs on both sides — cache the (small:
     # one long per doc) signature table eagerly so the per-row signature
     # fold runs once, not per join side

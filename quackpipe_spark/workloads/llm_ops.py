@@ -175,7 +175,14 @@ _SIMHASH_BITS = 32
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
-    return D.simhash_near_pairs(sigs, bits=_SIMHASH_BITS, max_hamming=1)
+    # bands = max_hamming + 1: the MINIMAL pigeonhole split. For
+    # hamming ≤ 1, 2 bands of 16 bits have the same EXACT recall as the
+    # default 4×8 (one differing bit can spoil at most one band either
+    # way — results identical, oracle untouched) but bucket collisions
+    # scale as n²/2^band_width: 16-bit bands grow the quadratic term
+    # 65536× slower than 8-bit ones. The r11 200× run caught the 8-bit
+    # version going superlinear at 1M docs (work-ratio 0.59).
+    return D.simhash_near_pairs(sigs, bits=_SIMHASH_BITS, max_hamming=1, bands=2)
 
 
 def _simhash_oracle() -> str:

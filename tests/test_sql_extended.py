@@ -379,3 +379,40 @@ def test_duckdb_strptime_and_regex_spellings(spark):
     ).fetchone()
     assert str(got["t"]) == str(want[0]) and got["bad"] is None and want[1] is None
     assert (got["m1"], got["m2"], got["sw"], got["ew"]) == want[2:]
+
+
+def test_strftime_strptime_differential_sweep(spark):
+    """Directive-sweep differential vs DuckDB for the two format UDFs:
+    every common C directive over a grid of instants (epoch edge, leap
+    day, year boundary, DST-irrelevant UTC times), plus the roundtrip
+    strptime(strftime(t)) == t."""
+    import duckdb
+
+    from quackpipe_spark.functions.dialect import register_dialect
+    from quackpipe_spark.functions.extensions import register_example_udfs
+
+    register_dialect(spark)
+    register_example_udfs(spark)
+    instants = [
+        "1970-01-01 00:00:00",
+        "2000-02-29 23:59:59",
+        "2023-12-31 23:00:01",
+        "2024-06-03 04:05:06",
+        "1999-01-09 09:08:07",
+    ]
+    fmts = ["%Y-%m-%d", "%H:%M:%S", "%j %U %w", "%d/%m/%y %I%p", "%Y%m%d%H%M%S"]
+    con = duckdb.connect()
+    for ts in instants:
+        for f in fmts:
+            got = spark.sql(
+                f"SELECT strftime(TIMESTAMP '{ts}', '{f}') AS o"
+            ).collect()[0]["o"]
+            want = con.sql(
+                f"SELECT strftime(TIMESTAMP '{ts}', '{f}') AS o"
+            ).fetchone()[0]
+            assert got == want, (ts, f, got, want)
+        rt = spark.sql(
+            f"SELECT strptime(strftime(TIMESTAMP '{ts}', '%Y-%m-%d %H:%M:%S'),"
+            " '%Y-%m-%d %H:%M:%S') AS t"
+        ).collect()[0]["t"]
+        assert str(rt) == ts
