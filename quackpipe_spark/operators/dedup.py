@@ -1011,6 +1011,17 @@ def _token_hash32(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
 
 
+def _token_hash64(token: Column) -> Column:
+    """64-bit token hash from the first 16 md5 hex chars, assembled from
+    two 32-bit halves (conv() yields a decimal STRING; a single 16-hex
+    conv can exceed the signed-long cast). Bit 63 lands in the sign bit
+    — downstream shifts are arithmetic and always mask, so the sign is
+    just another signature bit."""
+    hi = F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(token), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
@@ -1030,7 +1041,16 @@ def simhash(
     whole fold (the shingle_table lesson)."""
     from quackpipe_spark.operators.util import fan_out
 
-    hashes = F.transform(tokenize(F.col(text_col)), _token_hash32)
+    if bits == 32:
+        hash_fn = _token_hash32
+    elif bits == 64:
+        # the 100M+-doc setting: 16-bit-band selectivity at bands=4, or
+        # 32-bit bands at the minimal hamming-1 split (simhash_near_pairs
+        # docstring). 32-bit signatures stay the gate/oracle default.
+        hash_fn = _token_hash64
+    else:
+        raise ValueError(f"simhash supports bits=32 or 64, got {bits}")
+    hashes = F.transform(tokenize(F.col(text_col)), hash_fn)
     sums = F.aggregate(
         hashes,
         F.array(*[F.lit(0)] * bits),
@@ -1042,14 +1062,19 @@ def simhash(
             ]
         ),
     )
+    # weights via shiftleft (a Python ``1 << 63`` literal overflows the
+    # long lit) and a bitwise-OR fold (exact for distinct bits, and —
+    # unlike ``+`` — can never trip an ANSI overflow check when bit 63
+    # lands in the sign position); both are value-identical to the old
+    # lit/+ form for bits=32, so 32-bit signatures stay oracle-stable
     sig = F.aggregate(
         F.zip_with(
             sums,
-            F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+            F.array(*[F.shiftleft(F.lit(1).cast("long"), j) for j in range(bits)]),
             lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
-        lambda a, x: a + x,
+        lambda a, x: a.bitwiseOR(x),
     )
     # NULL-text parity with the grouped form (and the oracle's unnest):
     # explode emitted no row for a NULL token array, so the fold must not

@@ -351,3 +351,49 @@ def test_streaming_dead_letter_rejects_bad_mode(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dead_letter"):
         stream_lines_to_table(spark, catalog, stream, malformed="nope")
+
+
+def test_dead_letter_partition_property(spark):
+    """Exactness of the dead-letter split: every non-blank, non-comment
+    line is EITHER parsed by the skip path OR flagged by the validator —
+    never both, never neither. Guards against drift between
+    _malformed_lines and parse_lines (they share parse_line, but the
+    blank/comment skip logic is restated)."""
+    from quackpipe_spark.sources.lineproto import parse_lines
+    from quackpipe_spark.streaming.ingest import _malformed_lines
+
+    lines = [
+        "m,t=a f=1 1717405200000000000",          # good
+        "",                                         # blank: neither
+        "   ",                                      # whitespace: neither
+        "# comment",                                # comment: neither
+        "  # indented comment",                     # comment after strip
+        "m f=notanum 1717405200000000000",          # bad value
+        "m,t=a,t=b f=1",                            # duplicate tag
+        "m,t=a f=1 99999999999999999999999999",     # ts overflow
+        "m,t=a time=1 1717405200000000000",         # reserved column
+        "m,t=é f=2i 1717405200000000000",      # unicode tag: good
+        "m f=1,f=2",                                # duplicate field
+        "weather,city=x temp=1u 1717405200000000000",  # uint: good
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    bad = {r["line"] for r in _malformed_lines(df, "ns").collect()}
+    kept = sum(
+        len(b.data[next(iter(b.data))])
+        for b in parse_lines(lines, skip_malformed=True)
+    )
+    skippable = sum(1 for l in lines if not l.strip() or l.strip().startswith("#"))
+    assert kept + len(bad) + skippable == len(lines)
+    # the validator agrees line-by-line with the fail path
+    from quackpipe_spark.sources.lineproto import parse_line
+
+    for l in lines:
+        s = l.strip()
+        if not s or s.startswith("#"):
+            assert l not in bad
+            continue
+        try:
+            parse_line(s, "ns")
+            assert l not in bad
+        except ValueError:
+            assert l in bad

@@ -707,3 +707,34 @@ def test_real_image_decode_pillow_gated(spark):
     [r] = M2.decode_media(media, fake=False).collect()
     assert (r["width"], r["height"], r["n_frames"]) == (320, 200, 1)
     assert len(r["feature"]) == 8 and all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_simhash_64bit_signatures(spark):
+    """The 64-bit scale path the simhash_near_pairs docstring promises:
+    signatures are deterministic, use the full width (some sign-bit-set
+    values across a real corpus), identical docs pair at hamming 0, and
+    unsupported widths refuse loudly. 32-bit outputs are oracle-pinned
+    elsewhere; this guards the claim that growing bits is a real option."""
+    import pytest as _pytest
+
+    from quackpipe_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    s1 = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=64).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=64).collect()}
+    assert s1 == s2 and len(s1) > 0
+    # the high 32 bits must actually vary (a 32-bit hash zero-padded to
+    # 64 would leave them constant across the corpus)
+    assert len({v >> 32 for v in s1.values()}) > 1
+    # exact duplicates at hamming 0, found through 64-bit banding
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    sigs = D.simhash(dup, bits=64)
+    pairs = D.simhash_near_pairs(sigs, bits=64, max_hamming=1, bands=2).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+    with _pytest.raises(ValueError, match="bits=32 or 64"):
+        D.simhash(dup, bits=48)
