@@ -256,6 +256,62 @@ def cluster_near_dups(
     ).withColumn("is_canonical", F.col(id_col) == F.col("component"))
 
 
+def cluster_near_dups_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    a_col: str = "a",
+    b_col: str = "b",
+    edge_bound: int | None = None,
+    small_graph_edges: int = 1 << 20,
+) -> DataFrame:
+    """:func:`cluster_near_dups` with a quality-aware survivor: the
+    canonical member of each cluster is the one with the HIGHEST
+    ``score_col`` among members present in ``docs`` (ties → minimum id,
+    so the choice stays deterministic across runs, partitionings, and
+    engines). The standard curation move — near-dup clusters keep their
+    best copy, not their oldest id (min-id keeps whichever crawl
+    happened to be ingested first; argmax-quality keeps the cleanest
+    rendering of the content).
+
+    The ``component`` label itself stays the min present id (a stable
+    cluster KEY should not move when a better-scored duplicate arrives
+    later); only ``is_canonical`` follows quality. Same scale shape as
+    cluster_near_dups: every aggregate/join runs on the paired-node
+    relation, the corpus never shuffles."""
+    labels = connected_components(
+        pairs, a_col, b_col,
+        edge_bound=edge_bound, small_graph_edges=small_graph_edges,
+    )
+    scored = docs.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+    )
+    present = labels.join(scored, "node")  # inner: present members, scored
+    agg = present.groupBy("component").agg(
+        F.min("node").alias("_root"),
+        # argmax(score) with min-id ties: struct max orders by score
+        # first, then by -id (larger -id = smaller id)
+        F.max(
+            F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("negid"))
+        ).alias("_best"),
+    )
+    mapping = present.join(agg, "component").select(
+        F.col("node").alias(id_col),
+        F.col("_root").alias("component"),
+        (-F.col("_best.negid")).alias("_canon"),
+    )
+    out = docs.join(mapping, on=id_col, how="left")
+    return (
+        out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn(
+            "is_canonical",
+            F.col(id_col) == F.coalesce(F.col("_canon"), F.col(id_col)),
+        )
+        .drop("_canon")
+    )
+
+
 def cluster_sizes(labels: DataFrame) -> DataFrame:
     """(component, n_members) for a (node, component) labeling."""
     return labels.groupBy("component").agg(F.count("*").alias("n_members"))

@@ -98,6 +98,27 @@ def url_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(URL_RE)).cast("int")
 
 
+# Redaction patterns, same Java-regex/RE2 intersection discipline as the
+# counting patterns above (the redact test diffs against DuckDB's
+# regexp_replace 'g'). IPv4 before PHONE: both match digit runs, and the
+# email pass first keeps user@host digits from being eaten as phones.
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails, IPv4s, and phone-like digit runs with typed
+    placeholder tokens — the release-side counterpart of the PII
+    COUNTING signals above (counting decides which docs to drop;
+    redaction sanitizes the ones kept). Three chained JVM
+    regexp_replace passes riding the scan stage: no UDF, no shuffle,
+    order fixed (see pattern comment) so the passes can't partially
+    consume each other's matches."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def dup_token_ratio(text: Column) -> Column:
     """Gopher-style repetition signal: fraction of tokens that repeat an
     earlier token (1 − distinct/total). Row-local JVM expression — rides

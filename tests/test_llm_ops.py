@@ -738,3 +738,80 @@ def test_simhash_64bit_signatures(spark):
     assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
     with _pytest.raises(ValueError, match="bits=32 or 64"):
         D.simhash(dup, bits=48)
+
+
+def test_redact_pii_matches_duckdb(spark):
+    """redact_pii: three chained regexp_replace passes, diffed against
+    DuckDB's regexp_replace(..., 'g') with the same patterns — the same
+    Java/RE2-intersection discipline the counting signals use — plus
+    real documents as a corpus-shaped smoke (no emails survive)."""
+    import duckdb
+
+    from quackpipe_spark.operators.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        redact_pii,
+    )
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        "contact bob.smith+x@corp.example.org or call +1 (555) 123-4567 now",
+        "server at 192.168.0.1 and 10.0.0.255, backup 8.8.8.8",
+        "no pii here at all",
+        "a@b.io then 1.2.3.4 then 0123456789",
+        "",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "t string")
+    got = [r["o"] for r in df.select(redact_pii(F.col("t")).alias("o")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+            [r, EMAIL_RE, IPV4_RE, PHONE_RE],
+        ).fetchone()[0]
+        for r in rows
+    ]
+    assert got == want
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
+    assert got[1].count("<IP>") == 3 and got[2] == rows[2]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    red = docs.select(redact_pii(F.col("text")).alias("t"))
+    assert red.filter(F.col("t").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+")).count() == 0
+
+
+def test_cluster_survivor_by_quality(spark):
+    """Quality-aware canonical selection: per near-dup cluster the
+    highest-score present member wins (ties -> min id), the component
+    KEY stays the min present id, singletons are their own canonical,
+    and a cluster whose best-scored member was filtered out of docs
+    re-roots on the best surviving one."""
+    from pyspark.sql import functions as F
+
+    from quackpipe_spark.operators.cluster import cluster_near_dups_by_quality
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (5, 0.5), (7, 0.1)],
+        "doc_id long, quality double",
+    )  # doc 4 exists in pairs but was filtered out of docs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in cluster_near_dups_by_quality(docs, pairs).collect()
+    }
+    # cluster {1,2,3}: key=1 (min id), canonical=2 (score tie 2 vs 3 -> min id)
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (1, False)
+    # cluster {4,5} with 4 absent: key re-roots to 5, canonical 5
+    assert out[5] == (5, True)
+    # singleton
+    assert out[7] == (7, True)
+    # exactly one canonical per component
+    from collections import Counter
+
+    c = Counter(comp for comp, canon in out.values() if canon)
+    assert all(v == 1 for v in c.values())
