@@ -277,7 +277,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no forced broadcast: customer SCALES with SF, and its scan has a
+        # file-proportional size estimate — the planner broadcasts it at
+        # every tested scale and demotes safely at cluster scale (audit
+        # rule 3, PLAN_AUDIT_r11.md); a hint would force it at 100 TB too
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -323,8 +327,11 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        # customer/supplier scale with SF → planner-chosen (audit rule 3);
+        # nation (25 rows) and region (5) are bounded by the data model,
+        # so their broadcasts stay forced
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -1440,7 +1447,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_type").startswith("PROMO")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part scales with SF → planner-chosen broadcast (audit rule 3)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 4
