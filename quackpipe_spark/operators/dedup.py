@@ -358,14 +358,15 @@ def jaccard_verify(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("shset"))
     )
-    # SHUFFLE_HASH on the sets side: Catalyst's static size estimate for
-    # the collect_set aggregate undershoots badly enough to pick
-    # BroadcastHashJoin(BuildRight=sets) — at 100x data that broadcast
-    # collects ~1 GiB of shingle arrays to the driver and the job dies
-    # on maxResultSize (caught by the r11 full-scale run). Hash-join on
-    # the pair keys ships each fat array through one exchange instead;
-    # no sort is wasted on array rows, and the small-SF case stays fast
-    # (the exchange is a few MB there).
+    # SHUFFLE_HASH on the sets side, unconditionally: Catalyst's static
+    # estimate for the exchange-free collect_set agg undershoots badly
+    # enough to pick BroadcastHashJoin — at 100x data that collected
+    # ~1 GiB of shingle arrays to the driver and died on maxResultSize
+    # (caught by the r11 full-scale run). A count-gated broadcast was
+    # also tried and MEASURED SLOWER even at sf0.1 (same-session A/B,
+    # 3.44s vs 3.04s: the broadcast pays a separate collect job while
+    # the fat-array exchange is tiny), so the shuffle path is simply
+    # the right plan at every scale — no sort wasted on fat rows.
     j = pairs.join(
         sets.select(F.col(id_col).alias("a"), F.col("shset").alias("sa")).hint(
             "shuffle_hash"

@@ -354,9 +354,10 @@ def test_jaccard_verify_sets_joins_shuffle_hash(spark):
     """jaccard_verify: the pair⋈shingle-set joins must be shuffled hash
     joins — Catalyst's static estimate of the collect_set aggregate
     picked BroadcastHashJoin with the ARRAY relation as build side,
-    which died on maxResultSize at 100× (fixed r11). The id-only
-    candidate semi-join may broadcast (count-gated); the fat-array
-    joins must not."""
+    which died on maxResultSize at 100× (fixed r11; a count-gated
+    broadcast was also tried and measured slower even at sf0.1). The
+    id-only candidate semi-join may broadcast (count-gated); the
+    fat-array joins must not."""
     from quackpipe_spark.operators import dedup as D
 
     spark.catalog.clearCache()
