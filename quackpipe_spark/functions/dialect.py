@@ -222,6 +222,39 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)"),
     ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
     ("JSONExtractBool", "j STRING, k STRING", "BOOLEAN", "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)"),
+    # DuckDB date_diff('part', a, b): counts PART BOUNDARIES crossed
+    # (date_diff('day', 23:59:59, 00:00:01) = 1), not elapsed units —
+    # so every arm works in calendar/epoch floors, never subtraction of
+    # raw intervals. Week boundaries are Mondays (1970-01-01 was a
+    # Thursday, hence the +3 shift); sub-day arms floor the epoch with
+    # pmod so pre-1970 instants stay exact (DIV alone truncates toward
+    # zero). Unknown parts raise like DuckDB. Plural spellings accepted.
+    # Registered as datediff_part because date_diff is a Spark BUILT-IN
+    # (the 2-arg datediff alias, which CREATE FUNCTION cannot replace);
+    # rewrite_sql maps DuckDB's 3-arg spelling here — the leading string
+    # literal distinguishes it from Spark's own form.
+    (
+        "datediff_part",
+        "p STRING, a TIMESTAMP, b TIMESTAMP",
+        "BIGINT",
+        "CASE CASE WHEN lower(p) LIKE '%s' AND lower(p) != 's' THEN rtrim('s', lower(p)) ELSE lower(p) END"
+        " WHEN 'year' THEN CAST(year(b) - year(a) AS BIGINT)"
+        " WHEN 'quarter' THEN CAST((year(b) - year(a)) * 4 + quarter(b) - quarter(a) AS BIGINT)"
+        " WHEN 'month' THEN CAST((year(b) - year(a)) * 12 + month(b) - month(a) AS BIGINT)"
+        " WHEN 'week' THEN CAST(FLOOR((datediff(CAST(b AS DATE), DATE '1970-01-01') + 3) / 7)"
+        "   - FLOOR((datediff(CAST(a AS DATE), DATE '1970-01-01') + 3) / 7) AS BIGINT)"
+        " WHEN 'day' THEN CAST(datediff(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT)"
+        " WHEN 'hour' THEN ((unix_seconds(b) - pmod(unix_seconds(b), 3600)) DIV 3600)"
+        "   - ((unix_seconds(a) - pmod(unix_seconds(a), 3600)) DIV 3600)"
+        " WHEN 'minute' THEN ((unix_seconds(b) - pmod(unix_seconds(b), 60)) DIV 60)"
+        "   - ((unix_seconds(a) - pmod(unix_seconds(a), 60)) DIV 60)"
+        " WHEN 'second' THEN unix_seconds(b) - unix_seconds(a)"
+        " WHEN 'millisecond' THEN (unix_micros(b) - pmod(unix_micros(b), 1000)) DIV 1000"
+        "   - ((unix_micros(a) - pmod(unix_micros(a), 1000)) DIV 1000)"
+        " WHEN 'microsecond' THEN unix_micros(b) - unix_micros(a)"
+        " ELSE CAST(raise_error(concat('date_diff: unsupported part ', p)) AS BIGINT)"
+        " END",
+    ),
     # DuckDB spellings /query users reach for: regexp_matches is an
     # UNANCHORED search (exactly Spark's rlike), starts_with/ends_with
     # are the underscore forms of Spark's startswith/endswith.
@@ -281,6 +314,10 @@ _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 # to CH spelling: 'arrayjoin' all-lower is not a CH name, and Spark's
 # own array_join is a different, scalar function.)
 _ARRAY_JOIN = re.compile(r"\barrayJoin\s*\(")
+# DuckDB date_diff('part', a, b): the leading string literal (quote
+# survives blanking) separates it from Spark's built-in 2-arg
+# date_diff(end, start), which must stay untouched
+_DATE_DIFF_PART = re.compile(r"\bdate_diff\s*\(\s*(?=')", re.IGNORECASE)
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the
@@ -339,6 +376,7 @@ def rewrite_sql(sql: str) -> str:
     # offsets +1, so the read_parquet pass re-blanks afterwards
     sql = _sub_on_blanked(sql, _COUNT_NOARG, lambda m, s: "count(*)")
     sql = _sub_on_blanked(sql, _ARRAY_JOIN, lambda m, s: "explode(")
+    sql = _sub_on_blanked(sql, _DATE_DIFF_PART, lambda m, s: "datediff_part(")
 
     # read_parquet('p') STARTS in code but its path argument is a
     # literal: the shape matches on the blanked view and the true path

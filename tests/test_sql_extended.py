@@ -416,3 +416,46 @@ def test_strftime_strptime_differential_sweep(spark):
             " '%Y-%m-%d %H:%M:%S') AS t"
         ).collect()[0]["t"]
         assert str(rt) == ts
+
+
+def test_date_diff_matches_duckdb(spark):
+    """DuckDB date_diff boundary-crossing semantics over every supported
+    part and a grid of instants (midnight straddles, Sunday->Monday week
+    boundary, month/quarter/year ends, pre-epoch), singular and plural
+    spellings, checked value-for-value against DuckDB."""
+    import duckdb
+
+    from quackpipe_spark.functions.dialect import register_dialect, rewrite_sql
+
+    register_dialect(spark)
+    con = duckdb.connect()
+    # /query routes through rewrite_sql: the DuckDB 3-arg spelling maps
+    # to datediff_part (date_diff is an unreplaceable Spark built-in);
+    # Spark's own 2-arg form and literals/comments stay untouched
+    assert rewrite_sql("SELECT date_diff('day', a, b)") == "SELECT datediff_part('day', a, b)"
+    assert rewrite_sql("SELECT date_diff(a, b) -- date_diff('x'") == "SELECT date_diff(a, b) -- date_diff('x'"
+    instants = [
+        ("2024-06-02 23:00:00", "2024-06-03 01:00:00"),   # Sun->Mon
+        ("2024-06-02 23:59:59", "2024-06-03 00:00:01"),   # midnight straddle
+        ("2024-01-31 12:00:00", "2024-02-01 00:00:00"),   # month boundary
+        ("2023-12-31 23:59:59", "2024-01-01 00:00:00"),   # year boundary
+        ("2024-03-31 10:30:00", "2024-04-01 09:00:00"),   # quarter boundary
+        ("2024-06-03 01:00:00", "2024-06-02 23:00:00"),   # reversed (negative)
+        ("1969-12-31 23:00:00", "1970-01-01 01:00:00"),   # pre-epoch floor
+        ("2024-06-03 10:00:00.123456", "2024-06-03 10:00:00.987654"),
+    ]
+    parts = ["year", "quarter", "month", "week", "day", "hour", "minute",
+             "second", "millisecond", "microsecond", "days", "weeks"]
+    for a, b in instants:
+        for p in parts:
+            got = spark.sql(rewrite_sql(
+                f"SELECT date_diff('{p}', TIMESTAMP '{a}', TIMESTAMP '{b}') AS d"
+            )).collect()[0]["d"]
+            want = con.sql(
+                f"SELECT date_diff('{p}', TIMESTAMP '{a}', TIMESTAMP '{b}')"
+            ).fetchone()[0]
+            assert got == want, (p, a, b, got, want)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported part"):
+        spark.sql(rewrite_sql("SELECT date_diff('fortnight', now(), now())")).collect()
