@@ -95,6 +95,41 @@ def main() -> None:
             per_query[name] = round(statistics.median(ts), 4)
     spark.catalog.clearCache()
 
+    # Fixed per-action floor microbenchmarks (BASELINE.md "Serving-tail
+    # floor", VERDICT r11 #6): the sub-second gate tail is dominated by
+    # Spark's fixed job-launch cost, not plan structure — emitting the
+    # measured floor alongside the queries lets a reader separate plan
+    # cost from fixed cost without re-reading the prose. Medians over the
+    # same rep count as the queries.
+    def _floor_shapes():
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return {
+            "empty_job": lambda: spark.range(10).count(),
+            "parquet_count": lambda: li.count(),
+            "one_exchange_agg": lambda: li.groupBy("l_orderkey").count().count(),
+            "one_python_stage": lambda: spark.range(100_000)
+            .repartition(32)
+            .mapInPandas(lambda it: it, "id long")
+            .count(),
+        }
+
+    floor: dict[str, float] = {}
+    try:
+        shapes = _floor_shapes()
+        floor_times: dict[str, list[float]] = {k: [] for k in shapes}
+        for _ in range(reps):
+            for fname, fn in shapes.items():
+                t0 = time.perf_counter()
+                fn()
+                floor_times[fname].append(time.perf_counter() - t0)
+        floor = {
+            k: round(statistics.median(v), 4) for k, v in floor_times.items()
+        }
+    except Exception as e:
+        failures["_floor"] = f"{type(e).__name__}: {e}"[:200]
+
     total = round(sum(per_query.values()), 4)
     out = {
         "metric": "workload_total_wall",
@@ -102,6 +137,7 @@ def main() -> None:
         "unit": "sec",
         "reps": reps,
         "queries": per_query,
+        "floor": floor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failures:

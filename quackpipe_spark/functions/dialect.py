@@ -165,7 +165,9 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # DuckDB-dialect epoch family: the reference's /query engine IS
     # DuckDB, so users write epoch()/epoch_ms()/epoch_us() in dashboards
     # (our own oracle SQL does too) — shim the spellings Spark lacks.
-    ("epoch", "x TIMESTAMP", "BIGINT", "unix_seconds(x)"),
+    # epoch() is DOUBLE with fractional seconds, exactly DuckDB's typing
+    # (unix_seconds would silently truncate sub-second precision).
+    ("epoch", "x TIMESTAMP", "DOUBLE", "unix_micros(x) / 1e6"),
     ("epoch_ms", "x TIMESTAMP", "BIGINT", "unix_millis(x)"),
     ("epoch_us", "x TIMESTAMP", "BIGINT", "unix_micros(x)"),
     # chsql arithmetic aliases (ClickHouse operator-function spellings).
@@ -217,7 +219,17 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # chsql JSON family — one JVM get_json_object per call, no UDFs.
     # Key is a bare field name (the common chsql call shape); nested
     # paths can be passed as 'a.b' since $.a.b is exactly that.
-    ("JSONHas", "j STRING, k STRING", "BOOLEAN", "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    # JSONHas detects key PRESENCE independent of value, so {"k": null}
+    # reports true exactly like ClickHouse: Spark's variant layer keeps
+    # JSON null as a variant-null value (IS NOT NULL), while a missing
+    # path yields SQL NULL. get_json_object can't make that distinction.
+    # Malformed/NULL input → false.
+    (
+        "JSONHas",
+        "j STRING, k STRING",
+        "BOOLEAN",
+        "try_variant_get(try_parse_json(j), concat('$.', k)) IS NOT NULL",
+    ),
     ("JSONExtractString", "j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
     ("JSONExtractInt", "j STRING, k STRING", "BIGINT", "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)"),
     ("JSONExtractFloat", "j STRING, k STRING", "DOUBLE", "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
@@ -228,7 +240,10 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
     # raw intervals. Week boundaries are Mondays (1970-01-01 was a
     # Thursday, hence the +3 shift); sub-day arms floor the epoch with
     # pmod so pre-1970 instants stay exact (DIV alone truncates toward
-    # zero). Unknown parts raise like DuckDB. Plural spellings accepted.
+    # zero). Unknown parts raise like DuckDB. Plural spellings accepted,
+    # plus DuckDB's abbreviation set (y/yr, mon, w, d, h/hr, m/min, s/sec,
+    # ms/msec, us/usec — enumerated empirically against DuckDB 1.x; the
+    # aliases map BEFORE the plural strip so 'ms' never degrades to 'm').
     # Registered as datediff_part because date_diff is a Spark BUILT-IN
     # (the 2-arg datediff alias, which CREATE FUNCTION cannot replace);
     # rewrite_sql maps DuckDB's 3-arg spelling here — the leading string
@@ -237,7 +252,18 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
         "datediff_part",
         "p STRING, a TIMESTAMP, b TIMESTAMP",
         "BIGINT",
-        "CASE CASE WHEN lower(p) LIKE '%s' AND lower(p) != 's' THEN rtrim('s', lower(p)) ELSE lower(p) END"
+        "CASE CASE lower(p)"
+        "   WHEN 'y' THEN 'year' WHEN 'yr' THEN 'year' WHEN 'yrs' THEN 'year'"
+        "   WHEN 'mon' THEN 'month' WHEN 'mons' THEN 'month'"
+        "   WHEN 'w' THEN 'week'"
+        "   WHEN 'd' THEN 'day'"
+        "   WHEN 'h' THEN 'hour' WHEN 'hr' THEN 'hour' WHEN 'hrs' THEN 'hour'"
+        "   WHEN 'm' THEN 'minute' WHEN 'min' THEN 'minute' WHEN 'mins' THEN 'minute'"
+        "   WHEN 's' THEN 'second' WHEN 'sec' THEN 'second' WHEN 'secs' THEN 'second'"
+        "   WHEN 'ms' THEN 'millisecond' WHEN 'msec' THEN 'millisecond' WHEN 'msecs' THEN 'millisecond'"
+        "   WHEN 'us' THEN 'microsecond' WHEN 'usec' THEN 'microsecond' WHEN 'usecs' THEN 'microsecond'"
+        "   ELSE CASE WHEN lower(p) LIKE '%s' THEN rtrim('s', lower(p)) ELSE lower(p) END"
+        " END"
         " WHEN 'year' THEN CAST(year(b) - year(a) AS BIGINT)"
         " WHEN 'quarter' THEN CAST((year(b) - year(a)) * 4 + quarter(b) - quarter(a) AS BIGINT)"
         " WHEN 'month' THEN CAST((year(b) - year(a)) * 12 + month(b) - month(a) AS BIGINT)"
@@ -301,10 +327,44 @@ def register_dialect(spark: SparkSession) -> None:
         _create(spark, name, args, rettype, body)
 
 
+# name(lower) → definition digest input for every function registered
+# through this module. QueryEngine folds registry_fingerprint() into its
+# plan-cache key: an analyzed plan binds the function DEFINITIONS live at
+# analysis time, so hot-adding or changing one in-session (create_function)
+# must invalidate cached plans — a same-SQL hit would silently serve the
+# old binding (VERDICT r11 #5). The fingerprint is a content hash, not a
+# counter, so idempotent re-registration keeps cached plans valid.
+_REGISTERED: dict[str, str] = {}
+
+
+def registry_fingerprint() -> str:
+    import hashlib
+
+    return hashlib.md5(
+        "\n".join(f"{k}={v}" for k, v in sorted(_REGISTERED.items())).encode()
+    ).hexdigest()
+
+
+def note_registration(name: str, definition: str) -> None:
+    """Record a function binding in the plan-cache fingerprint. Called by
+    _create for SQL-body functions; UDF registrars (extensions.py) call it
+    directly with a digest of their Python implementation."""
+    _REGISTERED[name.lower()] = definition
+
+
+def create_function(
+    spark: SparkSession, name: str, args: str, rettype: str, body: str
+) -> None:
+    """Public hot-add seam: register (or redefine) a SQL scalar function
+    in-session with plan-cache-safe bookkeeping."""
+    _create(spark, name, args, rettype, body)
+
+
 def _create(spark: SparkSession, name: str, args: str, rettype: str, body: str) -> None:
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {rettype} RETURN {body}"
     )
+    note_registration(name, f"{args}->{rettype}:{body}")
 
 
 _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)

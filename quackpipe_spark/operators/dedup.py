@@ -322,6 +322,7 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    pairs_count: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only.
 
@@ -341,16 +342,23 @@ def jaccard_verify(
     driver on a boilerplate-heavy corpus (1e8 candidate ids ≈ 800 MB of
     HashedRelation — the maxResultSize zone). Over the gate the semi-join
     shuffles instead, and AQE still converts it back to broadcast at
-    runtime if the post-shuffle side turns out small. The count is one
-    cheap job: every caller hands in a persisted, already-counted pair
-    set. A doc in many pairs replicates its array per pair, same row
-    growth as the exploded-join alternative."""
+    runtime if the post-shuffle side turns out small. The gate reads
+    ``pairs_count`` (callers that ran minhash_candidates already hold
+    it — zero extra jobs) or falls back to ``pairs.count()`` on the
+    caller-persisted pair set; either way the id union+distinct stays
+    lazy and its shuffle is paid exactly ONCE, at execution — counting
+    the distinct ids themselves (the pre-r12 gate) ran that shuffle a
+    second, thrown-away time (ADVICE r11). 2·pairs is a conservative
+    bound on distinct ids, so the fallback only ever errs toward the
+    always-safe shuffle plan. A doc in many pairs replicates its array
+    per pair, same row growth as the exploded-join alternative."""
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    if cand_ids.count() <= _BROADCAST_IDS_MAX:
+    n_bound = 2 * (pairs_count if pairs_count is not None else pairs.count())
+    if n_bound <= _BROADCAST_IDS_MAX:
         cand_ids = F.broadcast(cand_ids)
     cand_docs = docs.join(cand_ids, id_col, "left_semi")
     sets = (
@@ -436,10 +444,12 @@ def minhash_dedup(
     partitioned, so it never shuffles and is never materialized);
     verification re-shingles only the candidate docs (jaccard_verify).
     Persist/race rationale lives in minhash_candidates."""
-    cands, _ = minhash_candidates(
+    cands, n_cands = minhash_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_k
     )
-    return jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
+    return jaccard_verify(
+        docs, cands, id_col, text_col, shingle_k, threshold, pairs_count=n_cands
+    )
 
 
 def minhash_clusters(
@@ -468,7 +478,9 @@ def minhash_clusters(
     cands, n_cands = minhash_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_k
     )
-    pairs = jaccard_verify(docs, cands, id_col, text_col, shingle_k, threshold)
+    pairs = jaccard_verify(
+        docs, cands, id_col, text_col, shingle_k, threshold, pairs_count=n_cands
+    )
     return cluster_near_dups(
         docs, pairs.select("a", "b"), id_col=id_col, edge_bound=n_cands
     )
@@ -714,11 +726,20 @@ def dedup_against_index(
     both = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col))
     )
+    # count once for the verify gate — deliberately NOT persisted: a
+    # persist here leaks a cache entry for the probe-join fragment that
+    # Spark's cache manager then substitutes (hint included) into LATER
+    # plans over the same index, silently re-broadcasting what a caller
+    # gated off. The bare count re-evaluates the probe join once, which
+    # is still strictly cheaper than the pre-r12 distinct-id count (that
+    # paid the same evaluation PLUS a thrown-away distinct shuffle).
     pairs = cands.select(
         F.col("new_id").alias("a"), F.col("old_id").alias("b")
     )
+    n_pairs = pairs.count()
     verified = jaccard_verify(
-        both, pairs, id_col, text_col, m["shingle_k"], threshold
+        both, pairs, id_col, text_col, m["shingle_k"], threshold,
+        pairs_count=n_pairs,
     )
     return verified.select(
         F.col("a").alias("new_id"), F.col("b").alias("old_id"), "jaccard"

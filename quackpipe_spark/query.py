@@ -793,6 +793,20 @@ class QueryEngine:
         re.IGNORECASE,
     )
     _RP_OPT = re.compile(r"(\w+)\s*=\s*('[^']*'|\w+)")
+    # one '...'-quoted ARRAY element ('' = escaped quote): paths may
+    # legally contain commas or quotes, so the element list is extracted
+    # by this regex over the ORIGINAL text of the matched span, never by
+    # splitting on bare commas (ADVICE r11)
+    _SQ_ELEM = re.compile(r"'((?:[^']|'')*)'")
+
+    @classmethod
+    def _path_list(cls, src: str) -> list[str]:
+        """File paths from a matched source group: ARRAY['a','b',...] or a
+        single quoted path, with SQL ''-escapes unfolded."""
+        if src.upper().startswith("ARRAY"):
+            inner = src[src.index("[") + 1 : src.rindex("]")]
+            return [m.group(1).replace("''", "'") for m in cls._SQ_ELEM.finditer(inner)]
+        return [src[1:-1].replace("''", "'")]
     # read_parquet_mergetree(ARRAY['f1','f2'], 'col1,col2') — chsql's
     # k-way merge scan of sorted parquet files (merge_service_fs.go:266,
     # merge_service_s3.go:114): reads the union and yields rows ordered
@@ -831,12 +845,7 @@ class QueryEngine:
                 k.lower(): v.strip("'").lower()
                 for k, v in self._RP_OPT.findall(orig[m.start(2) : m.end(2)])
             }
-            if src.upper().startswith("ARRAY"):
-                inner = src[src.index("[") + 1 : src.rindex("]")]
-                files = [f.strip().strip("'\"") for f in inner.split(",")]
-            else:
-                files = [src.strip("'")]
-            files = [resolve_scan_path(f) for f in files]
+            files = [resolve_scan_path(f) for f in self._path_list(src)]
             reader = self.spark.read.option(
                 "mergeSchema", opts.get("union_by_name", "true")
             )
@@ -858,12 +867,7 @@ class QueryEngine:
 
             src = orig[m.start(1) : m.end(1)].strip()
             order = orig[m.start(2) : m.end(2)].strip().strip("'")
-            if src.upper().startswith("ARRAY"):
-                inner = src[src.index("[") + 1 : src.rindex("]")]
-                files = [f.strip().strip("'\"") for f in inner.split(",")]
-            else:
-                files = [src.strip("'")]
-            files = [resolve_scan_path(f) for f in files]
+            files = [resolve_scan_path(f) for f in self._path_list(src)]
             cols = [c.strip() for c in order.split(",") if c.strip()]
             df = (
                 self.spark.read.option("mergeSchema", "true")
@@ -938,10 +942,16 @@ class QueryEngine:
                     tz = self.spark.conf.get("spark.sql.session.timeZone", "")
                 except Exception:
                     tz = ""
+                from quackpipe_spark.functions.dialect import registry_fingerprint
+
                 key = (
                     db,
                     query,
                     tz,
+                    # dialect/UDF registry content hash: a hot-added or
+                    # redefined function in-session must not serve a plan
+                    # analyzed against the old binding (VERDICT r11 #5)
+                    registry_fingerprint(),
                     tuple(
                         # file-list DIGEST pins the scan (the full tuple held
                         # every path string — ~100 bytes × 1500 files × 64

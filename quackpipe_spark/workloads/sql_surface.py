@@ -987,8 +987,8 @@ SELECT event_id,
        CAST(CAST(round(value, 3) AS VARCHAR) AS DOUBLE) AS v_f,
        CAST(coalesce(try_cast(event_type AS INT), 0) AS INT) AS uint_zero,
        try_cast(event_type AS INT) AS uint_null,
-       json_extract(props, '$.k') IS NOT NULL AS has_k,
-       json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+       coalesce(list_contains(json_keys(props), 'k'), false) AS has_k,
+       coalesce(list_contains(json_keys(props), 'missing'), false) AS has_missing,
        try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
        json_extract_string(props, '$.k') AS k_str,
        try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS k_float

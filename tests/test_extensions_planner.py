@@ -26,6 +26,43 @@ def test_compression_ratio_udf(spark):
     assert r["n"] == 1
 
 
+def test_levenshtein_udf_matches_jvm_builtin(spark):
+    """The oracle-proven extension-point UDF must agree exactly with
+    Spark's JVM levenshtein (and DuckDB's, via the gate oracle) on
+    arbitrary ASCII pairs, including empties and NULLs."""
+    from quackpipe_spark.functions.extensions import levenshtein_vec, register_example_udfs
+
+    cases = [
+        ("kitten", "sitting"), ("", "abc"), ("abc", ""), ("", ""),
+        ("same", "same"), (None, "x"), ("x", None), (None, None),
+        ("Hello, World! 123", "hello world 123"),
+        ("a" * 80, "b" * 80), ("abcdef", "badcfe"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "id long, a string, b string"
+    )
+    rows = df.select(
+        "id",
+        levenshtein_vec("a", "b").alias("py"),
+        F.levenshtein("a", "b").alias("jvm"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        a, b = cases[r["id"]]
+        if a is None or b is None:
+            assert r["py"] is None and r["jvm"] is None, r
+        else:
+            assert r["py"] == r["jvm"], (a, b, r["py"], r["jvm"])
+    # SQL registration under the non-shadowing name
+    register_example_udfs(spark)
+    df.createOrReplaceTempView("_lev_pairs")
+    [bad] = spark.sql(
+        "SELECT count(*) AS n FROM _lev_pairs "
+        "WHERE py_levenshtein(a, b) IS DISTINCT FROM levenshtein(a, b)"
+    ).collect()
+    assert bad["n"] == 0
+
+
 def test_plan_merges_greedy_packing(tmp_path):
     """Pure planner logic: size-desc greedy bin packing under the level
     cap; a lone file too big to ever pack (> cap/2) rename-promotes to

@@ -46,6 +46,47 @@ def test_ingest_invalidates_by_file_list(qe):
     assert qe.sql(q, db="d").collect()[0]["s"] == 106
 
 
+def test_function_redefinition_invalidates(qe, spark):
+    """Hot-adding or redefining a dialect function in-session must miss
+    the cache: an analyzed plan binds the definition live at analysis
+    time, so a same-SQL hit after create_function would silently serve
+    the OLD body (VERDICT r11 #5). Idempotent re-registration keeps the
+    fingerprint — cached plans stay valid across register_dialect calls."""
+    from quackpipe_spark.functions.dialect import (
+        create_function,
+        register_dialect,
+        registry_fingerprint,
+    )
+
+    register_dialect(spark)
+    create_function(spark, "double_it", "x BIGINT", "BIGINT", "x * 2")
+    q = "SELECT double_it(sum(v)) AS s FROM ev"
+    df1 = qe.sql(q, db="d")
+    assert df1.collect()[0]["s"] == 12
+    fp = registry_fingerprint()
+    register_dialect(spark)  # idempotent: content hash unchanged → still hits
+    assert registry_fingerprint() == fp
+    assert qe.sql(q, db="d") is df1
+    # redefinition → new fingerprint → miss → new semantics served
+    create_function(spark, "double_it", "x BIGINT", "BIGINT", "x * 3")
+    assert registry_fingerprint() != fp
+    df2 = qe.sql(q, db="d")
+    assert df2 is not df1
+    assert df2.collect()[0]["s"] == 18
+    # a changed Python-UDF registration also reads as a new fingerprint
+    # (the bytecode digest seam _register_udf feeds into the registry)
+    from quackpipe_spark.functions.extensions import _register_udf
+
+    fp2 = registry_fingerprint()
+    _register_udf(spark, "wobble", lambda x: x + 7)
+    fp3 = registry_fingerprint()
+    assert fp3 != fp2
+    _register_udf(spark, "wobble", lambda x: x + 7)  # same bytecode → stable
+    assert registry_fingerprint() == fp3
+    _register_udf(spark, "wobble", lambda x: x + 8)  # changed impl → new
+    assert registry_fingerprint() != fp3
+
+
 def test_commands_and_nondeterminism_never_cache(qe):
     names = {"ev"}
     ok = qe._plan_cacheable

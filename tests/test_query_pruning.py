@@ -68,6 +68,33 @@ def test_read_parquet_array_form(spark, tmp_path):
     assert df.collect()[0]["n"] == 10  # both files scanned
 
 
+def test_read_parquet_paths_with_commas_and_quotes(spark, tmp_path):
+    """ARRAY element extraction must honor SQL quoting: a path containing
+    a comma (legal on every filesystem) or an ''-escaped quote is ONE
+    element, not split on the bare comma / stripped of its quote chars
+    (ADVICE r11 — the naive inner.split(',') failure)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+
+    d = tmp_path / "odd, dir"
+    spark.createDataFrame([(1,), (2,)], "k long").coalesce(1).write.parquet(
+        str(d / "a,b.parquet")
+    )
+    spark.createDataFrame([(3,)], "k long").coalesce(1).write.parquet(
+        str(d / "it's.parquet")
+    )
+    qe = QueryEngine(spark, Catalog(str(tmp_path / "root")))
+    p1 = str(d / "a,b.parquet")
+    p2 = str(d / "it's.parquet").replace("'", "''")
+    df = qe.sql(f"SELECT count() AS n FROM read_parquet(ARRAY['{p1}', '{p2}'])")
+    assert df.collect()[0]["n"] == 3
+    # same extraction path for the mergetree scan + single-path form
+    df = qe.sql(f"SELECT k FROM read_parquet_mergetree(ARRAY['{p1}', '{p2}'], 'k')")
+    assert [r["k"] for r in df.collect()] == [1, 2, 3]
+    df = qe.sql(f"SELECT count() AS n FROM read_parquet('{p2}')")
+    assert df.collect()[0]["n"] == 1
+
+
 def test_query_http_dialect(spark, tmp_path):
     """ClickHouse dialect through the HTTP /query endpoint."""
     import json

@@ -1,0 +1,169 @@
+"""Concurrent soak: ingest + compaction + serving run SIMULTANEOUSLY.
+
+The reference runs all three daemons at once in one process — the merge
+ticker, the flush timer, and the querier (registry.go:27-32; e2e shape
+TestMerge, e2e_test.go:41-94). Earlier rounds exercised the tombstone
+window and the merge ticker separately; this soak drives them together
+for ≥SPARK_GRAFT_SOAK_S seconds (default 60) and asserts serving-level
+invariants on every concurrent read:
+
+- every observed (count, sum) pair is EXACTLY a flushed-batch prefix
+  (single-partition writes → each flush is one atomic journaled index
+  publish, so a reader may never see a torn write or a compaction that
+  lost/duplicated rows);
+- counts are monotonically non-decreasing per reader thread;
+- no reader ever errors while compaction rewrites and reaps the files
+  underneath it (the drop-delay contract: a listed file stays readable
+  until the delay elapses).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from quackpipe_spark.catalog import Catalog
+from quackpipe_spark.ingest import IngestService, ingest_lines
+from quackpipe_spark.plans.compactor import Compactor
+from quackpipe_spark.plans.index import PartitionIndex
+from quackpipe_spark.query import QueryEngine
+
+NS = 10**9
+T0 = 1_700_000_000 * NS  # all rows land in ONE hour partition
+SOAK_S = float(os.environ.get("SPARK_GRAFT_SOAK_S", "60"))
+BATCH = 50  # rows per line-proto write
+
+
+@pytest.mark.timeout(SOAK_S * 4 + 300)
+def test_ingest_compact_serve_concurrently(spark, tmp_path):
+    catalog = Catalog(str(tmp_path / "gigadata"))
+    svc = IngestService(spark, catalog, save_timeout_s=3600)  # manual flush
+    qe = QueryEngine(spark, catalog)
+
+    # ---- shared state -----------------------------------------------------
+    stop = threading.Event()
+    errors: list[str] = []
+    # expected post-flush states, recorded BEFORE each flush publishes so a
+    # reader can never observe a state whose snapshot isn't registered yet
+    snap_lock = threading.Lock()
+    snapshots: dict[int, float] = {0: 0.0}
+    stats = {"flushes": 0, "reads": 0, "compactions": 0, "written": 0}
+
+    def _write_batch(start: int) -> None:
+        lines = "\n".join(
+            f"soak,src=s{i % 3} v={float(i)} {T0 + (start + i) % 3_000 * NS // 1000}"
+            for i in range(start, start + BATCH)
+        )
+        promises = ingest_lines(svc, lines, db="d")
+        cum_n = start + BATCH
+        cum_s = sum(float(i) for i in range(cum_n))
+        with snap_lock:
+            snapshots[cum_n] = cum_s
+        svc.flush()
+        for p in promises:
+            assert p.result(30)
+        stats["flushes"] += 1
+        stats["written"] = cum_n
+
+    # one synchronous batch so the table exists before readers start
+    _write_batch(0)
+
+    def writer() -> None:
+        try:
+            while not stop.is_set():
+                _write_batch(stats["written"])
+                time.sleep(0.05)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(f"writer: {type(e).__name__}: {e}")
+
+    def compactor() -> None:
+        try:
+            # drop_delay 2 s: tombstoned inputs are deleted DURING the soak,
+            # while readers are mid-flight — the dangerous window
+            comp = Compactor(spark, catalog.get("d", "soak"), drop_delay_s=2.0)
+            while not stop.is_set():
+                out = comp.run_once(levels=[1, 2, 3])
+                stats["compactions"] += len(out)
+                time.sleep(0.5)
+        except Exception as e:  # pragma: no cover
+            errors.append(f"compactor: {type(e).__name__}: {e}")
+
+    def reader(tag: str) -> None:
+        try:
+            last_n = 0
+            while not stop.is_set():
+                row = qe.sql(
+                    "SELECT count(*) AS n, sum(v) AS s FROM soak", db="d"
+                ).collect()[0]
+                n, s = row["n"], row["s"]
+                with snap_lock:
+                    expect = snapshots.get(n)
+                assert expect is not None, f"{tag}: count {n} is no flush prefix"
+                assert s == expect, f"{tag}: sum {s} != {expect} at n={n}"
+                assert n >= last_n, f"{tag}: count went backwards {last_n}->{n}"
+                last_n = n
+                stats["reads"] += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(f"reader {tag}: {type(e).__name__}: {e}")
+
+    def grouped_reader() -> None:
+        # a second query shape through the same engine: grouped counts must
+        # re-sum to a flushed prefix (exercises the plan cache + pruning
+        # path under concurrent file churn)
+        try:
+            while not stop.is_set():
+                rows = qe.sql(
+                    "SELECT src, count(*) AS n FROM soak GROUP BY src", db="d"
+                ).collect()
+                n = sum(r["n"] for r in rows)
+                with snap_lock:
+                    known = n in snapshots
+                assert known, f"grouped: total {n} is no flush prefix"
+                assert len(rows) <= 3
+                stats["reads"] += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(f"grouped reader: {type(e).__name__}: {e}")
+
+    threads = [
+        threading.Thread(target=writer, name="soak-writer"),
+        threading.Thread(target=compactor, name="soak-compactor"),
+        threading.Thread(target=reader, args=("r1",), name="soak-reader-1"),
+        threading.Thread(target=reader, args=("r2",), name="soak-reader-2"),
+        threading.Thread(target=grouped_reader, name="soak-reader-g"),
+    ]
+    t_end = time.time() + SOAK_S
+    for t in threads:
+        t.start()
+    try:
+        while time.time() < t_end and not errors:
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errors, errors[:5]
+    assert not any(t.is_alive() for t in threads)
+
+    # ---- post-soak invariants ---------------------------------------------
+    # final serving state equals everything written, once more via a fresh
+    # (uncached-key) aggregate
+    row = qe.sql(
+        "SELECT count(*) AS n, sum(v) AS s, count(DISTINCT v) AS d FROM soak",
+        db="d",
+    ).collect()[0]
+    assert row["n"] == stats["written"] == row["d"]
+    assert row["s"] == snapshots[stats["written"]]
+    # all three daemons actually exercised each other: many flushes, many
+    # reads, and real merges happened while reads were in flight
+    assert stats["flushes"] >= 10, stats
+    assert stats["reads"] >= 20, stats
+    assert stats["compactions"] >= 3, stats
+    # compaction left the partition tighter than one-file-per-flush, and
+    # at least one output climbed past level 1
+    [pdir] = catalog.get("d", "soak").partition_dirs()
+    idx = PartitionIndex.load(pdir)
+    assert len(idx.files) < stats["flushes"]
+    assert any(name.split(".")[-2] >= "2" for name in idx.files), list(idx.files)

@@ -259,7 +259,14 @@ def test_chsql_long_tail_functions(spark):
         " toYYYYMMDDhhmmss(TIMESTAMP '2024-06-05 10:02:03') AS num,"
         " JSONExtractInt('{\"a\": 5}', 'a') AS ji,"
         " JSONExtractString('{\"a\": {\"b\": \"x\"}}', 'a.b') AS js,"
-        " JSONHas('{\"a\": 5}', 'b') AS jh"
+        " JSONHas('{\"a\": 5}', 'b') AS jh,"
+        # CH JSONHas is key PRESENCE: a present key with JSON null is 1
+        # (get_json_object can't see it; the variant path can)
+        " JSONHas('{\"a\": null}', 'a') AS jh_null,"
+        " JSONHas('{\"a\": 5}', 'a') AS jh_yes,"
+        " JSONHas('{\"a\": {\"b\": null}}', 'a.b') AS jh_nested_null,"
+        " JSONHas('not json', 'a') AS jh_bad,"
+        " JSONHas(CAST(NULL AS STRING), 'a') AS jh_sqlnull"
     ).collect()[0]
     assert row["uz"] == 0 and row["un"] is None and row["u7"] == 7
     assert row["f"] == 2.5 and row["fz"] == 0.0 and row["fn"] is None
@@ -269,6 +276,9 @@ def test_chsql_long_tail_functions(spark):
     assert str(row["ws_sun"]) == "2024-06-02"  # Sunday is its own week start
     assert row["q"] == 2 and row["num"] == 20240605100203
     assert row["ji"] == 5 and row["js"] == "x" and row["jh"] is False
+    assert row["jh_null"] is True and row["jh_yes"] is True
+    assert row["jh_nested_null"] is True
+    assert row["jh_bad"] is False and row["jh_sqlnull"] is False
 
     # arrayJoin explodes rows like CH; inside literals/comments untouched
     assert rewrite_sql("SELECT arrayJoin(array(1, 2)) AS x") == (
@@ -299,6 +309,7 @@ def test_duckdb_epoch_family_and_strftime(spark):
     register_example_udfs(spark)
     q = (
         "SELECT epoch(TIMESTAMP '2024-06-03 13:00:01') AS s,"
+        " epoch(TIMESTAMP '2024-06-03 13:00:01.25') AS s_frac,"
         " epoch_ms(TIMESTAMP '2024-06-03 13:00:01.5') AS ms,"
         " epoch_us(TIMESTAMP '2024-06-03 13:00:01.000007') AS us,"
         " strftime(TIMESTAMP '2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S day %j') AS f1,"
@@ -308,13 +319,18 @@ def test_duckdb_epoch_family_and_strftime(spark):
     got = spark.sql(q).collect()[0]
     want = duckdb.sql(
         "SELECT epoch(TIMESTAMP '2024-06-03 13:00:01') AS s,"
+        " epoch(TIMESTAMP '2024-06-03 13:00:01.25') AS s_frac,"
         " epoch_ms(TIMESTAMP '2024-06-03 13:00:01.5') AS ms,"
         " epoch_us(TIMESTAMP '2024-06-03 13:00:01.000007') AS us,"
         " strftime(TIMESTAMP '2024-06-03 13:05:07', '%Y-%m-%d %H:%M:%S day %j') AS f1,"
         " strftime(TIMESTAMP '2024-06-03 13:05:07', '%d/%m/%Y') AS f2"
     ).fetchone()
-    assert (got["s"], got["ms"], got["us"]) == (want[0], want[1], want[2])
-    assert got["f1"] == want[3] and got["f2"] == want[4]
+    assert (got["s"], got["s_frac"], got["ms"], got["us"]) == (
+        want[0], want[1], want[2], want[3]
+    )
+    # DuckDB epoch() is DOUBLE with fractional seconds — pin the typing
+    assert isinstance(got["s_frac"], float) and got["s_frac"] == want[1]
+    assert got["f1"] == want[4] and got["f2"] == want[5]
     assert got["fnull"] is None
 
 
@@ -445,7 +461,12 @@ def test_date_diff_matches_duckdb(spark):
         ("2024-06-03 10:00:00.123456", "2024-06-03 10:00:00.987654"),
     ]
     parts = ["year", "quarter", "month", "week", "day", "hour", "minute",
-             "second", "millisecond", "microsecond", "days", "weeks"]
+             "second", "millisecond", "microsecond", "days", "weeks",
+             # DuckDB abbreviations (ADVICE r11): note 'ms' must resolve
+             # to millisecond, never plural-strip to 'm'
+             "y", "yr", "yrs", "mon", "mons", "w", "d", "h", "hr", "hrs",
+             "m", "min", "mins", "s", "sec", "secs", "ms", "msec", "msecs",
+             "us", "usec"]
     for a, b in instants:
         for p in parts:
             got = spark.sql(rewrite_sql(
