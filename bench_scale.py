@@ -159,6 +159,84 @@ def prune_stress(n_files: int) -> dict:
     }
 
 
+def growth(small_dir: str, big_dir: str, reps: int = 2) -> dict:
+    """Single-session 100×-vs-200× growth probe over the FULL registry
+    (VERDICT r11 #2): every query timed at both scales in interleaved
+    sweeps (rep 1 of everything at scale A, then scale B, then rep 2 …)
+    with medians, so cold-page-cache first reads and host-noise bursts
+    can't masquerade as superlinear growth (the r11 lesson: cross-window
+    comparisons of separate bench runs showed phantom 2.5-3.7× growths
+    that were page-cache state, not plan behavior). Growth on 2× data
+    under 2.0 = sublinear; queries over 2.0 are listed for diagnosis."""
+    import glob
+    import os
+
+    from quackpipe_spark.session import get_spark
+    from quackpipe_spark.workloads import all_prebuilds
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench_growth")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    prebuilds = all_prebuilds()
+    # page-cache warm: full read of every table at both scales, plus the
+    # Python worker pool, so rep 1 isn't charged for cold I/O
+    for d in (small_dir, big_dir):
+        for t in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            spark.read.parquet(t).count()
+    spark.range(1000).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    times: dict[str, dict[str, list[float]]] = {
+        q: {small_dir: [], big_dir: []} for q in qs
+    }
+    failures: dict[str, str] = {}
+    for _ in range(reps):
+        for d in (small_dir, big_dir):
+            for name in sorted(qs):
+                key = f"{name}@{os.path.basename(d.rstrip('/'))}"
+                if key in failures:
+                    continue
+                spark.catalog.clearCache()
+                pb = prebuilds.get(name)
+                try:
+                    if pb is not None:
+                        pb(spark, d)  # index build/load is NOT the query
+                    t0 = time.perf_counter()
+                    assert qs[name](spark, d).count() >= 0
+                    times[name][d].append(time.perf_counter() - t0)
+                except Exception as e:
+                    failures[key] = f"{type(e).__name__}: {e}"[:200]
+    rows = {}
+    for name, by_dir in sorted(times.items()):
+        s_small, s_big = by_dir[small_dir], by_dir[big_dir]
+        if not s_small or not s_big:
+            continue
+        ms, mb = statistics.median(s_small), statistics.median(s_big)
+        rows[name] = {
+            "s100": round(ms, 3),
+            "s200": round(mb, 3),
+            "growth_2x_data": round(mb / ms, 2) if ms > 0 else None,
+        }
+    over = sorted(
+        (q for q, r in rows.items() if (r["growth_2x_data"] or 0) > 2.0),
+        key=lambda q: -rows[q]["growth_2x_data"],
+    )
+    out = {
+        "metric": "growth_probe_full_registry",
+        "unit": "sec",
+        "reps": reps,
+        "small_dir": small_dir,
+        "big_dir": big_dir,
+        "queries": rows,
+        "superlinear_growth": over,
+    }
+    if failures:
+        out["failures"] = failures
+    spark.stop()
+    return out
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
     if mode == "compare":
@@ -166,6 +244,11 @@ def main() -> None:
     elif mode == "prune-stress":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
         print(json.dumps(prune_stress(n)))
+    elif mode == "growth":
+        small = sys.argv[2] if len(sys.argv) > 2 else "scaledata/sf10"
+        big = sys.argv[3] if len(sys.argv) > 3 else "scaledata/sf20"
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        print(json.dumps(growth(small, big, reps)))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

@@ -341,6 +341,7 @@ def analyze(
     id_col: str = "doc_id",
     text_col: str = "text",
     repetition: bool = True,
+    redact: bool = True,
 ) -> DataFrame:
     """The full text-analysis battery: one row-local projection pass for
     the per-row metrics, plus (with ``repetition``) the grouped
@@ -356,7 +357,15 @@ def analyze(
     the left join when a caller drops top_bigram_ratio (no unique-key
     inference for aggregated relations), so callers that don't need it
     must opt out rather than rely on pruning (corpus_clean_pipeline
-    does)."""
+    does).
+
+    ``redact`` (default on) adds ``redacted_fp`` = md5 of the
+    :func:`redact_pii` output — the release-side redaction pass riding
+    the same scan stage, surfaced as a fingerprint so the gate oracle
+    can hash-verify the full three-pass regex chain without shipping
+    redacted text through the result (r12, VERDICT r11 #7). Callers
+    that only need the scoring columns pass redact=False so the oracle
+    stays work-symmetric."""
     t = F.col(text_col)
 
     # NULL-text guard (the corpus_report lesson): under the engine's
@@ -371,7 +380,7 @@ def analyze(
         return F.when(t.isNull(), F.lit(None)).otherwise(expr)
 
     def _proj(src: DataFrame) -> DataFrame:
-        return src.select(
+        cols = [
             F.col(id_col),
             F.length(t).alias("n_chars"),
             _nn(token_count(t)).alias("n_tokens"),
@@ -384,7 +393,11 @@ def analyze(
             quality_score(t).alias("quality"),
             detect_language(t).alias("lang_detected"),
             _nn(fingerprint(t)).alias("fingerprint"),
-        )
+        ]
+        if redact:
+            # md5(NULL) is NULL in both engines — no _nn guard needed
+            cols.append(F.md5(redact_pii(t)).alias("redacted_fp"))
+        return src.select(*cols)
 
     if not repetition:
         return _proj(docs)

@@ -728,11 +728,13 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.analyze(_docs(spark, sf_dir))
 
 
-def _text_oracle(repetition: bool = True) -> str:
+def _text_oracle(repetition: bool = True, redact: bool = True) -> str:
     """``repetition=False`` mirrors analyze(repetition=False): no gram
     CTEs, no top_bigram_ratio column (used by the corpus-clean wrapper,
     which only consumes row-local columns — keeps both engines' work
-    symmetric)."""
+    symmetric). ``redact`` mirrors analyze(redact=...): the md5 of the
+    three-pass PII redaction chain, the flag corpus-clean turns off so
+    neither engine computes a column the pipeline drops."""
     sw = {k: "[" + ", ".join(f"'{w}'" for w in v) + "]" for k, v in T.STOPWORDS.items()}
     hits = ", ".join(
         f"len(list_intersect(dt, {sw[lang]})) AS hit_{lang}" for lang in T.STOPWORDS
@@ -757,6 +759,14 @@ def _text_oracle(repetition: bool = True) -> str:
         else ""
     )
     rep_join = "LEFT JOIN rep r ON r.doc_id = b.doc_id" if repetition else ""
+    redact_col = (
+        ",\n       md5(regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{T.EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{T.IPV4_RE}', '<IP>', 'g'), "
+        f"'{T.PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp"
+        if redact
+        else ""
+    )
     return f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -789,7 +799,7 @@ SELECT b.doc_id, n_chars, n_tokens, bpe_tokens_est, punct_ratio, stopword_ratio_
        CAST(len(regexp_extract_all(text, '{T.URL_RE}')) AS INT) AS n_urls,
        round(q_raw, 4) AS quality,
        {lang_case} AS lang_detected,
-       md5(array_to_string(norm_toks, ' ')) AS fingerprint{rep_col}
+       md5(array_to_string(norm_toks, ' ')) AS fingerprint{redact_col}{rep_col}
 FROM best_cte b {rep_join}
 """
 
@@ -869,20 +879,25 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     close the dup pairs into connected components (operators/cluster.py —
     large-star/small-star, so chained duplicates a≈b≈c collapse to ONE
     survivor even when (a,c) was never emitted as a pair), keep each
-    cluster's minimum id, emit the surviving corpus with its quality
-    metadata, and hash-sample the final deterministic training shard
-    (reproducible at any parallelism — operators/sampling.py). This is
-    the query a reference user runs to produce a training shard — every
-    stage is the oracle-verified operator from above, composed; the
-    oracle mirrors the component closure with a recursive CTE."""
-    from quackpipe_spark.operators.cluster import connected_components
+    cluster's HIGHEST-QUALITY member (cluster_near_dups_by_quality — the
+    curation move: a near-dup cluster ships its cleanest rendering, not
+    whichever crawl happened to get the smallest id; ties → min id so
+    the choice stays deterministic across engines; r12, VERDICT r11 #7),
+    emit the surviving corpus with its quality metadata, and hash-sample
+    the final deterministic training shard (reproducible at any
+    parallelism — operators/sampling.py). This is the query a reference
+    user runs to produce a training shard — every stage is the
+    oracle-verified operator from above, composed; the oracle mirrors
+    the component closure with a recursive CTE and the survivor argmax
+    with a window."""
+    from quackpipe_spark.operators.cluster import cluster_near_dups_by_quality
     from quackpipe_spark.operators.sampling import hash_sample
 
     docs = _docs(spark, sf_dir)
     # repetition=False: the grouped bigram signal would be computed and
     # discarded (Catalyst cannot prune the join) — the needed columns are
     # all row-local
-    scored = T.analyze(docs, repetition=False).select(
+    scored = T.analyze(docs, repetition=False, redact=False).select(
         "doc_id", "quality", "lang_detected", "n_tokens"
     )
     # shared candidate stage: the materialized LSH candidate count (an
@@ -897,16 +912,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_verify(
         docs, cands, threshold=0.8, pairs_count=n_cands
     ).select("a", "b")
-    # transitive closure: drop every clustered doc except its component min
-    labels = connected_components(pairs, edge_bound=n_cands)
-    dups = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
+    # transitive closure + quality-aware survivor: each cluster keeps its
+    # argmax-quality member (ties → min id); singletons keep themselves
+    annotated = cluster_near_dups_by_quality(
+        scored, pairs, id_col="doc_id", score_col="quality",
+        edge_bound=n_cands,
     )
-    kept = (
-        scored.join(dups, "doc_id", "left_anti")
-        .filter(F.col("quality") >= 0.6)
-        .select("doc_id", "quality", "lang_detected", "n_tokens")
-    )
+    kept = annotated.filter(
+        F.col("is_canonical") & (F.col("quality") >= 0.6)
+    ).select("doc_id", "quality", "lang_detected", "n_tokens")
     return hash_sample(kept, "doc_id", _SHARD_FRACTION, salt=_SHARD_SALT)
 
 
@@ -914,7 +928,7 @@ def _corpus_clean_oracle() -> str:
     from quackpipe_spark.operators.sampling import hash_sample_sql
 
     minhash = _minhash_oracle().strip()
-    text = _text_oracle(repetition=False).strip()
+    text = _text_oracle(repetition=False, redact=False).strip()
     # wrap both full oracles as CTE-able subqueries
     return f"""
 WITH RECURSIVE dup_pairs AS ({minhash}),
@@ -931,11 +945,21 @@ reach(u, v) AS (
 labels AS (
   SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
 ),
-scored AS ({text})
+scored AS ({text}),
+surv AS (
+  SELECT node FROM (
+    SELECT l.node,
+           row_number() OVER (
+             PARTITION BY l.component ORDER BY s.quality DESC, l.node ASC
+           ) AS rn
+    FROM labels l JOIN scored s ON s.doc_id = l.node
+  ) WHERE rn = 1
+)
 SELECT doc_id, quality, lang_detected, n_tokens
 FROM scored
 WHERE quality >= 0.6
-  AND doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+  AND (doc_id NOT IN (SELECT node FROM labels)
+       OR doc_id IN (SELECT node FROM surv))
   AND {hash_sample_sql('doc_id', _SHARD_FRACTION, _SHARD_SALT)}
 """
 
