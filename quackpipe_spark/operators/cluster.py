@@ -288,27 +288,25 @@ def cluster_near_dups_by_quality(
         F.col(id_col).alias("node"), F.col(score_col).alias("_s")
     )
     present = labels.join(scored, "node")  # inner: present members, scored
-    agg = present.groupBy("component").agg(
-        F.min("node").alias("_root"),
-        # argmax(score) with min-id ties: struct max orders by score
-        # first, then by -id (larger -id = smaller id)
-        F.max(
-            F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("negid"))
-        ).alias("_best"),
-    )
-    mapping = present.join(agg, "component").select(
+    # ONE component-clustered pass instead of groupBy + join-back (r12):
+    # both window specs share the partition key, so Catalyst plans one
+    # exchange + one sort feeding chained WindowExecs — the per-component
+    # min (stable cluster KEY) and the argmax rank (quality DESC, id ASC
+    # tie-break) come out of the same shuffled partition, saving the
+    # aggregate exchange AND the per-node ⋈ per-component join at every
+    # scale.
+    wp = Window.partitionBy("component")
+    wr = wp.orderBy(F.desc("_s"), F.asc("node"))
+    mapping = present.select(
         F.col("node").alias(id_col),
-        F.col("_root").alias("component"),
-        (-F.col("_best.negid")).alias("_canon"),
-    )
+        F.min("node").over(wp).alias("_root"),
+        (F.row_number().over(wr) == 1).alias("_is_best"),
+    ).withColumnRenamed("_root", "component")
     out = docs.join(mapping, on=id_col, how="left")
     return (
         out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
-        .withColumn(
-            "is_canonical",
-            F.col(id_col) == F.coalesce(F.col("_canon"), F.col(id_col)),
-        )
-        .drop("_canon")
+        .withColumn("is_canonical", F.coalesce(F.col("_is_best"), F.lit(True)))
+        .drop("_is_best")
     )
 
 
