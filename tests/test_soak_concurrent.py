@@ -23,8 +23,6 @@ import os
 import threading
 import time
 
-import pytest
-
 from quackpipe_spark.catalog import Catalog
 from quackpipe_spark.ingest import IngestService, ingest_lines
 from quackpipe_spark.plans.compactor import Compactor
@@ -37,7 +35,6 @@ SOAK_S = float(os.environ.get("SPARK_GRAFT_SOAK_S", "60"))
 BATCH = 50  # rows per line-proto write
 
 
-@pytest.mark.timeout(SOAK_S * 4 + 300)
 def test_ingest_compact_serve_concurrently(spark, tmp_path):
     catalog = Catalog(str(tmp_path / "gigadata"))
     svc = IngestService(spark, catalog, save_timeout_s=3600)  # manual flush
