@@ -969,32 +969,34 @@ def udf_levenshtein_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF whose semantics DuckDB also has natively (``levenshtein``), so the
     UDF execution path itself — Arrow batch transfer, null handling,
     long-typed return — hash-matches the oracle. Measures per-doc edit
-    distance between the first 80 printable-ASCII chars and their
-    case/punctuation-normalized form (a punctuation-density quality
-    signal). zlib ``compression_ratio`` stays the library's sample UDF
+    distance between the first 40 printable-ASCII chars and their
+    REVERSAL — a genuinely non-trivial DP per row (the synthetic corpus
+    is already lowercase-alnum, so a case/punct normalization pair
+    degenerates to all-zero distances — caught in r12 when the gate's
+    sum came back 0). The trailing filter references the UDF column so a
+    count() action can never prune the Python stage out of the timing.
+    zlib ``compression_ratio`` stays the library's sample UDF
     (tests/test_extensions_planner.py); it is not SQL-expressible, so the
     gate row uses this provable function instead."""
     from quackpipe_spark.functions.extensions import levenshtein_vec
     from quackpipe_spark.operators.util import fan_out
 
     docs = fan_out(_docs(spark, sf_dir))
-    a = F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 80)
-    b = F.regexp_replace(F.lower(a), "[^a-z0-9 ]", "")
+    a = F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 40)
     return docs.select(
-        "doc_id", levenshtein_vec(a, b).alias("edit_distance")
-    )
+        "doc_id", levenshtein_vec(a, F.reverse(a)).alias("edit_distance")
+    ).filter(F.col("edit_distance") >= 0)
 
 
 UDF_LEVENSHTEIN_SQL = r"""
 WITH norm AS (
   SELECT doc_id,
-         substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 80) AS a
+         substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 40) AS a
   FROM documents
 )
-SELECT doc_id,
-       levenshtein(a, regexp_replace(lower(a), '[^a-z0-9 ]', '', 'g'))
-         AS edit_distance
+SELECT doc_id, levenshtein(a, reverse(a)) AS edit_distance
 FROM norm
+WHERE levenshtein(a, reverse(a)) >= 0
 """
 
 

@@ -32,11 +32,22 @@ def test_levenshtein_udf_matches_jvm_builtin(spark):
     arbitrary ASCII pairs, including empties and NULLs."""
     from quackpipe_spark.functions.extensions import levenshtein_vec, register_example_udfs
 
+    import random
+
+    rng = random.Random(7)
+    alpha = "ab cdE!0"  # tiny alphabet → dense match/mismatch structure
     cases = [
         ("kitten", "sitting"), ("", "abc"), ("abc", ""), ("", ""),
         ("same", "same"), (None, "x"), ("x", None), (None, None),
         ("Hello, World! 123", "hello world 123"),
         ("a" * 80, "b" * 80), ("abcdef", "badcfe"),
+        ("héllo wörld", "hello world"),  # non-ASCII: char counting, not bytes
+    ] + [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 45))),
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 45))),
+        )
+        for _ in range(200)
     ]
     df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(cases)], "id long, a string, b string"
