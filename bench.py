@@ -109,7 +109,13 @@ def main() -> None:
             "empty_job": lambda: spark.range(10).count(),
             "parquet_count": lambda: li.count(),
             "one_exchange_agg": lambda: li.groupBy("l_orderkey").count().count(),
+            # split the Python floor: the no-shuffle variant isolates the
+            # Arrow boundary itself; the difference to the +shuffle form
+            # is the exchange cost, not Python
             "one_python_stage": lambda: spark.range(100_000)
+            .mapInPandas(lambda it: it, "id long")
+            .count(),
+            "one_python_stage_shuffled": lambda: spark.range(100_000)
             .repartition(32)
             .mapInPandas(lambda it: it, "id long")
             .count(),
