@@ -159,7 +159,9 @@ def prune_stress(n_files: int) -> dict:
     }
 
 
-def growth(small_dir: str, big_dir: str, reps: int = 2) -> dict:
+def growth(
+    small_dir: str, big_dir: str, reps: int = 2, only: list[str] | None = None
+) -> dict:
     """Single-session 100×-vs-200× growth probe over the FULL registry
     (VERDICT r11 #2): every query timed at both scales in interleaved
     sweeps (rep 1 of everything at scale A, then scale B, then rep 2 …)
@@ -167,7 +169,13 @@ def growth(small_dir: str, big_dir: str, reps: int = 2) -> dict:
     can't masquerade as superlinear growth (the r11 lesson: cross-window
     comparisons of separate bench runs showed phantom 2.5-3.7× growths
     that were page-cache state, not plan behavior). Growth on 2× data
-    under 2.0 = sublinear; queries over 2.0 are listed for diagnosis."""
+    under 2.0 = sublinear; queries over 2.0 are listed for diagnosis.
+
+    ``only`` restricts to a query subset — the re-probe path: a 2-rep
+    full-sweep flag is a HYPOTHESIS on this box (multi-second host-noise
+    bursts poison a 2-rep median; r12 flagged 7 queries that all cleared
+    at reps 4-6), so flagged queries get a deeper targeted rerun:
+    ``python bench_scale.py growth scaledata/sf10 scaledata/sf20 6 q1,q2``."""
     import glob
     import os
 
@@ -179,6 +187,11 @@ def growth(small_dir: str, big_dir: str, reps: int = 2) -> dict:
     spark = get_spark(app_name="bench_growth")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {k: v for k, v in qs.items() if k in set(only)}
     prebuilds = all_prebuilds()
     # page-cache warm: full read of every table at both scales, plus the
     # Python worker pool, so rep 1 isn't charged for cold I/O
@@ -217,13 +230,17 @@ def growth(small_dir: str, big_dir: str, reps: int = 2) -> dict:
             "s100": round(ms, 3),
             "s200": round(mb, 3),
             "growth_2x_data": round(mb / ms, 2) if ms > 0 else None,
+            # raw reps: lets a reader separate host-noise bursts from real
+            # growth without rerunning
+            "s100_all": [round(x, 3) for x in s_small],
+            "s200_all": [round(x, 3) for x in s_big],
         }
     over = sorted(
         (q for q, r in rows.items() if (r["growth_2x_data"] or 0) > 2.0),
         key=lambda q: -rows[q]["growth_2x_data"],
     )
     out = {
-        "metric": "growth_probe_full_registry",
+        "metric": "growth_probe_full_registry" if not only else "growth_probe_subset",
         "unit": "sec",
         "reps": reps,
         "small_dir": small_dir,
@@ -248,7 +265,8 @@ def main() -> None:
         small = sys.argv[2] if len(sys.argv) > 2 else "scaledata/sf10"
         big = sys.argv[3] if len(sys.argv) > 3 else "scaledata/sf20"
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-        print(json.dumps(growth(small, big, reps)))
+        only = sys.argv[5].split(",") if len(sys.argv) > 5 else None
+        print(json.dumps(growth(small, big, reps, only)))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
