@@ -216,8 +216,13 @@ def growth(
                     if pb is not None:
                         pb(spark, d)  # index build/load is NOT the query
                     t0 = time.perf_counter()
-                    assert qs[name](spark, d).count() >= 0
+                    # plain statement, NOT an assert: python -O strips
+                    # asserts, which would silently time only lazy plan
+                    # construction and report an all-sublinear fiction
+                    n = qs[name](spark, d).count()
                     times[name][d].append(time.perf_counter() - t0)
+                    if n < 0:  # pragma: no cover - count() can't go negative
+                        raise RuntimeError(f"{name}: negative count {n}")
                 except Exception as e:
                     failures[key] = f"{type(e).__name__}: {e}"[:200]
     rows = {}

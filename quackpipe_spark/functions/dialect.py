@@ -335,21 +335,33 @@ def register_dialect(spark: SparkSession) -> None:
 # old binding (VERDICT r11 #5). The fingerprint is a content hash, not a
 # counter, so idempotent re-registration keeps cached plans valid.
 _REGISTERED: dict[str, str] = {}
+# memoized registry_fingerprint() digest: the fingerprint is read on EVERY
+# QueryEngine.sql() call (inside the serving lock) but changes only on a
+# non-idempotent note_registration — rebuilding + re-hashing the whole
+# registry per query would serialize all sessions on O(registry) work
+_FINGERPRINT: str | None = None
 
 
 def registry_fingerprint() -> str:
-    import hashlib
+    global _FINGERPRINT
+    if _FINGERPRINT is None:
+        import hashlib
 
-    return hashlib.md5(
-        "\n".join(f"{k}={v}" for k, v in sorted(_REGISTERED.items())).encode()
-    ).hexdigest()
+        _FINGERPRINT = hashlib.md5(
+            "\n".join(f"{k}={v}" for k, v in sorted(_REGISTERED.items())).encode()
+        ).hexdigest()
+    return _FINGERPRINT
 
 
 def note_registration(name: str, definition: str) -> None:
     """Record a function binding in the plan-cache fingerprint. Called by
     _create for SQL-body functions; UDF registrars (extensions.py) call it
     directly with a digest of their Python implementation."""
-    _REGISTERED[name.lower()] = definition
+    global _FINGERPRINT
+    key = name.lower()
+    if _REGISTERED.get(key) != definition:
+        _FINGERPRINT = None  # content changed: recompute on next read
+    _REGISTERED[key] = definition
 
 
 def create_function(

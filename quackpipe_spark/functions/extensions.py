@@ -94,7 +94,31 @@ def levenshtein_vec(a: pd.Series, b: pd.Series) -> pd.Series:
     out = pd.Series(None, index=a.index, dtype="Int64")
     valid = a.notna() & b.notna()
     if valid.any():
-        out[valid] = _lev_batch(a[valid].tolist(), b[valid].tolist())
+        import os
+
+        A, B = a[valid].tolist(), b[valid].tolist()
+        # The padded grid costs n_rows × batch-max-length cells: ONE long
+        # outlier in a 10k-row Arrow batch would otherwise inflate every
+        # row's DP width (gigabytes of Ua + quadratic full-width sweeps).
+        # Rows are processed in length-sorted chunks, each bounded by a
+        # padded-cell budget, so an outlier pads only its own chunk and
+        # peak memory stays O(budget) regardless of the batch's mix.
+        budget = int(os.environ.get("QS_LEV_CELL_BUDGET", 1 << 24))
+        order = sorted(range(len(A)), key=lambda k: max(len(A[k]), len(B[k])))
+        res = np.empty(len(A), np.int64)
+        start = 0
+        while start < len(order):
+            end, width = start, 1
+            while end < len(order):
+                k = order[end]
+                w = max(width, len(A[k]), len(B[k]), 1)
+                if (end - start + 1) * w > budget and end > start:
+                    break
+                width, end = w, end + 1
+            sel = order[start:end]
+            res[sel] = _lev_batch([A[k] for k in sel], [B[k] for k in sel])
+            start = end
+        out[valid] = res
     return out
 
 
@@ -130,24 +154,70 @@ def strptime_vec(s: pd.Series, fmt: pd.Series) -> pd.Series:
     return out
 
 
+def _impl_fingerprint(fn, _seen: set[int] | None = None) -> bytes:
+    """Content description of a Python callable for plan-cache keying:
+    bytecode + constants (nested code objects expanded by content, never
+    by their address-bearing repr), closure CELL VALUES, defaults, and
+    any plain-data or function globals the code names. Closure values
+    matter: two factory products differing only in a captured variable
+    share identical co_code/co_consts (a freevar is not a const), so a
+    bytecode-only digest would let the plan cache serve the old binding
+    after re-registration. Line numbers are deliberately excluded so the
+    textually-identical lambda re-registered from a different source
+    line keeps its fingerprint (idempotency)."""
+    _seen = _seen if _seen is not None else set()
+    if id(fn) in _seen:
+        return b"<cycle>"
+    _seen.add(id(fn))
+
+    def describe_code(code) -> bytes:
+        parts = [code.co_code]
+        for c in code.co_consts:
+            parts.append(
+                describe_code(c) if hasattr(c, "co_code") else repr(c).encode()
+            )
+        return b"(" + b"|".join(parts) + b")"
+
+    def describe_value(v) -> bytes:
+        if hasattr(v, "__code__"):
+            return _impl_fingerprint(v, _seen)
+        if isinstance(v, (type(None), bool, int, float, complex, str, bytes)):
+            return repr(v).encode()
+        if isinstance(v, (tuple, list, set, frozenset, dict)):
+            return repr(v).encode()  # container reprs recurse by value
+        return type(v).__qualname__.encode()  # opaque: type identity only
+
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return repr(fn).encode()
+    parts = [describe_code(code)]
+    for cell in getattr(fn, "__closure__", None) or ():
+        try:
+            parts.append(describe_value(cell.cell_contents))
+        except ValueError:  # empty cell
+            parts.append(b"<empty>")
+    parts.append(repr(getattr(fn, "__defaults__", None)).encode())
+    parts.append(repr(getattr(fn, "__kwdefaults__", None)).encode())
+    # globals the code references (a helper the UDF calls): data by value,
+    # functions recursively, modules/classes by name only
+    g = getattr(fn, "__globals__", {})
+    for nm in sorted(set(code.co_names) & set(g)):
+        parts.append(nm.encode() + b"=" + describe_value(g[nm]))
+    return b";".join(parts)
+
+
 def _register_udf(spark: SparkSession, name: str, udf) -> None:
     """spark.udf.register + plan-cache fingerprint bookkeeping: a changed
-    Python implementation (different bytecode) must invalidate any cached
-    analyzed plan that bound the old one (same seam as dialect._create)."""
+    Python implementation (bytecode, constants, CLOSURE/default values,
+    or a referenced helper) must invalidate any cached analyzed plan that
+    bound the old one (same seam as dialect._create)."""
     import hashlib
 
     from quackpipe_spark.functions.dialect import note_registration
 
     spark.udf.register(name, udf)
     fn = getattr(udf, "func", udf)
-    code = getattr(fn, "__code__", None)
-    # co_consts matters: two impls differing only in a literal share
-    # identical co_code (constants are table-indexed)
-    digest = (
-        hashlib.md5(code.co_code + repr(code.co_consts).encode()).hexdigest()
-        if code
-        else repr(udf)
-    )
+    digest = hashlib.md5(_impl_fingerprint(fn)).hexdigest()
     note_registration(name, f"pandas_udf:{digest}")
 
 

@@ -793,11 +793,15 @@ class QueryEngine:
         re.IGNORECASE,
     )
     _RP_OPT = re.compile(r"(\w+)\s*=\s*('[^']*'|\w+)")
-    # one '...'-quoted ARRAY element ('' = escaped quote): paths may
+    # one quoted ARRAY element ('' / "" = escaped quote): paths may
     # legally contain commas or quotes, so the element list is extracted
     # by this regex over the ORIGINAL text of the matched span, never by
-    # splitting on bare commas (ADVICE r11)
-    _SQ_ELEM = re.compile(r"'((?:[^']|'')*)'")
+    # splitting on bare commas (ADVICE r11). Both quote styles parse —
+    # Spark treats "..." as a string literal, and the pre-r12 parser
+    # accepted it — and anything in the ARRAY body that is NOT a quoted
+    # element (or the commas/space between them) raises instead of
+    # silently producing an empty or truncated file list.
+    _SQ_ELEM = re.compile(r"'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\"")
 
     @classmethod
     def _path_list(cls, src: str) -> list[str]:
@@ -805,7 +809,25 @@ class QueryEngine:
         single quoted path, with SQL ''-escapes unfolded."""
         if src.upper().startswith("ARRAY"):
             inner = src[src.index("[") + 1 : src.rindex("]")]
-            return [m.group(1).replace("''", "'") for m in cls._SQ_ELEM.finditer(inner)]
+            paths: list[str] = []
+            spans: list[tuple[int, int]] = []
+            for m in cls._SQ_ELEM.finditer(inner):
+                sq, dq = m.group(1), m.group(2)
+                paths.append(
+                    sq.replace("''", "'") if sq is not None else dq.replace('""', '"')
+                )
+                spans.append((m.start(), m.end()))
+            leftover = "".join(
+                inner[e1:s2] for (_, e1), (s2, _) in zip(
+                    [(0, 0)] + spans, spans + [(len(inner), len(inner))]
+                )
+            )
+            if not paths or leftover.strip().strip(",").replace(",", "").strip():
+                raise ValueError(
+                    "read_parquet ARRAY elements must be quoted paths "
+                    f"separated by commas; could not parse: {inner!r}"
+                )
+            return paths
         return [src[1:-1].replace("''", "'")]
     # read_parquet_mergetree(ARRAY['f1','f2'], 'col1,col2') — chsql's
     # k-way merge scan of sorted parquet files (merge_service_fs.go:266,

@@ -87,6 +87,53 @@ def test_function_redefinition_invalidates(qe, spark):
     assert registry_fingerprint() != fp3
 
 
+def test_udf_fingerprint_sees_closures_defaults_and_helpers(spark):
+    """A factory-produced UDF differing ONLY in a captured variable has
+    byte-identical co_code/co_consts (a freevar is not a const), so a
+    bytecode-only digest would let the plan cache serve the OLD binding
+    after re-registration — the exact staleness class the fingerprint
+    exists to prevent (review r12). Defaults and referenced helper
+    functions are implementation content for the same reason."""
+    from quackpipe_spark.functions.dialect import registry_fingerprint
+    from quackpipe_spark.functions.extensions import _register_udf
+
+    def make(k):
+        return lambda x: x * k
+
+    _register_udf(spark, "closure_probe", make(2))
+    fp2 = registry_fingerprint()
+    _register_udf(spark, "closure_probe", make(2))  # same capture → stable
+    assert registry_fingerprint() == fp2
+    _register_udf(spark, "closure_probe", make(3))  # changed capture → new
+    fp3 = registry_fingerprint()
+    assert fp3 != fp2
+
+    def with_default(x, k=5):
+        return x + k
+
+    def with_default2(x, k=6):
+        return x + k
+
+    _register_udf(spark, "default_probe", with_default)
+    fpa = registry_fingerprint()
+    _register_udf(spark, "default_probe", with_default2)  # changed default
+    assert registry_fingerprint() != fpa
+
+    # a global helper the UDF calls is part of its implementation
+    import types
+
+    mod = {"helper": lambda x: x * 10, "__builtins__": {}}
+    f1 = types.FunctionType(
+        compile("def g(x):\n  return helper(x)\n", "<t>", "exec").co_consts[0], mod
+    )
+    _register_udf(spark, "helper_probe", f1)
+    fph = registry_fingerprint()
+    mod2 = {"helper": lambda x: x * 11, "__builtins__": {}}
+    f2 = types.FunctionType(f1.__code__, mod2)
+    _register_udf(spark, "helper_probe", f2)
+    assert registry_fingerprint() != fph
+
+
 def test_commands_and_nondeterminism_never_cache(qe):
     names = {"ev"}
     ok = qe._plan_cacheable

@@ -95,6 +95,24 @@ def test_read_parquet_paths_with_commas_and_quotes(spark, tmp_path):
     assert df.collect()[0]["n"] == 1
 
 
+def test_read_parquet_array_double_quotes_and_loud_parse_failure(spark, tmp_path):
+    """Spark parses "..." as a string literal and the pre-r12 element
+    parser accepted it, so the quote-aware extractor must too; and an
+    ARRAY body it can't fully account for (a bare unquoted token) raises
+    a clear error at the call site instead of silently scanning an empty
+    or truncated file list (review r12)."""
+    from quackpipe_spark.catalog import Catalog
+    from quackpipe_spark.query import QueryEngine
+
+    p = str(tmp_path / "dq.parquet")
+    spark.createDataFrame([(1,), (2,)], "k long").coalesce(1).write.parquet(p)
+    qe = QueryEngine(spark, Catalog(str(tmp_path / "root")))
+    df = qe.sql(f'SELECT count() AS n FROM read_parquet(ARRAY["{p}", \'{p}\'])')
+    assert df.collect()[0]["n"] == 4
+    with pytest.raises(ValueError, match="quoted paths"):
+        qe.sql(f"SELECT count() AS n FROM read_parquet(ARRAY['{p}', {p}])")
+
+
 def test_query_http_dialect(spark, tmp_path):
     """ClickHouse dialect through the HTTP /query endpoint."""
     import json
