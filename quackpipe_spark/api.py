@@ -26,6 +26,7 @@ from urllib.parse import parse_qs, urlparse
 from quackpipe_spark.catalog import Catalog
 from quackpipe_spark.ingest import IngestService, ingest_lines
 from quackpipe_spark.query import QueryEngine
+from quackpipe_spark.writer import PartialWriteError
 
 _WRITE_PATHS = ("/gigapi/insert", "/gigapi/write", "/write", "/api/v2/write", "/api/v3/write_lp")
 
@@ -285,6 +286,19 @@ class GigapiServer:
                         try:
                             for p in promises:
                                 p.result(30)
+                        except PartialWriteError as e:
+                            # some partitions COMMITTED before the failure:
+                            # a plain 400 would invite a retry that
+                            # duplicates the committed rows
+                            self._send(
+                                503,
+                                {
+                                    "error": f"partial write: {e}; committed "
+                                    "partitions would duplicate on a blind "
+                                    "retry"
+                                },
+                            )
+                            return
                         except FuturesTimeout:
                             # AMBIGUOUS outcome: the rows are buffered and a
                             # later flush will likely still write them — a

@@ -25,22 +25,22 @@ from quackpipe_spark.types import resolve
 
 import re as _re
 
-# db/table identifier contract: word chars + dash, dot allowed interior
-# (never path separators, never a leading dot, never empty) — these names
-# become directory components under the catalog root
-_IDENT_RE = _re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+# db/table identifier contract: word chars only. Names become BOTH
+# filesystem path components AND Spark temp-view names at query time —
+# Spark rejects dots (multi-part view name) and dashes/spaces (invalid
+# identifier) in createOrReplaceTempView, so accepting them here would
+# ingest data that every later /query of that table can never read
+# (review r12: graphite-style 'cpu.load' measurements bricked at read).
+# Rejecting at the write door is loud; the old read-time failure was not.
+_IDENT_RE = _re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def _check_ident(kind: str, value: str) -> None:
-    if (
-        not value
-        or not _IDENT_RE.match(value)
-        or ".." in value
-        or value.endswith(".")
-    ):
+    if not value or not _IDENT_RE.match(value):
         raise ValueError(
-            f"invalid {kind} name {value!r}: must match [A-Za-z0-9_][A-Za-z0-9_.-]* "
-            "with no '..' (names become filesystem path components)"
+            f"invalid {kind} name {value!r}: must match [A-Za-z0-9_]+ "
+            "(names become filesystem path components and Spark view names; "
+            "dots/dashes are not queryable as Spark temp views)"
         )
 
 
@@ -148,6 +148,24 @@ class Catalog:
         write .table.json and parquet anywhere the process can reach."""
         _check_ident("db", db)
         _check_ident("table", name)
+        if order_by is not None:
+            # a YAML/JSON scalar ('order_by: ts') is the natural spelling
+            # of a one-column key — accept it; anything else non-listy
+            # would otherwise be stored verbatim and ITERATED AS
+            # CHARACTERS downstream (time_column = order_by[0] == 't',
+            # silent mis-bucketing; review r12)
+            if isinstance(order_by, str):
+                order_by = [order_by]
+            if not (
+                isinstance(order_by, (list, tuple))
+                and order_by
+                and all(isinstance(c, str) and c for c in order_by)
+            ):
+                raise ValueError(
+                    f"order_by must be a column name or list of column "
+                    f"names, got {order_by!r}"
+                )
+            order_by = list(order_by)
         with self._lock:
             t = self._tables.get((db, name))
             if t is None:
@@ -181,7 +199,10 @@ class Catalog:
         path) or collides with partition discovery at read time
         (AnalysisException 'duplicate column in data and partition
         schema'), bricking every later query of the table."""
+        from quackpipe_spark.types import CANONICAL
+
         with self._lock:
+            resolved: dict[str, str] = {}
             for col, canon in new_cols.items():
                 if col in t.partition_by:
                     raise ValueError(
@@ -190,12 +211,24 @@ class Catalog:
                     )
                 prev = t.schema.get(col)
                 if prev is not None and prev != canon:
-                    raise TypeError(
-                        f"column {col!r}: type conflict {prev} vs {canon} "
-                        f"(schema-on-write rejects type changes)"
-                    )
-            changed = any(c not in t.schema for c in new_cols)
-            t.schema.update(new_cols)
+                    if CANONICAL[prev] == CANONICAL[canon]:
+                        # INT8 ↔ UBIGINT share the int64 physical slot (the
+                        # reference funnels uint64 through int64 too) — not
+                        # a type change, a WIDENING: once either side has
+                        # seen upper-half evidence the column is UBIGINT.
+                        # Rejecting this made a protocol-legal uint64 column
+                        # whose values straddle 2^63 unable to ever fully
+                        # ingest over HTTP (review r12; write_parsed_df
+                        # already applied this leniency locally).
+                        canon = "UBIGINT" if "UBIGINT" in (prev, canon) else prev
+                    else:
+                        raise TypeError(
+                            f"column {col!r}: type conflict {prev} vs {canon} "
+                            f"(schema-on-write rejects type changes)"
+                        )
+                resolved[col] = canon
+            changed = any(t.schema.get(c) != v for c, v in resolved.items())
+            t.schema.update(resolved)
             if changed:
                 t.save()
 

@@ -108,7 +108,12 @@ class IngestService:
             if buf.rows >= self.max_buffered_rows:
                 flush_now = True
         if flush_now:
-            self.flush()
+            # only THIS table's buffer: flushing every table inline on the
+            # ingesting HTTP handler thread made a small request absorb
+            # seconds of unrelated tables' write latency (and trip its own
+            # 30 s promise timeout) purely because of neighbors' volume
+            # (review r12); the timer still sweeps all tables on cadence
+            self.flush((db, table))
         return promise
 
     def validate_schema(self, db: str, table: str, data: dict[str, list]) -> None:
@@ -136,12 +141,17 @@ class IngestService:
         t = self.catalog.get_or_create(db, table, fields=infer_schema(evidized))
         self.catalog.update_schema(t, effective_schema(t, evidized))
 
-    def flush(self) -> int:
-        """Flush all buffers; returns rows written. Synchronous ack:
-        the write return resolves every pending promise."""
+    def flush(self, key: tuple[str, str] | None = None) -> int:
+        """Flush buffers (all, or one (db, table) when ``key`` is given);
+        returns rows written. Synchronous ack: the write return resolves
+        every pending promise."""
         with self._lock:
-            todo = self._buffers
-            self._buffers = {}
+            if key is None:
+                todo = self._buffers
+                self._buffers = {}
+            else:
+                buf = self._buffers.pop(key, None)
+                todo = {key: buf} if buf is not None else {}
         written = 0
         for (db, table), buf in todo.items():
             try:

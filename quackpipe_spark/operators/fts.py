@@ -148,6 +148,58 @@ def _read_stats(spark, path: str):
     return spark.read.parquet(src).collect()[0]
 
 
+def _applied_last(path: str) -> str | None:
+    """The write_id of the most recently applied idempotent append, or
+    None. One file, not one marker per batch: Structured Streaming
+    replays only the LAST uncommitted batch, so remembering one id is
+    exactly enough to detect it (and the file count stays O(1))."""
+    import json
+    import os
+
+    p = os.path.join(path, ".applied-last")
+    try:
+        with open(p) as f:
+            return json.load(f)["write_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_applied_last(path: str, write_id: str) -> None:
+    import json
+    import os
+    import uuid as _uuid
+
+    p = os.path.join(path, ".applied-last")
+    tmp = p + "." + _uuid.uuid4().hex
+    with open(tmp, "w") as f:
+        json.dump({"write_id": write_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def _roll_forward_append(path: str, commit_path: str) -> None:
+    """Complete a COMMITTED idempotent append (crashed or live): finish
+    the staged-file moves (os.replace — idempotent per pair), overwrite
+    the stats row with the marker's ABSOLUTE values (recorded at commit
+    time, so re-running never double-applies a delta), record the
+    write_id as applied, then drop the marker and stage remnants."""
+    import json
+    import os
+    import shutil
+
+    with open(commit_path) as f:
+        meta = json.load(f)
+    for src, dst in meta["moves"]:
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    _write_stats_atomic(path, meta["new_n"], meta["new_avgdl"], meta["n_buckets"])
+    _write_applied_last(path, meta["write_id"])
+    os.unlink(commit_path)
+    shutil.rmtree(meta["stage"], ignore_errors=True)
+
+
 def repair_postings_stats(spark, path: str) -> None:
     """Recompute the stats row from the postings (ground truth) and clear
     any append-pending markers — run automatically when append_postings
@@ -215,6 +267,7 @@ def append_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_over_files: int | None = 64,
+    write_id: str | None = None,
 ) -> None:
     """Incrementally index a NEW batch into a written postings index —
     the FTS analogue of dedup.append_to_minhash_index: the standing index
@@ -232,8 +285,22 @@ def append_postings(
     ``compact_over_files``: when any single bucket directory exceeds the
     bound after the append, the whole postings tree re-packs via the
     size-tiered planner (single-writer maintenance point, like the
-    dedup-index auto-compact)."""
+    dedup-index auto-compact).
+
+    ``write_id``: opt-in REPLAY IDEMPOTENCE for streaming callers (local
+    paths only). With a unique id per logical batch, the append runs a
+    stage→commit-marker→publish protocol: a crash at any point either
+    leaves nothing visible (pre-commit — the replay re-runs cleanly) or
+    rolls FORWARD at the next index access (post-commit — the replay
+    sees the id applied and SKIPS), so a replayed micro-batch can never
+    double-count tf/df/N/avgdl. Only the most recent id is remembered
+    (Structured Streaming replays only the last uncommitted batch);
+    passing a reused id for different data silently skips it — ids must
+    be unique. Without write_id (batch callers), the original
+    pending-marker protocol applies: a crash never corrupts stats
+    (rebuilt from postings) but a replayed identical call appends again."""
     import os
+    import shutil as _shutil
     import uuid as _uuid
 
     path = _norm_index_path(path)
@@ -241,18 +308,36 @@ def append_postings(
     local = _is_local_path(path)
     if local:
         # heal crashed COMPACTIONS at the next index access (not only the
-        # next file-count-triggered compaction); then: a pending marker
-        # from a crashed predecessor means postings may include a batch
-        # the stats row doesn't — rebuild stats from the postings
+        # next file-count-triggered compaction); then roll forward any
+        # COMMITTED idempotent append a predecessor crashed mid-publish
+        # (its marker carries absolute stats, so this is replay-safe),
+        # sweep orphan pre-commit stage dirs, and finally: a pending
+        # marker from a crashed predecessor means postings may include a
+        # batch the stats row doesn't — rebuild stats from the postings
         # (ground truth) before trusting the incremental update
         from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
 
         for dirpath, _d, _f in os.walk(f"{path}/postings"):
             maybe_recover_parquet_dir(dirpath)
+        for f in sorted(os.listdir(path)):
+            if f.startswith(".append-commit-"):
+                _roll_forward_append(path, os.path.join(path, f))
+        for f in sorted(os.listdir(path)):
+            if f.startswith(".append-stage-"):  # no commit marker → orphan
+                _shutil.rmtree(os.path.join(path, f), ignore_errors=True)
         if any(f.startswith(".append-pending-") for f in os.listdir(path)):
             repair_postings_stats(spark, path)
+    if write_id is not None and local and _applied_last(path) == write_id:
+        return  # replay of an already-applied batch
     st = _read_stats(spark, path)
     n_buckets = st["n_buckets"]
+    if write_id is not None and local:
+        _append_postings_idempotent(
+            spark, docs, path, id_col, text_col, st, write_id
+        )
+        if compact_over_files is not None:
+            _maybe_compact_postings(spark, path, compact_over_files)
+        return
     marker = None
     if local:
         marker = os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
@@ -291,16 +376,94 @@ def append_postings(
     if marker is not None:
         os.unlink(marker)
     if compact_over_files is not None and local:
-        root = f"{path}/postings"
-        for dirpath, _d, files in os.walk(root):
-            n_files = sum(
-                1
-                for f in files
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            )
-            if n_files > compact_over_files:
-                compact_postings_index(spark, path)
-                break
+        _maybe_compact_postings(spark, path, compact_over_files)
+
+
+def _maybe_compact_postings(spark, path: str, compact_over_files: int) -> None:
+    import os
+
+    root = f"{path}/postings"
+    for _dirpath, _d, files in os.walk(root):
+        n_files = sum(
+            1
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if n_files > compact_over_files:
+            compact_postings_index(spark, path)
+            break
+
+
+def _append_postings_idempotent(
+    spark, docs: DataFrame, path: str, id_col: str, text_col: str, st, write_id: str
+) -> None:
+    """The write_id append protocol (local paths; see append_postings):
+    stage the batch postings OUTSIDE the live tree, commit a marker that
+    records the exact file moves and the ABSOLUTE post-append stats, then
+    publish. Every step after the marker is idempotent, so a crash
+    anywhere leaves the index recoverable to exactly-once semantics."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    n_buckets = int(st["n_buckets"])
+    stage = os.path.join(path, f".append-stage-{write_id}")
+    _shutil.rmtree(stage, ignore_errors=True)
+    post = build_postings(docs, id_col, text_col).persist()
+    try:
+        out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
+        out.write.partitionBy("term_bucket").mode("overwrite").parquet(stage)
+        b = (
+            post.groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+            .collect()[0]
+        )
+    finally:
+        post.unpersist()
+    n_new = int(b["n"] or 0)
+    if not n_new:
+        # nothing to publish, but the batch IS applied: remember the id
+        # so a replay of the same empty batch stays a no-op
+        _shutil.rmtree(stage, ignore_errors=True)
+        _write_applied_last(path, write_id)
+        return
+    new_n = int(st["N"]) + n_new
+    new_avgdl = (int(st["N"]) * float(st["avgdl"]) + float(b["sum_dl"])) / new_n
+    from quackpipe_spark.plans.compactor import _fsync_file
+
+    moves = []
+    for i, src in enumerate(
+        sorted(_glob.glob(os.path.join(stage, "term_bucket=*", "*.parquet")))
+    ):
+        _fsync_file(src)  # staged DATA must be durable before the marker:
+        # roll-forward must never publish a delayed-allocation-truncated
+        # file (same reasoning as the compactor's journaled publish)
+        bucket = os.path.basename(os.path.dirname(src))
+        dst = os.path.join(
+            path, "postings", bucket, f"append-{write_id}-{i}.parquet"
+        )
+        moves.append((src, dst))
+    commit = os.path.join(path, f".append-commit-{write_id}")
+    tmp = commit + "." + _uuid.uuid4().hex
+    with open(tmp, "w") as f:
+        _json.dump(
+            {
+                "write_id": write_id,
+                "stage": stage,
+                "moves": moves,
+                "new_n": new_n,
+                "new_avgdl": new_avgdl,
+                "n_buckets": n_buckets,
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, commit)
+    _roll_forward_append(path, commit)
 
 
 def load_postings(spark, path: str) -> DataFrame:
@@ -519,8 +682,11 @@ def search_postings_index(
     terms = _terms(query)
 
     def _pending() -> bool:
+        # .append-commit- counts too: during an idempotent publish the
+        # postings can briefly include a batch the stats row doesn't
         return _is_local_path(path) and any(
-            f.startswith(".append-pending-") for f in os.listdir(path)
+            f.startswith((".append-pending-", ".append-commit-"))
+            for f in os.listdir(path)
         )
 
     # marker check BRACKETS the stats read: a crashed append's marker is

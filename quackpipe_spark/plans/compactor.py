@@ -61,7 +61,11 @@ def file_level(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[MergePlan]:
+def plan_merges(
+    partition_dir: str,
+    levels: list[int] | None = None,
+    idx: "PartitionIndex | None" = None,
+) -> list[MergePlan]:
     """Greedy size-desc bin-packing per level (PlanMerge parity,
     merge_service_fs.go:81-106).
 
@@ -72,8 +76,13 @@ def plan_merges(partition_dir: str, levels: list[int] | None = None) -> list[Mer
     each strand in their own level-1 bin forever and the partition's
     file count grows without bound. Lone files ≤ cap/2 stay put: they
     can still pack with future arrivals, and promoting them early just
-    churns names."""
-    idx = PartitionIndex.load(partition_dir)
+    churns names. ``idx`` lets run_once reuse the index it already loaded
+    for the drop-queue probe — 2 JSON parses per partition per 10 s tick
+    across thousands of hourly partitions was pure wasted driver I/O
+    (review r12); file membership can't change between the two reads that
+    matters here (a racing swap is re-checked under locked_index at
+    execution)."""
+    idx = idx if idx is not None else PartitionIndex.load(partition_dir)
     by_level: dict[int, list[tuple[str, int]]] = {}
     for entry in idx.files.values():
         lv = file_level(entry.name)
@@ -145,10 +154,14 @@ class Compactor:
         partitions with nothing left to merge."""
         plans: list[MergePlan] = []
         for pdir in self.table.partition_dirs():
-            if PartitionIndex.load(pdir).drop_queue:
-                with locked_index(pdir) as idx:
-                    idx.reap()
-            plans.extend(plan_merges(pdir, levels))
+            idx = PartitionIndex.load(pdir)  # one load per partition/tick:
+            # the drop-queue probe and the planner share it (reap mutates
+            # only the on-disk drop queue under its own locked reload,
+            # never the live-file membership the planner reads)
+            if idx.drop_queue:
+                with locked_index(pdir) as li:
+                    li.reap()
+            plans.extend(plan_merges(pdir, levels, idx=idx))
         if not plans:
             return []
         with ThreadPoolExecutor(max_workers=self.max_workers) as pool:

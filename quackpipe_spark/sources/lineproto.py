@@ -219,7 +219,15 @@ def _parse_field_value(raw: str) -> tuple[str, object]:
         return "BOOLEAN", False
     if not _FLOAT_RE.match(raw):
         raise ValueError(f"malformed float field value: {raw!r}")
-    return "FLOAT8", float(raw)
+    v = float(raw)
+    # the grammar rejects literal inf/nan, so a non-finite result here is
+    # OVERFLOW ('1e309'): reject like the int/uint/timestamp range checks
+    # (strconv.ParseFloat ERANGE parity) — letting inf through produced
+    # the invalid-JSON token 'Infinity' on the distributed doc path and
+    # a PERMISSIVE-mode all-NULL row (review r12)
+    if v in (float("inf"), float("-inf")):
+        raise ValueError(f"float field value overflows float64: {raw!r}")
+    return "FLOAT8", v
 
 
 def parse_line(line: str, precision: str = "ns") -> tuple[str, list[tuple[str, str]], list[tuple[str, str, object]], int | None]:
@@ -416,7 +424,9 @@ class ParsedFrames(list):
 # are decoded JVM-side per fingerprint with from_json against that
 # fingerprint's exact schema — Jackson parses integral values as exact
 # longs and py3 repr round-trips doubles, so no value is lossy, and
-# NaN/Inf can't appear (the field-value grammar rejects them). The
+# NaN/Inf can't appear (the field-value grammar rejects the literals and
+# both parse paths reject float OVERFLOW — '1e309' is a per-line
+# ValueError, and the vector path routes non-finite casts to it). The
 # previous intermediate carried five map<string,*> columns, whose
 # pandas→Arrow conversion dominated bulk-parse cost at 20M lines
 # (BENCH_PARSE_r10: ~150 of 174 µs/line-core was outside the parse
@@ -595,6 +605,20 @@ def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
         slow |= tcode == "?"
         tcols.append(tcode)
         num = pc.replace_substring_regex(raw, "[iu]$", "")
+        # overflowing float text ('1e309') would ride the doc VERBATIM and
+        # Jackson decodes it to Infinity — divergent from the per-line
+        # path, which now rejects overflow. Arrow's cast yields inf (not
+        # an error), so non-finite detection is exact: those rows take
+        # the per-line path and get its ValueError (review r12).
+        d_mask = tcode == "d"
+        if d_mask.any():
+            finite = np.asarray(
+                pc.is_finite(
+                    pc.cast(pc.if_else(pa.array(d_mask), num, "0"), pa.float64())
+                ).to_numpy(zero_copy_only=False),
+                dtype=bool,
+            )
+            slow |= d_mask & ~finite
         boolv = pc.if_else(
             pc.is_in(raw, value_set=pa.array(list(_VEC_TRUE))), "true", "false"
         )

@@ -21,6 +21,15 @@ from quackpipe_spark.types import infer_canonical
 MAX_BATCH_BYTES = 10 * 1024 * 1024  # ndjson_insert_parser.go:40 (planned cap)
 
 
+def _reject_nonstandard(token: str):
+    """json.loads parse_constant hook: python's json module accepts the
+    NON-standard tokens NaN/Infinity/-Infinity by default — a strict
+    parser (including the reference's encoding/json) rejects the line
+    with an error, and acking a stored inf/NaN parsed from invalid JSON
+    is corruption, not leniency (review r12)."""
+    raise ValueError(f"invalid JSON token {token!r} (strict JSON only)")
+
+
 def parse_ndjson(
     text_or_lines,
     database: str = "default",
@@ -52,7 +61,7 @@ def parse_ndjson(
         line = raw.strip()
         if not line:
             continue
-        obj = json.loads(line)
+        obj = json.loads(line, parse_constant=_reject_nonstandard)
         if not isinstance(obj, dict):
             raise ValueError(f"ndjson line must be an object, got {type(obj).__name__}")
         ftypes = {}

@@ -35,7 +35,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a driver round of file listing + footer schema reads; the DataFrame is
 # lazy, so sharing it shares only that metadata work, never results. The
 # cached entry also pins the session object, so id() keys can't collide.
+# Entries of STOPPED sessions are purged on the next cache insert (and
+# the cache is size-capped) so a long-lived process that cycles many
+# sessions doesn't pin every dead session's JVM plan references forever.
 _SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+_SCAN_CACHE_CAP = 1024
+
+
+def _session_alive(sess: SparkSession) -> bool:
+    try:
+        return not sess._sc._jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:
@@ -125,6 +136,13 @@ def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     hit = _SCAN_CACHE.get(key)
     if hit is None:
+        # misses are rare (one per session×table) — piggyback the purge
+        # of dead sessions' pins here rather than on the hot hit path
+        for k, (sess, _df) in list(_SCAN_CACHE.items()):
+            if not _session_alive(sess):
+                del _SCAN_CACHE[k]
+        while len(_SCAN_CACHE) >= _SCAN_CACHE_CAP:
+            del _SCAN_CACHE[next(iter(_SCAN_CACHE))]
         _ensure_read_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":

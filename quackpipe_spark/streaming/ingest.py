@@ -81,6 +81,14 @@ def stream_lines_to_table(
     writes with the distributed sorted writer instead: collecting it would
     put the whole burst in driver memory at once.
 
+    A record's ``value`` is a CHUNK of line-protocol text, possibly
+    multi-line (an HTTP body, a Kafka payload): every batch is exploded
+    on newlines up front, so the validator, the driver path, and the
+    distributed path all see the same one-line rows — previously an
+    embedded newline was one (malformed) line to the validator but two
+    lines to the driver path's join+splitlines, so the same payload
+    could be dead-lettered AND ingested (review r12).
+
     ``malformed``: the poison-pill policy. ``"fail"`` (default) raises —
     the micro-batch fails, the checkpoint does not commit, and the stream
     halts on the bad offsets (loud, like the HTTP door's 400, but the
@@ -94,6 +102,26 @@ def stream_lines_to_table(
     written BEFORE the good rows so a mid-batch crash replays into
     duplicate dead letters rather than silently losing any (dead-letter
     rows carry batch_id precisely so replays are dedupable).
+
+    Under ``"skip"``/``"dead_letter"`` the policy also covers POST-PARSE
+    validation failures (a type-flip line like ``m f="text"`` against an
+    established FLOAT8 column, an invalid measurement name): the driver
+    path retries line-by-line so only the poison lines reject (buffered
+    validation — still ONE flush), and the distributed path isolates per
+    (table, shape) frame. Previously such lines raised through the batch
+    and the checkpoint replayed the same offsets forever — the exact
+    loop the policy exists to prevent (review r12). Validation-failure
+    dead letters are written AFTER the ingest attempt (they are only
+    discoverable then); on the distributed path they carry the frame's
+    rows re-serialized as JSON, not the original line text.
+
+    Exactly-once caveat (same one index_probe_writer documents): regular
+    table writes are per-table parquet appends with no batch_id column,
+    so a crash AFTER some tables of a multi-table batch committed
+    replays the batch and duplicates the committed tables' rows.
+    Dead-letter rows carry batch_id and are replay-dedupable; main-table
+    rows are not — deduplicate downstream (dedup_exact) or route
+    critical feeds through the HTTP door's promise ack.
     """
     if malformed not in ("fail", "skip", "dead_letter"):
         raise ValueError(
@@ -106,11 +134,51 @@ def stream_lines_to_table(
 
     service = IngestService(spark, catalog, save_timeout_s=3600)  # flush per batch
 
+    def _dead_letter_rows(rows: list[tuple[str, str]], batch_id: int) -> None:
+        """Land (line, error) pairs in the dead-letter table."""
+        if not rows:
+            return
+        bad_df = spark.createDataFrame(
+            [(ln, err, batch_id) for ln, err in rows],
+            "line string, error string, batch_id long",
+        )
+        service.writer.write_parsed_df(db, DEAD_LETTER_TABLE, bad_df)
+
+    def _ingest_lines_isolated(lines: list[str], batch_id: int) -> None:
+        """Per-line validation fallback for a batch whose BULK ingest hit
+        a post-parse validation error: each line validates and buffers
+        independently (store() pre-validates before buffering), poison
+        lines collect for the dead-letter table, and the batch still
+        flushes ONCE — no per-line file explosion."""
+        bad: list[tuple[str, str]] = []
+        promises = []
+        for ln in lines:
+            s = ln.strip()
+            if not s or s.startswith("#"):
+                continue
+            try:
+                promises.extend(
+                    ingest_lines(
+                        service, s, db=db, precision=precision,
+                        skip_malformed=skip,
+                    )
+                )
+            except (TypeError, ValueError) as e:
+                bad.append((s, f"{type(e).__name__}: {e}"))
+        if dead_letter:
+            _dead_letter_rows(bad, batch_id)
+        service.flush()
+        for p in promises:
+            p.result(timeout=300)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # persist: the size probe (count) and whichever write path follows
-        # both consume the batch — without a pin, a file source re-reads
-        # the batch's files once per action
-        batch_df = batch_df.select("value").persist()
+        # normalize records to ONE LINE PER ROW first (see docstring),
+        # then persist: the size probe (count) and whichever write path
+        # follows both consume the batch — without a pin, a file source
+        # re-reads the batch's files once per action
+        batch_df = batch_df.select(
+            F.explode(F.split(F.col("value"), "\r\n|\r|\n")).alias("value")
+        ).persist()
         try:
             n = batch_df.count()
             if n == 0:
@@ -131,19 +199,30 @@ def stream_lines_to_table(
                     bad.unpersist()
             if n <= driver_path_max_rows:
                 rows = batch_df.collect()
-                text = "\n".join(r["value"] for r in rows if r["value"])
+                lines = [r["value"] for r in rows if r["value"]]
+                text = "\n".join(lines)
                 if text:
-                    promises = ingest_lines(
-                        service, text, db=db, precision=precision,
-                        skip_malformed=skip,
-                    )
-                    service.flush()
-                    # flush() routes write failures to the promises and
-                    # swallows them otherwise — re-raise HERE so the
-                    # micro-batch fails and the checkpoint does NOT commit
-                    # a batch whose data never landed (silent loss)
-                    for p in promises:
-                        p.result(timeout=300)
+                    try:
+                        promises = ingest_lines(
+                            service, text, db=db, precision=precision,
+                            skip_malformed=skip,
+                        )
+                        service.flush()
+                        # flush() routes write failures to the promises and
+                        # swallows them otherwise — re-raise HERE so the
+                        # micro-batch fails and the checkpoint does NOT
+                        # commit a batch whose data never landed
+                        for p in promises:
+                            p.result(timeout=300)
+                    except (TypeError, ValueError):
+                        # post-parse validation poison (type flip, bad
+                        # measurement name): parse errors were already
+                        # handled by skip_malformed, so this is a
+                        # validation failure — isolate per line instead
+                        # of wedging the stream on these offsets forever
+                        if not skip:
+                            raise
+                        _ingest_lines_isolated(lines, batch_id)
                 return
             # ParsedFrames context: the batch's frames all project ONE
             # persisted parse; release the cache once every table wrote
@@ -152,7 +231,25 @@ def stream_lines_to_table(
                 skip_malformed=skip,
             ) as frames:
                 for table, _sid, df in frames:
-                    service.writer.write_parsed_df(db, table, df)
+                    try:
+                        service.writer.write_parsed_df(db, table, df)
+                    except (TypeError, ValueError) as e:
+                        if not skip:
+                            raise
+                        if dead_letter:
+                            # frame-granular isolation (per table+shape);
+                            # original line text is gone by this point —
+                            # rows re-serialize as JSON (see docstring)
+                            bad_frame = df.select(
+                                F.to_json(F.struct(*df.columns)).alias("line"),
+                                F.lit(
+                                    f"table {table!r}: {type(e).__name__}: {e}"
+                                ).alias("error"),
+                                F.lit(batch_id).cast("long").alias("batch_id"),
+                            )
+                            service.writer.write_parsed_df(
+                                db, DEAD_LETTER_TABLE, bad_frame
+                            )
         finally:
             batch_df.unpersist()
 

@@ -382,9 +382,13 @@ def postings_append_writer(
     unchanged. The stats row makes this handler the index's single
     writer by contract: one stream per index.
 
-    Exactly-once caveat: parquet append + stats overwrite replay on
-    recovery; feed the stream deduplicated doc ids (dropDuplicates on a
-    watermark upstream) or route replays through batch-id subdirs."""
+    Replay idempotence (r12): each micro-batch appends under
+    ``write_id=f"b{batch_id}"``, so append_postings' stage→commit→publish
+    protocol makes a replayed batch a NO-OP — a crash between the
+    parquet append and the checkpoint commit previously re-appended the
+    identical batch on restart, permanently double-counting tf/df/N/avgdl
+    (dropDuplicates upstream could not prevent it: its state also rolls
+    back to the last commit and re-emits the same rows)."""
     from quackpipe_spark.operators.fts import append_postings
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -395,6 +399,7 @@ def postings_append_writer(
                 id_col=id_col,
                 text_col=text_col,
                 compact_over_files=compact_over_files,
+                write_id=f"b{batch_id}",
             )
 
     return handle

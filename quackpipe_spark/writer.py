@@ -39,6 +39,14 @@ from quackpipe_spark.types import CANONICAL, infer_canonical
 # Parquet row-group length parity (save_service_fs.go:83).
 ROW_GROUP_ROWS = 8124
 
+
+class PartialWriteError(RuntimeError):
+    """A multi-partition flush failed AFTER at least one partition was
+    published (renamed live + indexed). The write is NOT cleanly
+    retryable: a blind retry duplicates the committed partitions' rows.
+    The HTTP door maps this to 503 with explicit wording, distinct from
+    the retry-safe 400 a pre-publish failure earns."""
+
 # canonical type → arrow type for the local flush writer (parity with the
 # reference's builders, merge/data_types/*.go)
 import pyarrow as _pa
@@ -109,7 +117,17 @@ def infer_schema(data: dict[str, list]) -> dict[str, str]:
     out = {}
     for col, vals in data.items():
         sample = next((v for v in vals if v is not None), None)
-        out[col] = infer_canonical(sample) if sample is not None else "VARCHAR"
+        canon = infer_canonical(sample) if sample is not None else "VARCHAR"
+        if canon == "INT8" and any(
+            type(v) is int and v >= (1 << 63) for v in vals
+        ):
+            # line protocol's 'u' suffix is value-erased by parse time, so
+            # a batch mixing small and >= 2^63 ints is ONE uint64 column —
+            # typing from the first value alone made the flush outcome
+            # depend on row order (review r12): small-first registered
+            # INT8 and the later upper-half value killed the whole flush
+            canon = "UBIGINT"
+        out[col] = canon
     return out
 
 
@@ -263,28 +281,81 @@ class HiveWriter:
             # only a handful of distinct hours — format just the uniques.
             # Hour bucketing stays INTEGER floor-division on the raw int64
             # ns (a float64 round-trip would lose ns precision above 2^53
-            # and can flip rows across an hour boundary).
+            # and can flip rows across an hour boundary). The split is a
+            # stable argsort + contiguous zero-copy slices — a per-unique
+            # full-column filter was O(rows × distinct hours), which a
+            # year-spanning historical backfill (8760 hours) turned into
+            # ~10^10 element ops on the flush thread (review r12).
+            import numpy as np
+
             arr = at[tcol].combine_chunks().to_numpy(zero_copy_only=False)
             hour_epoch = arr // 3_600_000_000_000
-            uniq = sorted(set(hour_epoch.tolist()))
+            order = np.argsort(hour_epoch, kind="stable")  # identity when
+            # already time-sorted (the usual order_by), so intra-hour row
+            # order matches the previous filter-per-hour exactly
+            at = at.take(pa.array(order))
+            hs = hour_epoch[order]
+            bounds = np.flatnonzero(np.diff(hs)) + 1
+            starts = [0, *bounds.tolist()]
+            ends = [*bounds.tolist(), len(hs)]
             parts = [
-                (_hour_rel(h), at.filter(pa.array(hour_epoch == h))) for h in uniq
+                (_hour_rel(int(hs[s])), at.slice(s, e - s))
+                for s, e in zip(starts, ends)
             ]
         else:
             parts = [("", at)]
-        return [self._commit_part(table, rel, g, tcol) for rel, g in parts]
+        return self._flush_parts(table, parts, tcol)
 
-    def _commit_part(self, table: Table, rel: str, at, tcol: str) -> str:
-        """One partition's flush commit, shared by the Arrow and pandas
-        routes: parquet write (row-group 8124) to tmp, rename into the
-        live dir, footer-equivalent min/max stats, index upsert."""
+    def _flush_parts(self, table: Table, parts: list, tcol: str) -> list[str]:
+        """Two-phase flush commit shared by the Arrow and pandas routes:
+        stage EVERY partition's parquet into tmp/ first, then publish
+        (rename + index upsert) each. A failure during staging publishes
+        nothing — the client's 400 is safely retryable; a failure after
+        the first publish raises PartialWriteError, which the HTTP door
+        maps to 503 'do not blindly retry' (a plain 400 after a partial
+        commit invited a retry that duplicated the committed partitions,
+        review r12)."""
+        staged: list[tuple[str, str, str, object]] = []  # rel, name, tmp, at
+        try:
+            for rel, g in parts:
+                newname = f"{uuid.uuid4().hex}.1.parquet"
+                tmp = os.path.join(table.tmp_dir(), newname)
+                pq.write_table(g, tmp, row_group_size=ROW_GROUP_ROWS)
+                staged.append((rel, newname, tmp, g))
+        except BaseException:
+            for _, _, tmp, _g in staged:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            raise
+        out: list[str] = []
+        try:
+            for rel, newname, tmp, g in staged:
+                out.append(self._publish_part(table, rel, newname, tmp, g, tcol))
+        except BaseException as e:
+            for _, _, tmp, _g in staged[len(out):]:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            if out:
+                raise PartialWriteError(
+                    f"{len(out)}/{len(staged)} partitions committed before "
+                    f"failure: {type(e).__name__}: {e}"
+                ) from e
+            raise
+        return out
+
+    def _publish_part(
+        self, table: Table, rel: str, newname: str, tmp: str, at, tcol: str
+    ) -> str:
+        """Publish one staged partition file: rename into the live dir,
+        footer-equivalent min/max stats, index upsert."""
         import pyarrow.compute as pc
 
         live_dir = os.path.join(table.path, rel) if rel else table.path
         os.makedirs(live_dir, exist_ok=True)
-        newname = f"{uuid.uuid4().hex}.1.parquet"
-        tmp = os.path.join(table.tmp_dir(), newname)
-        pq.write_table(at, tmp, row_group_size=ROW_GROUP_ROWS)
         dst = os.path.join(live_dir, newname)
         os.replace(tmp, dst)
         if tcol in at.column_names:
@@ -328,19 +399,21 @@ class HiveWriter:
             parts = [(_hour_rel(h), g) for h, g in groups]
         else:
             parts = [("", pdf)]
-        return [
-            self._commit_part(
-                table,
-                rel,
-                pa.Table.from_pandas(
-                    g.reset_index(drop=True),
-                    schema=pa.schema(arrow_fields),
-                    preserve_index=False,
-                ),
-                tcol,
-            )
-            for rel, g in parts
-        ]
+        return self._flush_parts(
+            table,
+            [
+                (
+                    rel,
+                    pa.Table.from_pandas(
+                        g.reset_index(drop=True),
+                        schema=pa.schema(arrow_fields),
+                        preserve_index=False,
+                    ),
+                )
+                for rel, g in parts
+            ],
+            tcol,
+        )
 
     _SPARK_TO_CANONICAL = {
         "bigint": "INT8",

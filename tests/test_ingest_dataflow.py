@@ -237,9 +237,15 @@ def test_db_table_names_validated(engine):
     ]:
         with pytest.raises(ValueError, match="invalid"):
             catalog.get_or_create(bad_db, bad_t)
-    # normal names still fine (dots interior, dashes, digits)
-    t = catalog.get_or_create("db-1", "my.table_2")
-    assert t.name == "my.table_2"
+    # dots/dashes ALSO reject (r12): Spark can't register such names as
+    # temp views, so accepting them ingested data no query could ever
+    # read — see test_review_r12_storage::test_unqueryable_table_names
+    for bad_db, bad_t in [("db-1", "t"), ("d", "my.table_2")]:
+        with pytest.raises(ValueError, match="invalid"):
+            catalog.get_or_create(bad_db, bad_t)
+    # word-char names (digits, underscore) still fine
+    t = catalog.get_or_create("db_1", "my_table_2")
+    assert t.name == "my_table_2"
 
 
 def test_partition_column_names_reserved(engine):
