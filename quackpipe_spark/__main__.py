@@ -37,7 +37,9 @@ def split_statements(text: str) -> list[str]:
     has_code = False
     for kind, a, b in scan_segments(text):
         seg = text[a:b]
-        if kind == "lit":
+        if kind in ("lit", "ident"):
+            # a ';' inside a quoted identifier is identifier text, not a
+            # statement boundary (same reasoning as literals)
             cur.append(seg)
             has_code = True
         elif kind == "comment":

@@ -453,9 +453,13 @@ def rewrite_sql(sql: str) -> str:
     # read_parquet('p') STARTS in code but its path argument is a
     # literal: the shape matches on the blanked view and the true path
     # is re-read from the original at the group span (offsets are
-    # preserved by blanking)
+    # preserved by blanking); SQL ''-escapes unfold like QueryEngine's
+    # _path_list does — without it a path containing an apostrophe
+    # rewrote to a nonexistent doubled-quote file (review r12)
     return _sub_on_blanked(
         sql,
         _READ_PARQUET,
-        lambda m, s: f"parquet.`{resolve_scan_path(s[m.start(1):m.end(1)])}`",
+        lambda m, s: "parquet.`{}`".format(
+            resolve_scan_path(s[m.start(1):m.end(1)].replace("''", "'"))
+        ),
     )

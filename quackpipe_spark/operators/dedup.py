@@ -207,9 +207,17 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct text, keeping the
-    smallest id (deterministic survivor), with the duplicate count."""
+    smallest id (deterministic survivor), with the duplicate count.
+
+    NULL-text docs are EXCLUDED: their content is unknown, not identical —
+    groupBy's NULL-equality previously collapsed all of them into one
+    cluster whose survivors rule would delete N-1 docs of unknown content,
+    and disagreed with exact_dups_against_index, whose fingerprint
+    equi-join never matches NULL (review r12). A NULL-text doc simply has
+    no cluster row (every one is its own trivial survivor)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )
 
@@ -546,8 +554,7 @@ def exact_dups_against_index(
     shuffle join instead of a forced-broadcast OOM); the index side
     never shuffles in the broadcast case."""
     spark = new_docs.sparkSession
-    _recover_index_dirs(path)
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = _load_meta(spark, path)
     id_col = m["id_col"]
     text_col = _index_text_col(m, text_col)
     new_fp = _fingerprints(new_docs, id_col, text_col).select(
@@ -576,17 +583,24 @@ def diff_fingerprint_indexes(
     a = spark.read.parquet(f"{path_a}/fingerprints")
     b = spark.read.parquet(f"{path_b}/fingerprints")
     id_col = [c for c in a.columns if c != "fingerprint"][0]
+    # presence markers, NOT fingerprint nullness: md5(NULL-text) is a
+    # NULL fingerprint for a PRESENT row, so deciding added/removed from
+    # _fa/_fb IS NULL misclassified every NULL-text doc (present in both
+    # → 'added'; text→NULL → 'removed'; review r12). eqNullSafe makes
+    # NULL→NULL 'same' and NULL↔text 'changed'.
     j = a.select(
-        F.col(id_col), F.col("fingerprint").alias("_fa")
+        F.col(id_col), F.col("fingerprint").alias("_fa"), F.lit(True).alias("_pa")
     ).join(
-        b.select(F.col(id_col), F.col("fingerprint").alias("_fb")),
+        b.select(
+            F.col(id_col), F.col("fingerprint").alias("_fb"), F.lit(True).alias("_pb")
+        ),
         id_col,
         "full_outer",
     )
     status = (
-        F.when(F.col("_fa").isNull(), F.lit("added"))
-        .when(F.col("_fb").isNull(), F.lit("removed"))
-        .when(F.col("_fa") != F.col("_fb"), F.lit("changed"))
+        F.when(F.col("_pa").isNull(), F.lit("added"))
+        .when(F.col("_pb").isNull(), F.lit("removed"))
+        .when(~F.col("_fa").eqNullSafe(F.col("_fb")), F.lit("changed"))
         .otherwise(F.lit("same"))
     )
     return j.select(F.col(id_col), status.alias("status"))
@@ -610,8 +624,7 @@ def append_to_minhash_index(
     safe point, and it keeps probe scan-planning flat without a separate
     maintenance scheduler. None disables (run the compactor yourself)."""
     spark = docs.sparkSession
-    _recover_index_dirs(path)
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = _load_meta(spark, path)
     text_col = _index_text_col(m, text_col)
     sigs = minhash_signatures(
         docs, m["id_col"], text_col, m["num_hashes"], m["shingle_k"]
@@ -644,6 +657,14 @@ def _recover_index_dirs(path: str) -> None:
 
     maybe_recover_parquet_dir(f"{path}/bands")
     maybe_recover_parquet_dir(f"{path}/fingerprints")
+
+
+def _load_meta(spark, path: str):
+    """Crash recovery + the index meta row, single-sourced for every
+    probe/append entry point (the recipe was triplicated and a meta
+    change had to be edited in three places, review r12)."""
+    _recover_index_dirs(path)
+    return spark.read.parquet(f"{path}/meta").collect()[0]
 
 
 def compact_minhash_index(spark, path: str) -> list[str]:
@@ -698,8 +719,7 @@ def dedup_against_index(
     disjoint. Within-batch duplicates are a separate concern: run
     minhash_dedup/minhash_clusters on the batch itself."""
     spark = new_docs.sparkSession
-    _recover_index_dirs(path)
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = _load_meta(spark, path)
     if shingle_k is not None and shingle_k != m["shingle_k"]:
         raise ValueError(
             f"index built with shingle_k={m['shingle_k']}, probe asked {shingle_k}"

@@ -598,13 +598,27 @@ def prototype_sample(
     assigned = assign_cells(
         fan_out(corpus), centers, id_col, vec_col, probes=1
     )
+    import math
+
+    # center norms are constants known driver-side: precompute them into
+    # the broadcast frame instead of re-folding norm(_cvec) — a dims-step
+    # aggregate expression — for EVERY corpus row (review r12; ~2× the
+    # per-row fold work of the scoring stage at 64 dims)
+    def _pynorm(v: list) -> float:
+        # the exact ordered fold norm() computes (acc + x*x ascending,
+        # then sqrt) so the precomputed constant is bit-identical to the
+        # expression it replaces
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
     centers_df = corpus.sparkSession.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centers],
-        "cell int, _cvec array<double>",
+        [(int(c), [float(x) for x in v], _pynorm(v)) for c, v in centers],
+        "cell int, _cvec array<double>, _cnorm double",
     )
     cos = F.round(
-        dot(F.col(vec_col), F.col("_cvec"))
-        / (F.col("nrm") * norm(F.col("_cvec"))),
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col("nrm") * F.col("_cnorm")),
         6,
     ).alias("cos_to_center")
     scored = assigned.join(F.broadcast(centers_df), "cell").select(
@@ -654,16 +668,27 @@ def build_ivf_index(
 
     Train on a bounded driver-side sample with numpy spherical k-means
     (the FAISS recipe: quantizers train on a subset, never the full
-    corpus) — on a 100 TB corpus this is `limit(sample_n)` + a few ms of
+    corpus) — a distributed take of ``sample_n`` rows + a few ms of
     numpy, instead of per-iteration distributed jobs for a small-cell
-    model. ``n_cells=None`` sizes the cell count to the corpus and the
-    cluster via :func:`auto_cells` (clamped to sample_n: k-means can't
-    make more centers than training rows). The full corpus is touched
-    exactly once, by the assignment pass.
+    model. The sample is the first ``sample_n`` rows in md5(id) order
+    (the same recipe as seeded_centers/train_pq): a bare
+    ``limit(sample_n)`` is partition-layout-dependent, so re-indexing
+    the same corpus after a repartition or file compaction trained on
+    DIFFERENT vectors and produced different centroids despite the seed
+    (review r12). ``n_cells=None`` sizes the cell count to the corpus
+    and the cluster via :func:`auto_cells` (clamped to sample_n: k-means
+    can't make more centers than training rows). The full corpus is
+    touched exactly once, by the assignment pass.
     """
     if n_cells is None:
         n_cells = min(auto_cells(corpus), sample_n)
-    rows = corpus.select(vec_col).limit(sample_n).collect()
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -676,6 +701,16 @@ def build_ivf_index(
                 c = X[m].mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
     centers = [(j + 1, [float(x) for x in C[j]]) for j in range(C.shape[0])]
+    return _assigned_index(corpus, centers, id_col, vec_col)
+
+
+def _assigned_index(
+    corpus: DataFrame, centers: "Centers", id_col: str, vec_col: str
+) -> "IvfIndex":
+    """Shared back half of both index builders: one full-corpus
+    assignment pass, persisted eagerly (search must never re-run it).
+    Single-sourced so the eager-persist discipline and the postings
+    column contract can't drift between the trained and seeded paths."""
     assigned = (
         assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=1)
         .select(
@@ -686,7 +721,7 @@ def build_ivf_index(
         )
         .persist()
     )
-    assigned.count()  # eager: search must never re-run the assignment
+    assigned.count()
     return IvfIndex(centers=centers, assigned=assigned)
 
 
@@ -707,18 +742,7 @@ def build_seeded_ivf_index(
     :func:`build_ivf_index` — one bounded driver collect for centers,
     one full-corpus assignment pass, persisted."""
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
-    assigned = (
-        assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=1)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            F.col("nrm").alias("cnorm"),
-            "cell",
-        )
-        .persist()
-    )
-    assigned.count()  # eager: search must never re-run the assignment
-    return IvfIndex(centers=centers, assigned=assigned)
+    return _assigned_index(corpus, centers, id_col, vec_col)
 
 
 def write_ivf_index(index: IvfIndex, path: str) -> None:
@@ -763,9 +787,18 @@ def ivf_search(
     k: int = 10,
     nprobe: int = 4,
     round_to: int = 6,
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Search a built index: probe each query's ``nprobe`` nearest cells,
-    rank only vectors in those cells (compared fraction ≈ nprobe/n_cells)."""
+    rank only vectors in those cells (compared fraction ≈ nprobe/n_cells).
+
+    The probed query frame broadcasts only when the query set is
+    verifiably under ``broadcast_max_rows`` (one cheap count of the raw
+    queries): this IS the documented path for large distributed query
+    frames, and an unconditional F.broadcast of queries × nprobe rows of
+    full vectors was a forced driver collect / executor OOM at ~10M+
+    queries (review r12) — the same hazard dedup's _probe_hint gates.
+    Oversized query sets fall back to a shuffle join on cell."""
     # probe selection = the same literal-centers assignment as the build
     # side (numpy per Arrow batch, no crossJoin/window); norms come back
     # precomputed so pair scoring pays only the dot.
@@ -777,8 +810,10 @@ def ivf_search(
         F.col("nrm").alias("_qnorm"),
         "cell",
     )
+    if queries.count() * nprobe <= broadcast_max_rows:
+        probed = F.broadcast(probed)
     scored = (
-        index.assigned.join(F.broadcast(probed), "cell")
+        index.assigned.join(probed, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -310,10 +310,15 @@ def ngram_counts(
     rewrite. Linear in corpus tokens."""
     if n < 1:
         raise ValueError("ngram order n must be >= 1")
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    from quackpipe_spark.operators.util import fan_out
+
     toks = tokenize(F.col(text_col))
+    # fan_out, not an unconditional repartition: the explode needs
+    # per-row parallelism but nothing downstream needs id-partitioning
+    # (the only groupBy is on ngram) — a round-robin shuffle of an
+    # already well-split 100 TB scan moved every row for no gain (r12)
     base = (
-        docs.repartition(par)
+        fan_out(docs)
         .select(toks.alias("_toks"), F.monotonically_increasing_id().alias("_d"))
         .filter(F.size("_toks") >= n)
     )

@@ -278,6 +278,52 @@ def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
     return amap, counts
 
 
+def _from_relation_counts(blanked: str) -> dict[str, int]:
+    """Relation-entry counts restricted to TRUE FROM scopes: each FROM
+    keyword to its depth-0 clause terminator. A scope closed by an
+    UNBALANCED ')' belongs to an enclosing call (``EXTRACT(MONTH FROM
+    ts)``) and contributes nothing, and text outside FROM scopes (``a IS
+    NOT DISTINCT FROM b`` in WHERE) is never scanned — _relations over
+    the whole statement counts both as phantom relations, which must not
+    veto unqualified-bound attribution (review r12)."""
+    counts: dict[str, int] = {}
+    for m in _FROM_KW.finditer(blanked):
+        # `IS [NOT] DISTINCT FROM b` is the one bare depth-0 FROM that is
+        # not a relation list (EXTRACT/SUBSTRING/TRIM-style FROMs live
+        # inside parens and end on the unbalanced ')' below)
+        if re.search(r"\bDISTINCT\s*$", blanked[: m.start()], re.IGNORECASE):
+            continue
+        depth = 0
+        i = m.end()
+        end = len(blanked)
+        skip = False
+        while i < len(blanked):
+            ch = blanked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    skip = True  # function-internal FROM, not a relation list
+                    break
+            elif depth == 0 and ch.isalpha():
+                t = _FROM_SCOPE_END.match(blanked, i)
+                if t and not (blanked[i - 1].isalnum() or blanked[i - 1] in "_."):
+                    end = i
+                    break
+                while i + 1 < len(blanked) and (
+                    blanked[i + 1].isalnum() or blanked[i + 1] in "_."
+                ):
+                    i += 1
+            i += 1
+        if skip:
+            continue
+        _amap, seg_counts = _relations(blanked[m.start() : end])
+        for t2, n in seg_counts.items():
+            counts[t2] = counts.get(t2, 0) + n
+    return counts
+
+
 _WITH_HEAD = re.compile(r"^\s*WITH\b", re.IGNORECASE)
 _RECURSIVE_KW = re.compile(r"\bRECURSIVE\b", re.IGNORECASE)
 _CTE_NAME_AS = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
@@ -531,7 +577,7 @@ def _derived_bounds(
 
 
 def extract_time_bounds_per_table(
-    sql: str, tables: list[str]
+    sql: str, tables: list[str], blanked: str | None = None
 ) -> dict[str, tuple[int | None, int | None]]:
     """Best-effort per-table [lo, hi] from literal __timestamp
     predicates. Bounds must be CONSERVATIVE in both directions:
@@ -562,8 +608,12 @@ def extract_time_bounds_per_table(
 
     ``WITH``-prefixed statements route to :func:`_cte_bounds`: the
     simple CTE-chain family prunes per scope; everything else about the
-    shape refuses."""
-    blanked = _blank_literals(sql)
+    shape refuses.
+
+    ``blanked``: the caller's already-computed blank_noncode(sql), to
+    avoid re-scanning on the serving hot path (MUST be exactly
+    blank_noncode(sql) — offsets are read back into ``sql``)."""
+    blanked = blanked if blanked is not None else _blank_literals(sql)
     if _WITH_HEAD.match(blanked):
         return _cte_bounds(sql, blanked, tables)
     if len(_SELECT_KW.findall(blanked)) > 1:
@@ -603,14 +653,32 @@ def extract_time_bounds_per_table(
         # single-table wrapper) counts as a single reference
         return ref_counts.get(tbl_lower, 1) == 1
 
-    if len(tables) == 1 and _prunable(tables[0].lower()):
+    # unqualified bounds attribute only when the FROM scope reads exactly
+    # one relation and it is the caller's table (or the "_" sentinel) —
+    # the spirit of _scope_bounds' guard, which had drifted (review r12:
+    # `FROM events JOIN myview` attributed an unqualified bound to events
+    # even though the column could bind to the temp view). Counted over
+    # TRUE FROM scopes only, so `EXTRACT(MONTH FROM ts)` / `IS NOT
+    # DISTINCT FROM b` text can't pollute the count. Zero detected
+    # relations keeps the bare-fragment wrapper semantics
+    # (`WHERE __timestamp >= 5`).
+    unq_target = None
+    if len(tables) == 1:
+        tl = tables[0].lower()
+        fcounts = _from_relation_counts(blanked)
+        if not fcounts or (
+            sum(fcounts.values()) == 1
+            and (tl == "_" or next(iter(fcounts)) == tl)
+        ):
+            unq_target = tables[0]
+    if unq_target is not None:
         for m in _TS_BOUND.finditer(bscope):
             if _conjunct(bscope, m.start(), m.end()):
-                _apply(tables[0], m.group(1), _lit(m, 2))
+                _apply(unq_target, m.group(1), _lit(m, 2))
         for m in _TS_BETWEEN.finditer(bscope):
             if _conjunct(bscope, m.start(), m.end()):
-                _apply(tables[0], ">=", _lit(m, 1))
-                _apply(tables[0], "<=", _lit(m, 2))
+                _apply(unq_target, ">=", _lit(m, 1))
+                _apply(unq_target, "<=", _lit(m, 2))
     canon = {t.lower(): t for t in tables}
     for m in _TS_BOUND_Q.finditer(bscope):
         tbl = amap.get(m.group(1).lower())
@@ -682,15 +750,54 @@ class QueryEngine:
         r"\b(?:now|curdate|rand|randn|random|randstr|uniform|uuid|shuffle"
         r"|monotonically_increasing_id"
         r"|input_file_name|spark_partition_id"
+        # today()/yesterday() are OUR dialect sugar over current_date —
+        # they inline at analysis and ComputeCurrentTime freezes them, so
+        # a cached plan would serve yesterday's rows after midnight (r12)
+        r"|today|yesterday"
         r"|user|current_database|current_schema|current_catalog)\s*\("
         r"|\b(?:current_timestamp|current_date|localtimestamp|current_timezone"
         r"|current_user|session_user|tablesample)\b"
         r"|\bunix_timestamp\s*\(\s*\)",
         re.IGNORECASE,
     )
-    _NAME_AS_PAREN = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+    @staticmethod
+    def _with_chain_names(blanked: str) -> set[str]:
+        """Names DEFINED by the statement's WITH chain (lowered), by
+        walking ``WITH [RECURSIVE] name AS ( …balanced… )[, …]`` exactly
+        like the pruner's _cte_bounds. A bare '<name> AS (' regex also
+        matched Spark's WINDOW clause (``WINDOW w AS (ORDER BY x)``),
+        which defines no relation — a FROM over a session temp view
+        named w was wrongly judged pinnable and could serve a stale
+        cached plan after the view changed (review r12). Walk failures
+        return what was collected so far: unrecognized names then read
+        as unpinnable relations — under-caching, never staleness."""
+        names: set[str] = set()
+        m = _WITH_HEAD.match(blanked)
+        if not m:
+            return names
+        i = m.end()
+        rec = re.compile(r"\s*RECURSIVE\b", re.IGNORECASE).match(blanked, i)
+        if rec:
+            i = rec.end()
+        while True:
+            nm = _CTE_NAME_AS.match(blanked, i)
+            if nm is None:
+                return names
+            close = _match_paren(blanked, nm.end() - 1)
+            if close < 0:
+                return names
+            names.add(nm.group(1).lower())
+            i = close + 1
+            while i < len(blanked) and blanked[i].isspace():
+                i += 1
+            if i < len(blanked) and blanked[i] == ",":
+                i += 1
+                continue
+            return names
 
-    def _plan_cacheable(self, query: str, catalog_names: set[str]) -> bool:
+    def _plan_cacheable(
+        self, query: str, catalog_names: set[str], blanked: str | None = None
+    ) -> bool:
         """True when a repeat of ``query`` may serve the cached
         DataFrame. Requirements: a plain SELECT/WITH statement (commands
         — SET/CREATE/INSERT/… — execute eagerly inside spark.sql, so a
@@ -702,12 +809,12 @@ class QueryEngine:
         the key can't pin."""
         from quackpipe_spark.sqltext import blank_noncode
 
-        blanked = blank_noncode(query)
+        blanked = blanked if blanked is not None else blank_noncode(query)
         if not re.match(r"\s*(SELECT|WITH)\b", blanked, re.IGNORECASE):
             return False
         if self._CACHE_UNSAFE.search(blanked) or "parquet.`" in query:
             return False
-        local = {m.group(1).lower() for m in self._NAME_AS_PAREN.finditer(blanked)}
+        local = self._with_chain_names(blanked)
         for m in _FROM_JOIN.finditer(blanked):
             if "." in m.group(1):
                 # a qualified name bypasses the bare temp view — resolves
@@ -787,8 +894,12 @@ class QueryEngine:
     # reference's scan idiom in both forms (merge_service_fs.go:215:
     # read_parquet(ARRAY['…'], hive_partitioning = false,
     # union_by_name = true); README/BENCHMARK single-path form).
+    # \b: without it the pattern matched INSIDE longer identifiers — a
+    # user UDF my_read_parquet('/p') was intercepted, its path fetched or
+    # opened driver-side, and the view splice produced my__rp_<hash>,
+    # breaking a valid query (review r12)
     _RP_CALL = re.compile(
-        r"read_parquet\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
+        r"\bread_parquet\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
         r"((?:\s*,\s*\w+\s*=\s*(?:'[^']*'|\w+))*)\s*\)",
         re.IGNORECASE,
     )
@@ -839,7 +950,7 @@ class QueryEngine:
     # compactor uses; Spark's SortExec merges pre-sorted runs after
     # a cheap in-partition check).
     _RPMT_CALL = re.compile(
-        r"read_parquet_mergetree\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
+        r"\bread_parquet_mergetree\s*\(\s*(ARRAY\s*\[[^\]]+\]|'[^']+')"
         r"\s*,\s*('[^']+')\s*\)",
         re.IGNORECASE,
     )
@@ -919,15 +1030,24 @@ class QueryEngine:
             out.append(query[last:])
             query = "".join(out)
         query = rewrite_sql(query)
+        # ONE blanked view of the final text, shared by the reference
+        # scan, the SET/RESET check, cacheability, and bound extraction —
+        # each was independently re-blanking the same string on the
+        # serving hot path, two of them inside the lock (review r12)
+        blanked_q = blank_noncode(query)
         # case-INSENSITIVE reference scan: Spark resolves view names
         # case-insensitively, so "FROM Weather" hits the temp view
         # registered for table "weather" — the detection must agree or a
         # differently-cased query reuses a STALE pruned view from an
-        # earlier query (silent missing rows) or misses registration
+        # earlier query (silent missing rows) or misses registration.
+        # Scanned over the BLANKED text (review r12): a table named only
+        # inside a string literal or comment is data, not a reference —
+        # matching it cost index I/O inside the lock and clobbered any
+        # same-named user temp view via createOrReplaceTempView.
         refs = [
             t
             for t in self.catalog.tables(db)
-            if re.search(rf"\b{re.escape(t.name)}\b", query, re.IGNORECASE)
+            if re.search(rf"\b{re.escape(t.name)}\b", blanked_q, re.IGNORECASE)
         ]
         # Index pruning applies only when it is provably safe: UTC session
         # (bound literals parse as UTC), the bound is attributable to ONE
@@ -938,7 +1058,9 @@ class QueryEngine:
         # would prune the wrong files).
         bounds: dict[str, tuple[int | None, int | None]] = {}
         if self._prune_ok() and refs:
-            bounds = extract_time_bounds_per_table(query, [t.name for t in refs])
+            bounds = extract_time_bounds_per_table(
+                query, [t.name for t in refs], blanked=blanked_q
+            )
         with self._sql_lock:
             per_table: list[tuple[Table, list[str]]] = []
             for t in refs:
@@ -950,16 +1072,16 @@ class QueryEngine:
             key = None
             # match against the comment-blanked text: '-- note\nSET ...'
             # still executes the conf change, so it must still flush
-            if re.match(
-                r"\s*(SET|RESET)\b", _blank_literals(query), re.IGNORECASE
-            ):
+            if re.match(r"\s*(SET|RESET)\b", blanked_q, re.IGNORECASE):
                 # a conf change (ansi.enabled, caseSensitive, …) can alter
                 # the semantics of an already-analyzed plan — the key only
                 # pins the timezone, so flush everything. (Conf mutations
                 # made directly on the SparkSession bypass this engine and
                 # are out of scope.)
                 self._plan_cache.clear()
-            if self._plan_cacheable(query, {t.name.lower() for t in refs}):
+            if self._plan_cacheable(
+                query, {t.name.lower() for t in refs}, blanked=blanked_q
+            ):
                 try:
                     tz = self.spark.conf.get("spark.sql.session.timeZone", "")
                 except Exception:

@@ -19,6 +19,12 @@ Token grammar (matching Spark's default parser):
 - ``'…'`` and ``"…"`` are string literals (``doubleQuotedIdentifiers``
   is off), with BOTH escape conventions live: backslash escapes
   (``escapedStringLiterals`` is false) and ``''`` / ``""`` doubling.
+- ```…``` are quoted identifiers, with ` `` ` doubling (NO backslash
+  escapes — Spark's identifier grammar has none). Not lexing them was
+  the round-12 review's top finding: an apostrophe inside a backtick
+  identifier desynced quote parity, so real literal contents were
+  exposed as code (a fabricated pruning bound = silent missing rows)
+  and real code was blanked as literal.
 - ``-- …`` comments to end-of-line (the newline is NOT part of the
   comment — it stays statement-internal whitespace).
 - ``/* … */`` comments NEST, per Spark's bracketed-comment grammar.
@@ -28,13 +34,15 @@ Token grammar (matching Spark's default parser):
 
 from __future__ import annotations
 
+import re as _re
+
 __all__ = ["scan_segments", "blank_noncode"]
 
 
 def scan_segments(text: str) -> list[tuple[str, int, int]]:
     """Tokenize into ``(kind, start, end)`` segments covering the whole
-    text, ``kind`` in ``{'code', 'lit', 'comment'}``. Offsets are into
-    ``text``; segments are contiguous and in order."""
+    text, ``kind`` in ``{'code', 'lit', 'comment', 'ident'}``. Offsets
+    are into ``text``; segments are contiguous and in order."""
     segs: list[tuple[str, int, int]] = []
     i, n = 0, len(text)
     code_start = 0
@@ -81,6 +89,20 @@ def scan_segments(text: str) -> list[tuple[str, int, int]]:
                     j += 1
             segs.append(("lit", i, j))
             i = code_start = j
+        elif c == "`":
+            _flush_code(i)
+            j = i + 1
+            while j < n:
+                if text[j] == "`":
+                    if text[j : j + 2] == "``":
+                        j += 2
+                    else:
+                        j += 1
+                        break
+                else:
+                    j += 1
+            segs.append(("ident", i, j))
+            i = code_start = j
         else:
             i += 1
     _flush_code(n)
@@ -107,6 +129,18 @@ def blank_noncode(text: str) -> str:
             lo, hi = a + 1, b - 1 if keep_close else b
             for k in range(lo, hi):
                 buf[k] = " "
+        elif kind == "ident":
+            # a PLAIN-WORD identifier (`events`) stays visible: it means
+            # exactly what the bare word means, and consumers legitimately
+            # read table names / the __timestamp column through it. Any
+            # other content (operators, spaces, quotes) is blanked — an
+            # identifier named `__timestamp >= 100` must not fabricate a
+            # pruning bound, and `a;b` must not split a statement.
+            keep_close = _terminated(text, a, b)
+            lo, hi = a + 1, b - 1 if keep_close else b
+            if not (keep_close and _re.fullmatch(r"\w+", text[lo:hi], _re.ASCII)):
+                for k in range(lo, hi):
+                    buf[k] = " "
     return "".join(buf)
 
 
@@ -116,8 +150,9 @@ def _terminated(text: str, a: int, b: int) -> bool:
     char, which is wrong for an at-EOF token ending in a doubled
     quote (``'abc''``: unterminated, content ``abc'``)."""
     q, j, n = text[a], a + 1, b
+    esc = q != "`"  # backticks have no backslash escapes (match the scanner)
     while j < n:
-        if text[j] == "\\" and j + 1 < n:
+        if esc and text[j] == "\\" and j + 1 < n:
             j += 2
         elif text[j] == q:
             if text[j : j + 2] == q + q:

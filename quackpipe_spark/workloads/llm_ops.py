@@ -53,7 +53,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_SQL = """
 SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text)
+FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
 """
 
 

@@ -34,9 +34,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _dialect(spark: SparkSession) -> None:
     # dict value PINS the session object: a bare id() set would alias a
     # NEW session to a dead one's entry after CPython address reuse and
-    # silently skip register_dialect (unresolved-function errors later)
+    # silently skip register_dialect (unresolved-function errors later).
+    # Stopped sessions' pins purge on each new registration (same
+    # lifecycle fix as sources.tables._SCAN_CACHE, review r12) so a
+    # process cycling many sessions doesn't accumulate dead JVM refs.
     key = id(spark)
     if _DIALECT_SESSIONS.get(key) is not spark:
+        from quackpipe_spark.sources.tables import _session_alive
+
+        for k, sess in list(_DIALECT_SESSIONS.items()):
+            if not _session_alive(sess):
+                del _DIALECT_SESSIONS[k]
         register_dialect(spark)
         _DIALECT_SESSIONS[key] = spark
 

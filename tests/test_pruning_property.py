@@ -148,7 +148,9 @@ def test_pruned_equals_unpruned(store, monkeypatch, q):
     import quackpipe_spark.query as Q
 
     pruned = sorted(map(tuple, store.sql(q, db="d").collect()))
-    monkeypatch.setattr(Q, "extract_time_bounds_per_table", lambda sql, tables: {})
+    monkeypatch.setattr(
+        Q, "extract_time_bounds_per_table", lambda sql, tables, blanked=None: {}
+    )
     try:
         unpruned = sorted(map(tuple, store.sql(q, db="d").collect()))
     finally:
