@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import time
 
@@ -55,7 +56,13 @@ def main() -> None:
     oracle = entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+        p = f"{args.sf_dir}/{t}.parquet"
+        # DuckDB binds CREATE VIEW eagerly, so one absent table file
+        # (an LLM-only corpus without the TPC-H tables) aborted the whole
+        # run at setup (r12); register only what exists — a query over a
+        # missing table then fails individually, not the harness
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     # warm-up: one UNTIMED full sweep of the actual queries — a
     # count(*) per table would be answered from parquet footer metadata
@@ -95,7 +102,17 @@ def main() -> None:
             bench = bench["parsed"]
         sf_from_dir = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         bench_sf = str(bench.get("sf", ""))
-        if bench_sf and sf_from_dir and bench_sf != sf_from_dir:
+
+        def _sf_ne(a: str, b: str) -> bool:
+            # numeric compare when both parse: bench.py emits sf as a
+            # float ('10' → 10.0) while the dir suffix is raw text, so a
+            # string compare rejected every INTEGER scale factor (r12)
+            try:
+                return float(a) != float(b)
+            except ValueError:
+                return a != b
+
+        if bench_sf and sf_from_dir and _sf_ne(bench_sf, sf_from_dir):
             raise SystemExit(
                 f"bench file is sf={bench_sf} but --sf-dir is sf{sf_from_dir}: "
                 "the ratio would divide timings from different scale factors"

@@ -360,8 +360,15 @@ def note_registration(name: str, definition: str) -> None:
     global _FINGERPRINT
     key = name.lower()
     if _REGISTERED.get(key) != definition:
-        _FINGERPRINT = None  # content changed: recompute on next read
-    _REGISTERED[key] = definition
+        # dict update BEFORE the invalidation: in the other order a
+        # concurrent registry_fingerprint() between the two statements
+        # would re-memoize the PRE-registration digest permanently and
+        # cached plans bound to the old definition would keep serving
+        # (review r12 follow-up)
+        _REGISTERED[key] = definition
+        _FINGERPRINT = None
+    else:
+        _REGISTERED[key] = definition
 
 
 def create_function(

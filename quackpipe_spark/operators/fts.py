@@ -148,6 +148,24 @@ def _read_stats(spark, path: str):
     return spark.read.parquet(src).collect()[0]
 
 
+def _fsync_dir(path: str) -> None:
+    """Best-effort directory fsync: a rename is durable only once its
+    directory entry is — without this, a power loss could persist some
+    published postings while losing the commit/applied markers, leaving
+    a state no recovery path detects (the PartitionIndex.save dance,
+    plans/index.py; review r12 follow-up)."""
+    import os
+
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 def _applied_last(path: str) -> str | None:
     """The write_id of the most recently applied idempotent append, or
     None. One file, not one marker per batch: Structured Streaming
@@ -176,6 +194,7 @@ def _write_applied_last(path: str, write_id: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, p)
+    _fsync_dir(path)
 
 
 def _roll_forward_append(path: str, commit_path: str) -> None:
@@ -190,13 +209,18 @@ def _roll_forward_append(path: str, commit_path: str) -> None:
 
     with open(commit_path) as f:
         meta = json.load(f)
+    touched: set[str] = set()
     for src, dst in meta["moves"]:
         if os.path.exists(src):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
+            touched.add(os.path.dirname(dst))
+    for d in sorted(touched):
+        _fsync_dir(d)  # publish renames durable BEFORE the marker flips
     _write_stats_atomic(path, meta["new_n"], meta["new_avgdl"], meta["n_buckets"])
     _write_applied_last(path, meta["write_id"])
     os.unlink(commit_path)
+    _fsync_dir(path)  # applied-last + marker unlink durable together
     shutil.rmtree(meta["stage"], ignore_errors=True)
 
 
@@ -327,11 +351,22 @@ def append_postings(
                 _shutil.rmtree(os.path.join(path, f), ignore_errors=True)
         if any(f.startswith(".append-pending-") for f in os.listdir(path)):
             repair_postings_stats(spark, path)
-    if write_id is not None and local and _applied_last(path) == write_id:
+    if write_id is not None and not local:
+        # silently dropping the idempotence contract would re-introduce
+        # the replay double-count this parameter exists to prevent — on
+        # an object store the stage/commit protocol's renames don't
+        # exist, so fail LOUDLY instead (review r12 follow-up)
+        raise ValueError(
+            "write_id replay idempotence requires a posix-rename filesystem "
+            f"(local index path); got {path!r} — omit write_id (or pass "
+            "replay_safe=False to postings_append_writer) to accept that "
+            "replayed micro-batches double-count on this store"
+        )
+    if write_id is not None and _applied_last(path) == write_id:
         return  # replay of an already-applied batch
     st = _read_stats(spark, path)
     n_buckets = st["n_buckets"]
-    if write_id is not None and local:
+    if write_id is not None:
         _append_postings_idempotent(
             spark, docs, path, id_col, text_col, st, write_id
         )
@@ -463,6 +498,7 @@ def _append_postings_idempotent(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, commit)
+    _fsync_dir(path)  # the COMMIT POINT: marker entry durable before publish
     _roll_forward_append(path, commit)
 
 

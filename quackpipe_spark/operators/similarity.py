@@ -793,12 +793,16 @@ def ivf_search(
     rank only vectors in those cells (compared fraction ≈ nprobe/n_cells).
 
     The probed query frame broadcasts only when the query set is
-    verifiably under ``broadcast_max_rows`` (one cheap count of the raw
-    queries): this IS the documented path for large distributed query
-    frames, and an unconditional F.broadcast of queries × nprobe rows of
-    full vectors was a forced driver collect / executor OOM at ~10M+
-    queries (review r12) — the same hazard dedup's _probe_hint gates.
-    Oversized query sets fall back to a shuffle join on cell."""
+    verifiably under ``broadcast_max_rows`` probed rows: this IS the
+    documented path for large distributed query frames, and an
+    unconditional F.broadcast of queries × nprobe rows of full vectors
+    was a forced driver collect / executor OOM at ~10M+ queries (review
+    r12). The gate is dedup's _probe_hint — it counts only frames whose
+    lineage is scan-shaped or cached (a full count of an expensive
+    derived query frame would run its pipeline twice just to decide a
+    hint; such frames take the no-hint path, where AQE still broadcasts
+    at runtime if the executed size turns out small). Oversized or
+    uncountable query sets fall back to a shuffle join on cell."""
     # probe selection = the same literal-centers assignment as the build
     # side (numpy per Arrow batch, no crossJoin/window); norms come back
     # precomputed so pair scoring pays only the dot.
@@ -810,8 +814,9 @@ def ivf_search(
         F.col("nrm").alias("_qnorm"),
         "cell",
     )
-    if queries.count() * nprobe <= broadcast_max_rows:
-        probed = F.broadcast(probed)
+    from quackpipe_spark.operators.dedup import _probe_hint
+
+    probed = _probe_hint(probed, queries, broadcast_max_rows // max(nprobe, 1))
     scored = (
         index.assigned.join(probed, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

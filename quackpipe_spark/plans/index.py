@@ -17,7 +17,7 @@ import os
 import threading
 import time
 from contextlib import contextmanager
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 # Per-partition-dir locks serializing every index read-modify-write in
 # this process: the ingest flush thread, the merge ticker's plan/execute,
@@ -76,7 +76,18 @@ class PartitionIndex:
         if os.path.exists(p):
             with open(p) as f:
                 raw = json.load(f)
-            idx.files = {k: FileEntry(**v) for k, v in raw.get("files", {}).items()}
+            # tolerate UNKNOWN entry fields (a metadata.json written by a
+            # newer engine version, or the reference's richer json_index
+            # entries): strict FileEntry(**v) made one extra field crash
+            # every reader AND writer of the partition with the parquet
+            # fully intact (review r12). Unknown fields are dropped on
+            # the next rewrite — membership and min/max are what this
+            # engine is authoritative for.
+            known = {f.name for f in fields(FileEntry)}
+            idx.files = {
+                k: FileEntry(**{a: b for a, b in v.items() if a in known})
+                for k, v in raw.get("files", {}).items()
+            }
             idx.drop_queue = raw.get("drop_queue", {})
         return idx
 

@@ -90,11 +90,29 @@ _ALIAS_STOPWORDS = frozenset(
 # `FROM a JOIN b` as a's "alias" would swallow the next clause and drop
 # b from the map entirely.
 _FROM_JOIN = re.compile(
-    r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)"
+    r"\b(?:FROM|JOIN)\s+(`[^`]*`[^\s,()]*|[A-Za-z_][\w.]*)"
     r"(?:\s+(?:AS\s+)?(?!(?:" + "|".join(sorted(_ALIAS_STOPWORDS)) + r")\b)"
     r"([A-Za-z_]\w*))?",
     re.IGNORECASE,
 )
+
+# a backtick-quoted relation: a plain \w+ name means exactly the bare
+# word (Spark resolution); anything else — blanked weird contents,
+# qualified `db`.`tbl` forms — is an OPAQUE relation that still COUNTS
+# (it vetoes unqualified-bound attribution and plan caching) but can
+# never be attributed to. Before r12's follow-up, backticked relations
+# were invisible to this scan entirely: `FROM events JOIN \`myview\``
+# defeated the single-relation guard, and `FROM \`tv\`` was judged
+# plan-cacheable with the temp view's contents unpinned.
+_PLAIN_QUOTED = re.compile(r"^`(\w+)`$")
+_OPAQUE_REL = "\x00opaque"
+
+
+def _rel_name(raw: str) -> str:
+    if raw.startswith("`"):
+        m = _PLAIN_QUOTED.match(raw)
+        return m.group(1).lower() if m else _OPAQUE_REL
+    return raw.split(".")[-1].lower()
 
 
 def _ts_literal_ns(lit: str) -> int:
@@ -264,7 +282,7 @@ def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
     counts: dict[str, int] = {}
     bad: set[str] = set()
     for m in _FROM_JOIN.finditer(sql):
-        tbl = m.group(1).split(".")[-1].lower()
+        tbl = _rel_name(m.group(1))
         counts[tbl] = counts.get(tbl, 0) + 1
         alias = (m.group(2) or "").lower()
         if alias in _ALIAS_STOPWORDS:
@@ -816,11 +834,19 @@ class QueryEngine:
             return False
         local = self._with_chain_names(blanked)
         for m in _FROM_JOIN.finditer(blanked):
-            if "." in m.group(1):
+            raw = m.group(1)
+            if raw.startswith("`"):
+                # a plain-word quoted name means the bare word; anything
+                # else (blanked contents, `db`.`tbl`) is unpinnable
+                name = _rel_name(raw)
+                if name == _OPAQUE_REL:
+                    return False
+            elif "." in raw:
                 # a qualified name bypasses the bare temp view — resolves
                 # in the session catalog, whose contents the key can't pin
                 return False
-            name = m.group(1).lower()
+            else:
+                name = raw.lower()
             if name not in catalog_names and name not in local:
                 return False
         return True

@@ -33,7 +33,12 @@ def get_spark(
     On a real cluster ``master`` comes from spark-submit; locally we default
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # read per call (not via the import-time DEFAULT): a harness that sets
+    # SPARK_GRAFT_CPUS after import must get a consistent local[N] AND
+    # shuffle-partition count, not local[4] with 32 shuffle tasks (r12)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -87,7 +92,12 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # use the supplied master URL — it previously only SUPPRESSED the
+        # local default, so getOrCreate() died with 'A master URL must be
+        # set' and the user's cluster address was silently ignored (r12)
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -30,6 +30,19 @@ def _reject_nonstandard(token: str):
     raise ValueError(f"invalid JSON token {token!r} (strict JSON only)")
 
 
+def _parse_float_strict(s: str) -> float:
+    """json.loads parse_float hook: an OVERFLOW number ('1e999') is valid
+    JSON text but float() silently converts it to inf — parse_constant
+    never sees it, so without this hook the stored-inf corruption the
+    strict-token rejection forbids came back through a different door
+    (review r12 follow-up; lineproto rejects the same overflow on both
+    of its parse paths, and Go's encoding/json errors with ERANGE)."""
+    v = float(s)
+    if v in (float("inf"), float("-inf")):
+        raise ValueError(f"number {s!r} overflows float64")
+    return v
+
+
 def parse_ndjson(
     text_or_lines,
     database: str = "default",
@@ -61,7 +74,9 @@ def parse_ndjson(
         line = raw.strip()
         if not line:
             continue
-        obj = json.loads(line, parse_constant=_reject_nonstandard)
+        obj = json.loads(
+            line, parse_constant=_reject_nonstandard, parse_float=_parse_float_strict
+        )
         if not isinstance(obj, dict):
             raise ValueError(f"ndjson line must be an object, got {type(obj).__name__}")
         ftypes = {}

@@ -137,12 +137,18 @@ def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _SCAN_CACHE.get(key)
     if hit is None:
         # misses are rare (one per session×table) — piggyback the purge
-        # of dead sessions' pins here rather than on the hot hit path
+        # of dead sessions' pins here rather than on the hot hit path.
+        # pop(k, None), never del: two concurrent misses both snapshot
+        # the same dead entry and the second del would KeyError out of
+        # the query (review r12 follow-up)
         for k, (sess, _df) in list(_SCAN_CACHE.items()):
             if not _session_alive(sess):
-                del _SCAN_CACHE[k]
+                _SCAN_CACHE.pop(k, None)
         while len(_SCAN_CACHE) >= _SCAN_CACHE_CAP:
-            del _SCAN_CACHE[next(iter(_SCAN_CACHE))]
+            try:
+                _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)), None)
+            except (StopIteration, RuntimeError):
+                break  # another thread emptied/mutated it — cap is met
         _ensure_read_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":

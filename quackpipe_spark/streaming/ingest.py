@@ -202,18 +202,19 @@ def stream_lines_to_table(
                 lines = [r["value"] for r in rows if r["value"]]
                 text = "\n".join(lines)
                 if text:
+                    # the poison-isolation except covers ONLY the
+                    # validate+buffer phase (ingest_lines pre-validates
+                    # every batch before the first store, so an exception
+                    # here buffered nothing). A WRITE-time error — which
+                    # can also be a ValueError (ArrowInvalid is one) —
+                    # must NOT route to the per-line fallback: tables that
+                    # already flushed would be re-ingested and duplicated
+                    # (review r12 follow-up).
                     try:
                         promises = ingest_lines(
                             service, text, db=db, precision=precision,
                             skip_malformed=skip,
                         )
-                        service.flush()
-                        # flush() routes write failures to the promises and
-                        # swallows them otherwise — re-raise HERE so the
-                        # micro-batch fails and the checkpoint does NOT
-                        # commit a batch whose data never landed
-                        for p in promises:
-                            p.result(timeout=300)
                     except (TypeError, ValueError):
                         # post-parse validation poison (type flip, bad
                         # measurement name): parse errors were already
@@ -223,6 +224,14 @@ def stream_lines_to_table(
                         if not skip:
                             raise
                         _ingest_lines_isolated(lines, batch_id)
+                    else:
+                        service.flush()
+                        # flush() routes write failures to the promises and
+                        # swallows them otherwise — re-raise HERE so the
+                        # micro-batch fails and the checkpoint does NOT
+                        # commit a batch whose data never landed
+                        for p in promises:
+                            p.result(timeout=300)
                 return
             # ParsedFrames context: the batch's frames all project ONE
             # persisted parse; release the cache once every table wrote

@@ -367,6 +367,7 @@ def postings_append_writer(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_over_files: int | None = 64,
+    replay_safe: bool = True,
 ):
     """foreachBatch handler that incrementally indexes an ingest stream
     into a standing FTS postings index (fts.write_postings layout) —
@@ -388,7 +389,11 @@ def postings_append_writer(
     parquet append and the checkpoint commit previously re-appended the
     identical batch on restart, permanently double-counting tf/df/N/avgdl
     (dropDuplicates upstream could not prevent it: its state also rolls
-    back to the last commit and re-emits the same rows)."""
+    back to the last commit and re-emits the same rows). The protocol
+    needs a posix-rename filesystem: on an object-store index path
+    append_postings raises at the first batch rather than silently
+    dropping the guarantee — pass ``replay_safe=False`` to explicitly
+    accept non-idempotent replays there."""
     from quackpipe_spark.operators.fts import append_postings
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -399,7 +404,7 @@ def postings_append_writer(
                 id_col=id_col,
                 text_col=text_col,
                 compact_over_files=compact_over_files,
-                write_id=f"b{batch_id}",
+                write_id=f"b{batch_id}" if replay_safe else None,
             )
 
     return handle

@@ -340,6 +340,23 @@ _IVF_CACHE: dict[tuple[int, str], tuple["S.Centers", DataFrame, list[tuple]]] = 
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
 
+def _purge_dead_entries(cache: dict) -> None:
+    """Drop prebuild-cache entries whose session has stopped (each pins
+    JVM plan references and, for IVF, a corpus-sized tempdir index until
+    process exit) — the same purge-on-miss discipline as
+    sources.tables._SCAN_CACHE (review r12). Values carry a DataFrame at
+    index 1; an entry whose session can't be read counts as dead."""
+    from quackpipe_spark.sources.tables import _session_alive
+
+    for k, v in list(cache.items()):
+        try:
+            dead = not _session_alive(v[1].sparkSession)
+        except Exception:
+            dead = True
+        if dead:
+            cache.pop(k, None)
+
+
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[tuple]]:
     import atexit
     import shutil
@@ -348,6 +365,7 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple["S.IvfIndex", list[
     key = (id(spark), sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is None:
+        _purge_dead_entries(_IVF_CACHE)
         # 64-dim non-null contract like every other ANN gate: one ragged
         # or NULL embedding would crash assign_cells' matrix build inside
         # the index job while the oracle kept returning rows
@@ -562,6 +580,7 @@ def pq_index_for(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     hit = _PQ_CACHE.get(key)
     if hit is None:
+        _purge_dead_entries(_PQ_CACHE)
         emb = _emb64(spark, sf_dir)
         books = S.seeded_pq_codebooks(
             emb, m=_PQ_M, k=_PQ_K, sample=_PQ_SAMPLE, dims=_LSH_DIMS

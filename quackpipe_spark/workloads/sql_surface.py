@@ -44,7 +44,7 @@ def _dialect(spark: SparkSession) -> None:
 
         for k, sess in list(_DIALECT_SESSIONS.items()):
             if not _session_alive(sess):
-                del _DIALECT_SESSIONS[k]
+                _DIALECT_SESSIONS.pop(k, None)  # pop: concurrent purges race
         register_dialect(spark)
         _DIALECT_SESSIONS[key] = spark
 

@@ -358,21 +358,37 @@ class HiveWriter:
         os.makedirs(live_dir, exist_ok=True)
         dst = os.path.join(live_dir, newname)
         os.replace(tmp, dst)
-        if tcol in at.column_names:
-            mm = pc.min_max(at[tcol]).as_py()
-            tmin, tmax = mm["min"], mm["max"]
-        else:
-            tmin = tmax = None
-        with locked_index(live_dir) as idx:
-            idx.add(
-                FileEntry(
-                    name=newname,
-                    size_bytes=os.path.getsize(dst),
-                    row_count=at.num_rows,
-                    min_time=int(tmin) if tmin is not None else None,
-                    max_time=int(tmax) if tmax is not None else None,
+        try:
+            if tcol in at.column_names:
+                mm = pc.min_max(at[tcol]).as_py()
+                tmin, tmax = mm["min"], mm["max"]
+            else:
+                tmin = tmax = None
+            with locked_index(live_dir) as idx:
+                idx.add(
+                    FileEntry(
+                        name=newname,
+                        size_bytes=os.path.getsize(dst),
+                        row_count=at.num_rows,
+                        min_time=int(tmin) if tmin is not None else None,
+                        max_time=int(tmax) if tmax is not None else None,
+                    )
                 )
-            )
+        except BaseException as e:
+            # the partition COMMITS at the index upsert, not the rename
+            # (readers resolve files through the index) — roll the rename
+            # back so "not committed" stays provably true: a renamed-but-
+            # unindexed file would otherwise leak as an orphan that a
+            # blind retry turns into duplicate rows for any direct-
+            # directory consumer (review r12 follow-up)
+            try:
+                os.unlink(dst)
+            except OSError:
+                raise PartialWriteError(
+                    f"partition {rel or '<root>'} left a live un-indexed "
+                    f"file {newname} after {type(e).__name__}: {e}"
+                ) from e
+            raise
         return dst
 
     def _write_columnar_pandas(

@@ -173,6 +173,35 @@ def test_unqualified_bound_refuses_two_relation_scope():
     )
 
 
+def test_backticked_relations_count_and_pin(qe):
+    """Backtick-quoted relations are visible to the relation scan (review
+    r12 follow-up): a backticked second relation still defeats unqualified
+    attribution, a plain-word backticked catalog table behaves like the
+    bare word, and a backticked unknown view is never judged cacheable."""
+    # the follow-up repro: backticked join partner must veto the bound
+    q = "SELECT * FROM events JOIN `myview` v ON events.id = v.id WHERE __timestamp >= 100"
+    assert extract_time_bounds_per_table(q, ["events"]) == {}
+    q2 = "SELECT * FROM `events` JOIN `myview` v ON 1=1 WHERE __timestamp >= 100"
+    assert extract_time_bounds_per_table(q2, ["events"]) == {}
+    # plain-word backticked single relation = the bare word
+    assert extract_time_bounds_per_table(
+        "SELECT * FROM `events` WHERE __timestamp >= 100", ["events"]
+    ) == {"events": (100, None)}
+    # a weird-content backticked relation is opaque: counts, never attributes
+    assert (
+        extract_time_bounds_per_table(
+            "SELECT * FROM `my view` WHERE __timestamp >= 100", ["events"]
+        )
+        == {}
+    )
+    # cacheability: backticked unknown view unpinnable; backticked catalog ok
+    names = {"ev"}
+    assert not qe._plan_cacheable("SELECT * FROM `tv`", names)
+    assert not qe._plan_cacheable("SELECT * FROM `a b`", names)
+    assert not qe._plan_cacheable("SELECT * FROM `db`.`ev`", names)
+    assert qe._plan_cacheable("SELECT * FROM `ev`", names)
+
+
 # ------------------------------------------------------ session purge
 
 

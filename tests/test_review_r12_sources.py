@@ -67,8 +67,23 @@ def test_ndjson_rejects_nonstandard_json_tokens():
     for bad in ('{"v": NaN}', '{"v": Infinity}', '{"v": -Infinity}'):
         with pytest.raises(ValueError, match="strict JSON"):
             parse_ndjson(bad)
-    out = parse_ndjson('{"v": 1.5}')  # plain numbers unaffected
-    assert out[0].data["v"] == [1.5]
+    # overflow numbers are VALID JSON text but float() silently converts
+    # them to inf — parse_constant never sees them (review r12 follow-up)
+    for bad in ('{"v": 1e999}', '{"v": -1e999}'):
+        with pytest.raises(ValueError, match="overflow"):
+            parse_ndjson(bad)
+    out = parse_ndjson('{"v": 1.5, "w": 1e-999}')  # plain + underflow fine
+    assert out[0].data["v"] == [1.5] and out[0].data["w"] == [0.0]
+
+
+def test_append_postings_write_id_requires_local_path(spark):
+    """Silently dropping the idempotence contract on an object-store
+    path would re-introduce the replay double-count — fail loudly."""
+    from quackpipe_spark.operators import fts as FTS
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="posix-rename"):
+        FTS.append_postings(docs, "s3a://bucket/idx", write_id="b1")
 
 
 # --------------------------------------------------------------- streaming

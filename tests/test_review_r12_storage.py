@@ -121,6 +121,37 @@ def test_staging_failure_publishes_nothing(spark, tmp_path, monkeypatch):
     assert glob.glob(os.path.join(troot, "tmp", "*")) == []
 
 
+def test_index_failure_on_first_partition_rolls_back_rename(spark, tmp_path, monkeypatch):
+    """An index-upsert failure AFTER the rename must unlink the renamed
+    file: committed-ness is decided at the index upsert (readers resolve
+    through the index), and a live-but-unindexed file would leak as an
+    orphan that a blind retry duplicates for direct-directory consumers
+    (review r12 follow-up). First-partition failure → bare retry-safe
+    error, ZERO live files."""
+    from quackpipe_spark import writer as writer_mod
+
+    cat, w = _mk(spark, tmp_path)
+    real = writer_mod.locked_index
+    calls = {"n": 0}
+
+    def failing(live_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("index io error")
+        return real(live_dir)
+
+    monkeypatch.setattr(writer_mod, "locked_index", failing)
+    hours = [T0, T0 + 3_600_000_000_000]
+    with pytest.raises(OSError, match="index io error"):
+        w.write_columnar("db", "rb", {"__timestamp": hours, "x": [1, 2]})
+    troot = str(tmp_path / "data" / "db" / "rb")
+    assert glob.glob(os.path.join(troot, "date=*", "hour=*", "*.parquet")) == []
+    assert glob.glob(os.path.join(troot, "tmp", "*")) == []
+    # retry is now safe and writes everything exactly once
+    w.write_columnar("db", "rb", {"__timestamp": hours, "x": [1, 2]})
+    assert len(glob.glob(os.path.join(troot, "date=*", "hour=*", "*.parquet"))) == 2
+
+
 def test_partial_publish_raises_partial_write_error(spark, tmp_path, monkeypatch):
     """A failure AFTER the first partition published must raise
     PartialWriteError (HTTP maps it to 503 'do not blindly retry') — a
@@ -169,6 +200,38 @@ def test_multi_hour_batch_splits_correctly(spark, tmp_path):
         assert len({c // H for c in col}) == 1  # one hour per file
         seen.extend(col)
     assert sorted(seen) == sorted(ts)
+
+
+def test_partition_index_tolerates_unknown_entry_fields(tmp_path):
+    """A metadata.json entry carrying a field this version doesn't know
+    (newer engine, richer reference layout) must not brick every read and
+    write of the partition (review r12 follow-up)."""
+    import json
+
+    from quackpipe_spark.plans.index import PartitionIndex, locked_index
+
+    d = str(tmp_path)
+    with open(f"{d}/metadata.json", "w") as f:
+        json.dump(
+            {
+                "files": {
+                    "a.1.parquet": {
+                        "name": "a.1.parquet",
+                        "size_bytes": 10,
+                        "row_count": 2,
+                        "min_time": 1,
+                        "max_time": 9,
+                        "compression_codec": "zstd",  # unknown field
+                    }
+                },
+                "drop_queue": {},
+            },
+            f,
+        )
+    idx = PartitionIndex.load(d)
+    assert idx.files["a.1.parquet"].row_count == 2
+    with locked_index(d) as li:  # the write path survives too
+        assert "a.1.parquet" in li.files
 
 
 def test_buffer_full_store_flushes_only_its_table(spark, tmp_path):
