@@ -253,6 +253,47 @@ def test_append_postings_crash_after_commit_rolls_forward_once(spark, tmp_path, 
     assert got == exp
 
 
+def test_append_postings_crash_mid_publish_converges(spark, tmp_path, monkeypatch):
+    """Crash PARTWAY through the publish moves (some bucket dirs updated,
+    some not, marker still present): the next access rolls FORWARD the
+    remaining moves idempotently and the replay is a no-op — postings and
+    stats equal exactly one clean application."""
+    import os as _os
+
+    from quackpipe_spark.operators import fts as FTS
+
+    path = _fts_base(spark, tmp_path, "midcrash")
+    batch = spark.createDataFrame(
+        [(3, "parquet scan speed"), (4, "spark data shuffle"), (5, "duckdb joins fast")],
+        "doc_id long, text string",
+    )
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        if "/postings/" in dst:  # only the publish moves, not the marker
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("simulated crash mid-move")
+        return real_replace(src, dst)
+
+    # fts.py imports os function-locally, so patch the os module itself;
+    # the dst filter keeps the failure scoped to the publish moves
+    monkeypatch.setattr("os.replace", failing_replace)
+    with pytest.raises(OSError, match="mid-move"):
+        FTS.append_postings(batch, path, write_id="b7")
+    monkeypatch.undo()
+    assert any(f.startswith(".append-commit-b7") for f in os.listdir(path))
+    FTS.append_postings(batch, path, write_id="b7")  # the replay
+    n, _avgdl, postings = _fts_state(spark, path)
+    assert n == 5
+    pairs = [(d, t) for d, t, _tf in postings]
+    assert len(pairs) == len(set(pairs))  # no duplicated (doc, term) rows
+    clean = _fts_base(spark, tmp_path, "midclean")
+    FTS.append_postings(batch, clean, write_id="b7")
+    assert _fts_state(spark, path) == _fts_state(spark, clean)
+
+
 def test_append_postings_crash_before_commit_leaves_nothing(spark, tmp_path, monkeypatch):
     """Crash while STAGING (pre-commit): nothing visible, the replay
     applies cleanly from scratch."""
