@@ -65,7 +65,23 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 13))
+    shape = draw(st.integers(0, 16))
+    if shape == 14:  # backtick-quoted table name (means the bare word)
+        return f"SELECT count(*) AS n, sum(v) AS s FROM `ev` WHERE {where}"
+    if shape == 15:  # apostrophe INSIDE a backtick alias must not desync
+        # quote parity (r12 scanner fix): bound-shaped alias text is
+        # identifier data, never a live bound
+        return (
+            f"SELECT v AS `it's {p1}` FROM ev "
+            f"WHERE {p2} ORDER BY v LIMIT 500"
+        )
+    if shape == 16:  # backtick-apostrophe alias FOLLOWED by a literal
+        # carrying bound text — pre-fix parity desync exposed the
+        # literal's contents as code (the r12 review's top repro shape)
+        return (
+            f"SELECT v AS `a'b`, 'x {p1} y' AS lit FROM ev "
+            f"WHERE {p2} ORDER BY v LIMIT 500"
+        )
     if shape == 12:  # derived table nested inside EXISTS (still prunes ev)
         return (
             f"SELECT count(*) AS n FROM aux a WHERE EXISTS "

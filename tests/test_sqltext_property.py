@@ -21,7 +21,7 @@ from hypothesis import strategies as st
 from quackpipe_spark.sqltext import blank_noncode, scan_segments
 
 _ARBITRARY = st.text(
-    alphabet=st.sampled_from(list("abc'\"\\;-/* \n()=xyz0")), max_size=80
+    alphabet=st.sampled_from(list("abc'\"\\;-/* \n()=xyz0`")), max_size=80
 )
 
 
@@ -32,6 +32,8 @@ _ARBITRARY = st.text(
 @example("-- don't\nWHERE msg = 'x count() y'")
 @example("'abc''")
 @example('"a""b;c" /* o /* i */ ; */ end')
+@example("SELECT `x'y` = 'p' OR q = ' AND ts >= 1 '")  # r12 parity repro
+@example("`a``b;c` 'lit' `unterminated")
 def test_scan_partition_and_blank_alignment(t):
     segs = scan_segments(t)
     assert "".join(t[a:b] for _, a, b in segs) == t
@@ -71,7 +73,7 @@ def _sql(draw):
     parts: list[str] = []
     lits: list[str] = []
     for _ in range(draw(st.integers(1, 6))):
-        kind = draw(st.integers(0, 3))
+        kind = draw(st.integers(0, 4))
         if kind == 0:
             parts.append(draw(st.sampled_from(_CODE_SNIPPETS)))
         elif kind == 1:
@@ -82,8 +84,13 @@ def _sql(draw):
             lits.append(tok)
         elif kind == 2:
             parts.append(" -- " + draw(_COMMENT_BODY) + "\n")
-        else:
+        elif kind == 3:
             parts.append(" /* " + draw(_COMMENT_BODY) + " */ ")
+        else:
+            # backtick identifier with arbitrary content (quotes included:
+            # the r12 parity class) — `` escapes a literal backtick
+            body = draw(_LIT_CONTENT).replace("`", "``")
+            parts.append(" `" + body + "` ")
     return "".join(parts), lits
 
 
