@@ -426,7 +426,8 @@ class ParsedFrames(list):
 # longs and py3 repr round-trips doubles, so no value is lossy, and
 # NaN/Inf can't appear (the field-value grammar rejects the literals and
 # both parse paths reject float OVERFLOW — '1e309' is a per-line
-# ValueError, and the vector path routes non-finite casts to it). The
+# ValueError, and the vector path admits only provably-finite float
+# text, routing everything else to the per-line scanner). The
 # previous intermediate carried five map<string,*> columns, whose
 # pandas→Arrow conversion dominated bulk-parse cost at 20M lines
 # (BENCH_PARSE_r10: ~150 of 174 µs/line-core was outside the parse
@@ -591,9 +592,24 @@ def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
             ),
             dtype=bool,
         )
+        # PROVABLY-FINITE floats only (review r12): overflow text
+        # ('1e309', 309-digit mantissas) would ride the doc VERBATIM and
+        # Jackson decodes it to Infinity — divergent from the per-line
+        # path, which rejects overflow. Eligibility admits only values
+        # that CANNOT overflow: ≤32 chars total (one offset-diff length
+        # pass — mantissa ≤ ~1e31) with a ≤2-digit exponent (≤e99 →
+        # magnitude ≤ ~1e130 ≪ 1.8e308). Chosen over an extra per-value
+        # cast pass (+35% bulk-parse cost, measured) and over counted
+        # repetition in the regex (a {1,308} quantifier bloats the
+        # automaton). Exotic-but-legal values outside it ('1e300',
+        # 40-digit decimals) take the per-line reference path — same
+        # result, exactly-once, just not vectorized.
         is_d = np.asarray(
-            pc.match_substring_regex(
-                raw, r"^-?\d+(\.\d+)?([eE][-+]?\d+)?$"
+            pc.and_(
+                pc.match_substring_regex(
+                    raw, r"^-?\d+(\.\d+)?([eE][-+]?\d{1,2})?$"
+                ),
+                pc.less_equal(pc.utf8_length(raw), 32),
             ).to_numpy(zero_copy_only=False),
             dtype=bool,
         )
@@ -605,20 +621,6 @@ def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
         slow |= tcode == "?"
         tcols.append(tcode)
         num = pc.replace_substring_regex(raw, "[iu]$", "")
-        # overflowing float text ('1e309') would ride the doc VERBATIM and
-        # Jackson decodes it to Infinity — divergent from the per-line
-        # path, which now rejects overflow. Arrow's cast yields inf (not
-        # an error), so non-finite detection is exact: those rows take
-        # the per-line path and get its ValueError (review r12).
-        d_mask = tcode == "d"
-        if d_mask.any():
-            finite = np.asarray(
-                pc.is_finite(
-                    pc.cast(pc.if_else(pa.array(d_mask), num, "0"), pa.float64())
-                ).to_numpy(zero_copy_only=False),
-                dtype=bool,
-            )
-            slow |= d_mask & ~finite
         boolv = pc.if_else(
             pc.is_in(raw, value_set=pa.array(list(_VEC_TRUE))), "true", "false"
         )
