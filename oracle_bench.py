@@ -63,18 +63,31 @@ def main() -> None:
         # missing table then fails individually, not the harness
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        else:
+            print(f"note: {p} absent — view {t} not registered", flush=True)
+
+    # per-query error isolation: a query over an unregistered view (an
+    # LLM-only corpus without the TPC-H tables) fails INDIVIDUALLY and is
+    # excluded from the totals — previously the warm-up sweep aborted the
+    # whole harness on the first such query (review r12 follow-up)
+    failures: dict[str, str] = {}
 
     # warm-up: one UNTIMED full sweep of the actual queries — a
     # count(*) per table would be answered from parquet footer metadata
     # without reading a single data page, leaving the first timed sweep
     # cold
     for name in sorted(oracle):
-        con.sql(oracle[name]).fetchall()
+        try:
+            con.sql(oracle[name]).fetchall()
+        except Exception as e:
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
 
     mat: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
     cnt: dict[str, list[float]] = {n: [] for n in sorted(oracle)}
     for _ in range(args.reps):
         for name in sorted(oracle):
+            if name in failures:
+                continue
             t0 = time.perf_counter()
             con.sql(oracle[name]).fetchall()
             mat[name].append(time.perf_counter() - t0)
@@ -82,8 +95,8 @@ def main() -> None:
             con.sql(f"SELECT count(*) FROM ({oracle[name]})").fetchall()
             cnt[name].append(time.perf_counter() - t0)
 
-    per_mat = {n: round(statistics.median(ts), 4) for n, ts in mat.items()}
-    per_cnt = {n: round(statistics.median(ts), 4) for n, ts in cnt.items()}
+    per_mat = {n: round(statistics.median(ts), 4) for n, ts in mat.items() if ts}
+    per_cnt = {n: round(statistics.median(ts), 4) for n, ts in cnt.items() if ts}
     out = {
         "metric": "duckdb_oracle_wall",
         "unit": "sec",
@@ -94,6 +107,8 @@ def main() -> None:
         "count_pruned": per_cnt,
         "count_pruned_total": round(sum(per_cnt.values()), 4),
     }
+    if failures:
+        out["failures"] = failures
 
     if args.bench:
         with open(args.bench) as f:

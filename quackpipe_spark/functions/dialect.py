@@ -359,16 +359,14 @@ def note_registration(name: str, definition: str) -> None:
     directly with a digest of their Python implementation."""
     global _FINGERPRINT
     key = name.lower()
-    if _REGISTERED.get(key) != definition:
-        # dict update BEFORE the invalidation: in the other order a
-        # concurrent registry_fingerprint() between the two statements
-        # would re-memoize the PRE-registration digest permanently and
-        # cached plans bound to the old definition would keep serving
-        # (review r12 follow-up)
-        _REGISTERED[key] = definition
+    changed = _REGISTERED.get(key) != definition
+    # dict update BEFORE the invalidation: in the other order a
+    # concurrent registry_fingerprint() between the two statements would
+    # re-memoize the PRE-registration digest permanently and cached plans
+    # bound to the old definition would keep serving (review r12)
+    _REGISTERED[key] = definition
+    if changed:
         _FINGERPRINT = None
-    else:
-        _REGISTERED[key] = definition
 
 
 def create_function(

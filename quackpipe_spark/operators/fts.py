@@ -149,21 +149,13 @@ def _read_stats(spark, path: str):
 
 
 def _fsync_dir(path: str) -> None:
-    """Best-effort directory fsync: a rename is durable only once its
-    directory entry is — without this, a power loss could persist some
-    published postings while losing the commit/applied markers, leaving
-    a state no recovery path detects (the PartitionIndex.save dance,
-    plans/index.py; review r12 follow-up)."""
-    import os
+    """Best-effort directory fsync (shared helper in plans/index.py):
+    a rename is durable only once its directory entry is — without this,
+    a power loss could persist some published postings while losing the
+    commit/applied markers, a state no recovery path detects."""
+    from quackpipe_spark.plans.index import fsync_dir
 
-    try:
-        fd = os.open(path, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-    except OSError:
-        pass
+    fsync_dir(path)
 
 
 def _applied_last(path: str) -> str | None:
@@ -217,6 +209,11 @@ def _roll_forward_append(path: str, commit_path: str) -> None:
             touched.add(os.path.dirname(dst))
     for d in sorted(touched):
         _fsync_dir(d)  # publish renames durable BEFORE the marker flips
+    if touched:
+        # a BRAND-NEW bucket dir's own dentry lives in postings/ — fsync
+        # the parent too, or a power loss could drop the whole bucket
+        # while the applied marker survives (review r12 follow-up #2)
+        _fsync_dir(os.path.join(path, "postings"))
     _write_stats_atomic(path, meta["new_n"], meta["new_avgdl"], meta["n_buckets"])
     _write_applied_last(path, meta["write_id"])
     os.unlink(commit_path)

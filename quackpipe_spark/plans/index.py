@@ -38,6 +38,21 @@ def _dir_lock(partition_dir: str) -> threading.Lock:
         return _DIR_LOCKS.setdefault(key, threading.Lock())
 
 
+def fsync_dir(path: str) -> None:
+    """Best-effort directory fsync: a rename (or a new directory entry)
+    is durable only once its PARENT directory's entry is — shared by the
+    index save and the FTS idempotent-append protocol so the subtle
+    idiom can't drift between copies."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 @contextmanager
 def locked_index(partition_dir: str):
     """load → mutate → save as one critical section. Every WRITER of a
@@ -113,14 +128,7 @@ class PartitionIndex:
             except OSError:
                 pass
         os.replace(tmp, p)
-        try:
-            fd = os.open(self.path, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        except OSError:
-            pass
+        fsync_dir(self.path)
 
     def add(self, entry: FileEntry) -> None:
         self.files[entry.name] = entry

@@ -14,6 +14,7 @@ Bulk/distributed path: ``spark.read.json`` — Spark's native ndjson reader
 from __future__ import annotations
 
 import json
+import math
 
 from quackpipe_spark.sources.lineproto import ParsedBatch, schema_id
 from quackpipe_spark.types import infer_canonical
@@ -38,7 +39,7 @@ def _parse_float_strict(s: str) -> float:
     (review r12 follow-up; lineproto rejects the same overflow on both
     of its parse paths, and Go's encoding/json errors with ERANGE)."""
     v = float(s)
-    if v in (float("inf"), float("-inf")):
+    if math.isinf(v):  # runs per JSON number: no tuple/float allocs
         raise ValueError(f"number {s!r} overflows float64")
     return v
 

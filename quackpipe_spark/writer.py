@@ -358,6 +358,7 @@ class HiveWriter:
         os.makedirs(live_dir, exist_ok=True)
         dst = os.path.join(live_dir, newname)
         os.replace(tmp, dst)
+        body_done = False
         try:
             if tcol in at.column_names:
                 mm = pc.min_max(at[tcol]).as_py()
@@ -374,13 +375,26 @@ class HiveWriter:
                         max_time=int(tmax) if tmax is not None else None,
                     )
                 )
+                body_done = True  # locked_index SAVES after the body: an
+                # exception past this point may land with the index
+                # already durably referencing dst
         except BaseException as e:
             # the partition COMMITS at the index upsert, not the rename
             # (readers resolve files through the index) — roll the rename
             # back so "not committed" stays provably true: a renamed-but-
             # unindexed file would otherwise leak as an orphan that a
             # blind retry turns into duplicate rows for any direct-
-            # directory consumer (review r12 follow-up)
+            # directory consumer (review r12 follow-up). But ONLY when
+            # the failure provably preceded the index save (body_done
+            # False — locked_index skips save on body exceptions):
+            # unlinking dst after a possibly-committed save would delete
+            # data the metadata references — loss, not rollback.
+            if body_done:
+                raise PartialWriteError(
+                    f"partition {rel or '<root>'}: index publish of "
+                    f"{newname} interrupted mid-save ({type(e).__name__}: "
+                    f"{e}); the file may already be referenced"
+                ) from e
             try:
                 os.unlink(dst)
             except OSError:
