@@ -202,6 +202,35 @@ def test_backticked_relations_count_and_pin(qe):
     assert qe._plan_cacheable("SELECT * FROM `ev`", names)
 
 
+def test_oracle_normalizer_canonical_forms():
+    """The differential helper's canonicalizer (review r12): NaN is NOT
+    null (a Spark NaN vs an oracle NULL must FAIL, two NaNs must match —
+    including np.float32's, which is not a float subclass), ==-equal
+    multisets pair correctly regardless of str() sort order (-0.0/0.0,
+    Decimal dtype noise), arrays compare element-wise instead of raising,
+    and DuckDB's midnight-datetime DATE carrier equals Spark's date."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_utils import _canon, _normalize
+
+    assert _canon(float("nan")) == _canon(np.float32("nan")) == ("nan",)
+    assert _canon(float("nan")) != _canon(None)
+    assert _canon(-0.0) == _canon(0.0) == _canon(np.float64(0.0))
+    from decimal import Decimal
+
+    assert _canon(Decimal("1.50")) == _canon(1.5) == _canon(np.int64(1) + 0.5)
+    assert _canon(np.array([1, 2])) == _canon([1, 2])
+    assert _canon(pd.Timestamp("1996-07-01")) == _canon(datetime.date(1996, 7, 1))
+    # the verified mispairing repro: equal multisets whose str() sort
+    # orders differ must normalize identically
+    a = pd.DataFrame({"v": [-0.0, -1.0]})
+    b = pd.DataFrame({"v": [0.0, -1.0]})
+    assert _normalize(a) == _normalize(b)
+
+
 # ------------------------------------------------------ session purge
 
 
