@@ -287,11 +287,17 @@ class GigapiServer:
                             for p in promises:
                                 p.result(30)
                         except PartialWriteError as e:
-                            # some partitions COMMITTED before the failure:
-                            # a plain 400 would invite a retry that
-                            # duplicates the committed rows
+                            # some partitions COMMITTED before the failure.
+                            # Machine line-protocol clients (telegraf,
+                            # influx client libs) auto-retry 5xx with
+                            # backoff and never read the body, so a 503
+                            # here would invite the exact blind retry that
+                            # duplicates the committed partitions (ADVICE
+                            # r12). 422 is in the non-retryable 4xx class
+                            # those clients drop on; 503 stays reserved
+                            # for retry-SAFE transient failures.
                             self._send(
-                                503,
+                                422,
                                 {
                                     "error": f"partial write: {e}; committed "
                                     "partitions would duplicate on a blind "
@@ -302,11 +308,11 @@ class GigapiServer:
                         except FuturesTimeout:
                             # AMBIGUOUS outcome: the rows are buffered and a
                             # later flush will likely still write them — a
-                            # plain 400 would invite a client retry that
-                            # duplicates every row. 503 + explicit wording,
-                            # distinct from a clean rejection.
+                            # retryable status would duplicate every row
+                            # once the pending flush lands, so this too is
+                            # non-retryable 4xx (see PartialWriteError).
                             self._send(
-                                503,
+                                422,
                                 {
                                     "error": "flush timeout: write outcome "
                                     "unknown (rows remain buffered and may "

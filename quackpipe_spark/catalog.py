@@ -33,6 +33,19 @@ import re as _re
 # (review r12: graphite-style 'cpu.load' measurements bricked at read).
 # Rejecting at the write door is loud; the old read-time failure was not.
 _IDENT_RE = _re.compile(r"^[A-Za-z0-9_]+$")
+# Graphite/Influx measurement names routinely carry dots, dashes, and
+# spaces ('cpu.load', 'disk-io'). Rejecting them outright would end
+# ingest continuity for those clients (ADVICE r12), so the write door
+# SANITIZES instead — the common TSDB convention — mapping each such
+# char to '_' before validation. '/' and '\\' are deliberately NOT in
+# the map: a traversal attempt ('../..' → '__/__') must still FAIL the
+# strict check, never be laundered into a valid name.
+_SANITIZE_RE = _re.compile(r"[.\- ]")
+
+
+def sanitize_ident(value: str) -> str:
+    """Map measurement-name punctuation ('.', '-', ' ') to '_'."""
+    return _SANITIZE_RE.sub("_", value)
 
 
 def _check_ident(kind: str, value: str) -> None:
@@ -145,9 +158,24 @@ class Catalog:
         are validated BEFORE touching the filesystem: they come straight
         off the HTTP surface (measurement names, ?db/?table params) and
         feed os.path.join — an unchecked '../..' or absolute name would
-        write .table.json and parquet anywhere the process can reach."""
-        _check_ident("db", db)
-        _check_ident("table", name)
+        write .table.json and parquet anywhere the process can reach.
+
+        Continuity rules (ADVICE r12): a name already in the catalog —
+        discovered from disk under the pre-r12 looser contract (dotted /
+        dashed) — is exempt from validation so existing ingest keeps
+        flowing; otherwise measurement punctuation is sanitized to '_'
+        ('cpu.load' → 'cpu_load') and the result strictly validated.
+        Migration note for pre-existing dotted/dashed tables: they stay
+        writable under their original spelling but are not addressable
+        as Spark temp views at /query time — rename the directory (and
+        .table.json name field) to the sanitized form to restore reads;
+        new writes to the sanitized spelling create a SEPARATE table.
+        """
+        if (db, name) not in self._tables:
+            db = sanitize_ident(db)
+            name = sanitize_ident(name)
+            _check_ident("db", db)
+            _check_ident("table", name)
         if order_by is not None:
             # a YAML/JSON scalar ('order_by: ts') is the natural spelling
             # of a one-column key — accept it; anything else non-listy

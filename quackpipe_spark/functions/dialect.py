@@ -15,6 +15,7 @@ the ``FROM read_parquet('path')`` table function.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -340,17 +341,32 @@ _REGISTERED: dict[str, str] = {}
 # non-idempotent note_registration — rebuilding + re-hashing the whole
 # registry per query would serialize all sessions on O(registry) work
 _FINGERPRINT: str | None = None
+# Statement ordering alone cannot close the read-side race (ADVICE r12):
+# a reader that snapshots the registry, is preempted across a concurrent
+# note_registration (which sets _FINGERPRINT=None), then assigns its
+# stale digest would memoize the PRE-registration fingerprint
+# permanently — and sorted(dict.items()) can RuntimeError under a
+# concurrent insert. One lock covers both; the guarded section is a
+# small-dict md5 on miss and a dict write on registration, so contention
+# is negligible next to the plan work it protects.
+_REG_LOCK = threading.Lock()
 
 
 def registry_fingerprint() -> str:
     global _FINGERPRINT
-    if _FINGERPRINT is None:
+    fp = _FINGERPRINT  # lock-free fast path: str assignment is atomic
+    if fp is None:
         import hashlib
 
-        _FINGERPRINT = hashlib.md5(
-            "\n".join(f"{k}={v}" for k, v in sorted(_REGISTERED.items())).encode()
-        ).hexdigest()
-    return _FINGERPRINT
+        with _REG_LOCK:
+            if _FINGERPRINT is None:
+                _FINGERPRINT = hashlib.md5(
+                    "\n".join(
+                        f"{k}={v}" for k, v in sorted(_REGISTERED.items())
+                    ).encode()
+                ).hexdigest()
+            fp = _FINGERPRINT
+    return fp
 
 
 def note_registration(name: str, definition: str) -> None:
@@ -359,14 +375,15 @@ def note_registration(name: str, definition: str) -> None:
     directly with a digest of their Python implementation."""
     global _FINGERPRINT
     key = name.lower()
-    changed = _REGISTERED.get(key) != definition
-    # dict update BEFORE the invalidation: in the other order a
-    # concurrent registry_fingerprint() between the two statements would
-    # re-memoize the PRE-registration digest permanently and cached plans
-    # bound to the old definition would keep serving (review r12)
-    _REGISTERED[key] = definition
-    if changed:
-        _FINGERPRINT = None
+    with _REG_LOCK:
+        changed = _REGISTERED.get(key) != definition
+        _REGISTERED[key] = definition
+        if changed:
+            # under the same lock as the memoization: a reader hashing a
+            # pre-registration snapshot finishes (and memoizes) before
+            # this invalidation lands, so the next read recomputes — no
+            # permanently-stale fingerprint (ADVICE r12)
+            _FINGERPRINT = None
 
 
 def create_function(

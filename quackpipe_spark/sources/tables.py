@@ -46,7 +46,15 @@ def _session_alive(sess: SparkSession) -> bool:
     try:
         return not sess._sc._jsc.sc().isStopped()
     except Exception:
-        return False
+        # The probe reaches through private classic-Spark internals
+        # (_sc._jsc) that don't exist under Spark Connect and may change
+        # shape across versions. When the probe ITSELF errors we know
+        # nothing about liveness — returning False here judged every
+        # Connect session dead and purged the scan/dialect/IVF/PQ caches
+        # on each miss, silently re-running expensive prebuilds (ADVICE
+        # r12). Unknown shape degrades to keep-cached: a truly dead
+        # session's entries still age out via the size cap.
+        return True
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:

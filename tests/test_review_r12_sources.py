@@ -322,14 +322,33 @@ def test_append_postings_crash_before_commit_leaves_nothing(spark, tmp_path, mon
 def test_scan_cache_purges_dead_session_entries(spark, tmp_path):
     from quackpipe_spark.sources import tables as TBL
 
-    class DeadSession:
+    class _JSC:  # classic-Spark probe path reporting a STOPPED context
+        def sc(self):
+            return self
+
+        def isStopped(self):
+            return True
+
+    class _SCHolder:
+        _jsc = _JSC()
+
+    class StoppedSession:
+        _sc = _SCHolder()
+
+    class UnknownShapeSession:  # Spark Connect-like: probe path absent
         @property
         def _sc(self):
-            raise RuntimeError("stopped")
+            raise RuntimeError("no classic context")
 
-    TBL._SCAN_CACHE[(-1, "/nowhere", "ghost")] = (DeadSession(), None)
+    TBL._SCAN_CACHE[(-1, "/nowhere", "ghost")] = (StoppedSession(), None)
+    TBL._SCAN_CACHE[(-2, "/nowhere", "connect")] = (UnknownShapeSession(), None)
     p = str(tmp_path / "scan_probe")
     spark.createDataFrame([(1,)], "k long").write.parquet(f"{p}/region.parquet")
     TBL.table_df(spark, p, "region")  # a miss triggers the purge
+    # a PROVABLY stopped session purges; an unknown shape (probe error,
+    # e.g. Spark Connect) is kept — purging live Connect sessions on
+    # every miss silently re-ran expensive prebuilds (ADVICE r12)
     assert (-1, "/nowhere", "ghost") not in TBL._SCAN_CACHE
+    assert (-2, "/nowhere", "connect") in TBL._SCAN_CACHE
+    TBL._SCAN_CACHE.pop((-2, "/nowhere", "connect"), None)  # cleanup
     assert TBL._session_alive(spark)

@@ -66,19 +66,27 @@ def test_uint64_across_batches_widens_not_conflicts(spark, tmp_path):
         w.write_columnar("db", "b", {"__timestamp": [T0 + 2], "x": ["s"]})
 
 
-def test_unqueryable_table_names_reject_at_write(spark, tmp_path):
+def test_unqueryable_table_names_sanitize_at_write(spark, tmp_path):
     """Names Spark can't register as temp views (dots = multi-part name,
-    dashes/spaces = invalid identifier) must 400 at ingest — previously
-    'cpu.load' ingested fine and then EVERY query of it failed forever."""
+    dashes/spaces = invalid identifier) must not reach disk verbatim —
+    previously 'cpu.load' ingested fine and then EVERY query of it failed
+    forever. r13 (ADVICE r12): measurement punctuation SANITIZES to '_'
+    (ingest continuity for graphite-style clients) instead of 400ing;
+    names that stay invalid after sanitation still reject."""
     from quackpipe_spark.catalog import Catalog
 
     cat = Catalog(str(tmp_path / "data"))
-    for bad in ["cpu.load", "cpu-load", "cpu load", "", "..", "a/b", ".hidden"]:
+    # punctuation routes to the word-char spelling
+    for raw in ["cpu.load", "cpu-load", "cpu load", ".hidden"]:
+        t = cat.get_or_create("db", raw)
+        assert t.name in ("cpu_load", "_hidden")
+    # still-invalid after sanitation (slashes, empty) rejects
+    for bad in ["", "a/b", "../.."]:
         with pytest.raises(ValueError, match="invalid"):
             cat.get_or_create("db", bad)
         with pytest.raises(ValueError, match="invalid"):
             cat.get_or_create(bad, "t")
-    cat.get_or_create("db", "cpu_load")  # the word-char spelling works
+    assert cat.get_or_create("db", "cpu_load").name == "cpu_load"
 
 
 def test_order_by_scalar_coerced_and_bad_shapes_rejected(spark, tmp_path):
@@ -154,7 +162,7 @@ def test_index_failure_on_first_partition_rolls_back_rename(spark, tmp_path, mon
 
 def test_partial_publish_raises_partial_write_error(spark, tmp_path, monkeypatch):
     """A failure AFTER the first partition published must raise
-    PartialWriteError (HTTP maps it to 503 'do not blindly retry') — a
+    PartialWriteError (HTTP maps it to non-retryable 422) — a
     plain 400 invited a retry that duplicated the committed partition."""
     from quackpipe_spark.writer import HiveWriter, PartialWriteError
 
