@@ -32,14 +32,24 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
-    right_time <= left_time (backward; 'forward' mirrors with >=).
+    right_time <= left_time (backward; 'forward' mirrors with >=;
+    'nearest' takes whichever of the two matches is closer in time,
+    backward winning exact ties — so right_time must support subtraction,
+    i.e. numeric or timestamp).
 
     Returns all left columns plus ``payload_cols`` (null when no match).
     Right rows should be unique per (key, time) for determinism — same
     contract DuckDB's ASOF JOIN has.
+
+    'nearest' costs one extra in-partition sort (the forward window's
+    descending order) over the same single shuffle — Catalyst plans both
+    window functions in one exchange on _k, so the 100 TB shape is
+    unchanged: shuffle once, sort twice, no join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     clash = [c for c in payload_cols if c in left.columns]
     if clash:
         # the output would carry BOTH left's column and the right payload
@@ -54,7 +64,17 @@ def asof_join(
     if used:
         raise ValueError(f"column name(s) {sorted(used)} are reserved by asof_join")
 
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    # nearest needs the matched right time to compare |Δ| on both sides —
+    # smuggle it through the payload struct as _rt (internal field name,
+    # struct-scoped, so it can't collide with user COLUMNS)
+    payload_fields = [F.col(c) for c in payload_cols]
+    if direction == "nearest":
+        if "_rt" in payload_cols:
+            # the struct would carry two _rt fields and getField becomes
+            # ambiguous — reject like the other reserved names
+            raise ValueError("payload column name '_rt' is reserved by nearest")
+        payload_fields.append(F.col(right_time).alias("_rt"))
+    payload = F.struct(*payload_fields).alias("_asof_payload")
     # NULL-key / NULL-time right rows can never match under ASOF equality
     # semantics (NULL = NULL is not a match in DuckDB's ASOF JOIN) — drop
     # them before the union, else the window's null-key partition would
@@ -76,20 +96,33 @@ def asof_join(
         *l_cols,
     )
     tagged = l.unionByName(r, allowMissingColumns=True)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.desc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     if direction == "backward":
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.asc("_t"), F.asc("_side"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = F.last("_asof_payload", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        carried = F.last("_asof_payload", ignorenulls=True).over(w_fwd)
+    else:  # nearest: closer of the two candidates; backward wins ties
+        back = F.last("_asof_payload", ignorenulls=True).over(w_back)
+        fwd = F.last("_asof_payload", ignorenulls=True).over(w_fwd)
+        carried = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(
+                (F.col("_t") - back.getField("_rt"))
+                <= (fwd.getField("_rt") - F.col("_t")),
+                back,
+            )
+            .otherwise(fwd)
         )
-        carried = F.last("_asof_payload", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(F.desc("_t"), F.asc("_side"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = F.last("_asof_payload", ignorenulls=True).over(w)
 
     # a NULL left time has no defined as-of position (desc ordering sorts
     # nulls last, where the window would span every right row) — such

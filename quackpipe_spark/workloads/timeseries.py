@@ -22,23 +22,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event: the user's most recent login at-or-before the event.
+    """Per event: the user's most recent session-start at-or-before the
+    event. Self-as-of on the events table — the canonical
+    sessions/attribution query shape.
 
-    Self-as-of on the events table (left = non-login events, right =
-    logins) — the canonical sessions/attribution query shape.
+    The right side is 'signup' events: the synthetic corpus has no
+    'login' event type (signup/error/click/view/purchase only), so a
+    'login' filter made the right side EMPTY and the gate passed
+    trivially with zero matches (r13 review find). The column aliases
+    keep the original login_* names for gate continuity.
     """
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 100)
     us = F.expr("ts DIV 1000")
-    left = ev.filter(F.col("event_type") != "login").select(
+    left = ev.filter(F.col("event_type") != "signup").select(
         "event_id", "user_id", us.alias("t_us"), "event_type"
     )
-    # dedupe logins per (user, µs): ts is ns truncated to µs, so two
-    # ns-distinct logins can collide on one as-of key — asof_join picks
+    # dedupe session-starts per (user, µs): ts is ns truncated to µs, so
+    # two ns-distinct rows can collide on one as-of key — asof_join picks
     # the last payload per time and DuckDB's ASOF an arbitrary tie, so
     # the survivor must be pinned (max event_id) in BOTH engines or the
     # hash gate goes flaky the day the data grows a collision
     right = (
-        ev.filter(F.col("event_type") == "login")
+        ev.filter(F.col("event_type") == "signup")
         .groupBy(F.col("user_id"), us.alias("login_us"))
         .agg(F.max("event_id").alias("login_event_id"))
     )
@@ -62,18 +67,104 @@ def asof_last_login(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_SQL = """
 WITH lefts AS (
   SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
-  FROM events WHERE user_id < 100 AND event_type <> 'login'
+  FROM events WHERE user_id < 100 AND event_type <> 'signup'
 ), rights AS (
   -- max(event_id) per (user, µs): mirrors the Spark side's tie pin
-  -- (ns→µs truncation can collide two logins on one as-of key)
+  -- (ns→µs truncation can collide two rows on one as-of key)
   SELECT user_id, epoch_us(ts) AS login_us, max(event_id) AS login_event_id
-  FROM events WHERE user_id < 100 AND event_type = 'login'
+  FROM events WHERE user_id < 100 AND event_type = 'signup'
   GROUP BY user_id, epoch_us(ts)
 )
 SELECT l.event_id, l.user_id, l.event_type, r.login_event_id,
        l.t_us - r.login_us AS us_since_login
 FROM lefts l ASOF LEFT JOIN rights r
   ON l.user_id = r.user_id AND l.t_us >= r.login_us
+"""
+
+
+def asof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest gate for ALL asof_join directions (VERDICT r12 #6): one row
+    per direction with (row count, match count, Σ|Δt|, Σ matched ids) —
+    backward/forward verified against DuckDB's native ASOF JOIN ('>=' /
+    '<='), nearest against a two-ASOF CASE picking the closer candidate
+    with backward winning exact ties (the operator's documented rule)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 100)
+    us = F.expr("ts DIV 1000")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t_us")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id"), us.alias("err_us"))
+        .agg(F.max("event_id").alias("err_event_id"))
+    )
+    out = None
+    for d in ("backward", "forward", "nearest"):
+        j = asof_join(
+            left,
+            right,
+            key="user_id",
+            left_time="t_us",
+            right_time="err_us",
+            payload_cols=["err_event_id", "err_us"],
+            direction=d,
+        )
+        digest = (
+            j.withColumn("direction", F.lit(d))
+            .groupBy("direction")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("err_event_id").alias("n_matched"),
+                F.sum(F.abs(F.col("t_us") - F.col("err_us"))).alias("sum_abs_us"),
+                F.sum("err_event_id").alias("sum_err_id"),
+            )
+        )
+        out = digest if out is None else out.unionByName(digest)
+    return out.orderBy("direction")
+
+
+ASOF_BATTERY_SQL = """
+WITH lefts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE user_id < 100 AND event_type = 'click'
+), rights AS (
+  SELECT user_id, epoch_us(ts) AS err_us, max(event_id) AS err_event_id
+  FROM events WHERE user_id < 100 AND event_type = 'error'
+  GROUP BY 1, 2
+), bwd AS (
+  SELECT l.event_id, l.t_us, r.err_event_id, r.err_us
+  FROM lefts l ASOF LEFT JOIN rights r
+    ON l.user_id = r.user_id AND l.t_us >= r.err_us
+), fwd AS (
+  SELECT l.event_id, l.t_us, r.err_event_id, r.err_us
+  FROM lefts l ASOF LEFT JOIN rights r
+    ON l.user_id = r.user_id AND l.t_us <= r.err_us
+), nst AS (
+  -- nearest = closer of the backward/forward candidates; backward wins
+  -- exact ties (same rule as the Spark operator). event_id is unique in
+  -- the synthetic events table, so the bwd-fwd self-join is 1:1.
+  SELECT b.event_id, b.t_us,
+         CASE WHEN b.err_us IS NULL THEN f.err_event_id
+              WHEN f.err_us IS NULL THEN b.err_event_id
+              WHEN (b.t_us - b.err_us) <= (f.err_us - b.t_us) THEN b.err_event_id
+              ELSE f.err_event_id END AS err_event_id,
+         CASE WHEN b.err_us IS NULL THEN f.err_us
+              WHEN f.err_us IS NULL THEN b.err_us
+              WHEN (b.t_us - b.err_us) <= (f.err_us - b.t_us) THEN b.err_us
+              ELSE f.err_us END AS err_us
+  FROM bwd b JOIN fwd f USING (event_id)
+)
+SELECT direction,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(err_event_id) AS BIGINT) AS n_matched,
+       CAST(sum(abs(t_us - err_us)) AS BIGINT) AS sum_abs_us,
+       CAST(sum(err_event_id) AS BIGINT) AS sum_err_id
+FROM (
+  SELECT 'backward' AS direction, t_us, err_us, err_event_id FROM bwd
+  UNION ALL SELECT 'forward', t_us, err_us, err_event_id FROM fwd
+  UNION ALL SELECT 'nearest', t_us, err_us, err_event_id FROM nst
+)
+GROUP BY direction ORDER BY direction
 """
 
 
@@ -168,11 +259,13 @@ FROM m1 GROUP BY 1, 2
 
 QUERIES = {
     "asof_last_login": asof_last_login,
+    "asof_battery": asof_battery,
     "gapfill_hourly": gapfill_hourly,
     "downsample_1m_to_5m": downsample_1m_to_5m,
 }
 ORACLE = {
     "asof_last_login": ASOF_SQL,
+    "asof_battery": ASOF_BATTERY_SQL,
     "gapfill_hourly": GAPFILL_SQL,
     "downsample_1m_to_5m": DOWNSAMPLE_SQL,
 }

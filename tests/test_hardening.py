@@ -885,3 +885,41 @@ def test_norm_index_path_rejects_remote_host():
     assert _norm_index_path("s3a://bkt/x") == "s3a://bkt/x"
     with _pytest.raises(ValueError, match="host"):
         _norm_index_path("file://nas01/a/b")
+
+
+def test_asof_join_nearest_semantics(spark):
+    """'nearest' picks the closer of the backward/forward candidates,
+    backward wins exact ties, rows reachable in only one direction still
+    match (union coverage), and NULL keys/times match nothing."""
+    import pytest
+
+    from quackpipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 0), ("k", 10), ("k", 14), ("k", 15), ("k", 30), (None, 10), ("k", None)],
+        "k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "r10"), ("k", 20, "r20")], "k string, t long, p string"
+    )
+    j = asof_join(left, right, "k", "t", "t", ["p"], direction="nearest")
+    out = {(r["k"], r["t"]): r["p"] for r in j.collect()}
+    assert out[("k", 0)] == "r10"  # before first right: forward-only reach
+    assert out[("k", 10)] == "r10"  # exact hit
+    assert out[("k", 14)] == "r10"  # backward closer (4 < 6)
+    assert out[("k", 15)] == "r10"  # exact tie (5 == 5) → backward wins
+    assert out[("k", 30)] == "r20"  # after last right: backward-only reach
+    assert out[(None, 10)] is None  # NULL key matches nothing
+    assert out[("k", None)] is None  # NULL left time matches nothing
+    # the internal struct field name is reserved
+    with pytest.raises(ValueError, match="_rt"):
+        asof_join(
+            left, right.withColumnRenamed("p", "_rt"), "k", "t", "t", ["_rt"],
+            direction="nearest",
+        )
+    # scale contract: nearest = the SAME single shuffle as backward — both
+    # window frames share the partitionBy(_k) exchange; only an extra
+    # in-partition sort is added
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the tree twice
+    assert final.count("Exchange") == 1, final
