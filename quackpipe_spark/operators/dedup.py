@@ -1065,7 +1065,7 @@ def _token_hash64(token: Column) -> Column:
 
 
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """Per-doc SimHash: bit j of the signature is the sign of the sum of
     (2·bit_j(token_hash)−1) over tokens.
@@ -1084,11 +1084,12 @@ def simhash(
     from quackpipe_spark.operators.util import fan_out
 
     if bits == 32:
+        # gate/oracle-parity option: cheaper fold, but 16-bit bands at
+        # the minimal hamming-1 split — collision term n²/2¹⁶ goes
+        # quadratic past ~10M docs (PLAN_AUDIT_r12). Library default is
+        # 64 (r13, VERDICT r12 #2): 32-bit bands, collision term n²/2³².
         hash_fn = _token_hash32
     elif bits == 64:
-        # the 100M+-doc setting: 16-bit-band selectivity at bands=4, or
-        # 32-bit bands at the minimal hamming-1 split (simhash_near_pairs
-        # docstring). 32-bit signatures stay the gate/oracle default.
         hash_fn = _token_hash64
     else:
         raise ValueError(f"simhash supports bits=32 or 64, got {bits}")
@@ -1131,15 +1132,24 @@ def simhash(
 def simhash_near_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | str = "auto",
 ) -> DataFrame:
-    """Hamming-near pairs via byte banding: two 32-bit signatures within
-    hamming ≤ 6 share at least one of 4 bytes whenever the differing bits
-    concentrate — candidates join on (band, byte), verified by
+    """Hamming-near pairs via banding: two signatures within hamming ≤ h
+    share at least one of ``bands`` slices whenever the differing bits
+    concentrate — candidates join on (band, slice value), verified by
     bit_count(xor). (Banding is a recall heuristic, same as the reference
     LSH trade-off; the verify step keeps precision exact.)
+
+    ``bands="auto"`` (default) picks the smallest divisor of ``bits``
+    strictly greater than ``max_hamming`` — the minimal EXACT-recall
+    pigeonhole split at the widest possible bands. With the 64-bit
+    default and max_hamming ≤ 1 that is 2×32-bit bands (collision term
+    n²/2³², negligible past 100M docs); max_hamming up to 7 resolves to
+    8×8-bit bands, which is exact but collision-heavy — at large corpus
+    × large tolerance, cap the tolerance or pass bands explicitly and
+    accept heuristic recall.
 
     A pair matching in several bands is emitted once by keeping only its
     FIRST matching band: both simhashes ride through the join, so "an
@@ -1158,16 +1168,22 @@ def simhash_near_pairs(
     changes the result set — that trade stays caller-chosen. For
     corpora past ~10M docs, grow ``bits`` (64-bit signatures) so the
     quadratic term stays negligible."""
+    if bands == "auto":
+        if not 0 <= max_hamming < bits:
+            raise ValueError(
+                f"max_hamming must be in [0, {bits}), got {max_hamming}"
+            )
+        bands = next(b for b in range(max_hamming + 1, bits + 1) if bits % b == 0)
     # the banded self-join consumes sigs on both sides — cache the (small:
     # one long per doc) signature table eagerly so the per-row signature
     # fold runs once, not per join side
-    if bands < 1 or bits % bands != 0:
+    if not isinstance(bands, int) or bands < 1 or bits % bands != 0:
         # pure-arithmetic check BEFORE the persist+count below — after
         # them it would burn a corpus-scale signature job and leak the
         # pinned frame on the raise
         raise ValueError(
-            f"bands must divide the signature width: got bits={bits}, "
-            f"bands={bands}"
+            f"bands must be 'auto' or an int that divides the signature "
+            f"width: got bits={bits}, bands={bands}"
         )
     sigs = sigs.persist()
     sigs.count()
@@ -1175,6 +1191,10 @@ def simhash_near_pairs(
     mask = (1 << width) - 1
 
     def band_of(col: Column, b: int) -> Column:
+        if width == 64:
+            # bands=1 on 64-bit signatures: the whole signature IS the
+            # band — a (1<<64)-1 mask literal overflows the signed long
+            return col
         return F.shiftright(col, b * width).bitwiseAND(mask)
 
     band_vals = F.array(*[band_of(F.col("simhash"), b) for b in range(bands)])
@@ -1204,4 +1224,41 @@ def simhash_near_pairs(
             ).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# corpus sizes up to this many docs keep the cheaper 32-bit signature
+# (16-bit bands at the minimal hamming-1 split → expected cross-collision
+# candidates ≈ n/2¹⁷ per doc ≈ 15 at the threshold); past it the n²/2¹⁶
+# term approaches 4× growth per corpus doubling (PLAN_AUDIT_r12:60-65),
+# so the probe flips to 64-bit signatures (32-bit bands, n²/2³²).
+SIMHASH_AUTO_32_MAX = 2_000_000
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 1,
+    bits: int | str = "auto",
+    bands: int | str = "auto",
+) -> DataFrame:
+    """One-call simhash near-dup: signature fold + banded pairs with
+    scale-safe width selection (VERDICT r12 #2).
+
+    ``bits="auto"`` probes the corpus size (one count over the already
+    pruned/projected docs scan — linear, no shuffle) and picks 32-bit
+    signatures up to SIMHASH_AUTO_32_MAX docs, 64-bit beyond, so the
+    operator's default can't be bitten by the 16-bit-band collision
+    knee past ~10M docs. Note the hamming metric is width-relative:
+    the two widths are separate similarity spaces, not interchangeable
+    result sets — pin ``bits`` explicitly for reproducible thresholds
+    across growing corpora.
+    """
+    if bits == "auto":
+        n = docs.count()
+        bits = 32 if n <= SIMHASH_AUTO_32_MAX else 64
+    sigs = simhash(docs, id_col, text_col, bits=bits)
+    return simhash_near_pairs(
+        sigs, id_col, bits=bits, max_hamming=max_hamming, bands=bands
     )

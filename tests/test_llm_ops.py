@@ -815,3 +815,41 @@ def test_cluster_survivor_by_quality(spark):
 
     c = Counter(comp for comp, canon in out.values() if canon)
     assert all(v == 1 for v in c.values())
+
+
+def test_simhash_dedup_auto_width_probe(spark, monkeypatch):
+    """bits='auto' picks 32-bit signatures up to SIMHASH_AUTO_32_MAX docs
+    and 64-bit beyond (the n²/2¹⁶ collision-knee guard, VERDICT r12 #2);
+    both paths produce the duplicate pair."""
+    calls = []
+    real = D.simhash
+
+    def spy(docs, id_col="doc_id", text_col="text", bits=64):
+        calls.append(bits)
+        return real(docs, id_col, text_col, bits=bits)
+
+    monkeypatch.setattr(D, "simhash", spy)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = D.simhash_dedup(df, max_hamming=0)
+    assert {(r["a"], r["b"]) for r in out.collect()} == {(1, 2)}
+    assert calls == [32]  # 3 docs <= threshold → gate-parity width
+    monkeypatch.setattr(D, "SIMHASH_AUTO_32_MAX", 1)
+    out = D.simhash_dedup(df, max_hamming=0)
+    assert {(r["a"], r["b"]) for r in out.collect()} == {(1, 2)}
+    assert calls[-1] == 64  # past threshold → scale-safe width
+
+
+def test_simhash_near_pairs_auto_bands_validation(spark):
+    """bands='auto' needs max_hamming < bits to have an exact split; the
+    check fires before any job (same contract as the divisor check)."""
+    class _Boom:
+        def persist(self):
+            raise AssertionError("persist ran before validation")
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_pairs(_Boom(), bits=32, max_hamming=32, bands="auto")
+    with pytest.raises(ValueError, match="divides"):
+        D.simhash_near_pairs(_Boom(), bands="nope")
