@@ -369,10 +369,20 @@ def jaccard_verify(
     if n_bound <= _BROADCAST_IDS_MAX:
         cand_ids = F.broadcast(cand_ids)
     cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    # 64-bit shingle fingerprints, not raw gram strings (VERDICT r12 #3):
+    # a 3-token gram costs ~34 B as a UTF8String vs 8 B as a long, so the
+    # per-doc set arrays — which replicate per candidate pair and sit in
+    # the un-spillable SHUFFLE_HASH build maps below — shrink ~4×. This
+    # was the 1M-doc GC cliff at the default 24 g single-JVM heap: dup
+    # clusters of size m replicate each member's array m-1 times, and the
+    # fat-string builds thrashed full GC. Intersection/set sizes are
+    # unchanged modulo an in-doc xxhash64 collision (~n²/2⁶⁵ per doc,
+    # ~1e-15 at 300 shingles) — the jaccard values, and therefore the
+    # oracle gate, are unaffected.
     sets = (
         shingle_table(cand_docs, id_col, text_col, shingle_k)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("shset"))
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
     )
     # SHUFFLE_HASH on the sets side, unconditionally: Catalyst's static
     # estimate for the exchange-free collect_set agg undershoots badly
