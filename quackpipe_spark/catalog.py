@@ -143,6 +143,20 @@ class Catalog:
                     t = Table.load(tdir)
                     self._tables[(db, name)] = t
 
+    def rediscover(self) -> None:
+        """Public re-scan seam for a pure-QUERIER process: the reference's
+        headline deployment runs writer and querier as separate containers
+        sharing only the filesystem (README.md:41-52, docker-compose.yml),
+        and the querier learns about tables the writer created from
+        .table.json alone (discoverPartitions ticker,
+        hive_merge_tree_service.go:165-218). Safe to call on a ticker:
+        reloads every .table.json under root, replacing in-memory Table
+        objects with their on-disk state. A writer process should NOT
+        ticker this — its own in-memory registry is the source of truth
+        between saves; the disk state is for OTHER processes."""
+        with self._lock:
+            self._discover()
+
     def get(self, db: str, name: str) -> Table | None:
         return self._tables.get((db, name))
 
