@@ -92,6 +92,11 @@ def main() -> None:
     files_in = _tree_parquet_files(table.path)
     bytes_in = _tree_parquet_bytes(table.path)
 
+    # same-window denominator (VERDICT r12 #4): see bench_kernel.py —
+    # one kernel pair brackets BOTH timed phases
+    from bench_kernel import kernel_fields, pinned_kernel_s
+
+    k_before = pinned_kernel_s()
     comp = Compactor(spark, table, drop_delay_s=0.0)
     t0 = time.perf_counter()
     out = comp.run_once()
@@ -124,6 +129,7 @@ def main() -> None:
     t0 = time.perf_counter()
     compact_parquet_dir(spark, flat, order_by=["band", "bh"])
     flat_dt = time.perf_counter() - t0
+    k_after = pinned_kernel_s()
     flat_files_out = _tree_parquet_files(flat)
     assert spark.read.parquet(flat).count() == flat_n_in, "flat-dir row loss"
     assert flat_files_out < flat_files_in
@@ -151,6 +157,7 @@ def main() -> None:
                     "seconds": round(flat_dt, 3),
                     "input_mb_per_s": round(flat_bytes_in / flat_dt / 1e6, 2),
                 },
+                **kernel_fields(k_before, k_after, hive_dt + flat_dt),
             }
         )
     )

@@ -59,11 +59,16 @@ def main() -> None:
         svc.store("bench", "e2e", data).result(600)
         return batch_rows
 
+    # same-window denominator (VERDICT r12 #4): see bench_kernel.py
+    from bench_kernel import kernel_fields, pinned_kernel_s
+
+    k_before = pinned_kernel_s()
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=writers) as pool:
         written = sum(pool.map(write_batch, range(n_batches)))
     svc.stop()
     dt = time.perf_counter() - t0
+    k_after = pinned_kernel_s()
 
     qe = QueryEngine(spark, catalog)
     n = qe.sql("SELECT count(*) AS n FROM e2e", db="bench").collect()[0]["n"]
@@ -89,6 +94,7 @@ def main() -> None:
                 "parquet_mb_per_s": round(nbytes / dt / 1e6, 2),
                 "writers": writers,
                 "batch_rows": batch_rows,
+                **kernel_fields(k_before, k_after, dt),
             }
         )
     )

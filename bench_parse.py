@@ -81,11 +81,19 @@ def main() -> None:
         )
     ldf.count()
     acc = spark.sparkContext.accumulator(0)
+    # same-window denominator (VERDICT r12 #4): the pinned kernel runs
+    # immediately before and after the timed workload in THIS process, so
+    # the recorded ratio is comparable across rounds while absolutes swing
+    # with the box (commit cdbb87a: identical code 19-88 s cross-window)
+    from bench_kernel import kernel_fields, pinned_kernel_s
+
+    k_before = pinned_kernel_s()
     t0 = time.perf_counter()
     with parse_lines_df(spark, ldf, parse_counter=acc) as frames:
         n_frames = len(frames)
         total = sum(df.count() for _, _, df in frames)
     dt = time.perf_counter() - t0
+    k_after = pinned_kernel_s()
     assert total == n_lines, f"row loss: {total} != {n_lines}"
     assert acc.value == n_lines, (
         f"exactly-once violated: {acc.value} parses for {n_lines} lines"
@@ -104,6 +112,7 @@ def main() -> None:
                 "parses_per_line": 1,
                 "driver_parse_us_per_line_fast": round(fast_us, 1),
                 "driver_parse_us_per_line_general": round(gen_us, 1),
+                **kernel_fields(k_before, k_after, dt),
             }
         )
     )
