@@ -83,11 +83,21 @@ FROM lefts l ASOF LEFT JOIN rights r
 
 
 def asof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Digest gate for ALL asof_join directions (VERDICT r12 #6): one row
-    per direction with (row count, match count, Σ|Δt|, Σ matched ids) —
-    backward/forward verified against DuckDB's native ASOF JOIN ('>=' /
-    '<='), nearest against a two-ASOF CASE picking the closer candidate
-    with backward winning exact ties (the operator's documented rule)."""
+    """Digest gate for the FULL asof_join surface (VERDICT r12 #6) in ONE
+    registry row (the driver verifies exactly 50 entries, so the former
+    separate `asof_last_login` row is consolidated here, not evicted):
+
+    - one row per direction (backward/forward/nearest) with (row count,
+      match count, Σ|Δt|, Σ matched ids) — backward/forward verified
+      against DuckDB's native ASOF JOIN ('>=' / '<='), nearest against a
+      two-ASOF CASE picking the closer candidate with backward winning
+      exact ties (the operator's documented rule);
+    - one 'rowhash_backward' row digesting the original per-event
+      last-session-start query (`asof_last_login`, still exported for
+      library use) with a row-CONTENT checksum: Σ of a 60-bit md5 prefix
+      of every output row mod 1e11, order-independent and overflow-safe
+      to ~90M rows — so the per-row values stay hash-verified even
+      though the registry row is a digest."""
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 100)
     us = F.expr("ts DIV 1000")
     left = ev.filter(F.col("event_type") == "click").select(
@@ -115,12 +125,35 @@ def asof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("*").alias("n_rows"),
                 F.count("err_event_id").alias("n_matched"),
-                F.sum(F.abs(F.col("t_us") - F.col("err_us"))).alias("sum_abs_us"),
-                F.sum("err_event_id").alias("sum_err_id"),
+                F.sum(F.abs(F.col("t_us") - F.col("err_us"))).alias("sum_dt_us"),
+                F.sum("err_event_id").alias("checksum"),
             )
         )
         out = digest if out is None else out.unionByName(digest)
-    return out.orderBy("direction")
+    # per-event backward query, digested with a row-content checksum
+    ll = asof_last_login(spark, sf_dir)
+    row_str = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("~"))
+            for c in ("event_id", "user_id", "event_type", "login_event_id",
+                      "us_since_login")
+        ],
+    )
+    row_h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long") % F.lit(
+        100_000_000_000
+    )
+    ll_digest = (
+        ll.withColumn("direction", F.lit("rowhash_backward"))
+        .groupBy("direction")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("login_event_id").alias("n_matched"),
+            F.sum("us_since_login").alias("sum_dt_us"),
+            F.sum(row_h).alias("checksum"),
+        )
+    )
+    return out.unionByName(ll_digest).orderBy("direction")
 
 
 ASOF_BATTERY_SQL = """
@@ -153,18 +186,52 @@ WITH lefts AS (
               WHEN (b.t_us - b.err_us) <= (f.err_us - b.t_us) THEN b.err_us
               ELSE f.err_us END AS err_us
   FROM bwd b JOIN fwd f USING (event_id)
+), directions AS (
+  SELECT direction,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(err_event_id) AS BIGINT) AS n_matched,
+         CAST(sum(abs(t_us - err_us)) AS BIGINT) AS sum_dt_us,
+         CAST(sum(err_event_id) AS BIGINT) AS checksum
+  FROM (
+    SELECT 'backward' AS direction, t_us, err_us, err_event_id FROM bwd
+    UNION ALL SELECT 'forward', t_us, err_us, err_event_id FROM fwd
+    UNION ALL SELECT 'nearest', t_us, err_us, err_event_id FROM nst
+  )
+  GROUP BY direction
+), ll_lefts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+  FROM events WHERE user_id < 100 AND event_type <> 'signup'
+), ll_rights AS (
+  SELECT user_id, epoch_us(ts) AS login_us, max(event_id) AS login_event_id
+  FROM events WHERE user_id < 100 AND event_type = 'signup'
+  GROUP BY 1, 2
+), ll AS (
+  -- the original per-event last-session-start query (asof_last_login),
+  -- digested below with an order-independent row-CONTENT checksum so
+  -- per-row values stay hash-verified inside this consolidated gate
+  SELECT l.event_id, l.user_id, l.event_type, r.login_event_id,
+         l.t_us - r.login_us AS us_since_login
+  FROM ll_lefts l ASOF LEFT JOIN ll_rights r
+    ON l.user_id = r.user_id AND l.t_us >= r.login_us
+), ll_digest AS (
+  SELECT 'rowhash_backward' AS direction,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(login_event_id) AS BIGINT) AS n_matched,
+         CAST(sum(us_since_login) AS BIGINT) AS sum_dt_us,
+         CAST(sum(
+           ('0x' || substr(md5(concat_ws('|',
+              coalesce(event_id::VARCHAR, '~'),
+              coalesce(user_id::VARCHAR, '~'),
+              coalesce(event_type, '~'),
+              coalesce(login_event_id::VARCHAR, '~'),
+              coalesce(us_since_login::VARCHAR, '~'))), 1, 15))::BIGINT
+           % 100000000000
+         ) AS BIGINT) AS checksum
+  FROM ll
 )
-SELECT direction,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(err_event_id) AS BIGINT) AS n_matched,
-       CAST(sum(abs(t_us - err_us)) AS BIGINT) AS sum_abs_us,
-       CAST(sum(err_event_id) AS BIGINT) AS sum_err_id
-FROM (
-  SELECT 'backward' AS direction, t_us, err_us, err_event_id FROM bwd
-  UNION ALL SELECT 'forward', t_us, err_us, err_event_id FROM fwd
-  UNION ALL SELECT 'nearest', t_us, err_us, err_event_id FROM nst
-)
-GROUP BY direction ORDER BY direction
+SELECT * FROM directions
+UNION ALL SELECT * FROM ll_digest
+ORDER BY direction
 """
 
 
@@ -257,14 +324,16 @@ FROM m1 GROUP BY 1, 2
 """
 
 
+# asof_last_login (and ASOF_SQL) stay exported for library/test use; the
+# registry row is the consolidated asof_battery — its 'rowhash_backward'
+# branch digests asof_last_login's exact per-row output, so the former
+# gate's coverage is preserved inside ONE of the driver's 50 slots.
 QUERIES = {
-    "asof_last_login": asof_last_login,
     "asof_battery": asof_battery,
     "gapfill_hourly": gapfill_hourly,
     "downsample_1m_to_5m": downsample_1m_to_5m,
 }
 ORACLE = {
-    "asof_last_login": ASOF_SQL,
     "asof_battery": ASOF_BATTERY_SQL,
     "gapfill_hourly": GAPFILL_SQL,
     "downsample_1m_to_5m": DOWNSAMPLE_SQL,

@@ -232,17 +232,21 @@ def test_db_table_names_validated(engine):
         ("d", "../x"),
         ("d", "/etc/cron.d/x"),
         ("", "t"),
-        ("d", ".hidden"),
         ("d", "a/b"),
     ]:
         with pytest.raises(ValueError, match="invalid"):
             catalog.get_or_create(bad_db, bad_t)
-    # dots/dashes ALSO reject (r12): Spark can't register such names as
-    # temp views, so accepting them ingested data no query could ever
-    # read — see test_review_r12_storage::test_unqueryable_table_names
-    for bad_db, bad_t in [("db-1", "t"), ("d", "my.table_2")]:
-        with pytest.raises(ValueError, match="invalid"):
-            catalog.get_or_create(bad_db, bad_t)
+    # dots/dashes/leading-dot SANITIZE to '_' (r13, ADVICE r12): Spark
+    # can't register such names as temp views, but rejecting them broke
+    # ingest continuity for graphite-style measurement names — the write
+    # door now routes them to the word-char spelling. '/' is never in
+    # the sanitize map, so the traversal attempts above still reject.
+    for raw_db, raw_t, want in [
+        ("db-1", "t", "t"),
+        ("d", "my.table_2", "my_table_2"),
+        ("d", ".hidden", "_hidden"),
+    ]:
+        assert catalog.get_or_create(raw_db, raw_t).name == want
     # word-char names (digits, underscore) still fine
     t = catalog.get_or_create("db_1", "my_table_2")
     assert t.name == "my_table_2"

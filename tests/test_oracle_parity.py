@@ -72,3 +72,16 @@ def test_lineproto_parse_demoted_oracle(spark, duck):
 
     df = DF.lineproto_parse(spark, SF_DIR)
     assert_frames_match(df, duck.sql(DF.LINEPROTO_PARSE_SQL), "lineproto_parse")
+
+
+def test_asof_last_login_library_query_matches_oracle(spark, duck):
+    """asof_last_login lost its registry slot when the consolidated
+    asof_battery took over (the driver verifies exactly 50 entries); its
+    per-row output stays covered by the battery's rowhash_backward
+    checksum AND this direct differential so the library query can't
+    rot unnoticed."""
+    from quackpipe_spark.workloads.timeseries import ASOF_SQL, asof_last_login
+
+    assert_frames_match(
+        asof_last_login(spark, SF_DIR), duck.sql(ASOF_SQL), "asof_last_login"
+    )

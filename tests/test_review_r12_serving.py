@@ -237,15 +237,33 @@ def test_oracle_normalizer_canonical_forms():
 def test_dialect_session_registry_purges_dead_sessions(spark):
     from quackpipe_spark.workloads import sql_surface as S
 
-    class DeadSession:
+    class _JSC:  # classic probe path reporting a STOPPED context
+        def sc(self):
+            return self
+
+        def isStopped(self):
+            return True
+
+    class _SCHolder:
+        _jsc = _JSC()
+
+    class StoppedSession:
+        _sc = _SCHolder()
+
+    class UnknownShapeSession:  # probe path absent (Spark Connect shape)
         @property
         def _sc(self):
-            raise RuntimeError("stopped")
+            raise RuntimeError("no classic context")
 
-    S._DIALECT_SESSIONS[-7] = DeadSession()
+    S._DIALECT_SESSIONS[-7] = StoppedSession()
+    S._DIALECT_SESSIONS[-8] = UnknownShapeSession()
     # force a fresh registration: the purge runs only on the (rare)
     # register path, and earlier tests may have registered this session
     S._DIALECT_SESSIONS.pop(id(spark), None)
     S._dialect(spark)
+    # provably stopped → purged; unknown probe shape → kept (ADVICE r12:
+    # judging Connect sessions dead purged live caches on every miss)
     assert -7 not in S._DIALECT_SESSIONS
+    assert -8 in S._DIALECT_SESSIONS
+    S._DIALECT_SESSIONS.pop(-8, None)  # cleanup
     assert S._DIALECT_SESSIONS.get(id(spark)) is spark
