@@ -59,6 +59,11 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
         # cwd is the isolated tmp dir, so the package must come via path
         "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
     }
+    # logs to FILES, not pipes: an unread PIPE wedges the child once the
+    # 64 KB buffer fills (Spark's stderr chatter can exceed it on a slow
+    # startup), deadlocking the soak instead of failing it
+    log_path = str(tmp_path / "reader_log.txt")
+    log_f = open(log_path, "wb")
     proc = subprocess.Popen(
         [
             sys.executable,
@@ -72,8 +77,8 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
         ],
         cwd=str(tmp_path),
         env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
+        stdout=log_f,
+        stderr=subprocess.STDOUT,
     )
     try:
         # hold the FIRST write until the querier is up and has recorded
@@ -83,7 +88,7 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
         while not os.path.exists(ready_path):
             assert proc.poll() is None, (
                 f"querier died during startup: "
-                f"{proc.stderr.read().decode(errors='replace')[-2000:]}"
+                f"{open(log_path, 'rb').read().decode(errors='replace')[-2000:]}"
             )
             assert time.time() < t_wait, "querier never became ready"
             time.sleep(0.2)
@@ -189,3 +194,4 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=60)
+        log_f.close()
