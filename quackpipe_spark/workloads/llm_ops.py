@@ -121,9 +121,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one groupBy builds each rare shingle's sorted doc list AND emits its
     # pairs from the array — two shuffles total (agg, distinct) where the
     # rare-filter + rare⋈sh + self-join formulation pays four; sort_array
-    # makes position order = id order, so every emitted pair has a < b
+    # makes position order = id order, so every emitted pair has a < b.
+    # The grouping key is xxhash64(shingle), projected BEFORE the
+    # exchange (r13): the (shingle, doc_id) shuffle is THE dominant byte
+    # mover of this pipeline (~600M rows at 400×), and an 8 B long key
+    # cuts its bytes ~3× vs the raw ~30 B gram string — measured 22-23 s
+    # → 15-17 s warm on the 400× blocking stage, identical 7.364M pairs.
+    # A cross-shingle hash collision merges two doc lists (probability
+    # ~n²/2⁶⁵ over distinct shingles — ~1% odds of ONE collision at
+    # 600M): it could only add a spurious candidate (verify rejects) or,
+    # astronomically rarer, push a merged group over the rare cap; the
+    # DuckDB oracle keeps grouping by the raw gram and stays pair-exact.
     grouped = (
-        sh.groupBy("shingle")
+        sh.select(F.xxhash64("shingle").alias("sh_h"), "doc_id")
+        .groupBy("sh_h")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _RARE_MAX_DOCS))
     )
