@@ -158,7 +158,23 @@ class Catalog:
             self._discover()
 
     def get(self, db: str, name: str) -> Table | None:
-        return self._tables.get((db, name))
+        # raw-spelling lookups must resolve to the table the write door
+        # SANITIZED the name into, or every get()+get_or_create pair
+        # ('/gigapi/create' exists-check, validate_schema, write_columnar)
+        # sees None for 'cpu.load' while the table lives as 'cpu_load'
+        # (review r13). Exact match first so legacy dotted tables keep
+        # winning their own spelling; then raw-db+sanitized-name (a new
+        # punctuated measurement inside a LEGACY db keeps the db
+        # spelling); then fully sanitized.
+        for key in (
+            (db, name),
+            (db, sanitize_ident(name)),
+            (sanitize_ident(db), sanitize_ident(name)),
+        ):
+            t = self._tables.get(key)
+            if t is not None:
+                return t
+        return None
 
     def get_or_create(
         self,
@@ -186,9 +202,18 @@ class Catalog:
         new writes to the sanitized spelling create a SEPARATE table.
         """
         if (db, name) not in self._tables:
-            db = sanitize_ident(db)
+            # db-component continuity (review r13): a database already on
+            # disk under the legacy dotted/dashed contract keeps its
+            # spelling for NEW measurements too — sanitizing only the new
+            # table's db would silently split one logical db in two
+            # directories (old measurements under legacy.db/, new under
+            # legacy_db/). Discovered names come from os.listdir, so a
+            # legacy db spelling can never smuggle a path separator.
+            legacy_db = any(d == db for (d, _n) in self._tables)
+            if not legacy_db:
+                db = sanitize_ident(db)
+                _check_ident("db", db)
             name = sanitize_ident(name)
-            _check_ident("db", db)
             _check_ident("table", name)
         if order_by is not None:
             # a YAML/JSON scalar ('order_by: ts') is the natural spelling

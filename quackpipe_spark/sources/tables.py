@@ -43,17 +43,26 @@ _SCAN_CACHE_CAP = 1024
 
 
 def _session_alive(sess: SparkSession) -> bool:
+    # The probe reaches through private classic-Spark internals
+    # (_sc._jsc) that don't exist under Spark Connect and may change
+    # shape across versions. Two distinct non-answer shapes (review r13):
+    # - attribute path ABSENT (Connect/unknown) → assume alive: judging
+    #   Connect sessions dead purged the scan/dialect/IVF/PQ caches on
+    #   every miss and re-ran expensive prebuilds (ADVICE r12);
+    # - _jsc present but None → the session IS stopped: classic
+    #   SparkContext.stop() nulls _jsc in its finally, so on the normal
+    #   stop path the old isStopped() probe RAISES rather than returning
+    #   True — treating that as unknown-alive would make the stopped-
+    #   session purge dead code and pin dead JVM refs forever.
     try:
-        return not sess._sc._jsc.sc().isStopped()
+        jsc = sess._sc._jsc
     except Exception:
-        # The probe reaches through private classic-Spark internals
-        # (_sc._jsc) that don't exist under Spark Connect and may change
-        # shape across versions. When the probe ITSELF errors we know
-        # nothing about liveness — returning False here judged every
-        # Connect session dead and purged the scan/dialect/IVF/PQ caches
-        # on each miss, silently re-running expensive prebuilds (ADVICE
-        # r12). Unknown shape degrades to keep-cached: a truly dead
-        # session's entries still age out via the size cap.
+        return True  # unknown session shape → keep cached
+    if jsc is None:
+        return False  # classic stop() path: provably stopped
+    try:
+        return not jsc.sc().isStopped()
+    except Exception:
         return True
 
 

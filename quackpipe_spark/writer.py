@@ -44,7 +44,8 @@ class PartialWriteError(RuntimeError):
     """A multi-partition flush failed AFTER at least one partition was
     published (renamed live + indexed). The write is NOT cleanly
     retryable: a blind retry duplicates the committed partitions' rows.
-    The HTTP door maps this to 503 with explicit wording, distinct from
+    The HTTP door maps this to a NON-retryable 422 with explicit wording
+    (machine LP clients auto-retry 5xx blind, ADVICE r12), distinct from
     the retry-safe 400 a pre-publish failure earns."""
 
 # canonical type → arrow type for the local flush writer (parity with the
@@ -312,9 +313,9 @@ class HiveWriter:
         (rename + index upsert) each. A failure during staging publishes
         nothing — the client's 400 is safely retryable; a failure after
         the first publish raises PartialWriteError, which the HTTP door
-        maps to 503 'do not blindly retry' (a plain 400 after a partial
-        commit invited a retry that duplicated the committed partitions,
-        review r12)."""
+        maps to a non-retryable 422 'do not blindly retry' (any status a
+        machine client auto-retries would duplicate the committed
+        partitions; 5xx is exactly that class — ADVICE r12)."""
         staged: list[tuple[str, str, str, object]] = []  # rel, name, tmp, at
         try:
             for rel, g in parts:

@@ -183,6 +183,52 @@ def test_probe_error_means_alive_not_dead():
 
 
 def test_stopped_classic_session_still_detected(spark):
+    """The REAL classic stop path: SparkContext.stop() nulls _jsc in its
+    finally, so the post-stop shape is `_sc._jsc is None` — the probe
+    must read that as STOPPED, not unknown-alive, or the stopped-session
+    purge becomes dead code and dead JVM refs pin forever (review r13:
+    the first unknown-means-alive fix over-corrected exactly here)."""
     from quackpipe_spark.sources.tables import _session_alive
 
     assert _session_alive(spark) is True
+
+    class _SC:
+        _jsc = None  # what spark.stop() actually leaves behind
+
+    class RealStoppedShape:
+        _sc = _SC()
+
+    assert _session_alive(RealStoppedShape()) is False
+
+
+def test_get_resolves_raw_spelling_to_sanitized_table(tmp_path):
+    """Catalog.get with the raw punctuated spelling must find the table
+    the write door sanitized it into — /gigapi/create's exists-check,
+    validate_schema, and write_columnar all pair a raw-name get() with
+    get_or_create (review r13: a second create of 'cpu.load' answered
+    'created' instead of 'exists' and skipped the spec-mismatch warning)."""
+    cat = Catalog(str(tmp_path / "root"))
+    t = cat.get_or_create("mydb", "cpu.load", fields={"v": "DOUBLE"})
+    assert cat.get("mydb", "cpu.load") is t
+    assert cat.get("mydb", "cpu_load") is t
+    assert cat.get("my-db", "x") is None  # absent stays absent
+
+
+def test_new_measurement_in_legacy_db_keeps_db_spelling(tmp_path):
+    """A NEW measurement written into a pre-existing dotted legacy db
+    must keep that db's spelling — sanitizing the db component would
+    silently split one logical db across two directories (review r13)."""
+    root = tmp_path / "root"
+    tdir = root / "legacy.db" / "a"
+    tdir.mkdir(parents=True)
+    Table(database="legacy.db", name="a", path=str(tdir), schema={"v": "DOUBLE"}).save()
+    cat = Catalog(str(root))
+    t = cat.get_or_create("legacy.db", "b")
+    assert t.database == "legacy.db"
+    assert t.path == str(root / "legacy.db" / "b")
+    # punctuated measurement inside the legacy db: db kept, name sanitized
+    t2 = cat.get_or_create("legacy.db", "cpu.load")
+    assert (t2.database, t2.name) == ("legacy.db", "cpu_load")
+    assert cat.get("legacy.db", "cpu.load") is t2  # raw-name lookup resolves
+    # a FRESH db still sanitizes
+    assert cat.get_or_create("fresh.db", "t").database == "fresh_db"

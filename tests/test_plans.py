@@ -165,7 +165,7 @@ def test_simhash_near_pairs_no_distinct(spark):
     # carries extra Exchange/Aggregate lines
     spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = D.simhash_near_pairs(D.simhash(docs), bits=32, max_hamming=1)
+    out = D.simhash_near_pairs(D.simhash(docs, bits=32), bits=32, max_hamming=1)
     p = plan_text(out)
     # no aggregation anywhere: dedup-by-distinct would plan HashAggregate
     assert "HashAggregate" not in p and "SortAggregate" not in p
