@@ -30,13 +30,7 @@ import tempfile
 import time
 
 
-def _tree_parquet_bytes(root: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+from bench_kernel import tree_parquet_bytes as _tree_parquet_bytes
 
 
 def _tree_parquet_files(root: str) -> int:
@@ -82,12 +76,17 @@ def main() -> None:
     str_col = [f"str{i % 97}" for i in range(chunk_rows)]
     for b in range(chunks):
         ts = [t0_ns + (b * chunk_rows + i) * step for i in range(chunk_rows)]
-        svc.store(
+        p = svc.store(
             "bench",
             "e2e",
             {"timestamp": ts, "value": value_col, "str": str_col, "__timestamp": ts},
         )
         svc.flush()  # one L1 file-group per chunk
+        # flush() swallows write exceptions by setting them on the
+        # promise — an unread promise turns an ingest failure (disk
+        # full, schema error) into a 'row loss through compaction'
+        # red herring 32 chunks later (review r13)
+        p.result(600)
     table = catalog.get("bench", "e2e")
     files_in = _tree_parquet_files(table.path)
     bytes_in = _tree_parquet_bytes(table.path)

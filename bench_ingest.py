@@ -74,14 +74,9 @@ def main() -> None:
     n = qe.sql("SELECT count(*) AS n FROM e2e", db="bench").collect()[0]["n"]
     assert n == written, f"row loss: wrote {written}, read {n}"
 
-    import os
+    from bench_kernel import tree_parquet_bytes
 
-    nbytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    nbytes = tree_parquet_bytes(root)
     print(
         json.dumps(
             {

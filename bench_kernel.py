@@ -83,3 +83,18 @@ def kernel_fields(before_s: float, after_s: float, workload_s: float) -> dict:
         "kernel_s": round(mean, 3),
         "ratio_vs_kernel": round(workload_s / mean, 3) if mean > 0 else None,
     }
+
+
+def tree_parquet_bytes(root: str) -> int:
+    """Shared on-disk parquet byte count for the write-path benches (one
+    definition so bench_ingest and bench_compact compute MB/s over the
+    SAME file population — dot-/underscore-prefixed staging and sidecar
+    files excluded in both)."""
+    import os
+
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )

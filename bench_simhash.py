@@ -28,12 +28,23 @@ from quackpipe_spark.operators import dedup as D
 from quackpipe_spark.session import get_spark
 
 
-REPLICA_STRIDE = 5000  # scale_gen doc_id re-base stride (sf0.1 corpus size)
+def _replica_stride() -> int:
+    """scale_gen re-bases doc_ids with stride max(doc_id)+1 of the SOURCE
+    corpus — derive it from the same file rather than hard-coding 5000,
+    so a regenerated sf0.1 can't silently corrupt the cross-replica
+    metric (review r13)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id"]
+    )
+    return int(t["doc_id"].to_numpy().max()) + 1
 
 
 def main() -> None:
     spark = get_spark(app_name="bench_simhash")
     spark.sparkContext.setLogLevel("ERROR")
+    stride = _replica_stride()
     here = os.path.dirname(os.path.abspath(__file__))
     scales = [
         ("500k", os.path.join(here, "scaledata", "sf10", "documents.parquet")),
@@ -65,8 +76,8 @@ def main() -> None:
                 F.count("*").alias("all"),
                 F.sum(
                     (
-                        F.expr(f"a div {REPLICA_STRIDE}")
-                        != F.expr(f"b div {REPLICA_STRIDE}")
+                        F.expr(f"a div {stride}")
+                        != F.expr(f"b div {stride}")
                     ).cast("long")
                 ).alias("cross"),
             ).collect()[0]

@@ -72,16 +72,26 @@ def test_http_concurrent_serving_soak(server):
     # per-table registries of acked prefix states, registered BEFORE the
     # write posts so readers can never observe an unregistered state
     snapshots = {"w0": {0: 0.0}, "w1": {0: 0.0}}
-    stats = {"acks": 0, "reads": 0, "alt_reads": 0, "written": {"w0": 0, "w1": 0}}
+    # counters shared across threads mutate ONLY under `lock` (review
+    # r13: unlocked `stats[...] += 1` from two threads loses increments
+    # at a GIL switch and fails the >=N assertions spuriously); running
+    # cumulative sums avoid the O(total-written) re-sum per batch
+    stats = {
+        "acks": 0,
+        "reads": 0,
+        "alt_reads": 0,
+        "written": {"w0": 0, "w1": 0},
+        "cum_s": {"w0": 0.0, "w1": 0.0},
+    }
 
     def writer(table: str) -> None:
         try:
             while not stop.is_set():
                 start = stats["written"][table]
                 cum_n = start + BATCH
-                cum_s = sum(float(i) for i in range(cum_n))
                 with lock:
-                    snapshots[table][cum_n] = cum_s
+                    stats["cum_s"][table] += float(sum(range(start, cum_n)))
+                    snapshots[table][cum_n] = stats["cum_s"][table]
                 lines = "\n".join(
                     f"{table},src=s{i % 3} v={float(i)} "
                     f"{T0 + i % 3_000 * NS // 1000}"
@@ -91,8 +101,9 @@ def test_http_concurrent_serving_soak(server):
                     server.base + "/write?db=d", lines.encode()
                 )
                 assert status == 204, f"{table}: {status} {body[:200]!r}"
-                stats["written"][table] = cum_n
-                stats["acks"] += 1
+                with lock:
+                    stats["written"][table] = cum_n
+                    stats["acks"] += 1
                 # promise-ack correctness: the 204 means published — this
                 # table must already serve AT LEAST the acked rows
                 [row] = _query(server.base, f"SELECT count(*) AS n FROM {table}")
@@ -120,7 +131,8 @@ def test_http_concurrent_serving_soak(server):
                 assert s == expect, f"{table}: sum {s} != {expect} at n={n}"
                 assert n >= last_n, f"{table}: count went backwards"
                 last_n = n
-                stats["reads"] += 1
+                with lock:
+                    stats["reads"] += 1
         except Exception as e:  # pragma: no cover
             errors.append(f"reader {table}: {type(e).__name__}: {e}")
 
@@ -144,7 +156,8 @@ def test_http_concurrent_serving_soak(server):
                     known = total in snapshots[table]
                 assert known, f"alt {table}: total {total} no acked prefix"
                 assert len(rows) <= 3
-                stats["alt_reads"] += 1
+                with lock:
+                    stats["alt_reads"] += 1
         except Exception as e:  # pragma: no cover
             errors.append(f"alt reader: {type(e).__name__}: {e}")
 

@@ -96,19 +96,23 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
         catalog = Catalog(root)
         svc = IngestService(spark, catalog, save_timeout_s=3600)  # manual flush
         errors: list[str] = []
-        stats = {"flushes": 0, "compactions": 0, "written": 0}
+        # running cumulative sum: re-summing range(cum_n) per batch is
+        # O(total-written) per 50-row batch — quadratic over a long soak,
+        # stealing writer wall-clock from the flush pressure (review r13)
+        stats = {"flushes": 0, "compactions": 0, "written": 0, "cum_s": 0.0}
         stop = threading.Event()
         snapf = open(snap_path, "a")
 
         def _write_batch(start: int) -> None:
             lines = "\n".join(
                 f"soak,src=s{i % 3} v={float(i)} "
-                f"{T0 + (start + i) % 3_000 * NS // 1000}"
+                f"{T0 + i % 3_000 * NS // 1000}"
                 for i in range(start, start + BATCH)
             )
             promises = ingest_lines(svc, lines, db="d")
             cum_n = start + BATCH
-            cum_s = sum(float(i) for i in range(cum_n))
+            stats["cum_s"] += float(sum(range(start, cum_n)))
+            cum_s = stats["cum_s"]
             # register BEFORE the flush publishes, and make it durable to
             # the OTHER process before any state it could observe exists
             snapf.write(f"{cum_n} {cum_s}\n")
@@ -158,7 +162,11 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
             stop.set()
             for t in threads:
                 t.join(timeout=120)
-            snapf.close()
+        # liveness BEFORE closing snapf: a join that timed out with the
+        # writer still in a stalled flush would otherwise race the error
+        # check and hit 'I/O operation on closed file' (review r13)
+        assert not any(t.is_alive() for t in threads), "soak thread still alive"
+        snapf.close()
         assert not errors, errors[:5]
 
         # stop the querier and collect its verdict
@@ -189,7 +197,7 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
             "SELECT count(*) AS n, sum(v) AS s FROM soak", db="d"
         ).collect()[0]
         assert row["n"] == stats["written"]
-        assert row["s"] == sum(float(i) for i in range(stats["written"]))
+        assert row["s"] == stats["cum_s"]
     finally:
         if proc.poll() is None:
             proc.kill()
