@@ -34,12 +34,13 @@ from bench_kernel import tree_parquet_bytes as _tree_parquet_bytes
 
 
 def _tree_parquet_files(root: str) -> int:
-    return sum(
-        1
-        for r, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    n = 0
+    for r, dirs, fs in os.walk(root):
+        dirs[:] = [d for d in dirs if d != "tmp"]  # same population as bytes
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                n += 1
+    return n
 
 
 def main() -> None:

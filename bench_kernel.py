@@ -88,13 +88,18 @@ def kernel_fields(before_s: float, after_s: float, workload_s: float) -> dict:
 def tree_parquet_bytes(root: str) -> int:
     """Shared on-disk parquet byte count for the write-path benches (one
     definition so bench_ingest and bench_compact compute MB/s over the
-    SAME file population — dot-/underscore-prefixed staging and sidecar
-    files excluded in both)."""
+    SAME file population). Two exclusions: dot-/underscore-prefixed
+    names (Spark sidecars), and anything under a `tmp/` directory — this
+    engine's staging protocol writes UNPREFIXED <uuid>.1.parquet files
+    into <table>/tmp/ (writer.py stage→publish), so a name filter alone
+    would count crash-orphaned staged files into bytes (review r13,
+    second pass)."""
     import os
 
-    return sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    total = 0
+    for r, dirs, fs in os.walk(root):
+        dirs[:] = [d for d in dirs if d != "tmp"]  # prune staging dirs
+        for f in fs:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(r, f))
+    return total

@@ -28,30 +28,31 @@ from quackpipe_spark.operators import dedup as D
 from quackpipe_spark.session import get_spark
 
 
-def _replica_stride() -> int:
-    """scale_gen re-bases doc_ids with stride max(doc_id)+1 of the SOURCE
-    corpus — derive it from the same file rather than hard-coding 5000,
-    so a regenerated sf0.1 can't silently corrupt the cross-replica
-    metric (review r13)."""
+def _replica_stride(path: str, amp: int) -> int:
+    """scale_gen re-bases doc_ids with stride max(source doc_id)+1, so in
+    the SCALED file max(doc_id)+1 == stride × amp. Deriving the stride
+    from the scaled file itself (with its known amplification) is
+    self-consistent with whatever source corpus actually generated it —
+    reading the CURRENT sf0.1 instead would corrupt the metric exactly
+    when sf0.1 is regenerated without rebuilding scaledata (review r13,
+    second pass)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id"]
-    )
-    return int(t["doc_id"].to_numpy().max()) + 1
+    t = pq.read_table(path, columns=["doc_id"])
+    return (int(t["doc_id"].to_numpy().max()) + 1) // amp
 
 
 def main() -> None:
     spark = get_spark(app_name="bench_simhash")
     spark.sparkContext.setLogLevel("ERROR")
-    stride = _replica_stride()
     here = os.path.dirname(os.path.abspath(__file__))
     scales = [
-        ("500k", os.path.join(here, "scaledata", "sf10", "documents.parquet")),
-        ("1M", os.path.join(here, "scaledata", "sf20", "documents.parquet")),
+        ("500k", os.path.join(here, "scaledata", "sf10", "documents.parquet"), 100),
+        ("1M", os.path.join(here, "scaledata", "sf20", "documents.parquet"), 200),
     ]
     out: dict = {"metric": "simhash_width_growth", "unit": "rows|sec", "runs": {}}
-    for label, path in scales:
+    for label, path, amp in scales:
+        stride = _replica_stride(path, amp)
         docs = spark.read.parquet(path).select("doc_id", "text")
         for bits in (32, 64):
             t0 = time.time()
@@ -65,11 +66,11 @@ def main() -> None:
             cand_df = D.simhash_near_pairs(
                 sigs, bits=bits, max_hamming=bits - 1, bands=2
             )
-            # scale_gen re-bases doc_ids per replica (stride = 5000, the
-            # sf0.1 corpus size) and suffixes every word per replica, so
-            # CROSS-replica docs share no tokens: cross-replica candidates
-            # are (up to md5 luck) PURE band collisions — the n²/2^width
-            # term isolated from the corpus's linear true-dup structure
+            # scale_gen re-bases doc_ids per replica (stride derived from
+            # the scaled file above) and suffixes every word per replica,
+            # so CROSS-replica docs share no tokens: cross-replica
+            # candidates are (up to md5 luck) PURE band collisions — the
+            # n²/2^width term isolated from the linear true-dup structure
             from pyspark.sql import functions as F
 
             agg = cand_df.agg(

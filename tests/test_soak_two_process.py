@@ -162,11 +162,18 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
             stop.set()
             for t in threads:
                 t.join(timeout=120)
-        # liveness BEFORE closing snapf: a join that timed out with the
-        # writer still in a stalled flush would otherwise race the error
-        # check and hit 'I/O operation on closed file' (review r13)
-        assert not any(t.is_alive() for t in threads), "soak thread still alive"
-        snapf.close()
+            # close snapf only when no thread is still wedged in a flush:
+            # a timed-out join with a live writer would otherwise race
+            # into 'I/O operation on closed file' (review r13). Runs in
+            # the finally so the mid-soak querier-death assert path also
+            # releases the handle.
+            stuck = [t.name for t in threads if t.is_alive()]
+            if not stuck:
+                snapf.close()
+        # a stuck thread usually has a ROOT CAUSE already recorded by the
+        # other thread — surface both, not just 'still alive' (review
+        # r13, second pass)
+        assert not stuck, f"stuck threads {stuck}; recorded errors: {errors[:5]}"
         assert not errors, errors[:5]
 
         # stop the querier and collect its verdict
