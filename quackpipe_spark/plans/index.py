@@ -120,13 +120,24 @@ class PartitionIndex:
             "files": {k: asdict(v) for k, v in self.files.items()},
             "drop_queue": self.drop_queue,
         }
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            try:
+        try:
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                # a FAILED fsync must ABORT, not proceed (review r13):
+                # Linux clears the dirty state after reporting EIO, so
+                # renaming anyway publishes a file whose data blocks may
+                # never reach disk — the exact empty-index-after-power-
+                # loss hazard this dance exists to prevent. Keeping the
+                # OLD index is always safe (it lists a consistent,
+                # slightly stale live set).
                 os.fsync(f.fileno())
+        except OSError:
+            try:
+                os.unlink(tmp)
             except OSError:
                 pass
+            raise
         os.replace(tmp, p)
         fsync_dir(self.path)
 

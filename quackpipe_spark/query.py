@@ -78,7 +78,11 @@ _SELECT_KW = re.compile(r"\bSELECT\b", re.IGNORECASE)
 # predicate over one side's column filters that side's rows regardless
 # of join flavor (null-extended rows fail the comparison too), so
 # WHERE-scope bounds are safe under every join type.
-_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+# backtick lookarounds (review r13): blank_noncode keeps PLAIN-WORD
+# backtick contents visible, so a projected column named `where` would
+# otherwise open the "WHERE scope" inside the SELECT list and let a
+# projected boolean register as a pruning bound — silent missing rows.
+_WHERE_KW = re.compile(r"(?<!`)\bWHERE\b(?!`)", re.IGNORECASE)
 _ALIAS_STOPWORDS = frozenset(
     "on where group order limit having join left right full inner cross outer "
     "semi anti using union intersect except as qualify lateral window natural "
@@ -126,7 +130,17 @@ def _ts_literal_ns(lit: str) -> int:
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
         try:
             dt = datetime.strptime(raw, fmt).replace(tzinfo=timezone.utc)
-            return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+            # exact integer arithmetic via timedelta (review r13): the
+            # previous int(dt.timestamp()) truncated toward zero, so a
+            # fractional PRE-epoch literal ('1969-12-31 23:59:59.5')
+            # yielded +0.5 s instead of -0.5 s — a sign-flipped bound
+            # that pruned files still satisfying the true predicate.
+            # timedelta normalizes (days may be negative, seconds/
+            # microseconds never are), so the fold floors correctly
+            # and never touches float.
+            td = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            secs = td.days * 86_400 + td.seconds
+            return secs * 1_000_000_000 + td.microseconds * 1000
         except ValueError:
             continue
     raise ValueError(f"unparseable timestamp literal: {raw!r}")
@@ -184,6 +198,12 @@ def _where_scope(blanked: str) -> tuple[int, int] | None:
             depth += 1
         elif ch == ")":
             depth -= 1
+        elif depth == 0 and ch == ";":
+            # statement terminator ends the scope (review r13): leaving
+            # the ';' inside the scope made the last conjunct fail
+            # _conjunct's scope-end check, silently disabling pruning
+            # for every copy-pasted `…;` query
+            return (start, i)
         elif depth == 0 and ch.isalpha():
             t = _WHERE_SCOPE_END.match(blanked, i)
             if t and (i == 0 or not (blanked[i - 1].isalnum() or blanked[i - 1] in "_.")):
@@ -268,6 +288,30 @@ def _comma_join_present(sql: str) -> bool:
                         i += 1
             i += 1
     return False
+
+
+# a parenthesized RELATION (`FROM (events e1 JOIN events e2 ON …)`) —
+# valid Spark SQL whose relations _FROM_JOIN cannot see: FROM is
+# followed by '(' and the next token is a relation, not a subquery
+# keyword. Same hazard class as the legacy comma join (review r13): the
+# invisible relations defeat the self-join reference count, so a
+# qualified bound on one alias prunes the shared view the other alias
+# still reads — silent missing rows — and _plan_cacheable can't pin an
+# unseen temp view's contents. Both refuse outright when the shape
+# appears. Conservatively also matches `IS DISTINCT FROM (expr)` —
+# that query just loses pruning/caching, never rows.
+# the positive lookahead requires a relation-ish first token (identifier
+# or backtick): scope texts arriving here may carry a BLANKED-OUT
+# subquery body (`FROM (        ) t`), which must not read as a paren
+# relation — the derived-table path's own guards govern those.
+_PAREN_REL = re.compile(
+    r"\b(?:FROM|JOIN)\s*\(\s*(?!SELECT\b|VALUES\b|WITH\b)(?=[`A-Za-z_])",
+    re.IGNORECASE,
+)
+
+
+def _paren_relation_present(sql: str) -> bool:
+    return bool(_PAREN_REL.search(sql))
 
 
 def _relations(sql: str) -> tuple[dict[str, str], dict[str, int]]:
@@ -381,7 +425,7 @@ def _scope_bounds(
     A relation name in ``visible_ctes`` is a CTE reference, not a table
     read: excluded from counts, and bounds resolving to it are dropped
     (the CTE's own body already carries any filter that matters)."""
-    if _comma_join_present(blanked):
+    if _comma_join_present(blanked) or _paren_relation_present(blanked):
         return None
     amap, counts = _relations(blanked)
     real_counts = {
@@ -638,7 +682,11 @@ def extract_time_bounds_per_table(
         # multi-SELECT: the one-derived-table family analyzes per scope
         # (each scope under the same guards); every other shape refuses
         return _derived_bounds(sql, blanked, tables)
-    if _PRUNE_UNSAFE.search(blanked) or _comma_join_present(blanked):
+    if (
+        _PRUNE_UNSAFE.search(blanked)
+        or _comma_join_present(blanked)
+        or _paren_relation_present(blanked)
+    ):
         return {}
     span = _where_scope(blanked)
     if span is None:
@@ -831,6 +879,12 @@ class QueryEngine:
         if not re.match(r"\s*(SELECT|WITH)\b", blanked, re.IGNORECASE):
             return False
         if self._CACHE_UNSAFE.search(blanked) or "parquet.`" in query:
+            return False
+        if _paren_relation_present(blanked):
+            # a parenthesized relation's names are invisible to the
+            # _FROM_JOIN loop below — `FROM (my_temp_view)` would be
+            # judged cacheable with the view's contents unpinned and a
+            # redefinition would keep serving the old plan (review r13)
             return False
         local = self._with_chain_names(blanked)
         for m in _FROM_JOIN.finditer(blanked):
