@@ -30,6 +30,52 @@ from quackpipe_spark.writer import PartialWriteError
 
 _WRITE_PATHS = ("/gigapi/insert", "/gigapi/write", "/write", "/api/v2/write", "/api/v3/write_lp")
 
+import logging
+
+_log = logging.getLogger(__name__)
+
+# Batches the server 422-acked while their flush outcome was still pending
+# (flush timeout / partial write) whose flush ULTIMATELY FAILED: those rows
+# are gone and the client was told not to retry — the loss must be
+# observable server-side (ADVICE r14). Monotonic process-lifetime counter.
+ACKED_BATCH_LOSSES = 0
+_LOSS_LOCK = threading.Lock()
+
+
+def _watch_unresolved(promises, route: str) -> None:
+    """Attach a loss watcher to every still-pending flush promise of a
+    request that already got its (non-retryable) 4xx ack. If the pending
+    flush later fails, the batch is silently lost from the client's view —
+    the inverse hazard of the duplication the 422 prevents — so log it
+    loudly and bump ACKED_BATCH_LOSSES. Success and cancellation are the
+    expected quiet outcomes."""
+
+    def _on_done(fut):
+        global ACKED_BATCH_LOSSES
+        try:
+            exc = None if fut.cancelled() else fut.exception()
+        except Exception:  # pragma: no cover - defensive: exotic futures
+            exc = None
+        if exc is not None:
+            with _LOSS_LOCK:
+                ACKED_BATCH_LOSSES += 1
+            _log.error(
+                "batch acked non-retryable on %s while buffered later "
+                "FAILED its flush — rows lost, client will not retry: %s: %s",
+                route,
+                type(exc).__name__,
+                exc,
+            )
+
+    for p in promises:
+        # duck-type tolerant: the watcher is best-effort observability and
+        # must never turn the 4xx ack it accompanies into a 400
+        try:
+            if not p.done():
+                p.add_done_callback(_on_done)
+        except Exception:  # pragma: no cover - promise-shaped test doubles
+            pass
+
 
 class GigapiServer:
     def __init__(
@@ -295,7 +341,11 @@ class GigapiServer:
                             # duplicates the committed partitions (ADVICE
                             # r12). 422 is in the non-retryable 4xx class
                             # those clients drop on; 503 stays reserved
-                            # for retry-SAFE transient failures.
+                            # for retry-SAFE transient failures. Later
+                            # promises of this request may still be
+                            # pending — watch them so an eventual flush
+                            # failure is observable (ADVICE r14).
+                            _watch_unresolved(promises, path)
                             self._send(
                                 422,
                                 {
@@ -311,6 +361,11 @@ class GigapiServer:
                             # retryable status would duplicate every row
                             # once the pending flush lands, so this too is
                             # non-retryable 4xx (see PartialWriteError).
+                            # If that pending flush ultimately FAILS the
+                            # batch is lost with no client retry signal —
+                            # keep the 422 but make the loss observable
+                            # server-side (ADVICE r14).
+                            _watch_unresolved(promises, path)
                             self._send(
                                 422,
                                 {

@@ -165,10 +165,13 @@ class Catalog:
         # (review r13). Exact match first so legacy dotted tables keep
         # winning their own spelling; then raw-db+sanitized-name (a new
         # punctuated measurement inside a LEGACY db keeps the db
-        # spelling); then fully sanitized.
+        # spelling); then sanitized-db+raw-name (a LEGACY dotted table
+        # living under a word-char db, addressed with a punctuated db
+        # spelling — ADVICE r14); then fully sanitized.
         for key in (
             (db, name),
             (db, sanitize_ident(name)),
+            (sanitize_ident(db), name),
             (sanitize_ident(db), sanitize_ident(name)),
         ):
             t = self._tables.get(key)
@@ -201,20 +204,6 @@ class Catalog:
         .table.json name field) to the sanitized form to restore reads;
         new writes to the sanitized spelling create a SEPARATE table.
         """
-        if (db, name) not in self._tables:
-            # db-component continuity (review r13): a database already on
-            # disk under the legacy dotted/dashed contract keeps its
-            # spelling for NEW measurements too — sanitizing only the new
-            # table's db would silently split one logical db in two
-            # directories (old measurements under legacy.db/, new under
-            # legacy_db/). Discovered names come from os.listdir, so a
-            # legacy db spelling can never smuggle a path separator.
-            legacy_db = any(d == db for (d, _n) in self._tables)
-            if not legacy_db:
-                db = sanitize_ident(db)
-                _check_ident("db", db)
-            name = sanitize_ident(name)
-            _check_ident("table", name)
         if order_by is not None:
             # a YAML/JSON scalar ('order_by: ts') is the natural spelling
             # of a one-column key — accept it; anything else non-listy
@@ -234,6 +223,26 @@ class Catalog:
                 )
             order_by = list(order_by)
         with self._lock:
+            # Membership check AND legacy-db scan run under the lock
+            # (ADVICE r14): HTTP handler threads call this concurrently
+            # while creation inserts into self._tables below — iterating
+            # the live dict outside the lock can raise RuntimeError
+            # ("dictionary changed size during iteration"), a spurious 500
+            # on concurrent first-writes of new measurements.
+            if (db, name) not in self._tables:
+                # db-component continuity (review r13): a database already
+                # on disk under the legacy dotted/dashed contract keeps its
+                # spelling for NEW measurements too — sanitizing only the
+                # new table's db would silently split one logical db in two
+                # directories (old measurements under legacy.db/, new under
+                # legacy_db/). Discovered names come from os.listdir, so a
+                # legacy db spelling can never smuggle a path separator.
+                legacy_db = any(d == db for (d, _n) in self._tables)
+                if not legacy_db:
+                    db = sanitize_ident(db)
+                    _check_ident("db", db)
+                name = sanitize_ident(name)
+                _check_ident("table", name)
             t = self._tables.get((db, name))
             if t is None:
                 pby = ["date", "hour"] if engine == "HiveMerge" else []

@@ -42,6 +42,22 @@ _SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 _SCAN_CACHE_CAP = 1024
 
 
+# Py4J error taxonomy for the liveness probe (ADVICE r14). Py4JJavaError
+# means the gateway round-trip WORKED and Java raised (live JVM, odd
+# shape); every other Py4JError — Py4JNetworkError especially — means the
+# protocol/connection itself failed, i.e. the gateway is gone. Import-
+# guarded: under Spark Connect py4j may be absent entirely.
+try:  # pragma: no cover - import shape depends on the installed Spark
+    from py4j.protocol import Py4JError as _Py4JError
+    from py4j.protocol import Py4JJavaError as _Py4JJavaError
+
+    _PY4J_JAVA_ERROR: tuple = (_Py4JJavaError,)
+    _PY4J_DEAD_ERRORS: tuple = (_Py4JError,)
+except Exception:  # pragma: no cover
+    _PY4J_JAVA_ERROR = ()
+    _PY4J_DEAD_ERRORS = ()
+
+
 def _session_alive(sess: SparkSession) -> bool:
     # The probe reaches through private classic-Spark internals
     # (_sc._jsc) that don't exist under Spark Connect and may change
@@ -62,8 +78,18 @@ def _session_alive(sess: SparkSession) -> bool:
         return False  # classic stop() path: provably stopped
     try:
         return not jsc.sc().isStopped()
-    except Exception:
+    except _PY4J_JAVA_ERROR:
+        # the gateway answered and the JAVA side raised — a live JVM with
+        # an unexpected shape, not a dead one → keep cached
         return True
+    except _PY4J_DEAD_ERRORS:
+        # protocol/network failure reaching the gateway: the JVM/Py4J
+        # connection died abnormally (crash, not a clean stop() that
+        # nulls _jsc). Treating this as alive pinned dead entries in the
+        # scan/dialect caches forever (ADVICE r14) — it is provably dead.
+        return False
+    except Exception:
+        return True  # attribute/shape surprises → unknown → keep cached
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:
