@@ -123,7 +123,10 @@ def prune_stress(n_files: int) -> dict:
                 import quackpipe_spark.query as Q
 
                 orig = Q.extract_time_bounds_per_table
-                Q.extract_time_bounds_per_table = lambda sql, tables: {}
+                # signature must accept the engine's blanked= kwarg
+                Q.extract_time_bounds_per_table = (
+                    lambda sql, tables, blanked=None: {}
+                )
                 try:
                     t0 = time.perf_counter()
                     r = qe.sql(q, db="d").collect()

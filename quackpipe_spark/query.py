@@ -410,9 +410,12 @@ def _scope_bounds(
     blanked: str,
     canon: dict[str, str],
     visible_ctes: set[str],
+    sole: str | None = None,
 ) -> tuple[dict[str, tuple[int | None, int | None]], dict[str, int]] | None:
     """Bounds + real-table reference counts for ONE select scope (a CTE
-    body or the main query after the WITH chain).
+    body, one derived-table side, or a whole single-SELECT statement —
+    since r14 the ONE extraction path; two real drift bugs were caught in
+    the former copies, PLAN_AUDIT_r13.md).
 
     Returns ``None`` when the scope's relations can't be trusted (legacy
     comma-join: its relations are invisible to _FROM_JOIN, so the
@@ -424,7 +427,15 @@ def _scope_bounds(
 
     A relation name in ``visible_ctes`` is a CTE reference, not a table
     read: excluded from counts, and bounds resolving to it are dropped
-    (the CTE's own body already carries any filter that matters)."""
+    (the CTE's own body already carries any filter that matters).
+
+    ``sole`` is the caller's SINGLE candidate table (set only by the
+    top-level single-SELECT path when ``len(tables) == 1``); it enables
+    two extra unqualified-attribution shapes the scope itself can't
+    justify: a bare fragment with no FROM at all (``WHERE __timestamp >=
+    5``) attributes to ``sole``, and the ``"_"`` sentinel (the
+    single-table convenience wrapper) attributes a ONE-relation scope's
+    unqualified bound regardless of the relation's name."""
     if _comma_join_present(blanked) or _paren_relation_present(blanked):
         return None
     amap, counts = _relations(blanked)
@@ -455,14 +466,28 @@ def _scope_bounds(
             hi = v if hi is None else min(hi, v)
         bounds[tname] = (lo, hi)
 
-    # unqualified bounds attribute only when the scope reads exactly ONE
-    # relation and it is a real catalog table
+    # Unqualified bounds attribute only when the scope reads exactly ONE
+    # relation and it is a real catalog table (or the sole-rules above).
+    # Counted over TRUE FROM scopes (not raw _relations output), so
+    # `EXTRACT(MONTH FROM ts)` / `a IS NOT DISTINCT FROM b` phantom
+    # relations can't veto attribution (review r12) — while real_counts
+    # keeps the raw (over-counting, conservative) tally for the global
+    # self-join guard: a subquery's inner read must still count there.
+    fcounts = _from_relation_counts(blanked)
     only = None
-    if sum(counts.values()) == 1:
-        t = next(iter(counts))
+    if not fcounts and sole is not None:
+        only = sole.lower()  # bare fragment: no FROM at all
+    elif sum(fcounts.values()) == 1:
+        t = next(iter(fcounts))
         if t not in visible_ctes and t in canon:
             only = t
+        elif sole is not None and sole.lower() == "_":
+            only = "_"  # sentinel wrapper: one relation of ANY name
     if only is not None:
+        # the sole-rule targets may have no relation entry of their own
+        # ("_", bare fragment) — they count as the one reference they are,
+        # or the caller's grefs==1 filter would drop the bound
+        real_counts.setdefault(only, 1)
         for m in _TS_BOUND.finditer(bscope):
             if _conjunct(bscope, m.start(), m.end()):
                 _apply(only, m.group(1), _lit(m, 2))
@@ -492,6 +517,32 @@ def _scope_bounds(
             _apply(tbl, ">=", _lit(m, 2))
             _apply(tbl, "<=", _lit(m, 3))
     return bounds, real_counts
+
+
+def _merge_scopes(
+    results, canon: dict[str, str]
+) -> dict[str, tuple[int | None, int | None]]:
+    """Combine per-scope (bounds, reference-counts) pairs into the final
+    per-table bounds: reference counts SUM across scopes, bounds merge
+    conservatively (max lo / min hi), and a table prunes only when it is
+    read by exactly ONE relation entry across the WHOLE statement — two
+    scopes reading the same table is the self-join hazard in another
+    shape (one scope's bound would drop the other scope's rows)."""
+    merged: dict[str, tuple[int | None, int | None]] = {}
+    grefs: dict[str, int] = {}
+    for sbounds, scounts in results:
+        for t, n in scounts.items():
+            grefs[t] = grefs.get(t, 0) + n
+        for t, (lo, hi) in sbounds.items():
+            plo, phi = merged.get(t, (None, None))
+            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+            merged[t] = (lo, hi)
+    return {
+        canon[t]: bh
+        for t, bh in merged.items()
+        if grefs.get(t, 0) == 1 and t in canon
+    }
 
 
 def _cte_bounds(
@@ -538,8 +589,6 @@ def _cte_bounds(
     if not _SELECT_KW.match(blanked, i):
         return {}
     canon = {t.lower(): t for t in tables}
-    merged: dict[str, tuple[int | None, int | None]] = {}
-    grefs: dict[str, int] = {}
     visible: set[str] = set()
     scope_list: list[tuple[int, int, frozenset]] = []
     for name, a, b in cte_spans:
@@ -549,25 +598,13 @@ def _cte_bounds(
         scope_list.append((a, b, frozenset(visible)))
         visible.add(name)
     scope_list.append((i, len(blanked), frozenset(visible)))
+    results = []
     for a, b, vis in scope_list:
         res = _scope_bounds(sql[a:b], blanked[a:b], canon, vis)
         if res is None:
             return {}
-        sbounds, scounts = res
-        for t, n in scounts.items():
-            grefs[t] = grefs.get(t, 0) + n
-        for t, (lo, hi) in sbounds.items():
-            plo, phi = merged.get(t, (None, None))
-            # same table bounded in two scopes merges conservatively,
-            # but grefs > 1 will drop it below anyway
-            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
-            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
-            merged[t] = (lo, hi)
-    return {
-        canon[t]: bh
-        for t, bh in merged.items()
-        if grefs.get(t, 0) == 1 and t in canon
-    }
+        results.append(res)
+    return _merge_scopes(results, canon)
 
 
 _FROM_DERIVED = re.compile(r"\b(?:FROM|JOIN)\s*\(\s*SELECT\b", re.IGNORECASE)
@@ -621,21 +658,7 @@ def _derived_bounds(
     )
     if inner is None or outer is None:
         return {}
-    merged: dict[str, tuple[int | None, int | None]] = {}
-    grefs: dict[str, int] = {}
-    for sbounds, scounts in (inner, outer):
-        for t, n in scounts.items():
-            grefs[t] = grefs.get(t, 0) + n
-        for t, (lo, hi) in sbounds.items():
-            plo, phi = merged.get(t, (None, None))
-            lo = plo if lo is None else (lo if plo is None else max(lo, plo))
-            hi = phi if hi is None else (hi if phi is None else min(hi, phi))
-            merged[t] = (lo, hi)
-    return {
-        canon[t]: bh
-        for t, bh in merged.items()
-        if grefs.get(t, 0) == 1 and t in canon
-    }
+    return _merge_scopes((inner, outer), canon)
 
 
 def extract_time_bounds_per_table(
@@ -672,6 +695,13 @@ def extract_time_bounds_per_table(
     simple CTE-chain family prunes per scope; everything else about the
     shape refuses.
 
+    Since r14 every family runs through the SAME scope analyzer
+    (:func:`_scope_bounds`) and merge filter (:func:`_merge_scopes`):
+    the single-SELECT statement is simply a one-scope statement. The
+    former hand-inlined copy drifted twice (review r12's unqualified
+    guard, review r13's parenthesized-relation hole) before being
+    deleted.
+
     ``blanked``: the caller's already-computed blank_noncode(sql), to
     avoid re-scanning on the serving hot path (MUST be exactly
     blank_noncode(sql) — offsets are read back into ``sql``)."""
@@ -682,80 +712,12 @@ def extract_time_bounds_per_table(
         # multi-SELECT: the one-derived-table family analyzes per scope
         # (each scope under the same guards); every other shape refuses
         return _derived_bounds(sql, blanked, tables)
-    if (
-        _PRUNE_UNSAFE.search(blanked)
-        or _comma_join_present(blanked)
-        or _paren_relation_present(blanked)
-    ):
-        return {}
-    span = _where_scope(blanked)
-    if span is None:
-        return {}
-    s0, s1 = span
-    bscope = blanked[s0:s1]
-    # relations are declared before WHERE: parse from the full text
-    amap, ref_counts = _relations(blanked)
-    out: dict[str, tuple[int | None, int | None]] = {}
-
-    def _lit(m: re.Match, g: int) -> str:
-        # the value re-read from the ORIGINAL text: epoch_ns('…') bound
-        # literals are blanked in bscope but offsets are preserved
-        return sql[s0 + m.start(g) : s0 + m.end(g)]
-
-    def _apply(tname: str, op: str, lit: str) -> None:
-        try:
-            v = _ts_literal_ns(lit)
-        except ValueError:
-            return
-        lo, hi = out.get(tname, (None, None))
-        if op in (">=", ">"):
-            lo = v if lo is None else max(lo, v)
-        else:
-            hi = v if hi is None else min(hi, v)
-        out[tname] = (lo, hi)
-
-    def _prunable(tbl_lower: str) -> bool:
-        # missing from ref_counts (e.g. the "_" sentinel of the
-        # single-table wrapper) counts as a single reference
-        return ref_counts.get(tbl_lower, 1) == 1
-
-    # unqualified bounds attribute only when the FROM scope reads exactly
-    # one relation and it is the caller's table (or the "_" sentinel) —
-    # the spirit of _scope_bounds' guard, which had drifted (review r12:
-    # `FROM events JOIN myview` attributed an unqualified bound to events
-    # even though the column could bind to the temp view). Counted over
-    # TRUE FROM scopes only, so `EXTRACT(MONTH FROM ts)` / `IS NOT
-    # DISTINCT FROM b` text can't pollute the count. Zero detected
-    # relations keeps the bare-fragment wrapper semantics
-    # (`WHERE __timestamp >= 5`).
-    unq_target = None
-    if len(tables) == 1:
-        tl = tables[0].lower()
-        fcounts = _from_relation_counts(blanked)
-        if not fcounts or (
-            sum(fcounts.values()) == 1
-            and (tl == "_" or next(iter(fcounts)) == tl)
-        ):
-            unq_target = tables[0]
-    if unq_target is not None:
-        for m in _TS_BOUND.finditer(bscope):
-            if _conjunct(bscope, m.start(), m.end()):
-                _apply(unq_target, m.group(1), _lit(m, 2))
-        for m in _TS_BETWEEN.finditer(bscope):
-            if _conjunct(bscope, m.start(), m.end()):
-                _apply(unq_target, ">=", _lit(m, 1))
-                _apply(unq_target, "<=", _lit(m, 2))
     canon = {t.lower(): t for t in tables}
-    for m in _TS_BOUND_Q.finditer(bscope):
-        tbl = amap.get(m.group(1).lower())
-        if tbl in canon and _prunable(tbl) and _conjunct(bscope, m.start(), m.end()):
-            _apply(canon[tbl], m.group(2), _lit(m, 3))
-    for m in _TS_BETWEEN_Q.finditer(bscope):
-        tbl = amap.get(m.group(1).lower())
-        if tbl in canon and _prunable(tbl) and _conjunct(bscope, m.start(), m.end()):
-            _apply(canon[tbl], ">=", _lit(m, 2))
-            _apply(canon[tbl], "<=", _lit(m, 3))
-    return out
+    sole = tables[0] if len(tables) == 1 else None
+    res = _scope_bounds(sql, blanked, canon, frozenset(), sole=sole)
+    if res is None:
+        return {}
+    return _merge_scopes((res,), canon)
 
 
 def extract_time_bounds(sql: str) -> tuple[int | None, int | None]:

@@ -924,3 +924,41 @@ def test_rp_interception_ignores_literals_and_comments(spark, tmp_path):
         f"SELECT count(*) AS n FROM read_parquet('{p}') -- tail", db="d"
     ).collect()
     assert got[0]["n"] == 2
+
+
+def test_unified_scope_analyzer_r14_semantics():
+    """Round-14 consolidation: the single-SELECT path runs through
+    _scope_bounds/_merge_scopes — one extraction path. Pins the two
+    intentionally-improved (strictly safe) attributions the unification
+    brought, plus the preserved sentinel/bare-fragment shapes."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # MULTI-candidate table list + a FROM reading exactly one of them:
+    # the unqualified bound can only bind to that one relation, so it now
+    # attributes (the old main path refused whenever len(tables) > 1)
+    assert ex(
+        "SELECT * FROM ta WHERE __timestamp >= 5", ["ta", "tb"]
+    ) == {"ta": (5, None)}
+    # ...but a sole relation NOT in the candidate list still refuses
+    assert ex("SELECT * FROM other WHERE __timestamp >= 5", ["ta", "tb"]) == {}
+    # CTE body with an EXTRACT(... FROM ts) phantom relation: true-FROM
+    # counting means the phantom no longer vetoes the body's bound
+    assert ex(
+        "WITH a AS (SELECT EXTRACT(MONTH FROM ts) AS m FROM events "
+        "WHERE __timestamp >= 100) SELECT * FROM a",
+        ["events"],
+    ) == {"events": (100, None)}
+    # preserved: bare fragment, sentinel wrapper, self-join refusal
+    assert ex("WHERE __timestamp >= 5", ["_"]) == {"_": (5, None)}
+    assert ex("WHERE __timestamp >= 5", ["events"]) == {"events": (5, None)}
+    assert ex(
+        "SELECT * FROM anything WHERE __timestamp BETWEEN 3 AND 9", ["_"]
+    ) == {"_": (3, 9)}
+    assert (
+        ex(
+            "SELECT * FROM ta a JOIN ta b ON a.k = b.k "
+            "WHERE a.__timestamp >= 5",
+            ["ta", "tb"],
+        )
+        == {}
+    )
