@@ -24,6 +24,7 @@ on the same corpus keeps the same survivors.
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1244,6 +1245,13 @@ def simhash_near_pairs(
 # so the probe flips to 64-bit signatures (32-bit bands, n²/2³²).
 SIMHASH_AUTO_32_MAX = 2_000_000
 
+# last width bits="auto" resolved to in this process — a growing corpus
+# that crosses SIMHASH_AUTO_32_MAX flips the signature width, which
+# CHANGES THE METRIC SPACE (hamming is width-relative), so the flip is
+# logged loudly (VERDICT r13 #6) rather than silently re-ranking what
+# counts as "near"
+_LAST_AUTO_BITS: int | None = None
+
 
 def simhash_dedup(
     docs: DataFrame,
@@ -1263,11 +1271,29 @@ def simhash_dedup(
     knee past ~10M docs. Note the hamming metric is width-relative:
     the two widths are separate similarity spaces, not interchangeable
     result sets — pin ``bits`` explicitly for reproducible thresholds
-    across growing corpora.
+    across growing corpora. When consecutive auto calls in one process
+    resolve to DIFFERENT widths (a corpus crossing SIMHASH_AUTO_32_MAX),
+    a warning is logged (see _LAST_AUTO_BITS): the flip is the intended
+    scale behavior, but downstream thresholds tuned on the old width no
+    longer mean the same thing.
     """
+    global _LAST_AUTO_BITS
     if bits == "auto":
         n = docs.count()
         bits = 32 if n <= SIMHASH_AUTO_32_MAX else 64
+        if _LAST_AUTO_BITS is not None and _LAST_AUTO_BITS != bits:
+            logging.getLogger(__name__).warning(
+                "simhash_dedup bits='auto' resolved to %d-bit signatures "
+                "(corpus n=%d) but the previous auto call used %d-bit: "
+                "hamming distance is width-relative, so max_hamming=%d now "
+                "selects a DIFFERENT notion of 'near' — pin bits explicitly "
+                "for threshold stability across corpus growth",
+                bits,
+                n,
+                _LAST_AUTO_BITS,
+                max_hamming,
+            )
+        _LAST_AUTO_BITS = bits
     sigs = simhash(docs, id_col, text_col, bits=bits)
     return simhash_near_pairs(
         sigs, id_col, bits=bits, max_hamming=max_hamming, bands=bands

@@ -853,3 +853,30 @@ def test_simhash_near_pairs_auto_bands_validation(spark):
         D.simhash_near_pairs(_Boom(), bits=32, max_hamming=32, bands="auto")
     with pytest.raises(ValueError, match="divides"):
         D.simhash_near_pairs(_Boom(), bands="nope")
+
+
+def test_simhash_dedup_warns_on_auto_width_flip(spark, monkeypatch, caplog):
+    """A growing corpus crossing SIMHASH_AUTO_32_MAX flips the auto width,
+    which changes the (width-relative) hamming metric space — the flip
+    must be LOGGED, not silent (VERDICT r13 #6)."""
+    import logging
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(D, "_LAST_AUTO_BITS", None)
+    with caplog.at_level(logging.WARNING, logger="quackpipe_spark.operators.dedup"):
+        D.simhash_dedup(df, max_hamming=0).collect()  # resolves 32-bit
+        assert not [r for r in caplog.records if "width-relative" in r.getMessage()]
+        monkeypatch.setattr(D, "SIMHASH_AUTO_32_MAX", 1)
+        D.simhash_dedup(df, max_hamming=0).collect()  # flips to 64-bit
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("64-bit" in m and "32-bit" in m and "width-relative" in m for m in msgs)
+    assert D._LAST_AUTO_BITS == 64
+    # pinned bits never touch the auto memory or warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="quackpipe_spark.operators.dedup"):
+        D.simhash_dedup(df, max_hamming=0, bits=32).collect()
+    assert not caplog.records
+    assert D._LAST_AUTO_BITS == 64
