@@ -263,9 +263,12 @@ def write_postings(
     path = _norm_index_path(path)
     spark = postings.sparkSession
     out = postings.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
-    out.write.partitionBy("term_bucket").mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    # cluster by bucket before the partitioned write: one file per bucket
+    # dir instead of one per (task × bucket) — a q-term probe then opens
+    # q files, not q × cluster-width (r14; same fix as write_ivf_index)
+    out.repartition("term_bucket").write.partitionBy("term_bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
     st = (
         spark.read.parquet(f"{path}/postings")
         .groupBy(id_col)

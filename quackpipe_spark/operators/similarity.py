@@ -754,9 +754,13 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     100 TB the postings write is the index's one full-corpus pass; every
     later session pays only `load` (centers collect + lazy scan)."""
     spark = index.assigned.sparkSession
-    index.assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    # repartition on the partition column first: a direct partitionBy
+    # write emits one file per (task × cell) — at 1000 executors that is
+    # n_cells×1000 tiny files and every later probe pays the listing;
+    # hash-clustering by cell bounds it to one file per cell dir (r14)
+    index.assigned.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
     spark.createDataFrame(
         [(c, v) for c, v in index.centers], "cell INT, center ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
@@ -1534,9 +1538,14 @@ def write_pq_index(
     storage footprint: m small ints per vector, 16-64× under the raw
     floats — the reason PQ exists."""
     spark = codes.sparkSession
-    writer = codes.write.mode("overwrite")
     if "cell" in codes.columns:
-        writer = writer.partitionBy("cell")
+        # one file per cell dir instead of one per (task × cell) — see
+        # write_ivf_index
+        writer = codes.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        )
+    else:
+        writer = codes.write.mode("overwrite")
     writer.parquet(f"{path}/codes")
     rows = [
         (s, c, books.centers[s][c])
