@@ -405,6 +405,125 @@ def _match_paren(blanked: str, open_idx: int) -> int:
     return -1
 
 
+_OR_KW = re.compile(r"\bOR\b", re.IGNORECASE)
+
+
+def _conjunct_paren_groups(bscope: str) -> list[tuple[int, int]]:
+    """Spans [start, end) of parenthesized groups in a WHERE scope body
+    that are themselves top-level conjuncts (``… AND ( … ) AND …``).
+    Nested parens are skipped wholesale — only depth-0 groups qualify."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < len(bscope):
+        if bscope[i] == "(":
+            close = _match_paren(bscope, i)
+            if close < 0:
+                return out
+            if _conjunct(bscope, i, close + 1):
+                out.append((i, close + 1))
+            i = close + 1
+        else:
+            i += 1
+    return out
+
+
+def _or_range_envelope(
+    orig: str, blanked: str, gs0: int, gs1: int
+) -> tuple[str | None, int | None, int | None] | None:
+    """Read blanked[gs0:gs1] — a parenthesized conjunct group, parens
+    included — as ``( T OR T [OR T …] )`` where every T is exactly one
+    __timestamp BETWEEN or comparison, all with the SAME qualifier (all
+    unqualified, or all the same alias). Returns (qualifier_or_None,
+    lo, hi) — the branches' interval-UNION ENVELOPE: lo = min of branch
+    lower bounds (None if any branch is unbounded below), hi = max of
+    uppers likewise. The envelope covers every branch (and the gaps
+    between them), so pruning files wholly outside it is safe — a file
+    outside [lo, hi] satisfies NO branch. Returns None for any other
+    shape (the group then stays in the text and the scope's OR refusal
+    applies — conservative).
+
+    Literal values are re-read from ``orig`` at the matched offsets
+    (epoch_ns('…') timestamps are blanked in the scan text)."""
+    inner_s, inner_e = gs0 + 1, gs1 - 1
+    inner = blanked[inner_s:inner_e]
+    # split on top-level ORs (BETWEEN's AND stays inside its branch)
+    cuts: list[int] = []
+    depth = 0
+    for m in _OR_KW.finditer(inner):
+        d = inner[: m.start()].count("(") - inner[: m.start()].count(")")
+        if d == 0:
+            cuts.append(m.start())
+    if not cuts:
+        return None
+    spans: list[tuple[int, int]] = []
+    last = 0
+    for c in cuts:
+        spans.append((last, c))
+        last = c + 2  # len("OR")
+    spans.append((last, len(inner)))
+    quals: set[str | None] = set()
+    lo: int | None = None
+    hi: int | None = None
+    lo_unbounded = hi_unbounded = False
+
+    def _one(seg: str, base: int):
+        """The segment must be EXACTLY one recognized comparison; returns
+        (qual, blo, bhi) with literal offsets re-read from orig, or None."""
+        for pat, kind in (
+            (_TS_BETWEEN_Q, "betq"),
+            (_TS_BOUND_Q, "cmpq"),
+            (_TS_BETWEEN, "bet"),
+            (_TS_BOUND, "cmp"),
+        ):
+            m = pat.search(seg)
+            if m is None:
+                continue
+            if seg[: m.start()].strip() or seg[m.end() :].strip():
+                return None  # extra content in the branch → not our shape
+
+            def lit(g: int) -> int | None:
+                try:
+                    return _ts_literal_ns(orig[base + m.start(g) : base + m.end(g)])
+                except ValueError:
+                    return None
+
+            if kind == "bet":
+                a, b = lit(1), lit(2)
+                return None if a is None or b is None else (None, a, b)
+            if kind == "betq":
+                a, b = lit(2), lit(3)
+                return None if a is None or b is None else (m.group(1).lower(), a, b)
+            q = m.group(1).lower() if kind == "cmpq" else None
+            op = m.group(2 if kind == "cmpq" else 1)
+            v = lit(3 if kind == "cmpq" else 2)
+            if v is None:
+                return None
+            return (q, v, None) if op in (">=", ">") else (q, None, v)
+        return None
+
+    for a, b in spans:
+        one = _one(inner[a:b], inner_s + a)
+        if one is None:
+            return None
+        q, blo, bhi = one
+        quals.add(q)
+        if blo is None:
+            lo_unbounded = True
+        else:
+            lo = blo if lo is None else min(lo, blo)
+        if bhi is None:
+            hi_unbounded = True
+        else:
+            hi = bhi if hi is None else max(hi, bhi)
+    if len(quals) != 1:
+        return None  # mixed qualifiers: branches bound different relations
+    return (
+        quals.pop(),
+        None if lo_unbounded else lo,
+        None if hi_unbounded else hi,
+    )
+
+
 def _scope_bounds(
     orig: str,
     blanked: str,
@@ -443,9 +562,27 @@ def _scope_bounds(
         t: n for t, n in counts.items() if t not in visible_ctes
     }
     bounds: dict[str, tuple[int | None, int | None]] = {}
-    if _PRUNE_UNSAFE.search(blanked) or len(_SELECT_KW.findall(blanked)) > 1:
-        return bounds, real_counts
     span = _where_scope(blanked)
+    # OR-of-time-ranges (r14, VERDICT r13 #7): a top-level WHERE conjunct
+    # of the exact shape ``( range OR range [OR …] )`` contributes its
+    # interval-union ENVELOPE as a bound — the one disjunction a
+    # dashboard comparing two windows actually writes. Each such group
+    # is EXCISED from the text the _PRUNE_UNSAFE scan sees (its OR is
+    # accounted for by the envelope); any OTHER disjunction/NOT/CASE in
+    # the scope still refuses everything, envelopes included.
+    or_groups: list[tuple[str | None, int | None, int | None]] = []
+    checked = blanked
+    if span is not None:
+        s0, s1 = span
+        for ga, gb in _conjunct_paren_groups(blanked[s0:s1]):
+            env = _or_range_envelope(orig, blanked, s0 + ga, s0 + gb)
+            if env is not None:
+                or_groups.append(env)
+                checked = (
+                    checked[: s0 + ga] + " " * (gb - ga) + checked[s0 + gb :]
+                )
+    if _PRUNE_UNSAFE.search(checked) or len(_SELECT_KW.findall(checked)) > 1:
+        return bounds, real_counts
     if span is None:
         return bounds, real_counts
     s0, s1 = span
@@ -516,6 +653,32 @@ def _scope_bounds(
         ):
             _apply(tbl, ">=", _lit(m, 2))
             _apply(tbl, "<=", _lit(m, 3))
+    # OR-group envelopes: same attribution guards as plain bounds — an
+    # unqualified group needs the single-relation target, a qualified one
+    # resolves through the alias map with the self-join/CTE guards
+    def _apply_env(tname: str, lo: int | None, hi: int | None) -> None:
+        plo, phi = bounds.get(tname, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        bounds[tname] = (plo, phi)
+
+    for qual, glo, ghi in or_groups:
+        if glo is None and ghi is None:
+            continue
+        if qual is None:
+            if only is not None:
+                _apply_env(only, glo, ghi)
+        else:
+            tbl = amap.get(qual)
+            if (
+                tbl is not None
+                and tbl not in visible_ctes
+                and tbl in canon
+                and counts.get(tbl, 0) == 1
+            ):
+                _apply_env(tbl, glo, ghi)
     return bounds, real_counts
 
 

@@ -65,7 +65,28 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 16))
+    shape = draw(st.integers(0, 20))
+    if shape == 17:  # OR-of-ranges conjunct group (r14 envelope pruning);
+        # branches may be non-ts predicates — those groups must refuse
+        return (
+            f"SELECT count(*) AS n, sum(v) AS s FROM ev "
+            f"WHERE ({p1} OR {p2}) AND {draw(ts_predicate())}"
+        )
+    if shape == 18:  # qualified OR groups per join side
+        a, b = draw(bound_val), draw(bound_val)
+        return (
+            f"SELECT count(*) AS n FROM ev e JOIN aux x ON e.k = x.k "
+            f"WHERE (e.__timestamp BETWEEN {min(a,b)} AND {max(a,b)} "
+            f"OR e.__timestamp {draw(cmp_op)} {draw(bound_val)}) "
+            f"AND x.__timestamp {draw(cmp_op)} {draw(bound_val)}"
+        )
+    if shape == 19:  # OR group NEGATED — must refuse, never envelope
+        return f"SELECT count(*) AS n FROM ev WHERE NOT ({p1} OR {p2})"
+    if shape == 20:  # OR group inside a CTE body
+        return (
+            f"WITH r AS (SELECT * FROM ev WHERE ({p1} OR {p2}) AND {draw(ts_predicate())}) "
+            f"SELECT count(*) AS n, sum(v) AS s FROM r"
+        )
     if shape == 14:  # backtick-quoted table name (means the bare word)
         return f"SELECT count(*) AS n, sum(v) AS s FROM `ev` WHERE {where}"
     if shape == 15:  # apostrophe INSIDE a backtick alias must not desync

@@ -962,3 +962,99 @@ def test_unified_scope_analyzer_r14_semantics():
         )
         == {}
     )
+
+
+def test_or_of_time_ranges_envelope_r14():
+    """VERDICT r13 #7: a top-level conjunct of the exact shape
+    ``( range OR range [OR ...] )`` prunes by its interval-union ENVELOPE
+    (min lo, max hi) — a file outside the envelope satisfies no branch.
+    Anything else about an OR still refuses."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    # two BETWEEN windows: envelope spans both (and the gap — conservative)
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 100 AND 200 "
+        "OR __timestamp BETWEEN 300 AND 400)",
+        ["ev"],
+    ) == {"ev": (100, 400)}
+    # envelope intersects with plain conjuncts
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 100 AND 200 "
+        "OR __timestamp BETWEEN 300 AND 400) AND __timestamp >= 150",
+        ["ev"],
+    ) == {"ev": (150, 400)}
+    # three branches; comparison branches leave their side unbounded
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 10 AND 20 "
+        "OR __timestamp BETWEEN 50 AND 60 OR __timestamp >= 500)",
+        ["ev"],
+    ) == {"ev": (10, None)}
+    # one-sided branches on both ends: envelope unbounded -> no bound
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp < 5 OR __timestamp >= 100)",
+        ["ev"],
+    ) == {}
+    # qualified groups resolve per join side
+    assert ex(
+        "SELECT * FROM ev e JOIN aux a ON e.k = a.k "
+        "WHERE (e.__timestamp BETWEEN 1 AND 2 OR e.__timestamp BETWEEN 8 AND 9) "
+        "AND (a.__timestamp BETWEEN 100 AND 110 OR a.__timestamp BETWEEN 200 AND 210)",
+        ["ev", "aux"],
+    ) == {"ev": (1, 9), "aux": (100, 210)}
+    # CTE body group
+    assert ex(
+        "WITH r AS (SELECT * FROM ev WHERE (__timestamp BETWEEN 5 AND 6 "
+        "OR __timestamp BETWEEN 9 AND 12)) SELECT count(*) AS n FROM r",
+        ["ev"],
+    ) == {"ev": (5, 12)}
+
+    # --- refusals: everything else about OR stays conservative ---
+    # non-ts branch in the group
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 1 AND 2 OR v >= 5)", ["ev"]
+    ) == {}
+    # mixed qualifiers inside one group
+    assert ex(
+        "SELECT * FROM ev e JOIN aux a ON e.k = a.k "
+        "WHERE (e.__timestamp BETWEEN 1 AND 2 OR a.__timestamp BETWEEN 3 AND 4)",
+        ["ev", "aux"],
+    ) == {}
+    # negated group
+    assert ex(
+        "SELECT * FROM ev WHERE NOT (__timestamp BETWEEN 1 AND 2 "
+        "OR __timestamp BETWEEN 3 AND 4)",
+        ["ev"],
+    ) == {}
+    # group that is an OR OPERAND, not a conjunct
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 1 AND 2 "
+        "OR __timestamp BETWEEN 3 AND 4) OR v = 1",
+        ["ev"],
+    ) == {}
+    # a second, non-envelopable OR elsewhere poisons the scope
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN 1 AND 2 "
+        "OR __timestamp BETWEEN 3 AND 4) AND (v = 1 OR k = 2)",
+        ["ev"],
+    ) == {}
+    # conjunction inside a branch: not the exact shape
+    assert ex(
+        "SELECT * FROM ev WHERE (__timestamp >= 1 AND __timestamp <= 2 "
+        "OR __timestamp BETWEEN 3 AND 4)",
+        ["ev"],
+    ) == {}
+    # self-join: envelopes obey the referenced-twice guard
+    assert ex(
+        "SELECT * FROM ev a JOIN ev b ON a.k = b.k "
+        "WHERE (a.__timestamp BETWEEN 1 AND 2 OR a.__timestamp BETWEEN 3 AND 4)",
+        ["ev"],
+    ) == {}
+    # epoch_ns literals re-read from the original text inside the group
+    got = ex(
+        "SELECT * FROM ev WHERE (__timestamp BETWEEN epoch_ns('2023-01-01') "
+        "AND epoch_ns('2023-01-02') OR __timestamp BETWEEN "
+        "epoch_ns('2023-03-01') AND epoch_ns('2023-03-02'))",
+        ["ev"],
+    )
+    assert got["ev"][0] == 1672531200 * 10**9
+    assert got["ev"][1] == 1677715200 * 10**9
