@@ -12,9 +12,10 @@ MATERIALIZED-index serving paths against the 400x corpus
          (term_bucket partition pruning).
 
 For each path: reps >= SPARK_GRAFT_ANN_REPS (default 5) of the PRUNED
-serving query and, in the SAME window, the full-scan counterpart through
-the same code path — the work-ratio pair is the cross-window-safe
-number (box-noise discipline). Pruning is pinned two ways, not just
+serving query INTERLEAVED rep-by-rep with the full-scan counterpart
+through the same code path (pruned, full, pruned, full, …) — a genuine
+same-window pair, so a steal burst hits both sides or neither and the
+work-ratio stays the cross-window-safe number (box-noise discipline). Pruning is pinned two ways, not just
 timed: the executed plan's FileScan must carry a PartitionFilters entry
 on the partition column, and the probed partition dirs' file count is
 reported against the index total.
@@ -94,14 +95,23 @@ def _plan_partition_pruned(df, data_col: str, part_col: str) -> bool:
     return False
 
 
-def _timed(fn, reps: int) -> list[float]:
-    fn()  # warmup: JIT/code-cache, not the scan cache (files re-read)
-    out = []
+def _timed_pair(fn_a, fn_b, reps: int) -> tuple[list[float], list[float]]:
+    """Time two callables with INTERLEAVED reps (a, b, a, b, …) so the
+    pair shares one measurement window — a hypervisor-steal burst lands
+    on both sides or neither, and the a/b ratio stays honest (the
+    box-noise discipline; two disjoint sequential windows would let one
+    burst skew a single side's median and the pinned speedup with it)."""
+    fn_a()  # warmups: JIT/code-cache, not the scan cache (files re-read)
+    fn_b()
+    ta, tb = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
-        out.append(round(time.perf_counter() - t0, 4))
-    return out
+        fn_a()
+        ta.append(round(time.perf_counter() - t0, 4))
+        t0 = time.perf_counter()
+        fn_b()
+        tb.append(round(time.perf_counter() - t0, 4))
+    return ta, tb
 
 
 def main() -> None:
@@ -139,8 +149,7 @@ def main() -> None:
 
     pruned_call = lambda: SIM.ivf_search_rows(lazy, qrows, k=10, nprobe=NPROBE).collect()
     full_call = lambda: SIM.ivf_search_rows(lazy, qrows, k=10, nprobe=N_CELLS).collect()
-    ivf_t = _timed(pruned_call, REPS)
-    ivf_full_t = _timed(full_call, REPS)
+    ivf_t, ivf_full_t = _timed_pair(pruned_call, full_call, REPS)
     cells = _probed_cells(lazy.centers, qvecs, NPROBE)
     files_total = _count_files(os.path.join(ivf_path, "postings"))
     files_read = _count_files(
@@ -193,8 +202,7 @@ def main() -> None:
     def pq_full():
         return SIM.pq_topk(codes, books, qvec, topk=10, rerank=emb).collect()
 
-    pq_t = _timed(pq_pruned, REPS)
-    pq_full_t = _timed(pq_full, REPS)
+    pq_t, pq_full_t = _timed_pair(pq_pruned, pq_full, REPS)
     pq_files_total = _count_files(os.path.join(pq_path, "codes"))
     pq_files_read = _count_files(
         os.path.join(pq_path, "codes"), [f"cell={c}" for c in pq_cells]
@@ -258,8 +266,7 @@ def main() -> None:
             matched, "doc_id", int(st["N"]), float(st["avgdl"]), 10, 1.2, 0.75
         ).collect()
 
-    fts_t = _timed(fts_pruned, REPS)
-    fts_full_t = _timed(fts_full, REPS)
+    fts_t, fts_full_t = _timed_pair(fts_pruned, fts_full, REPS)
     fts_files_total = _count_files(os.path.join(fts_path, "postings"))
     fts_files_read = _count_files(
         os.path.join(fts_path, "postings"), [f"term_bucket={b}" for b in buckets]

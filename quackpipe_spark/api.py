@@ -42,13 +42,19 @@ ACKED_BATCH_LOSSES = 0
 _LOSS_LOCK = threading.Lock()
 
 
-def _watch_unresolved(promises, route: str) -> None:
-    """Attach a loss watcher to every still-pending flush promise of a
-    request that already got its (non-retryable) 4xx ack. If the pending
-    flush later fails, the batch is silently lost from the client's view —
-    the inverse hazard of the duplication the 422 prevents — so log it
-    loudly and bump ACKED_BATCH_LOSSES. Success and cancellation are the
-    expected quiet outcomes."""
+def _watch_unresolved(promises, route: str, reported=None) -> None:
+    """Attach a loss watcher to every flush promise of a request that
+    already got its (non-retryable) 4xx ack, EXCEPT the one promise whose
+    failure the ack body itself reported (``reported``). If a watched
+    flush fails — whether it already failed by ack time or fails later —
+    the batch is silently lost from the client's view (the inverse hazard
+    of the duplication the 422 prevents), so log it loudly and bump
+    ACKED_BATCH_LOSSES. Success and cancellation are the expected quiet
+    outcomes. Already-done futures are watched too: the handler's
+    ``p.result(30)`` loop stops at its FIRST exception/timeout, so a
+    sibling promise may have failed fast before the ack without the
+    client ever hearing about it — ``add_done_callback`` fires
+    immediately on done futures, counting exactly that silent loss."""
 
     def _on_done(fut):
         global ACKED_BATCH_LOSSES
@@ -68,11 +74,12 @@ def _watch_unresolved(promises, route: str) -> None:
             )
 
     for p in promises:
+        if p is reported:
+            continue  # its failure is already in the 422 body — not silent
         # duck-type tolerant: the watcher is best-effort observability and
         # must never turn the 4xx ack it accompanies into a 400
         try:
-            if not p.done():
-                p.add_done_callback(_on_done)
+            p.add_done_callback(_on_done)
         except Exception:  # pragma: no cover - promise-shaped test doubles
             pass
 
@@ -343,9 +350,11 @@ class GigapiServer:
                             # those clients drop on; 503 stays reserved
                             # for retry-SAFE transient failures. Later
                             # promises of this request may still be
-                            # pending — watch them so an eventual flush
-                            # failure is observable (ADVICE r14).
-                            _watch_unresolved(promises, path)
+                            # pending or may have failed fast before this
+                            # one raised — watch all but the reported one
+                            # so every silent flush failure is observable
+                            # (ADVICE r14).
+                            _watch_unresolved(promises, path, reported=p)
                             self._send(
                                 422,
                                 {

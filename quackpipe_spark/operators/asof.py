@@ -165,13 +165,18 @@ def gapfill(
     Scale (VERDICT r13 #4): ``sequence(lo, hi, step)`` materializes ONE
     in-memory array per key row — a fine-step long-span call (1 s buckets
     over a year ≈ 31M elements ≈ 250 MB in one row) would OOM an
-    executor. Spans beyond ``_GAPFILL_CHUNK`` buckets therefore generate
-    the grid in TWO bounded explodes: coarse chunk starts first, then the
-    intra-chunk sequence — every array stays ≤ 64Ki elements (~512 KB)
-    and rows stream through whole-stage codegen. The coarse level itself
-    is bounded at ``_GAPFILL_MAX_CHUNKS`` chunks (2^38 buckets total,
-    ~8,700 years at 1 s); a wider span raises a loud ValueError rather
-    than building an unbounded coarse array.
+    executor. The grid is therefore always generated in TWO bounded
+    explodes: coarse chunk starts first, then the intra-chunk sequence —
+    every array stays ≤ 64Ki elements (~512 KB) and rows stream through
+    whole-stage codegen (a small span degenerates to one chunk). The
+    bounds come from a lazy broadcast crossJoin of the min/max aggregate,
+    NOT a collected literal: the plan stays a pure function of its input,
+    so re-executing the returned (lazy) DataFrame after the source grew
+    re-derives the grid, and merely BUILDING the plan launches no job.
+    The coarse level is bounded at ``_GAPFILL_MAX_CHUNKS`` chunks (2^38
+    buckets total, ~8,700 years at 1 s); a wider span raises a loud
+    execution-time error (``raise_error`` on the bounds row) rather than
+    building an unbounded coarse array.
 
     The join is FULL OUTER: an input row whose bucket is off the
     lo-anchored grid (mixed-alignment sources, non-multiple step) stays
@@ -186,67 +191,59 @@ def gapfill(
         # sequence(lo, hi, 0) raises mid-job AFTER the bounds aggregation
         # already ran; reject at plan time
         raise ValueError("bucket_step must be >= 1")
-    # the bounds aggregate is collected (one tiny job — the previous
-    # broadcast crossJoin ran the same aggregate as its broadcast build
-    # anyway) so the chunking decision is exact at plan time
-    row = df.agg(
-        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
     keys = df.select(F.col(key_col)).distinct()
     btype = df.schema[bucket_col].dataType
-    if lo is None or hi is None:
-        # empty input / all-null buckets: empty grid (full outer below
-        # still keeps any null-bucket input rows), same as before
-        grid = keys.where(F.lit(False)).select(
-            key_col, F.lit(None).cast(btype).alias(bucket_col)
+    # lazy bounds: one tiny broadcast build per EXECUTION (pre-r14 shape).
+    # An empty / all-null-bucket input makes _lo/_hi NULL → sequence()
+    # returns NULL → explode yields no grid rows, and the full outer join
+    # below still keeps any null-bucket input rows — the degenerate
+    # shapes need no special case.
+    bounds = df.agg(
+        F.min(bucket_col).cast("long").alias("_lo"),
+        F.max(bucket_col).cast("long").alias("_hi"),
+    )
+    chunk_span = int(bucket_step) * _GAPFILL_CHUNK
+    n_chunks = (
+        F.floor((F.col("_hi") - F.col("_lo")) / F.lit(chunk_span)) + F.lit(1)
+    )
+    # the coarse-array bound check rides the 1-row bounds frame: loud
+    # execution-time refusal (USER_RAISED_EXCEPTION) instead of an
+    # unbounded coarse array → executor OOM
+    checked_lo = F.when(
+        n_chunks > F.lit(_GAPFILL_MAX_CHUNKS),
+        F.raise_error(
+            F.format_string(
+                "gapfill grid of %d buckets exceeds the supported bound "
+                f"({_GAPFILL_CHUNK * _GAPFILL_MAX_CHUNKS}); widen "
+                "bucket_step or pre-split the time range",
+                F.floor((F.col("_hi") - F.col("_lo")) / F.lit(int(bucket_step)))
+                + F.lit(1),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_lo"))
+    intra_hi = F.least(
+        F.col("_hi"),
+        F.col("_chunk_lo") + F.lit(int(bucket_step) * (_GAPFILL_CHUNK - 1)),
+    )
+    grid = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.col("_hi"),
+            F.explode(
+                F.sequence(checked_lo, F.col("_hi"), F.lit(chunk_span))
+            ).alias("_chunk_lo"),
         )
-    elif (int(hi) - int(lo)) // bucket_step + 1 <= _GAPFILL_CHUNK:
-        grid = keys.select(
+        .select(
             key_col,
             F.explode(
-                F.sequence(
-                    F.lit(lo).cast(btype), F.lit(hi).cast(btype), F.lit(bucket_step)
-                )
+                F.sequence(F.col("_chunk_lo"), intra_hi, F.lit(int(bucket_step)))
             ).alias(bucket_col),
         )
-    else:
-        n_buckets = (int(hi) - int(lo)) // bucket_step + 1
-        n_chunks = -(-n_buckets // _GAPFILL_CHUNK)
-        if n_chunks > _GAPFILL_MAX_CHUNKS:
-            raise ValueError(
-                f"gapfill grid of {n_buckets} buckets exceeds the supported "
-                f"bound ({_GAPFILL_CHUNK * _GAPFILL_MAX_CHUNKS}); widen "
-                f"bucket_step or pre-split the time range"
-            )
-        chunk_span = bucket_step * _GAPFILL_CHUNK
-        intra_hi = F.least(
-            F.lit(hi).cast("long"),
-            F.col("_chunk_lo") + F.lit(bucket_step * (_GAPFILL_CHUNK - 1)),
-        )
-        grid = (
-            keys.select(
-                key_col,
-                F.explode(
-                    F.sequence(
-                        F.lit(int(lo)).cast("long"),
-                        F.lit(int(hi)).cast("long"),
-                        F.lit(chunk_span),
-                    )
-                ).alias("_chunk_lo"),
-            )
-            .select(
-                key_col,
-                F.explode(
-                    F.sequence(
-                        F.col("_chunk_lo"), intra_hi, F.lit(bucket_step)
-                    )
-                ).alias(bucket_col),
-            )
-            # a generator can't nest inside a cast — cast in a follow-up
-            # projection (collapsed into the same codegen stage)
-            .select(key_col, F.col(bucket_col).cast(btype).alias(bucket_col))
-        )
+        # a generator can't nest inside a cast — cast in a follow-up
+        # projection (collapsed into the same codegen stage)
+        .select(key_col, F.col(bucket_col).cast(btype).alias(bucket_col))
+    )
     # NULL-SAFE key equality: a NULL key is a legitimate groupBy series,
     # but a plain equi-join can never match it — the grid's null-key rows
     # would all miss, fabricating a full zero-filled phantom series next

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import re
+import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1249,8 +1250,11 @@ SIMHASH_AUTO_32_MAX = 2_000_000
 # that crosses SIMHASH_AUTO_32_MAX flips the signature width, which
 # CHANGES THE METRIC SPACE (hamming is width-relative), so the flip is
 # logged loudly (VERDICT r13 #6) rather than silently re-ranking what
-# counts as "near"
+# counts as "near". Lock-guarded: two concurrent auto calls straddling
+# the threshold could otherwise both read the stale value and neither
+# would warn — the exact silence the warning exists to prevent.
 _LAST_AUTO_BITS: int | None = None
+_AUTO_BITS_LOCK = threading.Lock()
 
 
 def simhash_dedup(
@@ -1281,7 +1285,9 @@ def simhash_dedup(
     if bits == "auto":
         n = docs.count()
         bits = 32 if n <= SIMHASH_AUTO_32_MAX else 64
-        if _LAST_AUTO_BITS is not None and _LAST_AUTO_BITS != bits:
+        with _AUTO_BITS_LOCK:
+            prev, _LAST_AUTO_BITS = _LAST_AUTO_BITS, bits
+        if prev is not None and prev != bits:
             logging.getLogger(__name__).warning(
                 "simhash_dedup bits='auto' resolved to %d-bit signatures "
                 "(corpus n=%d) but the previous auto call used %d-bit: "
@@ -1290,10 +1296,9 @@ def simhash_dedup(
                 "for threshold stability across corpus growth",
                 bits,
                 n,
-                _LAST_AUTO_BITS,
+                prev,
                 max_hamming,
             )
-        _LAST_AUTO_BITS = bits
     sigs = simhash(docs, id_col, text_col, bits=bits)
     return simhash_near_pairs(
         sigs, id_col, bits=bits, max_hamming=max_hamming, bands=bands

@@ -591,17 +591,27 @@ def _scope_bounds(
     def _lit(m: re.Match, g: int) -> str:
         return orig[s0 + m.start(g) : s0 + m.end(g)]
 
+    def _apply_env(tname: str, lo: int | None, hi: int | None) -> None:
+        # THE one bound-merge rule for this scope (max of los, min of his)
+        # — plain bounds and OR-group envelopes both fold through here so
+        # the merge logic can't drift between the two paths (the same
+        # copy-drift class the r14 consolidation exists to kill)
+        plo, phi = bounds.get(tname, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        bounds[tname] = (plo, phi)
+
     def _apply(tname: str, op: str, lit: str) -> None:
         try:
             v = _ts_literal_ns(lit)
         except ValueError:
             return
-        lo, hi = bounds.get(tname, (None, None))
         if op in (">=", ">"):
-            lo = v if lo is None else max(lo, v)
+            _apply_env(tname, v, None)
         else:
-            hi = v if hi is None else min(hi, v)
-        bounds[tname] = (lo, hi)
+            _apply_env(tname, None, v)
 
     # Unqualified bounds attribute only when the scope reads exactly ONE
     # relation and it is a real catalog table (or the sole-rules above).
@@ -656,14 +666,6 @@ def _scope_bounds(
     # OR-group envelopes: same attribution guards as plain bounds — an
     # unqualified group needs the single-relation target, a qualified one
     # resolves through the alias map with the self-join/CTE guards
-    def _apply_env(tname: str, lo: int | None, hi: int | None) -> None:
-        plo, phi = bounds.get(tname, (None, None))
-        if lo is not None:
-            plo = lo if plo is None else max(plo, lo)
-        if hi is not None:
-            phi = hi if phi is None else min(phi, hi)
-        bounds[tname] = (plo, phi)
-
     for qual, glo, ghi in or_groups:
         if glo is None and ghi is None:
             continue

@@ -147,7 +147,7 @@ def test_watch_unresolved_logs_and_counts_eventual_flush_failure(caplog):
 
     before = api_mod.ACKED_BATCH_LOSSES
     ok_done: Future = Future()
-    ok_done.set_result(5)  # resolved before the ack → never watched
+    ok_done.set_result(5)  # resolved-success before the ack → watched, quiet
     pending_fail: Future = Future()
     pending_ok: Future = Future()
     with caplog.at_level(logging.ERROR, logger="quackpipe_spark.api"):
@@ -158,6 +158,37 @@ def test_watch_unresolved_logs_and_counts_eventual_flush_failure(caplog):
     assert api_mod.ACKED_BATCH_LOSSES == before + 1
     msgs = [r.getMessage() for r in caplog.records]
     assert any("FAILED its flush" in m and "disk full at flush" in m for m in msgs)
+
+
+def test_watch_unresolved_counts_failures_already_done_at_ack_time(caplog):
+    """The handler's ``p.result(30)`` loop stops at its FIRST exception or
+    timeout, so a sibling promise can have failed fast BEFORE the 422 ack
+    without the client hearing about it. The watcher must count those too
+    (add_done_callback fires immediately on done futures) — while the one
+    promise whose failure the 422 body reported stays uncounted."""
+    from quackpipe_spark import api as api_mod
+
+    before = api_mod.ACKED_BATCH_LOSSES
+    reported_fail: Future = Future()
+    reported_fail.set_exception(RuntimeError("partial write reported to client"))
+    silent_prefail: Future = Future()
+    silent_prefail.set_exception(RuntimeError("failed fast before the ack"))
+    pending: Future = Future()
+    with caplog.at_level(logging.ERROR, logger="quackpipe_spark.api"):
+        api_mod._watch_unresolved(
+            [reported_fail, silent_prefail, pending],
+            "/write",
+            reported=reported_fail,
+        )
+        # the pre-ack silent failure is counted immediately
+        assert api_mod.ACKED_BATCH_LOSSES == before + 1
+        pending.set_result(1)  # late success → quiet
+    assert api_mod.ACKED_BATCH_LOSSES == before + 1
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("failed fast before the ack" in m for m in msgs)
+    assert not any("partial write reported to client" in m for m in msgs)
+    # swallow the un-retrieved reported exception warning
+    reported_fail.exception()
 
 
 # --- 4. get() fallback: (sanitized-db, raw-name) ------------------------------

@@ -508,26 +508,55 @@ def test_gapfill_ten_million_bucket_span_chunked(spark):
     assert agg["s"] == 3.0  # the two real rows survive, rest zero-filled
     assert (agg["lo"], agg["hi"]) == (0, span)
 
-    # small spans keep the single-sequence plan (one generator)
+    # small spans degenerate to one chunk — same values, still lazy
     small = gapfill(
         spark.createDataFrame([("a", 0, 1.0), ("a", 5, 2.0)], "k string, b long, v double"),
         "k", "b", 1, fill={"v": 0.0},
     )
     assert small.count() == 6
 
-    # beyond the coarse bound: loud plan-time refusal, not an executor OOM
+    # beyond the coarse bound: loud execution-time refusal (raise_error on
+    # the 1-row bounds frame), not an executor OOM. Plan construction
+    # itself stays lazy — no job, no error, until an action runs.
     too_wide = spark.createDataFrame(
         [("a", 0, 1.0), ("a", (_GAPFILL_CHUNK << 22) + 7, 2.0)],
         "k string, b long, v double",
     )
-    with pytest.raises(ValueError, match="exceeds the supported bound"):
-        gapfill(too_wide, "k", "b", 1)
+    lazy_plan = gapfill(too_wide, "k", "b", 1)  # must not raise here
+    with pytest.raises(Exception, match="exceeds the supported bound"):
+        lazy_plan.count()
+
+
+def test_gapfill_bounds_are_lazy_not_collected(spark):
+    """The grid bounds must be a lazy function of the input, not literals
+    frozen by a collect() at plan-build time: stale literals would
+    silently stop gap-filling new buckets when a re-executed plan's
+    source grew, and merely BUILDING a gapfill plan would launch a job.
+    Pins both: zero Spark jobs during construction, and the min/max
+    aggregate present IN the optimized plan instead of literal bounds."""
+    from quackpipe_spark.operators.asof import gapfill
+
+    df = spark.createDataFrame(
+        [("a", 17, 1.0), ("a", 23, 2.0)], "k string, b long, v double"
+    )
+    group = "gapfill-lazy-bounds-probe"
+    spark.sparkContext.setJobGroup(group, "plan construction must be free")
+    try:
+        dense = gapfill(df, "k", "b", 1, fill={"v": 0.0})
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    tracker = spark.sparkContext.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == [], "gapfill ran a job at plan-build time"
+    plan = dense._jdf.queryExecution().optimizedPlan().toString()
+    assert "min(" in plan and "max(" in plan  # bounds re-derived per execution
+    assert dense.count() == 7  # [17..23]
 
 
 def test_gapfill_empty_and_allnull_buckets(spark):
-    """The collected-bounds rewrite keeps the degenerate shapes: empty
-    input yields an empty grid; all-null buckets keep their rows through
-    the full outer join with no fabricated grid."""
+    """Degenerate shapes need no special case with lazy bounds: NULL
+    _lo/_hi make sequence() NULL and explode() yield no grid rows, so
+    empty input yields an empty grid and all-null buckets keep their rows
+    through the full outer join with no fabricated grid."""
     from quackpipe_spark.operators.asof import gapfill
 
     empty = spark.createDataFrame([], "k string, b long, v double")
