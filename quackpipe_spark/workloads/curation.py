@@ -39,8 +39,28 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MassiveText/RefinedWeb boilerplate removal over the whole corpus:
     lines whose trimmed form appears in >= 2 distinct docs are removed
     from every doc, short lines protected, order-preserving rebuild
-    (operators/dedup.line_dedup)."""
-    out = D.line_dedup(_docs(spark, sf_dir))
+    (operators/dedup.line_dedup).
+
+    The synthetic corpus is SINGLE-LINE docs with (at the verification
+    SFs) no cross-doc repeats, so a plain run verified n_lines=1 /
+    n_removed=0 everywhere — removal, rebuild order, and the short-line
+    protection never fired (the r13 trivially-passing-gate class). The
+    gate therefore appends two deterministic lines per doc: a long
+    boilerplate footer on 2/3 of docs (eligible + duplicated → REMOVED,
+    and n_removed varies 0/1 by doc) and a short 'd<digit>' line
+    (duplicated across ~10% of docs but under the 8-char eligibility
+    floor → protection keeps it)."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            F.lit("boilerplate footer please subscribe now"),
+        ),
+        F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string")),
+    )
+    out = D.line_dedup(d.withColumn("text", aug))
     return out.select(
         "doc_id",
         "text",
@@ -50,9 +70,15 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINE_DEDUP_SQL = """
-WITH lines AS (
+WITH docs2 AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+         CASE WHEN doc_id % 3 <> 2
+              THEN 'boilerplate footer please subscribe now' END,
+         'd' || (doc_id % 10)) AS text
+  FROM documents
+), lines AS (
   SELECT doc_id, generate_subscripts(sp, 1) AS pos, unnest(sp) AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM documents)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM docs2)
 ), keyed AS (
   SELECT doc_id, pos, line, md5(trim(line)) AS k,
          len(trim(line)) >= 8 AS eligible
@@ -72,7 +98,7 @@ SELECT d.doc_id, coalesce(r.clean, '') AS text,
        CAST(coalesce(len(string_split(d.text, chr(10))), 0) AS BIGINT) AS n_lines,
        CAST(coalesce(len(string_split(d.text, chr(10))), 0) - coalesce(r.n_kept, 0)
          AS BIGINT) AS n_removed
-FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 

@@ -48,12 +48,30 @@ sh AS (
 # --- dedup: exact ----------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_docs(spark, sf_dir))
+    """The synthetic corpus has ZERO exact-duplicate texts at the
+    verification SFs (sf0.001/sf0.01), so a plain run would verify the
+    operator only on singleton clusters — n_copies=1 everywhere, the
+    min-id survivor rule never choosing between real candidates (the
+    same trivially-passing-gate class as r13's empty-join asof find).
+    The gate therefore unions a deterministic replica of every 7th doc
+    under a shifted id: ~14% of clusters have n_copies=2 with the
+    survivor forced back to the ORIGINAL id at every SF."""
+    docs = _docs(spark, sf_dir)
+    extra = docs.filter(
+        (F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+    return D.exact_dedup(docs.unionByName(extra))
 
 
 DEDUP_EXACT_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0 AND text IS NOT NULL
+)
 SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+FROM aug WHERE text IS NOT NULL GROUP BY md5(text)
 """
 
 
@@ -755,10 +773,49 @@ QUALIFY rank <= {topk}
 # --- text analysis ---------------------------------------------------------
 
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.analyze(_docs(spark, sf_dir))
+    """The synthetic corpus is lowercase-alnum words only — no
+    punctuation, emails, IPs, URLs, or phones — so a plain run verified
+    punct_ratio/n_emails/n_urls as constant zeros and the 3-pass
+    redact_pii chain as an IDENTITY hash (another trivially-passing-gate
+    dimension). The gate appends a deterministic per-doc PII tail
+    (email, IPv4, URL, phone — the forms the Java/RE2-intersection
+    differential pins) to 4/5 of docs, so every extraction signal and
+    all three redact passes fire with doc-varying values at every SF
+    while the untouched fifth keeps the zero path and the corpus's
+    short-doc quality variance alive. The filler words (pii/ip/url/tel)
+    are in NO stopword list, preserving the langid variance."""
+    docs = _docs(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 5 == 4, F.col("text")
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" pii user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example.org ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" url https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel 555-123-4567!"),
+        )
+    )
+    return T.analyze(docs.withColumn("text", aug))
 
 
-def _text_oracle(repetition: bool = True, redact: bool = True) -> str:
+# the same augmentation, rendered once for the oracle (DuckDB int || str
+# coerces like Spark's cast-to-string concat)
+_TEXT_AUG_SRC = (
+    "(SELECT doc_id, CASE WHEN doc_id % 5 = 4 THEN text ELSE"
+    " text || ' pii user' || doc_id"
+    " || '@corp.example.org ip 10.0.0.' || (doc_id % 200)"
+    " || ' url https://ex.org/d/' || doc_id"
+    " || ' tel 555-123-4567!' END AS text FROM documents)"
+)
+
+
+def _text_oracle(
+    repetition: bool = True, redact: bool = True, source: str = "documents"
+) -> str:
     """``repetition=False`` mirrors analyze(repetition=False): no gram
     CTEs, no top_bigram_ratio column (used by the corpus-clean wrapper,
     which only consumes row-local columns — keeps both engines' work
@@ -803,7 +860,7 @@ WITH base AS (
          string_split_regex(trim(lower(text)), '\\s+') AS t,
          regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g') AS stripped,
          regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g') AS norm
-  FROM documents
+  FROM {source}
 ), ext AS (
   SELECT doc_id, text, t,
          list_distinct(t) AS dt,
@@ -1101,7 +1158,7 @@ ORACLE = {
     "ann_topk_lsh": _lsh_oracle(),
     "ann_topk_ivf": _ivf_oracle(),
     "ann_topk_pq": _pq_oracle(),
-    "text_analyze": _text_oracle(),
+    "text_analyze": _text_oracle(source=_TEXT_AUG_SRC),
     "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "corpus_clean_pipeline": _corpus_clean_oracle(),

@@ -1007,9 +1007,14 @@ WHERE user_id < 50
 
 def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts per user across event types (explicit values →
-    no extra distinct-discovery job; matches oracle CASE aggregation)."""
+    no extra distinct-discovery job; matches oracle CASE aggregation).
+    Four REAL corpus types (click/view/purchase/signup) carry varying
+    counts; 'login' does not exist in the corpus and is kept DELIBERATELY
+    as the all-zero column pinning the explicit-values + na.fill(0)
+    zero-fill path (a second absent type was redundant coverage — the
+    gate-triviality audit swapped it for a real one)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    types = ["click", "view", "purchase", "login", "logout"]
+    types = ["click", "view", "purchase", "signup", "login"]
     return (
         ev.groupBy("user_id")
         .pivot("event_type", types)
@@ -1023,8 +1028,8 @@ SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(count(*) FILTER (WHERE event_type = 'login') AS BIGINT) AS login,
-       CAST(count(*) FILTER (WHERE event_type = 'logout') AS BIGINT) AS logout
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'login') AS BIGINT) AS login
 FROM events WHERE user_id < 100 GROUP BY user_id
 """
 
