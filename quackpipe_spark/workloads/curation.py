@@ -111,9 +111,25 @@ _PASS_MIN_DUP = 2
 def duplicate_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-et-al-2021 substring dedup: maximal spans of positioned
     8-token grams shared by >= 2 distinct docs
-    (operators/dedup.duplicate_passages)."""
+    (operators/dedup.duplicate_passages).
+
+    The corpus's shared passages all begin at the document start, so a
+    plain run verified span_start as a constant 0 — the position
+    arithmetic (gram offset, span min) never produced a nonzero value.
+    The gate prepends 1-3 per-doc-unique tokens (varying by doc_id % 3),
+    shifting every shared span to a doc-varying nonzero start while
+    leaving WHICH grams are shared untouched (gate-triviality audit,
+    r14)."""
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.expr(
+            "repeat(concat('u', cast(doc_id AS string), ' '),"
+            " cast(doc_id % 3 + 1 AS int))"
+        ),
+        F.col("text"),
+    )
     out = D.duplicate_passages(
-        _docs(spark, sf_dir), k=_PASS_K, min_dup_docs=_PASS_MIN_DUP
+        d.withColumn("text", aug), k=_PASS_K, min_dup_docs=_PASS_MIN_DUP
     )
     return out.select(
         "doc_id",
@@ -124,9 +140,13 @@ def duplicate_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PASSAGE_SQL = f"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+WITH docs2 AS (
+  SELECT doc_id,
+         repeat('u' || doc_id || ' ', (doc_id % 3) + 1) || text AS text
   FROM documents
+), base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM docs2
 ), eligible AS (
   SELECT doc_id, t FROM base WHERE len(t) >= {_PASS_K}
 ), grams0 AS (

@@ -865,6 +865,17 @@ def ch_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.withColumn("url", F.expr(_CH_URL_SPARK))
         .withColumn("ip_num", F.expr("CAST(p_partkey AS BIGINT) * 7919 % 4294967296"))
+        # the synthetic part names are always-distinct fixed-arity tokens,
+        # so dup_token_ratio verified as a constant 0.0 (never a real
+        # ratio) — double the name on even keys so both token signals
+        # carry doc-varying, nonzero values (gate-triviality audit, r14)
+        .withColumn(
+            "name2",
+            F.expr(
+                "CASE WHEN p_partkey % 2 = 0"
+                " THEN concat_ws(' ', p_name, p_name) ELSE p_name END"
+            ),
+        )
         .select(
             "p_partkey",
             F.expr("toString(p_size)").alias("size_str"),
@@ -887,8 +898,8 @@ def ch_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("IPv4StringToNum(IPv4NumToString(ip_num))").alias("ip_roundtrip"),
             F.expr("hash_bucket(CAST(p_partkey AS STRING), 's0')").alias("hb"),
             F.expr("hash_sample_keep(CAST(p_partkey AS STRING), 0.25, 's0')").alias("keep25"),
-            F.expr("token_count(p_name)").alias("name_tokens"),
-            F.expr("dup_token_ratio(p_name)").alias("name_dup_ratio"),
+            F.expr("token_count(name2)").alias("name_tokens"),
+            F.expr("dup_token_ratio(name2)").alias("name_dup_ratio"),
         )
     )
 
@@ -898,7 +909,9 @@ _CH_URL_DUCK = _CH_URL_SPARK.replace("AS STRING", "AS VARCHAR")
 CH_DIALECT_SQL = f"""
 WITH u AS (
   SELECT *, {_CH_URL_DUCK} AS url,
-         CAST(p_partkey AS BIGINT) * 7919 % 4294967296 AS ip_num
+         CAST(p_partkey AS BIGINT) * 7919 % 4294967296 AS ip_num,
+         CASE WHEN p_partkey % 2 = 0
+              THEN concat_ws(' ', p_name, p_name) ELSE p_name END AS name2
   FROM part
 ),
 h AS (
@@ -928,9 +941,9 @@ SELECT p_partkey,
        ip_num AS ip_roundtrip,
        CAST(('0x' || substr(md5('s0|' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 10000 AS INT) AS hb,
        ('0x' || substr(md5('s0|' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2500 AS keep25,
-       CAST(len(string_split_regex(trim(lower(p_name)), '\\s+')) AS INT) AS name_tokens,
-       round(1 - len(list_distinct(string_split_regex(trim(lower(p_name)), '\\s+')))
-             / greatest(len(string_split_regex(trim(lower(p_name)), '\\s+')), 1)::DOUBLE, 4) AS name_dup_ratio
+       CAST(len(string_split_regex(trim(lower(name2)), '\\s+')) AS INT) AS name_tokens,
+       round(1 - len(list_distinct(string_split_regex(trim(lower(name2)), '\\s+')))
+             / greatest(len(string_split_regex(trim(lower(name2)), '\\s+')), 1)::DOUBLE, 4) AS name_dup_ratio
 FROM h
 """
 

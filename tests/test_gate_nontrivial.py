@@ -70,6 +70,25 @@ def test_text_analyze_gate_exercises_pii_and_punct(spark):
     assert all(r["redacted_fp"] != docs[r["doc_id"]] for r in aug)
 
 
+def test_passage_spans_gate_has_nonzero_starts(spark):
+    from quackpipe_spark.workloads.curation import duplicate_passage_spans
+
+    rows = duplicate_passage_spans(spark, SF_DIR).collect()
+    assert rows, "passage detection must fire"
+    # the per-doc unique prefix shifts every shared span off position 0,
+    # exercising the gram-offset/min-pos arithmetic with varying values
+    assert all(r["span_start"] > 0 for r in rows)
+    assert len({r["span_start"] for r in rows}) > 1
+
+
+def test_dialect_gate_dup_token_ratio_varies(spark):
+    from quackpipe_spark.workloads.sql_surface import ch_dialect_functions
+
+    rows = ch_dialect_functions(spark, SF_DIR).collect()
+    ratios = {r["name_dup_ratio"] for r in rows}
+    assert any(x > 0 for x in ratios) and 0.0 in ratios
+
+
 def test_pivot_gate_has_real_and_zero_fill_columns(spark):
     from quackpipe_spark.workloads.sql_surface import pivot_event_types
 
