@@ -187,10 +187,13 @@ def gapfill(
     sparse aggregate on both branches and is strictly slower. At scale
     full outer's sort-merge is the standard plan regardless.)
     """
-    if bucket_step < 1:
+    if bucket_step < 1 or int(bucket_step) != bucket_step:
         # sequence(lo, hi, 0) raises mid-job AFTER the bounds aggregation
-        # already ran; reject at plan time
-        raise ValueError("bucket_step must be >= 1")
+        # already ran; reject at plan time. Non-integer steps must also
+        # refuse loudly here: the chunked generator works in int(step)
+        # units, so a fractional step would otherwise silently TRUNCATE
+        # (a 1.5 request producing a step-1 grid with fabricated rows)
+        raise ValueError("bucket_step must be an integer >= 1")
     keys = df.select(F.col(key_col)).distinct()
     btype = df.schema[bucket_col].dataType
     # lazy bounds: one tiny broadcast build per EXECUTION (pre-r14 shape).

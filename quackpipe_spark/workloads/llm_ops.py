@@ -785,9 +785,15 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-doc quality variance alive. The filler words (pii/ip/url/tel)
     are in NO stopword list, preserving the langid variance."""
     docs = _docs(spark, sf_dir)
-    aug = F.when(
-        F.col("doc_id") % 5 == 4, F.col("text")
-    ).otherwise(
+    return T.analyze(docs.withColumn("text", _text_aug_col()))
+
+
+def _text_aug_col():
+    """The text_analyze gate's PII augmentation as a Column (shared with
+    the non-triviality pin in tests, which must hash the SAME augmented
+    text the gate analyzed — comparing against the raw corpus text would
+    make its redaction-non-identity assertion vacuous)."""
+    return F.when(F.col("doc_id") % 5 == 4, F.col("text")).otherwise(
         F.concat(
             F.col("text"),
             F.lit(" pii user"),
@@ -799,7 +805,6 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" tel 555-123-4567!"),
         )
     )
-    return T.analyze(docs.withColumn("text", aug))
 
 
 # the same augmentation, rendered once for the oracle (DuckDB int || str

@@ -57,17 +57,26 @@ def test_text_analyze_gate_exercises_pii_and_punct(spark):
     # the untouched fifth keeps the zero path alive
     assert any(r["n_emails"] == 0 for r in rows)
     # redaction must be NON-identity where PII was injected: the redacted
-    # fingerprint of an augmented doc differs from the md5 of its raw text
+    # fingerprint of an augmented doc differs from the md5 of the SAME
+    # augmented text the gate analyzed (comparing against the raw corpus
+    # text would hold even for a no-op redaction — the tail alone
+    # changes the hash)
     aug = [r for r in rows if r["n_emails"] > 0]
     from quackpipe_spark.sources.tables import table_df
+    from quackpipe_spark.workloads.llm_ops import _text_aug_col
 
     docs = {
         r["doc_id"]: r["fp"]
         for r in table_df(spark, SF_DIR, "documents")
-        .select("doc_id", F.md5("text").alias("fp"))
+        .select("doc_id", F.md5(_text_aug_col()).alias("fp"))
         .collect()
     }
     assert all(r["redacted_fp"] != docs[r["doc_id"]] for r in aug)
+    # and the untouched fifth IS identity (no PII → redaction changes
+    # nothing): pins that the inequality above comes from redaction, not
+    # an accidental text mismatch
+    plain = [r for r in rows if r["doc_id"] % 5 == 4]
+    assert plain and all(r["redacted_fp"] == docs[r["doc_id"]] for r in plain)
 
 
 def test_passage_spans_gate_has_nonzero_starts(spark):

@@ -552,6 +552,19 @@ def test_gapfill_bounds_are_lazy_not_collected(spark):
     assert dense.count() == 7  # [17..23]
 
 
+def test_gapfill_rejects_fractional_step(spark):
+    """A fractional bucket_step must refuse at plan time: the chunked
+    generator works in int(step) units, so 1.5 would silently truncate
+    to a step-1 grid with ~50% fabricated zero-filled rows."""
+    from quackpipe_spark.operators.asof import gapfill
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, b long, v double")
+    with pytest.raises(ValueError, match="integer"):
+        gapfill(df, "k", "b", 1.5)
+    with pytest.raises(ValueError, match="integer"):
+        gapfill(df, "k", "b", 0)
+
+
 def test_gapfill_empty_and_allnull_buckets(spark):
     """Degenerate shapes need no special case with lazy bounds: NULL
     _lo/_hi make sequence() NULL and explode() yield no grid rows, so
