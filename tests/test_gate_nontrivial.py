@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
+def test_no_gate_returns_empty(spark):
+    """An EMPTY Spark result matching an EMPTY oracle still hash-passes —
+    that's exactly how r13's asof_last_login trivial pass hid. Every gate
+    must return at least one row even at the smallest SF, so an
+    empty-in-empty-out regression (a filter on a value that stops
+    existing, a join side going dry) fails loudly here instead of
+    passing quietly in the oracle compare."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    empty = [n for n in sorted(qs) if qs[n](spark, SF_DIR).count() == 0]
+    assert not empty, f"gates with empty results at {SF_DIR}: {empty}"
+
+
 def test_dedup_exact_gate_forms_real_clusters(spark):
     from quackpipe_spark.workloads.llm_ops import dedup_exact
 
