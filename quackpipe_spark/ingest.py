@@ -164,6 +164,30 @@ class IngestService:
                     p.set_exception(e)
         return written
 
+    def discard(self, reason: Exception | None = None) -> int:
+        """Drop every buffered-but-unflushed row and FAIL its promises;
+        returns rows dropped.
+
+        The streaming replay seam (review r14): a foreachBatch body that
+        dies AFTER buffering (e.g. its dead-letter write failed mid-batch)
+        must not leave the rows in the shared service — Structured
+        Streaming replays the batch, the same lines buffer again, and the
+        next flush would write every row twice. The failed batch's
+        checkpoint never commits, so discarding loses nothing the replay
+        won't re-deliver."""
+        exc = reason if reason is not None else RuntimeError(
+            "buffered batch discarded before flush"
+        )
+        with self._lock:
+            todo = self._buffers
+            self._buffers = {}
+        dropped = 0
+        for buf in todo.values():
+            dropped += buf.rows
+            for p in buf.promises:
+                p.set_exception(exc)
+        return dropped
+
     # -- background flush loop (A11) ---------------------------------------
 
     def start(self) -> None:

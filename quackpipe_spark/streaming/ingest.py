@@ -127,6 +127,17 @@ def stream_lines_to_table(
         raise ValueError(
             f"malformed must be 'fail', 'skip' or 'dead_letter', got {malformed!r}"
         )
+    from quackpipe_spark.sources.lineproto import _PRECISION_NS
+
+    if precision not in _PRECISION_NS:
+        # an unknown precision raises per-LINE inside parse_line, which the
+        # skip/dead_letter policies would treat as malformed DATA — every
+        # line of the stream silently skipped or dead-lettered forever
+        # instead of failing at stream start (review r14)
+        raise ValueError(
+            f"unknown precision {precision!r}; expected one of "
+            f"{sorted(_PRECISION_NS)}"
+        )
     skip = malformed in ("skip", "dead_letter")
     dead_letter = malformed == "dead_letter"
     from quackpipe_spark.ingest import IngestService, ingest_lines
@@ -172,6 +183,20 @@ def stream_lines_to_table(
             p.result(timeout=300)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            _handle_batch(batch_df, batch_id)
+        except BaseException:
+            # a failed micro-batch must NOT leave buffered rows in the
+            # shared service: its checkpoint never commits, Structured
+            # Streaming replays the batch, the same lines buffer again,
+            # and the next flush would write every row twice (e.g. the
+            # isolated fallback buffered 49k good lines and THEN the
+            # dead-letter write died — review r14). Discard fails the
+            # orphaned promises; the replay re-delivers everything.
+            service.discard()
+            raise
+
+    def _handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # normalize records to ONE LINE PER ROW first (see docstring),
         # then persist: the size probe (count) and whichever write path
         # follows both consume the batch — without a pin, a file source
@@ -341,7 +366,23 @@ def windowed_counts(
     """Watermarked tumbling-window counts — the streaming extension the
     reference can't express (its late data just lands in old partitions).
     ``ts_col`` is int64 epoch ns (our time domain) or a native timestamp;
-    works on both batch and streaming DataFrames."""
+    works on both batch and streaming DataFrames.
+
+    The output window bounds are whole SECONDS (``window_start_s`` /
+    ``window_end_s``), so sub-second windows are refused: two windows
+    inside one second would truncate to identical boundary rows with no
+    way to tell them apart (review r14)."""
+    import re as _re
+
+    wl = window.strip().lower()
+    if _re.search(r"\b(milli|micro)seconds?\b", wl) or _re.search(
+        r"\d\.\d+\s*(second|sec)", wl
+    ):
+        raise ValueError(
+            f"windowed_counts emits whole-second window bounds; sub-second "
+            f"window {window!r} would produce colliding boundary rows — "
+            "use >= 1 second windows"
+        )
     ts = _event_time(events, ts_col)
     return (
         events.withColumn("_event_time", ts)

@@ -41,8 +41,13 @@ def running_totals(events: DataFrame, key_col: str = "user_id", value_col: str =
         state.update((n, total))
         import pandas as pd
 
+        # emit the state's FULL precision: rounding here while state
+        # accumulates unrounded would quantize every emitted lifetime
+        # total (and any downstream total/n mean) relative to Spark's own
+        # sum(value) — the docstring promises the lifetime totals, not a
+        # display rounding (review r14)
         yield pd.DataFrame(
-            [(key[0], n, round(total, 4), batch_rows)],
+            [(key[0], n, total, batch_rows)],
             columns=[key_col, "n", "total", "batch_rows"],
         )
 
@@ -132,7 +137,14 @@ def streaming_exact_dedup(
     # indistinguishable from NULL; accepted — not a plausible doc id.
     id_expr, keep_type, batch_min_of, _ = _id_codec(docs, id_col)
 
-    keyed = docs.select(
+    # NULL-text docs are EXCLUDED like the batch operator (dedup.py:221,
+    # review r12): their content is unknown, not identical — md5(NULL) is
+    # NULL, so without the filter every NULL-text doc in the stream would
+    # collapse under ONE NULL-fingerprint state key whose is_new/survivor
+    # output marks unknown-content docs as duplicates of each other,
+    # breaking the stream≡batch determinism contract the docstring
+    # promises (review r14)
+    keyed = docs.filter(F.col(text_col).isNotNull()).select(
         F.md5(F.col(text_col)).alias("fingerprint"), id_expr.alias("_id")
     )
     state_schema = f"keep_id {keep_type}, n_copies LONG"
