@@ -28,6 +28,7 @@ Two execution paths:
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 import time
 from dataclasses import dataclass, field
@@ -224,8 +225,11 @@ def _parse_field_value(raw: str) -> tuple[str, object]:
     # OVERFLOW ('1e309'): reject like the int/uint/timestamp range checks
     # (strconv.ParseFloat ERANGE parity) — letting inf through produced
     # the invalid-JSON token 'Infinity' on the distributed doc path and
-    # a PERMISSIVE-mode all-NULL row (review r12)
-    if v in (float("inf"), float("-inf")):
+    # a PERMISSIVE-mode all-NULL row (review r12). math.isinf, not a
+    # tuple-membership check: this is the most-executed branch of the
+    # per-line hot path and the tuple built two floats per value (the
+    # ndjson strict hook already uses isinf for the same reason)
+    if math.isinf(v):
         raise ValueError(f"float field value overflows float64: {raw!r}")
     return "FLOAT8", v
 
@@ -572,16 +576,19 @@ def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
         raw = pc.utf8_slice_codeunits(tok, start=len(k) + 1, stop=1 << 30)
         # value grammar, restricted to the subset whose VERBATIM text is
         # both int64-safe and valid JSON (≤18 digits; floats with a
-        # digit on each side of the dot) — protocol-legal values outside
-        # it ('.5', '5.', '+5', 19-digit ints) take the per-line path
+        # digit on each side of the dot; integer part 0|[1-9]… — JSON
+        # rejects leading zeros like '007', so such values would ride
+        # the doc as INVALID JSON and from_json would null the whole
+        # row, review r14) — protocol-legal values outside it ('.5',
+        # '5.', '+5', '007', 19-digit ints) take the per-line path
         is_i = np.asarray(
-            pc.match_substring_regex(raw, r"^-?\d{1,18}i$").to_numpy(
+            pc.match_substring_regex(raw, r"^-?(0|[1-9]\d{0,17})i$").to_numpy(
                 zero_copy_only=False
             ),
             dtype=bool,
         )
         is_u = np.asarray(
-            pc.match_substring_regex(raw, r"^\d{1,18}u$").to_numpy(
+            pc.match_substring_regex(raw, r"^(0|[1-9]\d{0,17})u$").to_numpy(
                 zero_copy_only=False
             ),
             dtype=bool,
@@ -607,7 +614,7 @@ def _vec_group(sigkey, head_g, fstr_g, ts64, gpos, sid_memo):
         is_d = np.asarray(
             pc.and_(
                 pc.match_substring_regex(
-                    raw, r"^-?\d+(\.\d+)?([eE][-+]?\d{1,2})?$"
+                    raw, r"^-?(0|[1-9]\d*)(\.\d+)?([eE][-+]?\d{1,2})?$"
                 ),
                 pc.less_equal(pc.utf8_length(raw), 32),
             ).to_numpy(zero_copy_only=False),

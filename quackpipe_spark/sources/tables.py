@@ -42,17 +42,23 @@ _SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 _SCAN_CACHE_CAP = 1024
 
 
-# Py4J error taxonomy for the liveness probe (ADVICE r14). Py4JJavaError
-# means the gateway round-trip WORKED and Java raised (live JVM, odd
-# shape); every other Py4JError — Py4JNetworkError especially — means the
-# protocol/connection itself failed, i.e. the gateway is gone. Import-
-# guarded: under Spark Connect py4j may be absent entirely.
+# Py4J error taxonomy for the liveness probe (ADVICE r14, narrowed in the
+# r14 review): Py4JJavaError means the gateway round-trip WORKED and Java
+# raised (live JVM, odd shape); Py4JNetworkError means the connection
+# itself failed — the gateway is provably gone (crash; the clean stop()
+# path nulls _jsc and is handled before the probe). BASE Py4JError is
+# deliberately NOT in the dead set: py4j raises it on a LIVE gateway for
+# protocol/shape mismatches ("method ... does not exist in the JVM" — the
+# exact cross-version drift this probe hedges against), and classifying
+# those dead would purge the scan/dialect/IVF/PQ caches on every miss —
+# the ADVICE-r12 regression the taxonomy exists to avoid. Import-guarded:
+# under Spark Connect py4j may be absent entirely.
 try:  # pragma: no cover - import shape depends on the installed Spark
-    from py4j.protocol import Py4JError as _Py4JError
     from py4j.protocol import Py4JJavaError as _Py4JJavaError
+    from py4j.protocol import Py4JNetworkError as _Py4JNetworkError
 
     _PY4J_JAVA_ERROR: tuple = (_Py4JJavaError,)
-    _PY4J_DEAD_ERRORS: tuple = (_Py4JError,)
+    _PY4J_DEAD_ERRORS: tuple = (_Py4JNetworkError,)
 except Exception:  # pragma: no cover
     _PY4J_JAVA_ERROR = ()
     _PY4J_DEAD_ERRORS = ()
@@ -183,9 +189,17 @@ def table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # of dead sessions' pins here rather than on the hot hit path.
         # pop(k, None), never del: two concurrent misses both snapshot
         # the same dead entry and the second del would KeyError out of
-        # the query (review r12 follow-up)
+        # the query (review r12 follow-up). The liveness probe is one
+        # Py4J round trip, and entries share sessions (10 tables each):
+        # memoize per SESSION within the sweep, or a near-cap cache pays
+        # up to ~1024 gateway round trips on one miss (r14 review)
+        alive_memo: dict[int, bool] = {}
         for k, (sess, _df) in list(_SCAN_CACHE.items()):
-            if not _session_alive(sess):
+            sid = id(sess)
+            alive = alive_memo.get(sid)
+            if alive is None:
+                alive = alive_memo[sid] = _session_alive(sess)
+            if not alive:
                 _SCAN_CACHE.pop(k, None)
         while len(_SCAN_CACHE) >= _SCAN_CACHE_CAP:
             try:

@@ -119,7 +119,11 @@ def test_session_alive_py4j_network_error_means_dead():
     from quackpipe_spark.sources.tables import _session_alive
 
     assert _session_alive(_FakeSession(py4j_protocol.Py4JNetworkError("gone"))) is False
-    assert _session_alive(_FakeSession(py4j_protocol.Py4JError("proto"))) is False
+    # BASE Py4JError is raised on a LIVE gateway for protocol/shape
+    # mismatches ("method ... does not exist in the JVM") — classifying it
+    # dead purged every cache on each miss under cross-version drift
+    # (r14 review narrowing): unknown → keep cached
+    assert _session_alive(_FakeSession(py4j_protocol.Py4JError("proto"))) is True
 
 
 def test_session_alive_java_or_shape_error_means_unknown_alive():

@@ -335,3 +335,53 @@ def test_arrow_batch_differential(corpus):
     exp_docs = [json.loads(x) for x in doc]
     assert got_docs == exp_docs
     assert rb.column("time").to_pylist() == tm
+
+
+def test_arrow_batch_leading_zero_numerics_match_per_line():
+    """Leading-zero numerics ('007', '007i', '007u', '00.5') are
+    protocol-legal (strconv parses them as 7 / 0.5) but INVALID JSON, so
+    riding them verbatim into the vectorized doc made from_json null the
+    whole row — a silent all-NULL divergence from the per-line path
+    (review r14). The eligibility regexes now require a 0|[1-9]… integer
+    part, routing such values to the per-line reference path: both paths
+    must agree value-for-value."""
+    import json
+
+    import pyarrow as pa
+
+    from quackpipe_spark.sources.lineproto import (
+        _parse_batch_arrow,
+        _parse_lines_py,
+    )
+
+    corpus = [
+        "m f=007 1",
+        "m i=007i 2",
+        "m u=007u 3",
+        "m f2=00.5 4",
+        "m f3=-007 5",
+        "m f4=0.5 6",     # single leading 0 before the dot: still eligible
+        "m i2=0i 7",      # bare zero: still eligible
+        "m u2=0u 8",
+        "m f5=1e07 9",    # leading zero in the EXPONENT is valid JSON
+    ]
+    out_schema = pa.schema(
+        [
+            ("table", pa.string()),
+            ("schema_id", pa.decimal128(20, 0)),
+            ("schema_desc", pa.string()),
+            ("doc", pa.string()),
+            ("time", pa.int64()),
+        ]
+    )
+    rb = _parse_batch_arrow(
+        pa.array(corpus, type=pa.string()), out_schema, "ns", {}, None, True
+    )
+    kept, t, sid, desc, doc, tm = _parse_lines_py(corpus, "ns", {}, None, True)
+    assert rb.column("table").to_pylist() == t
+    # every doc must be VALID json and value-identical to the reference
+    got_docs = [json.loads(x) for x in rb.column("doc").to_pylist()]
+    exp_docs = [json.loads(x) for x in doc]
+    assert got_docs == exp_docs
+    assert any(d.get("f") == 7.0 for d in got_docs)  # 007 stored as 7, not dropped
+    assert rb.column("time").to_pylist() == tm
