@@ -158,9 +158,11 @@ _SCALAR_FUNCTIONS: list[tuple[str, str, str, str]] = [
         "hash_sample_keep",
         "key STRING, fraction DOUBLE, salt STRING",
         "BOOLEAN",
-        "CAST(CAST(conv(substring(md5(concat(salt, '|',"
-        " coalesce(key, concat(chr(0), 'null')))), 1, 8), 16, 10) AS BIGINT)"
-        " % 10000 AS INT)"
+        # delegates to hash_bucket (registered just above) so the ONE
+        # deterministic hash recipe exists once — a drift between two
+        # copies would silently keep a different row set than
+        # hash_bucket reports (review r14)
+        "hash_bucket(key, salt)"
         " < CAST(round(least(greatest(fraction, 0.0D), 1.0D) * 10000) AS INT)",
     ),
     # DuckDB-dialect epoch family: the reference's /query engine IS
@@ -410,8 +412,10 @@ _COUNT_NOARG = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 _ARRAY_JOIN = re.compile(r"\barrayJoin\s*\(")
 # DuckDB date_diff('part', a, b): the leading string literal (quote
 # survives blanking) separates it from Spark's built-in 2-arg
-# date_diff(end, start), which must stay untouched
-_DATE_DIFF_PART = re.compile(r"\bdate_diff\s*\(\s*(?=')", re.IGNORECASE)
+# date_diff(end, start), which must stay untouched. DuckDB documents
+# datediff (no underscore) as an alias of the same function — same
+# leading-quote disambiguation vs Spark's 2-arg datediff (review r14)
+_DATE_DIFF_PART = re.compile(r"\bdate_?diff\s*\(\s*(?=')", re.IGNORECASE)
 # Single-path form, optionally with DuckDB-style options. Spark's
 # path-table syntax can't carry reader options, so this engine-less
 # rewrite keeps the path and drops the options — QueryEngine.sql (the
@@ -475,13 +479,20 @@ def rewrite_sql(sql: str) -> str:
     # read_parquet('p') STARTS in code but its path argument is a
     # literal: the shape matches on the blanked view and the true path
     # is re-read from the original at the group span (offsets are
-    # preserved by blanking); SQL ''-escapes unfold like QueryEngine's
-    # _path_list does — without it a path containing an apostrophe
-    # rewrote to a nonexistent doubled-quote file (review r12)
+    # preserved by blanking). The raw span decodes through the SAME
+    # escape conventions the scanner lexes ('' doubling AND backslash
+    # escapes — unescape_sql_string; review r12 + r14), and the resolved
+    # path's backticks double on the way INTO the identifier: a path
+    # containing ` would otherwise close the identifier early and splice
+    # the remainder into the statement as SQL (review r14)
+    from quackpipe_spark.sqltext import unescape_sql_string
+
     return _sub_on_blanked(
         sql,
         _READ_PARQUET,
         lambda m, s: "parquet.`{}`".format(
-            resolve_scan_path(s[m.start(1):m.end(1)].replace("''", "'"))
+            resolve_scan_path(
+                unescape_sql_string(s[m.start(1):m.end(1)])
+            ).replace("`", "``")
         ),
     )

@@ -133,9 +133,12 @@ def strftime_vec(ts: pd.Series, fmt: pd.Series) -> pd.Series:
     — in practice the format is a constant, so exactly one pass)."""
     out = pd.Series(index=ts.index, dtype="object")
     valid = ts.notna() & fmt.notna()
-    for f in fmt[valid].unique():
-        sel = valid & (fmt == f)
-        out[sel] = ts[sel].dt.strftime(f)
+    # one groupby pass, not a full-series equality scan per distinct
+    # format — per-row formats in a batch would otherwise cost
+    # O(n_formats × batch_rows) (review r14)
+    fv = fmt[valid]
+    for f, idx in fv.groupby(fv).groups.items():
+        out[idx] = ts[idx].dt.strftime(f)
     return out
 
 
@@ -148,9 +151,20 @@ def strptime_vec(s: pd.Series, fmt: pd.Series) -> pd.Series:
     the OrNull house style for lenient parses."""
     out = pd.Series(pd.NaT, index=s.index, dtype="datetime64[ns]")
     valid = s.notna() & fmt.notna()
-    for f in fmt[valid].unique():
-        sel = valid & (fmt == f)
-        out[sel] = pd.to_datetime(s[sel], format=f, errors="coerce")
+    sv, fv = s[valid], fmt[valid]
+    for f, idx in fv.groupby(fv).groups.items():  # one pass (see strftime)
+        # %z/%Z parse to TZ-AWARE values; assigning those into the naive
+        # datetime64[ns] series silently upcast it to object dtype (mixed
+        # offsets in one batch even came back object from to_datetime) —
+        # undefined behavior at Arrow serialization for a 'timestamp'
+        # UDF. Parse with utc=True and drop the tz: the instant is
+        # preserved as its UTC wall time, which is how DuckDB's strptime
+        # lands %z inputs in a plain TIMESTAMP (review r14).
+        aware = "%z" in f or "%Z" in f
+        r = pd.to_datetime(sv[idx], format=f, errors="coerce", utc=aware)
+        if aware:
+            r = r.dt.tz_localize(None)
+        out[idx] = r
     return out
 
 
@@ -199,9 +213,20 @@ def _impl_fingerprint(fn, _seen: set[int] | None = None) -> bytes:
     parts.append(repr(getattr(fn, "__defaults__", None)).encode())
     parts.append(repr(getattr(fn, "__kwdefaults__", None)).encode())
     # globals the code references (a helper the UDF calls): data by value,
-    # functions recursively, modules/classes by name only
+    # functions recursively, modules/classes by name only. co_names must
+    # be harvested RECURSIVELY through nested code objects — a helper
+    # referenced only inside a lambda/inner def lives in the nested
+    # code's co_names, and missing it let an edited helper keep the old
+    # digest, serving stale cached plans (review r14)
+    def all_names(c, acc: set) -> set:
+        acc.update(c.co_names)
+        for k in c.co_consts:
+            if hasattr(k, "co_code"):
+                all_names(k, acc)
+        return acc
+
     g = getattr(fn, "__globals__", {})
-    for nm in sorted(set(code.co_names) & set(g)):
+    for nm in sorted(all_names(code, set()) & set(g)):
         parts.append(nm.encode() + b"=" + describe_value(g[nm]))
     return b";".join(parts)
 

@@ -1124,7 +1124,13 @@ class QueryEngine:
     @classmethod
     def _path_list(cls, src: str) -> list[str]:
         """File paths from a matched source group: ARRAY['a','b',...] or a
-        single quoted path, with SQL ''-escapes unfolded."""
+        single quoted path, decoded through the scanner's escape
+        conventions ('' doubling AND backslash escapes —
+        sqltext.unescape_sql_string; an escaped quote INSIDE an ARRAY
+        element still desyncs the element split and raises the loud
+        could-not-parse error rather than truncating silently)."""
+        from quackpipe_spark.sqltext import unescape_sql_string
+
         if src.upper().startswith("ARRAY"):
             inner = src[src.index("[") + 1 : src.rindex("]")]
             paths: list[str] = []
@@ -1132,7 +1138,9 @@ class QueryEngine:
             for m in cls._SQ_ELEM.finditer(inner):
                 sq, dq = m.group(1), m.group(2)
                 paths.append(
-                    sq.replace("''", "'") if sq is not None else dq.replace('""', '"')
+                    unescape_sql_string(sq)
+                    if sq is not None
+                    else unescape_sql_string(dq, quote='"')
                 )
                 spans.append((m.start(), m.end()))
             leftover = "".join(
@@ -1146,7 +1154,7 @@ class QueryEngine:
                     f"separated by commas; could not parse: {inner!r}"
                 )
             return paths
-        return [src[1:-1].replace("''", "'")]
+        return [unescape_sql_string(src[1:-1], quote=src[0])]
     # read_parquet_mergetree(ARRAY['f1','f2'], 'col1,col2') — chsql's
     # k-way merge scan of sorted parquet files (merge_service_fs.go:266,
     # merge_service_s3.go:114): reads the union and yields rows ordered

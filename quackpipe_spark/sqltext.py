@@ -144,6 +144,46 @@ def blank_noncode(text: str) -> str:
     return "".join(buf)
 
 
+_BSLASH_ESCAPES = {
+    "0": "\0", "b": "\b", "n": "\n", "r": "\r", "t": "\t", "Z": "\x1a",
+}
+
+
+def unescape_sql_string(body: str, quote: str = "'") -> str:
+    """Decode the BODY of a Spark quoted literal (enclosing quotes
+    already stripped) the way Spark's parser does under the default
+    ``escapedStringLiterals=false``: doubled-quote unfolding PLUS the
+    C-style backslash escapes the shared scanner lexes as live. The two
+    conventions must travel together — the r12 fix unfolded only ``''``,
+    so a path literal like ``'/data/it\\'s.parquet'`` (which the scanner
+    correctly lexes past the escaped quote) reached the filesystem with
+    the backslash intact while Spark itself would have parsed it to
+    ``/data/it's.parquet`` (review r14). ``\\%`` and ``\\_`` keep their
+    backslash (Spark preserves them for LIKE); any other ``\\x`` yields
+    ``x``. Unicode ``\\uXXXX`` escapes are not decoded (documented
+    subset; not meaningful in file paths)."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt in _BSLASH_ESCAPES:
+                out.append(_BSLASH_ESCAPES[nxt])
+            elif nxt in ("%", "_"):
+                out.append("\\" + nxt)
+            else:
+                out.append(nxt)
+            i += 2
+        elif ch == quote and i + 1 < n and body[i + 1] == quote:
+            out.append(quote)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _terminated(text: str, a: int, b: int) -> bool:
     """True if the literal text[a:b] ends with a REAL closing quote —
     re-walk the token (it is short) rather than guess from the last
