@@ -127,16 +127,43 @@ def amplify(src: str, out_dir: str, amp: int) -> dict:
             w.write_table(pa.table([cols[n] for n in doc.schema.names], schema=doc.schema))
     stats["documents"] = doc.num_rows * amp
 
-    # embeddings: per-replica circular shift (orthogonal; rep 0 original)
+    # embeddings: per-replica circular shift composed with a per-BLOCK
+    # deterministic ±1 sign pattern. The shift alone wraps at `dim`
+    # replicas (np.roll by rep % dim), so amp > dim made replicas r and
+    # r+dim BIT-IDENTICAL vectors under different ids — cross-replica
+    # exact-duplicate pairs grew QUADRATICALLY in amp/dim (at amp=200:
+    # 128k duplicate groups of 3-4, 432k fabricated pairs — measured,
+    # r14) and near-dup growth probes read superlinear for a DATA
+    # artifact, not an operator property. A diagonal ±1 matrix is
+    # orthogonal: norms and within-replica cosines are preserved
+    # BIT-EXACTLY (each product x_i*y_i flips twice), block 0 keeps the
+    # all-+1 pattern so amp <= dim output is byte-identical to the old
+    # scheme, and replicas now repeat only after dim * 2^dim.
     emb = tbls["embeddings"]
     arr = emb["embedding"].combine_chunks()
     lens = np.asarray(arr.value_lengths(), dtype=np.int64)
     assert arr.null_count == 0 and lens.min() == lens.max(), "ragged embeddings"
     dim = int(lens[0])
     M = np.asarray(arr.flatten(), dtype=np.float32).reshape(len(arr), dim)
+
+    def _block_signs(block: int) -> np.ndarray:
+        if block == 0:
+            return np.ones(dim, dtype=np.float32)
+        import hashlib
+
+        bits = b""
+        k = 0
+        while len(bits) * 8 < dim:
+            bits += hashlib.md5(f"emb-signs-{block}-{k}".encode()).digest()
+            k += 1
+        return np.array(
+            [1.0 if (bits[i >> 3] >> (i & 7)) & 1 else -1.0 for i in range(dim)],
+            dtype=np.float32,
+        )
+
     with pq.ParquetWriter(f"{out_dir}/embeddings.parquet", emb.schema) as w:
         for rep in range(amp):
-            Mr = np.roll(M, -(rep % dim), axis=1)
+            Mr = np.roll(M, -(rep % dim), axis=1) * _block_signs(rep // dim)[None, :]
             vecs = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (len(arr) + 1) * dim, dim), type=pa.int32()),
                 pa.array(Mr.reshape(-1), type=pa.float32()),
