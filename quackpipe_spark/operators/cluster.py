@@ -246,9 +246,12 @@ def cluster_near_dups(
     present = labels.join(
         docs.select(F.col(id_col).alias("node")), "node", "left_semi"
     )
-    roots = present.groupBy("component").agg(F.min("node").alias("_root"))
-    mapping = present.join(roots, "component").select(
-        F.col("node").alias(id_col), F.col("_root").alias("component")
+    # one component-clustered window pass instead of groupBy + join-back
+    # (the same exchange+join saving cluster_near_dups_by_quality
+    # documents below — the two siblings now share the re-root shape)
+    mapping = present.select(
+        F.col("node").alias(id_col),
+        F.min("node").over(Window.partitionBy("component")).alias("component"),
     )
     out = docs.join(mapping, on=id_col, how="left")
     return out.withColumn(

@@ -52,6 +52,14 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")  # % 0 would NULL every shard
+    for reserved in ("shard", pack_col):
+        if reserved in docs.columns:
+            # withColumn would silently OVERWRITE caller data and the
+            # pack window would partition on the new values (review r14)
+            raise ValueError(
+                f"pack_sequences writes a {reserved!r} column but docs "
+                "already has one — rename it or pass a different pack_col"
+            )
     if n_shards > (1 << (63 - _SEQ_BITS)):
         # pack_id = shard << _SEQ_BITS | seq must fit int64: beyond 2^23
         # shards the multiply wraps (ANSI off, silently) and two distinct
@@ -177,10 +185,16 @@ def chunk_documents(
 
 def pack_stats(packed: DataFrame, token_col: str = "n_tokens", pack_col: str = "pack_id") -> DataFrame:
     """Per-pack fill statistics (docs, tokens) — the shard-writer's
-    manifest input and the packing-efficiency check."""
+    manifest input and the packing-efficiency check. Token counts clip
+    negatives to 0 exactly like pack_sequences' running sum does, so the
+    manifest totals match the budgets the packer actually enforced (a
+    corrupt negative n_tokens previously summed raw here while packing
+    as 0 there — review r14)."""
     return packed.groupBy(pack_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        F.sum(
+            F.greatest(F.col(token_col).cast("long"), F.lit(0))
+        ).alias("n_tokens"),
     )
 
 

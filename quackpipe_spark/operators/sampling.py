@@ -90,6 +90,12 @@ def hash_mod_py(key: str | None, n: int, salt: str = "") -> int:
 
     if n < 1:
         raise ValueError("hash_mod modulus must be >= 1")
+    if n > 0x7FFFFFFF:
+        # SAME guard as the Column twin: its int-cast result would wrap
+        # negative past int32, so the Python twin accepting such an n
+        # would name buckets the engine side can never produce —
+        # breaking the documented value-equality contract (review r14)
+        raise ValueError("hash_mod modulus must fit int32")
     if key is None:
         s = "\x00null"
     elif isinstance(key, bool):

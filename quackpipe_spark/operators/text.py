@@ -22,14 +22,24 @@ STOPWORDS = {
 }
 
 
-def token_count(text: Column) -> Column:
+# The token-based metrics all accept an optional pre-tokenized array
+# (``toks``): analyze() projects tokenize(text) ONCE and feeds it to
+# every metric, so the document isn't re-split per metric — Catalyst's
+# CollapseProject keeps a multiply-referenced non-cheap alias
+# materialized, and bpe_estimate's aggregate() (CodegenFallback, outside
+# codegen CSE) consumes the precomputed attribute instead of its own
+# interpreted split (review r14). Passing toks=None keeps the original
+# single-metric behavior bit-exactly (same tokenize expression).
+
+
+def token_count(text: Column, toks: Column | None = None) -> Column:
     """Whitespace token count + a BPE-ish subword estimate (word-piece ≈
     ceil(chars/4) per token, the common heuristic for budget planning)."""
-    return F.size(tokenize(text))
+    return F.size(tokenize(text) if toks is None else toks)
 
 
-def bpe_estimate(text: Column) -> Column:
-    toks = tokenize(text)
+def bpe_estimate(text: Column, toks: Column | None = None) -> Column:
+    toks = tokenize(text) if toks is None else toks
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
@@ -44,18 +54,20 @@ def punct_ratio(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokenize(text)
+def stopword_ratio(
+    text: Column, lang: str = "en", toks: Column | None = None
+) -> Column:
+    toks = tokenize(text) if toks is None else toks
     hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
     # distinct-hit ratio over distinct tokens (array_intersect dedups)
     return F.round(hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)), 4)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality: length band + punctuation sanity + mean
     word length band — the classic cheap pre-filter before model scoring."""
     n_chars = F.length(text)
-    toks = tokenize(text)
+    toks = tokenize(text) if toks is None else toks
     n_toks = F.size(toks)
     mean_word = n_chars / F.greatest(n_toks, F.lit(1))
     len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(0.0)
@@ -64,10 +76,10 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + word_ok + punct_ok) / 3.0, 4)
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column, toks: Column | None = None) -> Column:
     """Stopword-voting language ID: the language whose stopword list hits
     the most distinct tokens; 'und' (undetermined) when nothing hits."""
-    toks = F.array_distinct(tokenize(text))
+    toks = F.array_distinct(tokenize(text) if toks is None else toks)
     scores = [
         (
             lang,
@@ -119,11 +131,11 @@ def redact_pii(text: Column) -> Column:
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
 
 
-def dup_token_ratio(text: Column) -> Column:
+def dup_token_ratio(text: Column, toks: Column | None = None) -> Column:
     """Gopher-style repetition signal: fraction of tokens that repeat an
     earlier token (1 − distinct/total). Row-local JVM expression — rides
     the scan stage like every other per-row metric."""
-    toks = tokenize(text)
+    toks = tokenize(text) if toks is None else toks
     return F.round(
         1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 4
     )
@@ -174,7 +186,13 @@ def fingerprint(text: Column) -> Column:
 
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) consecutive token pairs; docs under 2 tokens drop."""
+    """(id, w1, w2) consecutive token pairs; docs under 2 tokens drop.
+
+    Deliberately a second gram formulation next to dedup.gram_array: the
+    LM needs the two words as SEPARATE columns (uni_counts groups by w1
+    alone), which gram_array's joined 'w1 w2' string can't give without
+    a re-split. Both derive from the same tokenize(), so the token
+    definition can't drift — only the pairing shape differs."""
     base = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= 2)
@@ -264,7 +282,19 @@ def bigram_lm_score(
     big_counts = train_big.groupBy("w1", "w2").agg(
         F.count("*").alias("_c12")
     ).persist()
-    big_counts.count()  # blocking: consumers must hit the cache, not race
+    n_model = big_counts.count()  # blocking: consumers must hit the cache
+    if n_model == 0:
+        # an empty model (empty train slice, or no train doc with >= 2
+        # tokens) makes _V = 0 and every denominator 0 → ANSI-off NULL →
+        # every doc scores (avg_logp=NULL, ppl=NULL) and a downstream
+        # ppl-threshold filter silently drops the ENTIRE corpus. The
+        # count above already materialized the model, so the check is
+        # free (review r14).
+        big_counts.unpersist()
+        raise ValueError(
+            "bigram model is empty: no training doc has >= 2 tokens — "
+            "every score would be NULL"
+        )
     _LM_CACHES.append(big_counts)
     score_big = _doc_bigrams(docs, id_col, text_col)
     uni_counts = big_counts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
@@ -385,24 +415,30 @@ def analyze(
         return F.when(t.isNull(), F.lit(None)).otherwise(expr)
 
     def _proj(src: DataFrame) -> DataFrame:
+        # tokenize ONCE: the token array is projected as an attribute
+        # and every token-based metric consumes it (see the toks-param
+        # note above token_count) — same tokenize expression, so values
+        # are bit-identical to per-metric tokenization
+        staged = src.select(F.col(id_col), t, tokenize(t).alias("_toks"))
+        tk = F.col("_toks")
         cols = [
             F.col(id_col),
             F.length(t).alias("n_chars"),
-            _nn(token_count(t)).alias("n_tokens"),
-            _nn(bpe_estimate(t)).alias("bpe_tokens_est"),
+            _nn(token_count(t, toks=tk)).alias("n_tokens"),
+            _nn(bpe_estimate(t, toks=tk)).alias("bpe_tokens_est"),
             punct_ratio(t).alias("punct_ratio"),
-            _nn(stopword_ratio(t, "en")).alias("stopword_ratio_en"),
-            _nn(dup_token_ratio(t)).alias("dup_token_ratio"),
+            _nn(stopword_ratio(t, "en", toks=tk)).alias("stopword_ratio_en"),
+            _nn(dup_token_ratio(t, toks=tk)).alias("dup_token_ratio"),
             email_count(t).alias("n_emails"),
             url_count(t).alias("n_urls"),
-            quality_score(t).alias("quality"),
-            detect_language(t).alias("lang_detected"),
+            quality_score(t, toks=tk).alias("quality"),
+            detect_language(t, toks=tk).alias("lang_detected"),
             _nn(fingerprint(t)).alias("fingerprint"),
         ]
         if redact:
             # md5(NULL) is NULL in both engines — no _nn guard needed
             cols.append(F.md5(redact_pii(t)).alias("redacted_fp"))
-        return src.select(*cols)
+        return staged.select(*cols)
 
     if not repetition:
         return _proj(docs)
