@@ -138,8 +138,9 @@ class IngestService:
                 and (known is None or c not in known.schema)
             )
         }
-        t = self.catalog.get_or_create(db, table, fields=infer_schema(evidized))
-        self.catalog.update_schema(t, effective_schema(t, evidized))
+        fields = infer_schema(evidized)  # one inference pass (review r14)
+        t = self.catalog.get_or_create(db, table, fields=fields)
+        self.catalog.update_schema(t, effective_schema(t, evidized, fields=fields))
 
     def flush(self, key: tuple[str, str] | None = None) -> int:
         """Flush buffers (all, or one (db, table) when ``key`` is given);

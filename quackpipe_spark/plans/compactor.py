@@ -151,7 +151,13 @@ class Compactor:
 
         Also reaps any due tombstones (delayed deletes from earlier
         merges) so cleanup happens on the ticker cadence even for
-        partitions with nothing left to merge."""
+        partitions with nothing left to merge, and sweeps STALE entries
+        out of the table's tmp/ staging dir (a crashed distributed write
+        or failed merge leaves its uuid stage dir there forever — nothing
+        else ever cleans tmp/, so repeated failures accumulated unbounded
+        disk; review r14). The age guard keeps the sweep clear of any
+        live writer's in-flight staging."""
+        _sweep_tmp(self.table.tmp_dir())
         plans: list[MergePlan] = []
         for pdir in self.table.partition_dirs():
             idx = PartitionIndex.load(pdir)  # one load per partition/tick:
@@ -225,6 +231,11 @@ class Compactor:
         )
         newname = f"{uuid.uuid4().hex}.{plan.out_level}.parquet"
         dst = os.path.join(plan.partition_dir, newname)
+        # data blocks durable BEFORE the fsync-hardened index durably
+        # references the file (the flat-dir journal's _fsync_file lesson;
+        # the index save fsyncs metadata.json + the dir, covering the
+        # rename's dentry — review r14)
+        _fsync_file(os.path.join(stage_dir, part))
         os.replace(os.path.join(stage_dir, part), dst)
         import shutil
 
@@ -234,23 +245,40 @@ class Compactor:
 
         from quackpipe_spark.writer import _footer_min_max
 
-        meta = pq.read_metadata(dst)
-        tmin, tmax = _footer_min_max(meta, tcol)
-        # the index swap is the only critical section — the heavy sorted
-        # rewrite above ran outside the lock, so concurrent flushes to the
-        # same partition serialize only on this metadata update
-        with locked_index(plan.partition_dir) as idx:
-            idx.add(
-                FileEntry(
-                    name=newname,
-                    size_bytes=os.path.getsize(dst),
-                    row_count=meta.num_rows,
-                    min_time=tmin,
-                    max_time=tmax,
+        # the merged file COMMITS at the index swap: any failure between
+        # the rename above and the save must roll the rename back —
+        # otherwise the full-size orphan stays visible in the live dir,
+        # the inputs stay indexed, and the merge ticker re-plans the same
+        # merge every tick, writing ANOTHER orphan each time (review
+        # r14). Only when the failure provably preceded the save
+        # (body_done False — locked_index skips save on body exceptions):
+        # unlinking after a possibly-committed save would delete
+        # referenced data.
+        body_done = False
+        try:
+            meta = pq.read_metadata(dst)
+            tmin, tmax = _footer_min_max(meta, tcol)
+            # the index swap is the only critical section — the heavy
+            # sorted rewrite above ran outside the lock, so concurrent
+            # flushes to the same partition serialize only on this
+            # metadata update
+            with locked_index(plan.partition_dir) as idx:
+                idx.add(
+                    FileEntry(
+                        name=newname,
+                        size_bytes=os.path.getsize(dst),
+                        row_count=meta.num_rows,
+                        min_time=tmin,
+                        max_time=tmax,
+                    )
                 )
-            )
-            idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
-            idx.reap()
+                idx.remove(plan.files, drop_delay_s=self.drop_delay_s)
+                idx.reap()
+                body_done = True
+        except BaseException:
+            if not body_done:
+                _unlink_quiet(dst)
+            raise
         return dst
 
 
@@ -305,30 +333,40 @@ _HIDDEN_OUT_PREFIX = ".compact-out-"
 _STAGE_PREFIX = ".compact-stage-"
 
 
-def _fsync_file(p: str) -> None:
-    """Best-effort fsync: without it, a rename can be durable before the
-    file's data blocks (delayed allocation), so a power loss could make
-    the commit marker survive while the merged parquet it points at is
-    truncated — recovery would then roll forward to a corrupt output."""
-    try:
-        fd = os.open(p, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-    except OSError:
-        pass
+# one shared fsync idiom (plans/index.py) — three drifting copies of the
+# open/fsync/close dance previously lived in this package (review r14)
+from quackpipe_spark.plans.index import fsync_dir as _fsync_dir
+from quackpipe_spark.plans.index import fsync_file as _fsync_file
+
+# staging entries older than this are provably not a live write's
+# (flushes stage for seconds; bulk writes for minutes)
+_TMP_SWEEP_AGE_S = 3600.0
 
 
-def _fsync_dir(p: str) -> None:
+def _sweep_tmp(tmp_dir: str, max_age_s: float = _TMP_SWEEP_AGE_S) -> int:
+    """Remove tmp/ staging entries (uuid stage dirs, orphaned .parquet
+    stage files) whose mtime is older than ``max_age_s`` — the leftovers
+    of crashed or failed writes/merges. Returns entries removed."""
+    import shutil as _shutil
+
+    removed = 0
     try:
-        fd = os.open(p, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        entries = list(os.scandir(tmp_dir))
     except OSError:
-        pass
+        return 0
+    cutoff = time.time() - max_age_s
+    for e in entries:
+        try:
+            if e.stat().st_mtime >= cutoff:
+                continue
+            if e.is_dir():
+                _shutil.rmtree(e.path, ignore_errors=True)
+            else:
+                os.unlink(e.path)
+            removed += 1
+        except OSError:
+            continue
+    return removed
 
 
 def _unlink_quiet(p: str) -> None:

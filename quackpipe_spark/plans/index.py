@@ -53,6 +53,24 @@ def fsync_dir(path: str) -> None:
         pass
 
 
+def fsync_file(path: str) -> None:
+    """Best-effort file fsync — the data half of the durability pair:
+    without it a rename (and the fsync-hardened index save that follows)
+    can be durable before the file's DATA blocks under delayed
+    allocation, so a power loss leaves a durable index entry pointing at
+    a truncated parquet. Same one-shared-copy rationale as fsync_dir
+    (the compactor's flat-dir journal and both Table publish paths all
+    need the identical idiom — review r14)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 @contextmanager
 def locked_index(partition_dir: str):
     """load → mutate → save as one critical section. Every WRITER of a

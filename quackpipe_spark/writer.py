@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackpipe_spark.catalog import Catalog, Table
-from quackpipe_spark.plans.index import FileEntry, locked_index
+from quackpipe_spark.plans.index import FileEntry, fsync_file, locked_index
 from quackpipe_spark.types import CANONICAL, infer_canonical
 
 # Parquet row-group length parity (save_service_fs.go:83).
@@ -132,14 +132,19 @@ def infer_schema(data: dict[str, list]) -> dict[str, str]:
     return out
 
 
-def effective_schema(table: Table, data: dict[str, list]) -> dict[str, str]:
+def effective_schema(
+    table: Table, data: dict[str, list], fields: dict[str, str] | None = None
+) -> dict[str, str]:
     """infer_schema, but an ALL-NULL column carries no type evidence: it
     inherits the table's existing type instead of defaulting to VARCHAR —
     otherwise a typed column receiving a batch of nulls raises a spurious
     type conflict in update_schema AND would be written as a string
     column, breaking the union-by-name read (null is a legal value for
-    any type; the reference null-fills)."""
-    schema = infer_schema(data)
+    any type; the reference null-fills). ``fields`` lets a caller that
+    already ran infer_schema over the same batch (get_or_create needs it
+    too) pass the result in instead of re-scanning every column of a
+    multi-million-row flush (review r14)."""
+    schema = dict(fields) if fields is not None else infer_schema(data)
     for col, vals in data.items():
         if col in table.schema and all(v is None for v in vals):
             schema[col] = table.schema[col]
@@ -186,8 +191,9 @@ class HiveWriter:
         ]
         if drop:
             data = {c: v for c, v in data.items() if c not in drop}
-        table = self.catalog.get_or_create(db, name, fields=infer_schema(data))
-        schema = effective_schema(table, data)
+        fields = infer_schema(data)  # ONE full-batch inference pass
+        table = self.catalog.get_or_create(db, name, fields=fields)
+        schema = effective_schema(table, data, fields=fields)
         # Auto-timestamp (merge_tree_service.go:268-290): whole batch gets
         # arrival ns when the column is absent.
         tcol = self.time_column(table)
@@ -358,6 +364,10 @@ class HiveWriter:
         live_dir = os.path.join(table.path, rel) if rel else table.path
         os.makedirs(live_dir, exist_ok=True)
         dst = os.path.join(live_dir, newname)
+        # data blocks durable before the fsync-hardened index references
+        # the file (review r14; the index save's dir fsync covers the
+        # rename's dentry)
+        fsync_file(tmp)
         os.replace(tmp, dst)
         body_done = False
         try:
@@ -490,6 +500,35 @@ class HiveWriter:
             df = df.withColumn(tcol, F.lit(time.time_ns()).cast("long"))
             schema = dict(schema)
             schema[tcol] = "INT8"
+        elif tcol in df.columns:
+            # per-row NULL times: same contract as write_columnar — fill
+            # with arrival ns under auto_timestamp, refuse otherwise. A
+            # passed-through NULL previously landed the row in
+            # date=__HIVE_DEFAULT_PARTITION__: a dir the pruner never
+            # prunes, holding rows no time-range filter can ever match —
+            # mislabeled, effectively invisible data (review r14)
+            if table.auto_timestamp:
+                df = df.withColumn(
+                    tcol,
+                    F.coalesce(F.col(tcol), F.lit(time.time_ns()).cast("long")),
+                )
+            else:
+                # refusal rides the staging write itself (raise_error on
+                # the first NULL row — no extra validation job), which
+                # fails BEFORE any commit, so the client's error is
+                # safely retryable
+                df = df.withColumn(
+                    tcol,
+                    F.when(
+                        F.col(tcol).isNull(),
+                        F.raise_error(
+                            F.lit(
+                                f"null values in time column {tcol!r} "
+                                "with auto_timestamp off"
+                            )
+                        ).cast("long"),
+                    ).otherwise(F.col(tcol)),
+                )
         self.catalog.update_schema(table, schema)
         return self.write_df(table, df, level=1, one_file_per_partition=True)
 
@@ -557,8 +596,19 @@ class HiveWriter:
 
     def _commit(self, table: Table, stage_dir: str, level: int, tcol: str) -> list[str]:
         """Move staged part-files into live partition dirs as
-        {uuid}.{level}.parquet + upsert the partition index."""
-        written = []
+        {uuid}.{level}.parquet + upsert the partition index — with the
+        SAME two-phase error contract as _flush_parts (review r14): a
+        failure before ANY dir's index save rolls back this dir's renames
+        and re-raises (the client's 400 is safely retryable — nothing
+        committed); a failure after the first dir committed (or one that
+        may have, mid-save) raises PartialWriteError so the HTTP door's
+        non-retryable 422 stops a blind retry from duplicating the
+        committed partitions. Each data file fsyncs before its rename so
+        the fsync-hardened index never durably references un-durable
+        parquet blocks (the flat-dir journal's lesson); the index save's
+        dir fsync covers the rename's dentry."""
+        written: list[str] = []
+        committed_dirs = 0
         for root, _dirs, files in os.walk(stage_dir):
             parts = [f for f in files if f.endswith(".parquet")]
             if not parts:
@@ -566,24 +616,48 @@ class HiveWriter:
             rel = os.path.relpath(root, stage_dir)  # date=…/hour=… or "." (flat)
             live_dir = table.path if rel == "." else os.path.join(table.path, rel)
             os.makedirs(live_dir, exist_ok=True)
-            with locked_index(live_dir) as idx:
-                for fname in parts:
-                    src = os.path.join(root, fname)
-                    newname = f"{uuid.uuid4().hex}.{level}.parquet"
-                    dst = os.path.join(live_dir, newname)
-                    meta = pq.read_metadata(src)
-                    tmin, tmax = _footer_min_max(meta, tcol)
-                    os.replace(src, dst)
-                    idx.add(
-                        FileEntry(
-                            name=newname,
-                            size_bytes=os.path.getsize(dst),
-                            row_count=meta.num_rows,
-                            min_time=tmin,
-                            max_time=tmax,
+            replaced: list[str] = []
+            pending: list[str] = []
+            body_done = False
+            try:
+                with locked_index(live_dir) as idx:
+                    for fname in parts:
+                        src = os.path.join(root, fname)
+                        newname = f"{uuid.uuid4().hex}.{level}.parquet"
+                        dst = os.path.join(live_dir, newname)
+                        meta = pq.read_metadata(src)
+                        tmin, tmax = _footer_min_max(meta, tcol)
+                        fsync_file(src)
+                        os.replace(src, dst)
+                        replaced.append(dst)
+                        idx.add(
+                            FileEntry(
+                                name=newname,
+                                size_bytes=os.path.getsize(dst),
+                                row_count=meta.num_rows,
+                                min_time=tmin,
+                                max_time=tmax,
+                            )
                         )
-                    )
-                    written.append(dst)
+                        pending.append(dst)
+                    body_done = True  # past here the save may have run
+            except BaseException as e:
+                if body_done or committed_dirs:
+                    raise PartialWriteError(
+                        f"{committed_dirs} partition dir(s) committed "
+                        f"before failure in {rel!r}: {type(e).__name__}: {e}"
+                    ) from e
+                # provably pre-save: roll the renames back so "nothing
+                # committed" stays true (a live un-indexed file would
+                # leak as an orphan a blind retry duplicates)
+                for dst in replaced:
+                    try:
+                        os.unlink(dst)
+                    except OSError:
+                        pass
+                raise
+            committed_dirs += 1
+            written.extend(pending)
         return written
 
 
