@@ -96,12 +96,21 @@ def main(argv: list[str] | None = None) -> int:
     srv = GigapiServer(spark, args.root, host=args.host, port=args.port)
     srv.start()
     print(f"listening on http://{args.host}:{srv._httpd.server_address[1]}")
-    try:
-        import threading
+    import signal
+    import threading
 
-        threading.Event().wait()
+    done = threading.Event()
+    # SIGTERM is the standard docker/systemd stop signal: without a
+    # handler Python dies inside the wait() with NO final flush — rows
+    # the server 422-acked as "buffered, may still be written" would be
+    # dropped and the graceful path below would be unreachable in the
+    # most common deployment (review r14). SIGINT keeps Ctrl-C parity.
+    signal.signal(signal.SIGTERM, lambda *_: done.set())
+    try:
+        done.wait()
     except KeyboardInterrupt:
-        srv.stop()
+        pass
+    srv.stop()
     return 0
 
 

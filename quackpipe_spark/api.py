@@ -283,7 +283,16 @@ class GigapiServer:
                             mism = []
                             if spec.get("engine") and spec["engine"] != t.engine:
                                 mism.append(f"engine={t.engine}")
-                            if spec.get("order_by") and spec["order_by"] != t.order_by:
+                            # compare the NORMALIZED spec: the YAML scalar
+                            # 'order_by: ts' is the spelling get_or_create
+                            # itself normalizes to ['ts'] — comparing the
+                            # raw scalar produced a false "spec was not
+                            # applied" warning for an exactly-matching
+                            # re-create (review r14)
+                            req_ob = spec.get("order_by")
+                            if isinstance(req_ob, str):
+                                req_ob = [req_ob]
+                            if req_ob and list(req_ob) != t.order_by:
                                 mism.append(f"order_by={t.order_by}")
                             if mism:
                                 resp["warning"] = (
@@ -384,6 +393,26 @@ class GigapiServer:
                                 },
                             )
                             return
+                        except Exception as e:
+                            # COMPLETE pre-publish flush failure: any
+                            # non-Partial promise exception means NOTHING
+                            # committed (_flush_parts/_commit raise plain
+                            # errors only after full rollback), so this is
+                            # exactly the retry-SAFE transient class the
+                            # comments above reserve 503 for. Falling into
+                            # the generic 400 conflated it with
+                            # client-fault parse errors — machine LP
+                            # clients never retry 4xx, permanently losing
+                            # retryable data (review r14).
+                            self._send(
+                                503,
+                                {
+                                    "error": f"flush failed, nothing "
+                                    f"committed — safe to retry: "
+                                    f"{type(e).__name__}: {e}"
+                                },
+                            )
+                            return
                         self.send_response(204)
                         self.end_headers()
                     elif path == "/query":
@@ -395,7 +424,16 @@ class GigapiServer:
                 except Exception as e:  # error shape parity: JSON error body
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
-        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        class _JoiningHTTPServer(ThreadingHTTPServer):
+            # join in-flight handler threads at server_close(): with the
+            # default daemon_threads=True, stop() could run the ingest's
+            # FINAL flush while a handler is still buffering rows —
+            # stranding them forever with their promise unresolved
+            # (silent, uncounted loss; review r14). block_on_close is
+            # True by default, so server_close() waits for handlers.
+            daemon_threads = False
+
+        self._httpd = _JoiningHTTPServer((self.host, self.port), Handler)
         threading.Thread(target=self._httpd.serve_forever, daemon=True, name="gigapi-http").start()
 
     def stop(self) -> None:

@@ -17,9 +17,11 @@ partition_by=[]).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 from dataclasses import asdict, dataclass, field
+from dataclasses import fields as dataclass_fields
 
 from quackpipe_spark.types import resolve
 
@@ -95,7 +97,11 @@ class Table:
         # makes every query return empty AND resurrects the old directory
         # on the next write (split-brain storage, no error anywhere).
         meta["path"] = path
-        return cls(**meta)
+        # tolerate unknown fields (the PartitionIndex lesson, review r12:
+        # one new field from a newer writer binary must not brick a
+        # querier container sharing the filesystem) — known fields decide
+        known = {f.name for f in dataclass_fields(cls)}
+        return cls(**{k: v for k, v in meta.items() if k in known})
 
     def partition_dirs(self) -> list[str]:
         """Live partition directories (…/date=D/hour=H), or the table root
@@ -140,7 +146,22 @@ class Catalog:
             for name in os.listdir(dbdir):
                 tdir = os.path.join(dbdir, name)
                 if os.path.exists(os.path.join(tdir, Table.META_NAME)):
-                    t = Table.load(tdir)
+                    # per-table isolation: ONE corrupt/truncated
+                    # .table.json (external copy, mid-write crash of
+                    # another container) must not abort the whole scan —
+                    # that took down server startup and every
+                    # rediscover() tick for ALL healthy tables
+                    # (review r14). Loud log; the table becomes
+                    # addressable again once its metadata is repaired.
+                    try:
+                        t = Table.load(tdir)
+                    except Exception:
+                        logging.getLogger(__name__).exception(
+                            "skipping table dir %s: unreadable %s",
+                            tdir,
+                            Table.META_NAME,
+                        )
+                        continue
                     self._tables[(db, name)] = t
 
     def rediscover(self) -> None:
@@ -230,19 +251,32 @@ class Catalog:
             # ("dictionary changed size during iteration"), a spurious 500
             # on concurrent first-writes of new measurements.
             if (db, name) not in self._tables:
-                # db-component continuity (review r13): a database already
-                # on disk under the legacy dotted/dashed contract keeps its
-                # spelling for NEW measurements too — sanitizing only the
-                # new table's db would silently split one logical db in two
-                # directories (old measurements under legacy.db/, new under
-                # legacy_db/). Discovered names come from os.listdir, so a
-                # legacy db spelling can never smuggle a path separator.
-                legacy_db = any(d == db for (d, _n) in self._tables)
-                if not legacy_db:
-                    db = sanitize_ident(db)
-                    _check_ident("db", db)
-                name = sanitize_ident(name)
-                _check_ident("table", name)
+                sname = sanitize_ident(name)
+                if (db, sname) in self._tables:
+                    # HOT-path short circuit (review r14): steady-state
+                    # ingest of a punctuated measurement resolves here on
+                    # every batch — (db, sname) existing implies the db
+                    # spelling is live, which is exactly what the legacy
+                    # scan below would conclude, without the O(N-tables)
+                    # any() under the catalog-wide lock per batch.
+                    name = sname
+                    _check_ident("table", name)
+                else:
+                    # db-component continuity (review r13): a database
+                    # already on disk under the legacy dotted/dashed
+                    # contract keeps its spelling for NEW measurements too
+                    # — sanitizing only the new table's db would silently
+                    # split one logical db in two directories (old
+                    # measurements under legacy.db/, new under
+                    # legacy_db/). Discovered names come from os.listdir,
+                    # so a legacy db spelling can never smuggle a path
+                    # separator.
+                    legacy_db = any(d == db for (d, _n) in self._tables)
+                    if not legacy_db:
+                        db = sanitize_ident(db)
+                        _check_ident("db", db)
+                    name = sname
+                    _check_ident("table", name)
             t = self._tables.get((db, name))
             if t is None:
                 pby = ["date", "hour"] if engine == "HiveMerge" else []

@@ -19,7 +19,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# non-digit values (e.g. SPARK_GRAFT_CPUS='*', idiomatic Spark for "all
+# cores" and handled by get_spark's master construction) must not crash
+# the package IMPORT — the default applies only to the shuffle count
+_cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+DEFAULT_SHUFFLE_PARTITIONS = int(_cpus_env) if _cpus_env.isdigit() else 32
 
 
 def get_spark(
@@ -39,6 +43,8 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+    if shuffle_partitions < 1:
+        raise ValueError(f"shuffle_partitions must be >= 1, got {shuffle_partitions}")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -58,7 +64,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            # resolved above; a falsy 0 must fail loudly, not silently
+            # rewrite to the import-time default (review r14)
+            str(shuffle_partitions),
         )
         # Nanosecond time: the reference's time domain is int64 epoch ns
         # (lineproto_parser.go:156, registry.go:95). Spark has no ns
