@@ -132,6 +132,13 @@ def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None
     except OSError:
         pass
     os.replace(tmp, os.path.join(d, "stats.parquet"))
+    # the rename is durable only once the STATS dir's entry is — without
+    # this, a power loss could revert the stats row while the
+    # applied-last marker (fsynced via the index ROOT dir, not stats/)
+    # survives: postings hold the batch, stats stay the old N/avgdl, no
+    # marker exists to trigger repair, and the replayed write_id skips
+    # as already applied — silently wrong forever (review r14)
+    _fsync_dir(d)
     for f in os.listdir(d):
         if f != "stats.parquet" and not f.startswith("."):
             os.unlink(os.path.join(d, f))
@@ -388,7 +395,14 @@ def append_postings(
     post = build_postings(docs, id_col, text_col).persist()
     try:
         out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
-        out.write.partitionBy("term_bucket").mode("append").parquet(f"{path}/postings")
+        # cluster on the partition column first: one file per bucket per
+        # append instead of tasks × buckets (the write_postings r14 fix —
+        # an un-clustered append added up to `parallelism` files per
+        # bucket per batch, re-growing the probe fan-in between
+        # compactions)
+        out.repartition("term_bucket").write.partitionBy("term_bucket").mode(
+            "append"
+        ).parquet(f"{path}/postings")
         b = (
             post.groupBy(id_col)
             .agg(F.first("dl").alias("dl"))
@@ -449,7 +463,11 @@ def _append_postings_idempotent(
     post = build_postings(docs, id_col, text_col).persist()
     try:
         out = post.withColumn("term_bucket", hash_mod(F.col("term"), n_buckets))
-        out.write.partitionBy("term_bucket").mode("overwrite").parquet(stage)
+        # one file per bucket per append (see append_postings — fewer
+        # journaled moves and per-file fsyncs too)
+        out.repartition("term_bucket").write.partitionBy("term_bucket").mode(
+            "overwrite"
+        ).parquet(stage)
         b = (
             post.groupBy(id_col)
             .agg(F.first("dl").alias("dl"))
@@ -481,6 +499,15 @@ def _append_postings_idempotent(
             path, "postings", bucket, f"append-{write_id}-{i}.parquet"
         )
         moves.append((src, dst))
+    # the staged files' DENTRIES must be durable before the marker too:
+    # roll-forward reads os.path.exists(src)==False as "already moved",
+    # so a power loss that kept the marker but dropped the un-fsynced
+    # stage dentries would skip every move yet still publish the
+    # marker's stats — postings lost, stats overcounted, replay skipped
+    # (review r14)
+    for d in sorted({os.path.dirname(src) for src, _ in moves}):
+        _fsync_dir(d)
+    _fsync_dir(stage)
     commit = os.path.join(path, f".append-commit-{write_id}")
     tmp = commit + "." + _uuid.uuid4().hex
     with open(tmp, "w") as f:

@@ -83,7 +83,7 @@ def _decode_image_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
     thumb = img.convert("L").resize((8, 8))
     px = list(thumb.getdata())
     rows = [sum(px[r * 8 : r * 8 + 8]) / (8 * 255.0) for r in range(8)]
-    return {"width": w, "height": h, "n_frames": n}, rows[:dim]
+    return {"width": w, "height": h, "n_frames": n}, _pad(rows, dim)
 
 
 def _decode_audio_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
@@ -102,7 +102,7 @@ def _decode_audio_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
                 w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
             )
         feat = [float(rate), float(ch), float(sw), nf / rate if rate else 0.0]
-        return {"width": 0, "height": 0, "n_frames": nf}, feat[:dim]
+        return {"width": 0, "height": 0, "n_frames": nf}, _pad(feat, dim)
     except wave.Error:
         pass
     try:
@@ -127,11 +127,27 @@ def _decode_audio_real(payload: bytes, dim: int) -> tuple[dict, list[float]]:
                 "installed); pass fake=True for the deterministic stub"
             ) from e
         raise ValueError("unrecognized audio payload") from e
-    data, rate = soundfile.read(io.BytesIO(payload))
-    nf = int(data.shape[0])
-    ch = int(data.shape[1]) if data.ndim > 1 else 1
-    feat = [float(rate), float(ch), 0.0, nf / rate if rate else 0.0]
-    return {"width": 0, "height": 0, "n_frames": nf}, feat[:dim]
+    # header-only metadata: soundfile.read would materialize the FULL
+    # decoded waveform (a 1 GB FLAC ≈ several GB of float64) inside the
+    # Arrow worker just to read shape/rate — info() reads the header
+    # (review r14)
+    info = soundfile.info(io.BytesIO(payload))
+    nf = int(info.frames)
+    feat = [
+        float(info.samplerate),
+        float(info.channels),
+        0.0,
+        nf / info.samplerate if info.samplerate else 0.0,
+    ]
+    return {"width": 0, "height": 0, "n_frames": nf}, _pad(feat, dim)
+
+
+def _pad(feat: list[float], dim: int) -> list[float]:
+    """Fixed-width feature contract: every kind emits EXACTLY dim
+    elements (audio's 4 header fields previously came out shorter than
+    image's 8 thumbnail rows — a jagged feature column that crashes any
+    consumer assembling a fixed-width matrix; review r14)."""
+    return (feat + [0.0] * dim)[:dim]
 
 
 def _decode_real(payload: bytes, kind: str, dim: int) -> tuple[dict, list[float]]:
@@ -139,10 +155,19 @@ def _decode_real(payload: bytes, kind: str, dim: int) -> tuple[dict, list[float]
         return _decode_image_real(payload, dim)
     if kind == "audio":
         return _decode_audio_real(payload, dim)
-    raise NotImplementedError(
-        f"real decode for kind={kind!r} has no gated backend (no video "
-        "library is import-gated); pass fake=True for the deterministic stub"
-    )
+    if kind == "video":
+        # RECOGNIZED kind, no gated backend: fail the job loudly like a
+        # missing library (silently skipping every video would ack an
+        # empty decode as success)
+        raise NotImplementedError(
+            "real decode for kind='video' has no gated backend (no video "
+            "library is import-gated); pass fake=True for the "
+            "deterministic stub"
+        )
+    # UNKNOWN/NULL kind is corrupt METADATA, not a missing backend: one
+    # bad row must skip like a corrupt payload, not kill the 100TB job
+    # (review r14) — ValueError routes to decode_iter's skip class
+    raise ValueError(f"unrecognized media kind {kind!r}")
 
 
 def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 8) -> DataFrame:

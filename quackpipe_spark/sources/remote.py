@@ -76,8 +76,32 @@ def fetch_to_cache(url: str, timeout: float = 120.0) -> str:
 
 
 def resolve_scan_path(path: str) -> str:
-    """Map a user-facing scan URL to something Spark can read directly."""
+    """Map a user-facing scan URL to something Spark can read directly.
+
+    http(s) URLs fetch into a DRIVER-LOCAL cache — readable by executors
+    only when they share the driver's filesystem (local[*], the
+    engine's deployment). On a multi-node master the rewritten path
+    would not exist on the workers (or worse, a stale same-named file
+    would be silently read as the dataset), so the resolution refuses
+    loudly there (review r14); distributed fetch belongs to a shared
+    filesystem or the s3a connector."""
     if path.startswith(("http://", "https://")):
+        master = ""
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                master = sess.conf.get("spark.master", "")
+        except Exception:
+            master = ""  # no session shape to consult → keep local behavior
+        if master and not master.startswith("local"):
+            raise ValueError(
+                f"read_parquet over http(s) uses a driver-local download "
+                f"cache, which executors on master {master!r} cannot "
+                "read; stage the file on a shared filesystem or use "
+                "s3://"
+            )
         return fetch_to_cache(path)
     if path.startswith("s3://"):
         return "s3a://" + path[len("s3://"):]
