@@ -36,6 +36,16 @@ from pyspark.sql.window import Window
 from quackpipe_spark.operators.util import fan_out, plan_size_bytes
 
 
+# score-matrix element budget for the probe kernel: 16M float64 ≈ 128 MB
+# per in-flight tile. Without tiling the kernel held a full
+# batch_rows × n_cells matrix — at an auto-derived n_cells for a 1B-row
+# corpus (~2M cells) that is ~160 GB per 10k-row Arrow batch, an
+# executor OOM that contradicted the module's own 100 TB story
+# (review r14). Corpora whose n_cells fits the budget keep the original
+# single-matmul path byte-for-byte.
+_PROBE_TILE_ELEMS = 1 << 24
+
+
 def _probe_order(
     M: np.ndarray,
     cells_np: np.ndarray,
@@ -49,12 +59,45 @@ def _probe_order(
     cosine, ties broken on ascending cell id. One definition shared by
     assign_cells' UDF and the fused small-input kernel so the two
     size-gated physical paths can never drift in assignment semantics
-    (same rounding, same tie-break)."""
+    (same rounding, same tie-break).
+
+    Large center sets evaluate in TILES under _PROBE_TILE_ELEMS,
+    keeping a per-row running top-n pool: top-n of a union equals top-n
+    of the union of per-tile top-ns under any total order, and the
+    order here (rounded score desc, cell asc — tiles are disjoint in
+    cell id) is total, so the tiled result is BIT-IDENTICAL to the
+    single-matmul path."""
     nrm = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
-    scores = np.round((M @ Cm.T) / (nrm[:, None] * Cn[None, :]), round_to)
-    return np.lexsort(
-        (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
-    )[:, :n_probes]
+    n_rows, n_cells = len(M), len(cells_np)
+    if n_rows == 0:
+        return np.empty((0, min(n_probes, n_cells)), dtype=np.int64)
+    if n_rows * n_cells <= _PROBE_TILE_ELEMS:
+        scores = np.round((M @ Cm.T) / (nrm[:, None] * Cn[None, :]), round_to)
+        return np.lexsort(
+            (np.broadcast_to(cells_np, scores.shape), -scores), axis=1
+        )[:, :n_probes]
+    k = min(n_probes, n_cells)
+    tile = max(k, _PROBE_TILE_ELEMS // max(n_rows, 1))
+    rowar = np.arange(n_rows)[:, None]
+    best_s = best_i = None
+    for lo in range(0, n_cells, tile):
+        hi = min(lo + tile, n_cells)
+        s = np.round(
+            (M @ Cm[lo:hi].T) / (nrm[:, None] * Cn[None, lo:hi]), round_to
+        )
+        kk = min(k, hi - lo)
+        loc = np.lexsort(
+            (np.broadcast_to(cells_np[lo:hi], s.shape), -s), axis=1
+        )[:, :kk]
+        cand_s, cand_i = s[rowar, loc], loc + lo
+        if best_s is None:
+            best_s, best_i = cand_s, cand_i
+            continue
+        all_s = np.concatenate([best_s, cand_s], axis=1)
+        all_i = np.concatenate([best_i, cand_i], axis=1)
+        order = np.lexsort((cells_np[all_i], -all_s), axis=1)[:, :k]
+        best_s, best_i = all_s[rowar, order], all_i[rowar, order]
+    return best_i
 
 
 def _list_mat(arr) -> np.ndarray:
@@ -191,7 +234,13 @@ def seeded_centers(
     quantizer needs (cells must be balanced-ish and stable, not optimal).
     """
     seeds = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        # NULL vectors carry no geometry and previously crashed the
+        # driver-side float() loop with a bare TypeError whenever one
+        # ranked into the seed window (review r14) — the quantizer
+        # samples only real vectors; downstream assignment kernels keep
+        # their own loud null checks (_list_mat)
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
         .limit(n_cells)
         .collect()
@@ -592,6 +641,7 @@ def prototype_sample(
         raise ValueError("per_cell must be >= 1")
     if keep not in ("far", "near"):
         raise ValueError("keep must be 'far' or 'near'")
+    _check_output_collisions(corpus, ("cell", "cos_to_center"), "prototype_sample")
     if n_cells is None:
         n_cells = auto_cells(corpus)
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
@@ -636,6 +686,19 @@ def prototype_sample(
         .select(id_col, "cell", "cos_to_center")
     )
     return corpus.join(picked, id_col)
+
+
+def _check_output_collisions(df: DataFrame, added: tuple[str, ...], who: str) -> None:
+    """Refuse output-column collisions loudly: joining helper columns
+    onto a corpus that already carries same-named ones yields duplicate
+    columns whose later reference throws AMBIGUOUS_REFERENCE far from
+    the cause (review r14)."""
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{who} adds column(s) {clash} but the input already has "
+            "them — rename or drop before calling"
+        )
 
 
 # --- IVF (build once, search many) -----------------------------------------
@@ -811,7 +874,12 @@ def ivf_search(
     # side (numpy per Arrow batch, no crossJoin/window); norms come back
     # precomputed so pair scoring pays only the dot.
     probed = assign_cells(
-        queries, index.centers, id_col, vec_col, probes=nprobe
+        # round_to forwarded: probe selection must round at the SAME
+        # precision as ivf_search_rows' driver-side mirror, or the two
+        # serving paths probe different cells for non-default round_to
+        # (review r14)
+        queries, index.centers, id_col, vec_col, probes=nprobe,
+        round_to=round_to,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -996,7 +1064,14 @@ def hyperplane_buckets(
     import hashlib
 
     corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dims)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dims)
+        # a NULL ELEMENT inside a correct-length vector NULLs every
+        # projection, and `when(proj >= 0).otherwise(0)` then routed the
+        # row into bucket 0 — a VALID bucket, where it scored NULL
+        # cosines yet still took top-k ranks (review r14); drop it
+        # explicitly like the other malformed shapes
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
     v = F.col(vec_col)
 
@@ -1048,12 +1123,17 @@ def lsh_topk(
     n_planes: int = 8,
     round_to: int = 6,
     dims: int = 64,
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH bucket.
 
     At 100 TB the bucket join replaces the broadcast-cross-product; with
     2^n_planes buckets the compared fraction is ~2^-n_planes (recall is
-    tunable via n_planes / multi-probe)."""
+    tunable via n_planes / multi-probe). The query side broadcasts only
+    when verifiably under ``broadcast_max_rows`` (the same _probe_hint
+    gate ivf_search uses — an unconditional F.broadcast of a 10M-query
+    frame of full vectors was a forced driver collect, the exact OOM
+    class the r12 review closed on the IVF path; review r14)."""
     # norms once per row BEFORE the bucket join (the brute_force_topk
     # pattern): the pair space pays one dot, not dot + two norm re-folds.
     cb = hyperplane_buckets(fan_out(corpus), id_col, vec_col, n_planes, dims).withColumn(
@@ -1065,8 +1145,11 @@ def lsh_topk(
         "bucket",
         norm(F.col(vec_col)).alias("_qnorm"),
     )
+    from quackpipe_spark.operators.dedup import _probe_hint
+
+    qb = _probe_hint(qb, queries, broadcast_max_rows)
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(qb, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -1175,12 +1258,17 @@ def train_pq(
 
 
 def _round_half_away(x: float, nd: int) -> float:
-    """round() with HALF-AWAY-FROM-ZERO ties — the rule Spark's round()
-    and DuckDB's round() share. Python round()/np.round use banker's
-    (half-to-even), so any driver-side rounding whose result is compared
-    hash-exactly across engines must go through this instead (the
-    blocked_near_pairs lesson: the EXACT rounding that decides a
-    comparison must not use a different tie rule than the oracle)."""
+    """round() with HALF-AWAY-FROM-ZERO ties in the SCALED-BINARY domain
+    — exactly DuckDB's round() rule (multiply by 10^nd on the double,
+    add 0.5, floor), which is the engine every driver-side value built
+    here is hash-compared against. Python round()/np.round use banker's
+    (half-to-even) and would diverge on ties. NOTE (review r14): Spark
+    SQL's round() is subtly different again — it rounds the SHORTEST
+    DECIMAL representation via BigDecimal HALF_UP, so on representation
+    edges (round(0.285, 2): binary 28.499999… → DuckDB/here 0.28, Spark
+    0.29) Spark can disagree with both; driver-side values that must
+    hash against a SPARK-side round() cannot use this helper on such
+    inputs. All current callers compare against DuckDB."""
     scale = 10.0 ** nd
     import math
 
@@ -1443,28 +1531,33 @@ def pq_topk_multi(
             raise ValueError(f"query {qid} dim {q.shape[0]} != trained {books.dim}")
         if normalize_query:
             q /= max(float(np.linalg.norm(q)), 1e-300)
-        luts = F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(
-                            _round_half_away(
-                                float(
-                                    np.dot(
-                                        np.array(books.centers[s][c]),
-                                        q[s * dsub : (s + 1) * dsub],
-                                    )
-                                ),
-                                9,
-                            )
+        # one nested-list literal per query, NOT one F.lit per LUT cell:
+        # m×k per-element lits cost a py4j round trip each (~1 s per
+        # 1.3k literals, the ivf_search_rows measurement) — 50 queries at
+        # m=4,k=256 was ~51k round trips of pure driver stall before the
+        # job started (review r14). The VALUES stay per-element np.dot +
+        # _round_half_away, bit-identical to the old loop (a vectorized
+        # BLAS matmul could re-order the summation).
+        lut_vals = [
+            [
+                _round_half_away(
+                    float(
+                        np.dot(
+                            np.array(books.centers[s][c]),
+                            q[s * dsub : (s + 1) * dsub],
                         )
-                        for c in range(books.k)
-                    ]
+                    ),
+                    9,
                 )
-                for s in range(m)
+                for c in range(books.k)
             ]
+            for s in range(m)
+        ]
+        qlits.append(
+            F.struct(
+                F.lit(qid).alias("query_id"), F.lit(lut_vals).alias("luts")
+            )
         )
-        qlits.append(F.struct(F.lit(qid).alias("query_id"), luts.alias("luts")))
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),
         "codes",
