@@ -170,17 +170,6 @@ def gram_array(tokens: Column, k: int, *, hash_grams: bool = False) -> Column:
     return F.transform(F.sequence(F.lit(1), F.size(tokens) - (k - 1)), _one)
 
 
-def shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array column (JVM-side, no UDF).
-
-    Guarded for size<k (see gram_array): short docs short-circuit to an
-    empty array."""
-    return F.when(
-        F.size(tokens) >= k,
-        F.array_distinct(gram_array(tokens, k)),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) pairs — the exploded form every stage shares.
 
@@ -282,10 +271,14 @@ def band_table(
     bands > num_hashes would degenerate every band hash to md5('') —
     the banded self-join then builds the full n×n cross product (a
     runaway job at corpus scale) with no error."""
-    if bands < 1 or num_hashes % bands != 0:
+    if bands < 1 or num_hashes < bands or num_hashes % bands != 0:
+        # num_hashes < bands includes num_hashes=0, which slipped the
+        # old modulo-only check (0 % bands == 0) and degenerated every
+        # band hash to md5('') — the documented full n×n cross product,
+        # with no error (review r14, execution-confirmed)
         raise ValueError(
-            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
-            f"bands={bands}"
+            f"bands must divide num_hashes with >= 1 row per band: got "
+            f"num_hashes={num_hashes}, bands={bands}"
         )
     rows = num_hashes // bands
     band_hashes = F.array(
@@ -644,10 +637,30 @@ def append_to_minhash_index(
     banded = band_table(
         sigs, m["id_col"], m["num_hashes"], m["bands"], carry_cols=("n_shingles",)
     )
+    # the two relation appends are not atomic TOGETHER: a crash between
+    # them leaves docs near-dup-probable but invisible to the exact-dup
+    # probe (or vice versa) with nothing on disk to say so — every later
+    # probe silently misses, and a blind re-append double-inserts the
+    # written half. A pending marker brackets the pair so the torn state
+    # is at least DETECTABLE: index access refuses loudly with rebuild
+    # guidance instead of serving silently wrong answers (review r14;
+    # the full stage+journal protocol of the FTS appends is the upgrade
+    # path if partial-append recovery is ever needed).
+    import os as _os
+    import uuid as _uuid
+
+    pending = _os.path.join(path, f".append-pending-{_uuid.uuid4().hex}")
+    if path.startswith(("/", "file:")) or "://" not in path:
+        with open(pending, "w"):
+            pass
+    else:
+        pending = None  # non-local index path: marker protocol is local-fs
     banded.write.mode("append").parquet(f"{path}/bands")
     _fingerprints(docs, m["id_col"], text_col).write.mode("append").parquet(
         f"{path}/fingerprints"
     )
+    if pending is not None:
+        _os.unlink(pending)
     if compact_over_files is not None:
         import os
 
@@ -664,9 +677,31 @@ def _recover_index_dirs(path: str) -> None:
     """Heal a crashed compaction at the next index ACCESS (probe or
     append), not just the next file-count-triggered compaction — between
     the two, a crashed merge's rows would be invisible to every probe.
-    One listdir per dir when there is nothing to do."""
+    One listdir per dir when there is nothing to do. Also refuses
+    loudly on a leftover append-pending marker (a crash between the
+    bands and fingerprints appends — the index halves disagree and no
+    repair can identify the torn batch's rows; see
+    append_to_minhash_index)."""
+    import os as _os
+
     from quackpipe_spark.plans.compactor import maybe_recover_parquet_dir
 
+    try:
+        markers = [
+            e.name
+            for e in _os.scandir(path)
+            if e.name.startswith(".append-pending-")
+        ]
+    except OSError:
+        markers = []
+    if markers:
+        raise RuntimeError(
+            f"minhash index at {path} has leftover append-pending "
+            f"marker(s) {markers}: a previous append crashed between its "
+            "bands and fingerprints writes, so the two relations may "
+            "disagree — rebuild the index with write_minhash_index (or "
+            "restore it), then delete the marker(s)"
+        )
     maybe_recover_parquet_dir(f"{path}/bands")
     maybe_recover_parquet_dir(f"{path}/fingerprints")
 
@@ -746,7 +781,19 @@ def dedup_against_index(
     )
     idx = spark.read.parquet(f"{path}/bands")
     cands = (
-        idx.join(_probe_hint(new_banded, new_docs, broadcast_max_rows), ["band", "bh"])
+        # the gate counts DOCS but broadcasts BANDED rows (bands× more):
+        # the row ceiling was derived for ~4 bands per doc, so a
+        # high-band index (band_table invites tuning upward) broadcast
+        # bands/4× past the envelope — scale the doc ceiling by the
+        # index's own bands value (review r14)
+        idx.join(
+            _probe_hint(
+                new_banded,
+                new_docs,
+                max(1, broadcast_max_rows * 4 // max(int(m["bands"]), 1)),
+            ),
+            ["band", "bh"],
+        )
         .filter(F.col(id_col) != F.col("_new_id"))
         .select(
             F.col("_new_id").alias("new_id"), F.col(id_col).alias("old_id")
@@ -758,16 +805,20 @@ def dedup_against_index(
     both = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
         new_docs.select(F.col(id_col), F.col(text_col))
     )
-    # count once for the verify gate — deliberately NOT persisted: a
-    # persist here leaks a cache entry for the probe-join fragment that
-    # Spark's cache manager then substitutes (hint included) into LATER
-    # plans over the same index, silently re-broadcasting what a caller
-    # gated off. The bare count re-evaluates the probe join once, which
-    # is still strictly cheaper than the pre-r12 distinct-id count (that
-    # paid the same evaluation PLUS a thrown-away distinct shuffle).
+    # materialize the candidate pairs ONCE via localCheckpoint —
+    # deliberately NOT persist(): a persist here leaks a cache entry for
+    # the probe-join fragment that Spark's cache manager then
+    # substitutes (hint included) into LATER plans over the same index,
+    # silently re-broadcasting what a caller gated off (the r12
+    # rejection). A checkpoint breaks the lineage WITHOUT registering in
+    # the cache manager, so nothing substitutes — and the verify side's
+    # FOUR consumers (the count gate plus jaccard_verify's two union
+    # arms and its pair join, which project different columns so
+    # exchange reuse can't collapse them) previously re-scanned the
+    # index and re-hashed the whole batch per consumer (review r14).
     pairs = cands.select(
         F.col("new_id").alias("a"), F.col("old_id").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     verified = jaccard_verify(
         both, pairs, id_col, text_col, m["shingle_k"], threshold,
@@ -903,7 +954,17 @@ def line_dedup(
         .withColumn(
             "n_removed", F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))
         )
-        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        # NULL text stays NULL: a NULL-text doc emits no line rows, so
+        # the bare coalesce rewrote it to '' — and every formerly-NULL
+        # doc then collapsed into ONE md5('') cluster downstream in
+        # exact_dedup, whose survivors rule would delete N−1 docs of
+        # unknown content (the exact r12 NULL-collapse fix, re-broken
+        # one operator upstream; review r14, execution-confirmed)
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("_clean", F.lit(""))),
+        )
         .drop("_clean", "_n_kept")
     )
 
@@ -1052,7 +1113,14 @@ def strip_duplicate_passages(
             "n_removed_tokens",
             F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)),
         )
-        .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+        # NULL text stays NULL (the same r14 fix as line_dedup's
+        # reassembly — see there for the exact_dedup NULL-collapse
+        # consequence of the bare coalesce)
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("_clean", F.lit(""))),
+        )
         .drop("_clean", "_n_kept")
     )
 

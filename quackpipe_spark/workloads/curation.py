@@ -94,7 +94,9 @@ WITH docs2 AS (
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(r.clean, '') AS text,
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.clean, '') END AS text,
        CAST(coalesce(len(string_split(d.text, chr(10))), 0) AS BIGINT) AS n_lines,
        CAST(coalesce(len(string_split(d.text, chr(10))), 0) - coalesce(r.n_kept, 0)
          AS BIGINT) AS n_removed

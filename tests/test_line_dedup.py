@@ -90,16 +90,25 @@ FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 
 
 def test_line_dedup_null_text_counts_zero_lines(spark):
-    """NULL text must yield n_lines=0/n_removed=0 (and '' text), matching
-    the gate oracle's coalesce — size(split(NULL)) is -1 under non-ANSI
-    legacy sizeOfNull semantics, which leaked through before."""
-    from quackpipe_spark.operators.dedup import line_dedup
+    """NULL text must yield n_lines=0/n_removed=0 and STAY NULL —
+    size(split(NULL)) is -1 under non-ANSI legacy sizeOfNull semantics
+    (which leaked through before), and the earlier ''-rewrite collapsed
+    every formerly-NULL doc into ONE md5('') cluster downstream in
+    exact_dedup, whose survivors rule would delete N−1 docs of unknown
+    content (review r14; the gate oracle mirrors the NULL-preserving
+    CASE)."""
+    from quackpipe_spark.operators.dedup import exact_dedup, line_dedup
 
     df = spark.createDataFrame(
-        [(1, "hello world line\nother"), (2, None), (3, "hello world line\nmore")],
+        [(1, "hello world line\nother"), (2, None), (3, "hello world line\nmore"), (4, None)],
         "doc_id long, text string",
     )
-    rows = {r["doc_id"]: r for r in line_dedup(df).collect()}
-    assert rows[2]["text"] == ""
+    out = line_dedup(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["text"] is None
     assert rows[2]["n_lines"] == 0
     assert rows[2]["n_removed"] == 0
+    # the downstream consequence the fix exists for: NULL-text docs must
+    # NOT form an exact-dup cluster after reassembly
+    clusters = exact_dedup(out).collect()
+    assert all(r["n_copies"] == 1 for r in clusters)
