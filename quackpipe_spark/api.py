@@ -393,6 +393,25 @@ class GigapiServer:
                                 },
                             )
                             return
+                        except (TypeError, ValueError) as e:
+                            # PERMANENT client-fault flush failure: the
+                            # schema machinery raises TypeError (type
+                            # conflict) / ValueError (reserved partition
+                            # column) for data that can NEVER flush — a
+                            # 503 here would have a compliant client
+                            # retrying the same doomed batch forever
+                            # instead of surfacing the data problem
+                            # (ADVICE r15). Nothing committed, but retry
+                            # cannot succeed: non-retryable 400.
+                            self._send(
+                                400,
+                                {
+                                    "error": f"flush rejected (permanent — "
+                                    f"do not retry): "
+                                    f"{type(e).__name__}: {e}"
+                                },
+                            )
+                            return
                         except Exception as e:
                             # COMPLETE pre-publish flush failure: any
                             # non-Partial promise exception means NOTHING
@@ -403,7 +422,8 @@ class GigapiServer:
                             # the generic 400 conflated it with
                             # client-fault parse errors — machine LP
                             # clients never retry 4xx, permanently losing
-                            # retryable data (review r14).
+                            # retryable data (review r14). Known-permanent
+                            # schema faults are carved out above (r15).
                             self._send(
                                 503,
                                 {

@@ -73,30 +73,12 @@ def _is_local_path(path: str) -> bool:
 
 
 def _norm_index_path(path: str) -> str:
-    """Strip a ``file:`` scheme down to the plain OS path. Every public
-    index entry point normalizes FIRST: the os.* machinery would
-    otherwise take the URI string verbatim (os.makedirs('file:///x')
-    creates a junk cwd-relative 'file:' tree) while Spark resolves the
-    real path — stats/markers and data silently land in different
-    places. Plain local paths and true remote schemes pass through."""
-    if path.startswith("file://"):
-        rest = path[7:]
-        if not rest.startswith("/"):
-            # file://HOST/p (RFC 8089): only the local forms are
-            # meaningful here — proceeding would silently operate under
-            # a /HOST/... tree, the exact misplacement this helper exists
-            # to prevent. localhost maps to the path; anything else is
-            # rejected loudly.
-            host, _, tail = rest.partition("/")
-            if host != "localhost":
-                raise ValueError(
-                    f"unsupported file:// host {host!r} in index path {path!r}"
-                )
-            rest = "/" + tail
-        return rest
-    if path.startswith("file:"):
-        return path[5:]
-    return path
+    """Strip a ``file:`` scheme down to the plain OS path — shared idiom
+    in plans/index.py since r15 (the minhash-index append protocol needs
+    the identical normalization; see norm_index_path's docstring)."""
+    from quackpipe_spark.plans.index import norm_index_path
+
+    return norm_index_path(path)
 
 
 def _write_stats_atomic(path: str, n: int, avgdl: float, n_buckets: int) -> None:
@@ -166,34 +148,17 @@ def _fsync_dir(path: str) -> None:
 
 
 def _applied_last(path: str) -> str | None:
-    """The write_id of the most recently applied idempotent append, or
-    None. One file, not one marker per batch: Structured Streaming
-    replays only the LAST uncommitted batch, so remembering one id is
-    exactly enough to detect it (and the file count stays O(1))."""
-    import json
-    import os
+    """Shared applied-last protocol (plans/index.py since r15 — the
+    minhash append journal uses the identical file and semantics)."""
+    from quackpipe_spark.plans.index import read_applied_last
 
-    p = os.path.join(path, ".applied-last")
-    try:
-        with open(p) as f:
-            return json.load(f)["write_id"]
-    except (OSError, ValueError, KeyError):
-        return None
+    return read_applied_last(path)
 
 
 def _write_applied_last(path: str, write_id: str) -> None:
-    import json
-    import os
-    import uuid as _uuid
+    from quackpipe_spark.plans.index import write_applied_last
 
-    p = os.path.join(path, ".applied-last")
-    tmp = p + "." + _uuid.uuid4().hex
-    with open(tmp, "w") as f:
-        json.dump({"write_id": write_id}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
-    _fsync_dir(path)
+    write_applied_last(path, write_id)
 
 
 def _roll_forward_append(path: str, commit_path: str) -> None:

@@ -343,10 +343,39 @@ from quackpipe_spark.plans.index import fsync_file as _fsync_file
 _TMP_SWEEP_AGE_S = 3600.0
 
 
+def _tree_newest_mtime(path: str, cutoff: float) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself included),
+    short-circuiting as soon as anything newer than ``cutoff`` is found.
+    A Spark job staging under tmp/<uuid>/ writes inside nested
+    _temporary/ partition subdirs WITHOUT touching the top dir's mtime,
+    so the top-level stat alone reads a live multi-hour bulk write as
+    idle (ADVICE r15)."""
+    try:
+        newest = os.lstat(path).st_mtime
+    except OSError:
+        return 0.0
+    if newest >= cutoff:
+        return newest
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                m = os.lstat(os.path.join(root, name)).st_mtime
+            except OSError:
+                continue
+            if m > newest:
+                newest = m
+                if newest >= cutoff:
+                    return newest
+    return newest
+
+
 def _sweep_tmp(tmp_dir: str, max_age_s: float = _TMP_SWEEP_AGE_S) -> int:
     """Remove tmp/ staging entries (uuid stage dirs, orphaned .parquet
-    stage files) whose mtime is older than ``max_age_s`` — the leftovers
-    of crashed or failed writes/merges. Returns entries removed."""
+    stage files) whose ENTIRE tree is older than ``max_age_s`` — the
+    leftovers of crashed or failed writes/merges. A dir with ANY recent
+    write anywhere inside it is a live staging job and is left alone
+    (deleting a live stage mid-job fails the write). Returns entries
+    removed."""
     import shutil as _shutil
 
     removed = 0
@@ -357,7 +386,7 @@ def _sweep_tmp(tmp_dir: str, max_age_s: float = _TMP_SWEEP_AGE_S) -> int:
     cutoff = time.time() - max_age_s
     for e in entries:
         try:
-            if e.stat().st_mtime >= cutoff:
+            if _tree_newest_mtime(e.path, cutoff) >= cutoff:
                 continue
             if e.is_dir():
                 _shutil.rmtree(e.path, ignore_errors=True)

@@ -71,6 +71,66 @@ def fsync_file(path: str) -> None:
         pass
 
 
+def norm_index_path(path: str) -> str:
+    """Strip a ``file:`` scheme down to the plain OS path. Every public
+    on-disk-index entry point (FTS postings, minhash bands) normalizes
+    FIRST: the os.* machinery would otherwise take the URI string
+    verbatim (os.makedirs('file:///x') creates a junk cwd-relative
+    'file:' tree, open() raises FileNotFoundError on markers) while
+    Spark resolves the real path — stats/markers and data silently land
+    in different places (ADVICE r15: the minhash pending marker broke
+    file:// appends that previously worked through Spark). Plain local
+    paths and true remote schemes pass through."""
+    if path.startswith("file://"):
+        rest = path[7:]
+        if not rest.startswith("/"):
+            # file://HOST/p (RFC 8089): only the local forms are
+            # meaningful here — proceeding would silently operate under
+            # a /HOST/... tree, the exact misplacement this helper
+            # exists to prevent. localhost maps to the path; anything
+            # else is rejected loudly.
+            host, _, tail = rest.partition("/")
+            if host != "localhost":
+                raise ValueError(
+                    f"unsupported file:// host {host!r} in index path {path!r}"
+                )
+            rest = "/" + tail
+        return rest
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def read_applied_last(path: str) -> str | None:
+    """The write_id of the most recently applied idempotent append to the
+    index rooted at ``path``, or None. One file, not one marker per
+    batch: Structured Streaming replays only the LAST uncommitted batch,
+    so remembering one id is exactly enough to detect it (and the file
+    count stays O(1)). Shared by the FTS postings and minhash-index
+    append protocols (r15 — the journal port must not fork the idiom)."""
+    p = os.path.join(path, ".applied-last")
+    try:
+        with open(p) as f:
+            return json.load(f)["write_id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def write_applied_last(path: str, write_id: str) -> None:
+    """Durably record ``write_id`` as applied (tmp+fsync+rename, then a
+    dir fsync so the rename's dentry survives power loss with it)."""
+    import uuid as _uuid
+
+    p = os.path.join(path, ".applied-last")
+    tmp = p + "." + _uuid.uuid4().hex
+    with open(tmp, "w") as f:
+        json.dump({"write_id": write_id}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    fsync_dir(path)
+
+
 @contextmanager
 def locked_index(partition_dir: str):
     """load → mutate → save as one critical section. Every WRITER of a

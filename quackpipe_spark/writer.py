@@ -615,11 +615,16 @@ class HiveWriter:
                 continue
             rel = os.path.relpath(root, stage_dir)  # date=…/hour=… or "." (flat)
             live_dir = table.path if rel == "." else os.path.join(table.path, rel)
-            os.makedirs(live_dir, exist_ok=True)
             replaced: list[str] = []
             pending: list[str] = []
             body_done = False
             try:
+                # per-dir setup INSIDE the classified region: a makedirs
+                # failure (ENOSPC/EACCES) on the second partition dir
+                # previously escaped as a plain OSError, which api.py
+                # maps to a retry-SAFE 503 — and the retry duplicates the
+                # already-committed first dir (ADVICE r15)
+                os.makedirs(live_dir, exist_ok=True)
                 with locked_index(live_dir) as idx:
                     for fname in parts:
                         src = os.path.join(root, fname)
