@@ -909,12 +909,23 @@ def ivf_search(
     )
 
 
+# Probe-literal plan-size bound for ivf_search_rows: the flat probe list
+# inlines ≈ batch×nprobe query vectors as plan literals, so a wide batch
+# pushed through the rows API bloats the logical plan (64-dim doubles ≈
+# 0.5 KB/probe as literals) and every analysis/codegen pass pays for it.
+# 4096 probes ≈ 2 MB of literals — comfortably a "small serving batch";
+# beyond it the distributed path is structurally better anyway (the
+# vectors ship as DATA, not plan).
+IVF_ROWS_MAX_PROBE_LITERALS = 4096
+
+
 def ivf_search_rows(
     index: IvfIndex,
     query_rows: list[tuple],
     k: int = 10,
     nprobe: int = 4,
     round_to: int = 6,
+    max_probe_literals: int | None = IVF_ROWS_MAX_PROBE_LITERALS,
 ) -> DataFrame:
     """Small-query-batch serving path over a built index: probes are
     computed DRIVER-side in numpy (the FAISS client-side query-planning
@@ -931,6 +942,16 @@ def ivf_search_rows(
     ``query_rows`` = [(query_id, vector)] with non-null, equal-length
     vectors (collect the frame first; ids must be int or str).
 
+    ``max_probe_literals`` bounds the inlined plan size: a batch whose
+    flat probe list (≈ batch × nprobe) would exceed it is routed to the
+    distributed :func:`ivf_search` automatically (the rows become a tiny
+    DataFrame; results are IDENTICAL — both paths share assign_cells'
+    rounded probe choice and the sequential-fold query norm, pinned by
+    tests). Wide batches through the rows API previously inlined an
+    unbounded literal map — a plan-bloat cliff the per-call analysis
+    cost pays for (deferred in PLAN_AUDIT_r14, closed r15). ``None``
+    disables the bound (not recommended).
+
     Parity discipline (hash-checked by the driver gate): the probe
     scoring mirrors assign_cells exactly — np.round(cos, round_to),
     tie-break on ascending cell id; the query norm reused in the exact
@@ -944,6 +965,23 @@ def ivf_search_rows(
         # empty literals would fail analysis with a cryptic VOID-type
         # element_at error; fail like pq_topk_multi does
         raise ValueError("query_rows must be non-empty")
+    if (
+        max_probe_literals is not None
+        and len(query_rows) * min(nprobe, len(index.centers))
+        > max_probe_literals
+    ):
+        # wide batch: route to the distributed path instead of inlining
+        # an unbounded literal map into the plan (see docstring)
+        spark = index.assigned.sparkSession
+        id_t_route = dict(index.assigned.dtypes)["neighbor_id"]
+        qdf = spark.createDataFrame(
+            [(qid, [float(x) for x in vec]) for qid, vec in query_rows],
+            schema=f"vec_id {id_t_route}, embedding array<double>",
+        )
+        return ivf_search(
+            index, qdf, "vec_id", "embedding",
+            k=k, nprobe=nprobe, round_to=round_to,
+        )
     cells_np = np.array([c for c, _ in index.centers], dtype=np.int64)
     Cm = np.array([v for _, v in index.centers], dtype=np.float64)
     Cn = np.maximum(np.linalg.norm(Cm, axis=1), 1e-300)
