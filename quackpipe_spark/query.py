@@ -445,6 +445,22 @@ def _or_range_envelope(
     Literal values are re-read from ``orig`` at the matched offsets
     (epoch_ns('…') timestamps are blanked in the scan text)."""
     inner_s, inner_e = gs0 + 1, gs1 - 1
+    # unwrap redundant nesting: ``((a OR b))`` / ``( ( a OR b ) )`` — a
+    # body that is ENTIRELY one parenthesized group is the same
+    # conjunct, so peel until the ORs are at depth 0 (r15, VERDICT r14
+    # optional #6; previously such groups refused pruning). Only a
+    # whole-body wrap peels — ``(a OR b) AND (c)`` never matches here.
+    while True:
+        seg = blanked[inner_s:inner_e]
+        ls = len(seg) - len(seg.lstrip())
+        rs = len(seg) - len(seg.rstrip())
+        if ls >= len(seg) or seg.lstrip()[:1] != "(":
+            break
+        open_i = inner_s + ls
+        close = _match_paren(blanked[open_i:], 0)
+        if close < 0 or open_i + close != inner_e - 1 - rs:
+            break
+        inner_s, inner_e = open_i + 1, open_i + close
     inner = blanked[inner_s:inner_e]
     # split on top-level ORs (BETWEEN's AND stays inside its branch)
     cuts: list[int] = []

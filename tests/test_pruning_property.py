@@ -65,7 +65,16 @@ def query(draw):
     p2 = draw(ts_predicate())
     glue = draw(st.sampled_from(["AND", "OR"]))
     where = f"{p1} {glue} {p2}"
-    shape = draw(st.integers(0, 20))
+    shape = draw(st.integers(0, 21))
+    if shape == 21:  # redundantly NESTED OR group (r15 unwrap): any depth
+        # of whole-body parens peels to the same envelope; non-ts
+        # branches must still refuse after peeling
+        depth = draw(st.integers(1, 3))
+        return (
+            f"SELECT count(*) AS n, sum(v) AS s FROM ev "
+            f"WHERE {'(' * depth}({p1} OR {p2}){')' * depth} "
+            f"AND {draw(ts_predicate())}"
+        )
     if shape == 17:  # OR-of-ranges conjunct group (r14 envelope pruning);
         # branches may be non-ts predicates — those groups must refuse
         return (

@@ -1058,3 +1058,48 @@ def test_or_of_time_ranges_envelope_r14():
     )
     assert got["ev"][0] == 1672531200 * 10**9
     assert got["ev"][1] == 1677715200 * 10**9
+
+
+def test_or_envelope_unwraps_redundant_nesting_r15():
+    """VERDICT r14 optional #6: a conjunct group whose WHOLE body is
+    itself one parenthesized group peels before the OR split, so
+    ``((a OR b))`` (any depth, any spacing) prunes by the same envelope
+    as ``(a OR b)``. Only whole-body wraps peel — a group whose parens
+    are operand structure still refuses."""
+    from quackpipe_spark.query import extract_time_bounds_per_table as ex
+
+    assert ex(
+        "SELECT * FROM ev WHERE ((__timestamp BETWEEN 100 AND 200 "
+        "OR __timestamp BETWEEN 300 AND 400))",
+        ["ev"],
+    ) == {"ev": (100, 400)}
+    # deeper nesting + interior whitespace
+    assert ex(
+        "SELECT * FROM ev WHERE ( ( ( __timestamp BETWEEN 100 AND 200 "
+        "OR __timestamp BETWEEN 300 AND 400 ) ) ) AND __timestamp >= 150",
+        ["ev"],
+    ) == {"ev": (150, 400)}
+    # qualified + nested, per join side
+    assert ex(
+        "SELECT * FROM ev e JOIN aux a ON e.k = a.k "
+        "WHERE ((e.__timestamp BETWEEN 1 AND 2 OR e.__timestamp BETWEEN 8 AND 9)) "
+        "AND a.__timestamp >= 7",
+        ["ev", "aux"],
+    ) == {"ev": (1, 9), "aux": (7, None)}
+    # NOT the whole body: '( (a OR b) AND v = 1 )' must still refuse
+    assert ex(
+        "SELECT * FROM ev WHERE ((__timestamp BETWEEN 1 AND 2 "
+        "OR __timestamp BETWEEN 3 AND 4) AND v = 1)",
+        ["ev"],
+    ) == {}
+    # parenthesized BRANCHES are not the exact one-comparison shape
+    assert ex(
+        "SELECT * FROM ev WHERE ((__timestamp BETWEEN 1 AND 2) "
+        "OR (__timestamp BETWEEN 3 AND 4))",
+        ["ev"],
+    ) == {}
+    # nested wrap with a non-ts branch still refuses after peeling
+    assert ex(
+        "SELECT * FROM ev WHERE ((__timestamp BETWEEN 1 AND 2 OR v >= 5))",
+        ["ev"],
+    ) == {}
