@@ -446,70 +446,6 @@ FROM c JOIN b USING (shingle) GROUP BY c.doc_id
 """
 
 
-# --- sequence packing (r15 gate — VERDICT r14 #1) --------------------------
-
-_PACK_BUDGET, _PACK_SHARDS, _PACK_SALT = 512, 8, "packgate"
-
-
-def pack_sequences_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sequence packing under the oracle gate (previously
-    library-only): every doc gets a deterministic (shard, pack_id) so
-    each pack totals ~512 tokens in md5 order within its shard
-    (operators/packing.py pack_sequences — sharded windows, no global
-    sort; parallelism = n_shards at any corpus size). The pack math is a
-    pure window computation (seq = floor((cumsum − tok)/budget)), so the
-    oracle restates it exactly: same md5 order key + shard hash
-    (operators/sampling.py single-sourced recipe), same running-sum
-    window, same int64 (shard << 40 | seq) pack id — per-doc pack
-    membership is hash-verified end to end."""
-    from quackpipe_spark.operators.dedup import tokenize
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.coalesce(F.size(tokenize(F.col("text"))), F.lit(0)).alias("n_tokens"),
-    )
-    out = P.pack_sequences(
-        docs,
-        budget=_PACK_BUDGET,
-        n_shards=_PACK_SHARDS,
-        salt=_PACK_SALT,
-    )
-    return out.select(
-        "doc_id", "n_tokens", F.col("shard").cast("int").alias("shard"), "pack_id"
-    )
-
-
-def _pack_oracle() -> str:
-    okey = S.order_key_sql("doc_id", _PACK_SALT)
-    return f"""
-WITH toks AS (
-  SELECT doc_id,
-         CAST(coalesce(len(string_split_regex(trim(lower(text)), '\\s+')), 0)
-              AS INT) AS n_tokens
-  FROM documents
-),
-keyed AS (
-  SELECT doc_id, n_tokens, {okey} AS okey,
-         CAST(('0x' || substr({okey}, 1, 8))::BIGINT % {_PACK_SHARDS} AS INT)
-           AS shard
-  FROM toks
-),
-packed AS (
-  SELECT doc_id, n_tokens, shard,
-         sum(greatest(n_tokens, 0)) OVER (
-           PARTITION BY shard ORDER BY okey, doc_id, n_tokens
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum
-  FROM keyed
-)
-SELECT doc_id, n_tokens, shard,
-       CAST(shard::BIGINT * {1 << 40}
-            + floor((cum - greatest(n_tokens, 0)) / {_PACK_BUDGET}.0)
-            AS BIGINT) AS pack_id
-FROM packed
-"""
-
-
 QUERIES = {
     "line_dedup_boilerplate": line_dedup_boilerplate,
     "duplicate_passage_spans": duplicate_passage_spans,
@@ -518,7 +454,6 @@ QUERIES = {
     "chunk_context_windows": chunk_context_windows,
     "ngram_vocab": ngram_vocab,
     "contamination_scan": contamination_scan,
-    "pack_sequences": pack_sequences_gate,
 }
 
 # no stateful entries: fts_bm25_topk is one fully-lazy action (stats join
@@ -533,5 +468,4 @@ ORACLE = {
     "chunk_context_windows": CHUNK_SQL,
     "ngram_vocab": NGRAM_SQL,
     "contamination_scan": CONTAMINATION_SQL,
-    "pack_sequences": _pack_oracle(),
 }

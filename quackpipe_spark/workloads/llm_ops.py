@@ -125,142 +125,6 @@ WHERE round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) >= 0.8
 """
 
 
-# --- dedup: incremental probe vs a persisted index (r15 gate) --------------
-
-# (session, sf_dir) → (index path, corpus frame): the corpus band table is
-# materialized ONCE per engine lifetime (the ivf_index_for model — the
-# daily-increment workflow indexes the corpus once and probes every new
-# batch against it); the gate row times probe + verify only.
-_MH_IDX_CACHE: dict[tuple[int, str], tuple] = {}
-
-_IDX_SHIFT = 1_000_000_000
-
-
-def _mh_corpus_and_batch(spark: SparkSession, sf_dir: str):
-    """The index-probe fixture: corpus = all non-NULL-text docs; batch =
-    a NEAR-dup replica of every 7th doc (one appended token — jaccard
-    just under 1) plus an EXACT clone of every 11th (jaccard 1.0), both
-    under shifted ids so the batch/corpus id domains are disjoint (the
-    probe contract). Synthesized INSIDE the gate because the synthetic
-    corpus has zero cross-doc duplicates at the verification SFs — a
-    plain split would probe an index and find nothing, the trivially-
-    passing-gate class the r14 audit closed (tests/test_gate_nontrivial
-    pins a multi-pair result with both jaccard classes)."""
-    docs = _docs(spark, sf_dir)
-    corpus = docs.select("doc_id", "text").filter(F.col("text").isNotNull())
-    near = corpus.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + _IDX_SHIFT).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" qq0probe")).alias("text"),
-    )
-    exact = corpus.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 2 * _IDX_SHIFT).alias("doc_id"), "text"
-    )
-    return corpus, near.unionByName(exact)
-
-
-def mh_index_for(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
-    hit = _MH_IDX_CACHE.get(key)
-    if hit is None:
-        import atexit
-        import shutil
-        import tempfile
-
-        _purge_dead_entries(_MH_IDX_CACHE)
-        corpus, _ = _mh_corpus_and_batch(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix="qps_mh_idx_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        D.write_minhash_index(
-            corpus, path, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_k=3
-        )
-        hit = (path, corpus)
-        _MH_IDX_CACHE[key] = hit
-    return hit
-
-
-def mh_prebuild(spark: SparkSession, sf_dir: str) -> None:
-    """Warmup hook (bench): write the corpus band index outside per-query
-    timing — the probe gate's contract is 'index exists, batch arrives'."""
-    mh_index_for(spark, sf_dir)
-
-
-def dedup_against_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The daily-increment dedup workflow under the oracle gate (VERDICT
-    r14 #1 — previously library-only): a new batch's banded minhash
-    signatures probe a PERSISTED corpus index (operators/dedup.py
-    write_minhash_index / dedup_against_index; the index side never
-    shuffles and is never re-hashed), candidates jaccard-verified to
-    (new_id, old_id, jaccard ≥ 0.8). The oracle re-derives the identical
-    banded signatures for both sides from the parquet alone and joins
-    batch×corpus bands — so the whole probe path (signature recipe, band
-    collision, verify threshold) is hash-checked end to end."""
-    path, corpus = mh_index_for(spark, sf_dir)
-    _, batch = _mh_corpus_and_batch(spark, sf_dir)
-    return D.dedup_against_index(batch, path, corpus=corpus, threshold=0.8)
-
-
-def _index_probe_oracle() -> str:
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
-    )
-    bands = ",\n         ".join(
-        "md5(" + " || ".join(f"h{b * _ROWS + i}" for i in range(_ROWS)) + f") AS bh{b}"
-        for b in range(_BANDS)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM bands" for b in range(_BANDS)
-    )
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-),
-batch AS (
-  SELECT doc_id + {_IDX_SHIFT} AS doc_id, text || ' qq0probe' AS text
-  FROM corpus WHERE doc_id % 7 = 0
-  UNION ALL
-  SELECT doc_id + {2 * _IDX_SHIFT} AS doc_id, text
-  FROM corpus WHERE doc_id % 11 = 0
-),
-allrows AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
-toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM allrows
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
-         )) AS shingle
-  FROM toks WHERE len(t) >= 3
-),
-sigs AS (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, {bands} FROM sigs
-),
-banded AS ({band_rows}),
-cands AS (
-  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
-  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
-  WHERE l.doc_id >= {_IDX_SHIFT} AND r.doc_id < {_IDX_SHIFT}
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.new_id, c.old_id, count(*) AS i
-  FROM cands c
-  JOIN sh sa ON sa.doc_id = c.new_id
-  JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
-  GROUP BY c.new_id, c.old_id
-)
-SELECT i.new_id, i.old_id,
-       round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.new_id
-JOIN sizes nb ON nb.doc_id = i.old_id
-WHERE round(i.i::DOUBLE / (na.n + nb.n - i.i), 3) >= 0.8
-"""
-
-
 # --- dedup: rare-shingle blocking + exact n-gram jaccard -------------------
 
 _RARE_MAX_DOCS = 5
@@ -447,54 +311,6 @@ SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
        round({_emb_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS cos
 FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE round({_emb_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) >= 0.40
-"""
-
-
-# --- semantic dedup (SemDeDup — r15 gate) ----------------------------------
-
-def semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup under the oracle gate (VERDICT r14 #1 — previously
-    library-only): embedding-cosine near-dup pairs (the
-    dedup_embedding_cosine recipe: seeded quantizer cells, 2-probe
-    assignment, round-4 cosine ≥ 0.40) close into connected components
-    and each component keeps its minimum id (operators/similarity.py
-    semantic_dedup → operators/cluster.py). The oracle mirrors the pair
-    recipe exactly and the closure with a recursive CTE — so the part
-    pair-local dropping gets WRONG (chains A≈B≈C with dissimilar ends
-    collapsing to one survivor) is what the hash verifies. Threshold
-    0.40 (not the production 0.85) so the synthetic corpus yields real
-    multi-member components at the verification SFs."""
-    emb = _emb64(spark, sf_dir)
-    n_cells = max(_EMB_CELLS, -(-emb.count() // 512))
-    ann = S.semantic_dedup(
-        emb, threshold=0.40, n_cells=n_cells, probes=_EMB_PROBES
-    )
-    return ann.select("vec_id", "component", "is_canonical")
-
-
-SEMANTIC_DEDUP_SQL = f"""
-WITH RECURSIVE dup_pairs AS ({DEDUP_EMBEDDING_SQL}),
-sym AS (
-  SELECT a AS u, b AS v FROM dup_pairs WHERE a <> b
-  UNION
-  SELECT b AS u, a AS v FROM dup_pairs WHERE a <> b
-),
-reach(u, v) AS (
-  SELECT u, v FROM sym
-  UNION
-  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
-),
-labels AS (
-  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
-),
-e64 AS (
-  SELECT vec_id FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
-)
-SELECT e.vec_id,
-       coalesce(l.component, e.vec_id) AS component,
-       (coalesce(l.component, e.vec_id) = e.vec_id) AS is_canonical
-FROM e64 e LEFT JOIN labels l ON l.node = e.vec_id
 """
 
 
@@ -767,95 +583,6 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
 FROM ranked WHERE rank <= 10
 """
-
-
-# --- ANN battery (r15 slot consolidation — VERDICT r14 #1) -----------------
-
-# the asof_battery digest idiom: Σ of a 60-bit md5 prefix of every output
-# row mod 1e11 — order-independent, overflow-safe to ~90M rows, so the
-# per-row values stay hash-verified inside a one-row-per-variant gate
-
-
-def _rowhash(cols: tuple[str, ...]):
-    row_str = F.concat_ws(
-        "|",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("~")) for c in cols],
-    )
-    return F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
-        "long"
-    ) % F.lit(100_000_000_000)
-
-
-def ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Digest gate for the three comparable ANN variants in ONE registry
-    row (the driver verifies exactly 50 entries; consolidating
-    bruteforce/LSH/IVF freed two slots for previously library-only
-    operators — COVERAGE.md swap plan, VERDICT r14 #1). Each variant's
-    full (query_id, rank, neighbor_id, cos) result is digested to
-    (n_rows, n_queries, Σ cos·1e6, row-content checksum), so every
-    per-row value stays hash-verified exactly as the three standalone
-    gates verified it — the standalone functions remain exported and
-    tests/test_llm_ops.py pins the battery rows equal to their outputs.
-    ``ann_topk_pq`` keeps its own slot: its driver-row multi-query path
-    is the most intricate oracle and worth isolated failure attribution.
-
-    cos rides the row string as CAST(round(cos·1e6) AS BIGINT): both
-    engines compute the identical round-6 cosine, but their double→string
-    renderings differ (Spark says 1.0E-4 where DuckDB says 0.0001), so
-    the digest hashes the integer form instead."""
-    out = None
-    for name, fn in (
-        ("bruteforce", ann_topk_bruteforce),
-        ("ivf", ann_topk_ivf),
-        ("lsh", ann_topk_lsh),
-    ):
-        df = fn(spark, sf_dir).withColumn(
-            "cos_e6", F.round(F.col("cos") * 1e6).cast("long")
-        )
-        digest = (
-            df.withColumn("variant", F.lit(name))
-            .groupBy("variant")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.countDistinct("query_id").alias("n_queries"),
-                F.sum("cos_e6").alias("sum_cos_e6"),
-                F.sum(
-                    _rowhash(("query_id", "rank", "neighbor_id", "cos_e6"))
-                ).alias("checksum"),
-            )
-        )
-        out = digest if out is None else out.unionByName(digest)
-    return out.orderBy("variant")
-
-
-def _ann_digest_sql(name: str, sql: str) -> str:
-    return f"""
-SELECT '{name}' AS variant,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-       CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6,
-       CAST(sum(
-         ('0x' || substr(md5(concat_ws('|',
-            coalesce(CAST(query_id AS VARCHAR), '~'),
-            coalesce(CAST(rank AS VARCHAR), '~'),
-            coalesce(CAST(neighbor_id AS VARCHAR), '~'),
-            coalesce(CAST(cos_e6 AS VARCHAR), '~'))), 1, 15))::BIGINT
-         % 100000000000
-       ) AS BIGINT) AS checksum
-FROM (SELECT *, CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 FROM ({sql}))
-"""
-
-
-def _ann_battery_oracle() -> str:
-    return (
-        "SELECT * FROM ("
-        + _ann_digest_sql("bruteforce", ANN_TOPK_SQL)
-        + " UNION ALL "
-        + _ann_digest_sql("ivf", _ivf_oracle())
-        + " UNION ALL "
-        + _ann_digest_sql("lsh", _lsh_oracle())
-        + ") ORDER BY variant"
-    )
 
 
 # --- product quantization (gate row) ---------------------------------------
@@ -1233,82 +960,6 @@ FROM parts
 """
 
 
-def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Digest gate for both multimodal paths in ONE registry row (r15
-    slot consolidation — same table, same Arrow/mapInPandas seam; the
-    freed slot funds a previously library-only gate per the COVERAGE.md
-    swap plan). Branch 'summary' digests the per-kind byte rollup,
-    branch 'decode' digests the full per-media decode profile — row
-    contents checksummed with the asof_battery idiom, so every value
-    the two standalone gates verified stays hash-verified. avg_bytes
-    (round-2 double) rides the row string as round(·100) AS BIGINT for
-    the same double→string reason as ann_battery's cos."""
-    s = multimodal_summary(spark, sf_dir).withColumn(
-        "avg_e2", F.round(F.col("avg_bytes") * 100).cast("long")
-    )
-    sd = (
-        s.withColumn("variant", F.lit("summary"))
-        .groupBy("variant")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("n").alias("sum_n"),
-            F.sum(_rowhash(("kind", "n", "total_bytes", "avg_e2"))).alias(
-                "checksum"
-            ),
-        )
-    )
-    d = multimodal_decode(spark, sf_dir)
-    dd = (
-        d.withColumn("variant", F.lit("decode"))
-        .groupBy("variant")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("n_frames").cast("long").alias("sum_n"),
-            F.sum(
-                _rowhash(
-                    ("media_id", "kind", "width", "height", "n_frames",
-                     "feature_dim")
-                )
-            ).alias("checksum"),
-        )
-    )
-    return sd.unionByName(dd).orderBy("variant")
-
-
-MULTIMODAL_BATTERY_SQL = f"""
-SELECT * FROM (
-  SELECT 'summary' AS variant,
-         CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(n) AS BIGINT) AS sum_n,
-         CAST(sum(
-           ('0x' || substr(md5(concat_ws('|',
-              coalesce(CAST(kind AS VARCHAR), '~'),
-              coalesce(CAST(n AS VARCHAR), '~'),
-              coalesce(CAST(total_bytes AS VARCHAR), '~'),
-              coalesce(CAST(avg_e2 AS VARCHAR), '~'))), 1, 15))::BIGINT
-           % 100000000000
-         ) AS BIGINT) AS checksum
-  FROM (SELECT *, CAST(round(avg_bytes * 100) AS BIGINT) AS avg_e2
-        FROM ({MULTIMODAL_SUMMARY_SQL}))
-  UNION ALL
-  SELECT 'decode' AS variant,
-         CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(n_frames) AS BIGINT) AS sum_n,
-         CAST(sum(
-           ('0x' || substr(md5(concat_ws('|',
-              coalesce(CAST(media_id AS VARCHAR), '~'),
-              coalesce(CAST(kind AS VARCHAR), '~'),
-              coalesce(CAST(width AS VARCHAR), '~'),
-              coalesce(CAST(height AS VARCHAR), '~'),
-              coalesce(CAST(n_frames AS VARCHAR), '~'),
-              coalesce(CAST(feature_dim AS VARCHAR), '~'))), 1, 15))::BIGINT
-           % 100000000000
-         ) AS BIGINT) AS checksum
-  FROM ({MULTIMODAL_DECODE_SQL})
-) ORDER BY variant
-"""
-
-
 # --- flagship composition: end-to-end corpus cleaning ----------------------
 
 _SHARD_FRACTION, _SHARD_SALT = 0.9, "shard0"
@@ -1461,17 +1112,13 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
-    # r15 slot swap (COVERAGE.md plan): the three comparable ANN variants
-    # and the two multimodal paths consolidate into per-variant digest
-    # batteries (asof_battery recipe), freeing three registry slots for
-    # the previously library-only flagships below. The standalone
-    # functions stay exported; tests pin battery ≡ standalone results.
-    "ann_battery": ann_battery,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
-    "dedup_against_index": dedup_against_index_gate,
-    "semantic_dedup": semantic_dedup_gate,
     "text_analyze": text_analyze,
-    "multimodal_battery": multimodal_battery,
+    "multimodal_summary": multimodal_summary,
+    "multimodal_decode": multimodal_decode,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "udf_levenshtein_normalized": udf_levenshtein_normalized,
 }
@@ -1479,12 +1126,8 @@ QUERIES = {
 # queries whose timing contract assumes a prebuilt artifact (bench runs the
 # hook untimed after each cache clear; the driver's correctness run doesn't
 # need it — ivf_index_for serves from a written parquet index, so a
-# clearCache is harmless, and the pq/minhash caches self-heal)
-PREBUILD = {
-    "ann_battery": prebuild,
-    "ann_topk_pq": pq_prebuild,
-    "dedup_against_index": mh_prebuild,
-}
+# clearCache is harmless, and the pq cache self-heals)
+PREBUILD = {"ann_topk_ivf": prebuild, "ann_topk_pq": pq_prebuild}
 
 # queries that run driver-side work during plan construction (persist+count
 # of an intermediate, an index build, a query-batch collect): the registry's
@@ -1496,10 +1139,6 @@ STATEFUL = {
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "corpus_clean_pipeline",
-    # the probe materializes its candidate pairs (localCheckpoint+count)
-    # during construction — that is the probe work the timing must
-    # include; the INDEX build itself is cached (mh_index_for/PREBUILD)
-    "dedup_against_index",
 }
 # dedup_embedding_cosine left the set in r7: blocked_near_pairs no longer
 # persists an intermediate (the canonical-cell emit removed the last one);
@@ -1520,12 +1159,13 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
-    "ann_battery": _ann_battery_oracle(),
+    "ann_topk_bruteforce": ANN_TOPK_SQL,
+    "ann_topk_lsh": _lsh_oracle(),
+    "ann_topk_ivf": _ivf_oracle(),
     "ann_topk_pq": _pq_oracle(),
-    "dedup_against_index": _index_probe_oracle(),
-    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "text_analyze": _text_oracle(source=_TEXT_AUG_SRC),
-    "multimodal_battery": MULTIMODAL_BATTERY_SQL,
+    "multimodal_summary": MULTIMODAL_SUMMARY_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "corpus_clean_pipeline": _corpus_clean_oracle(),
     # the pandas-UDF extension point is oracle-proven via DuckDB's native
     # levenshtein (r12); text_compression_quality (zlib) stays a library

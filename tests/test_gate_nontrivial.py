@@ -121,86 +121,3 @@ def test_pivot_gate_has_real_and_zero_fill_columns(spark):
     # 'login' stays DELIBERATELY absent from the corpus: the all-zero
     # column pins the explicit-values + na.fill(0) zero-fill path
     assert all(r["login"] == 0 for r in rows)
-
-
-# --- r15 slot-swap gates (VERDICT r14 #1/#5): new gates are born with ---
-# --- result-shape pins so they can't regress to trivial -----------------
-
-
-def test_index_probe_gate_has_both_jaccard_classes(spark):
-    """dedup_against_index must exercise BOTH probe outcomes: near-dup
-    pairs (perturbed replicas, jaccard < 1) that test the banding+verify
-    threshold for real, and exact clones (jaccard = 1.0) that test the
-    degenerate top end. An empty or single-class result would verify
-    only part of the probe path."""
-    from quackpipe_spark.workloads.llm_ops import dedup_against_index_gate
-
-    rows = dedup_against_index_gate(spark, SF_DIR).collect()
-    assert any(r["jaccard"] < 1.0 for r in rows), "near-dup pairs must fire"
-    assert any(r["jaccard"] >= 1.0 for r in rows), "exact clones must fire"
-    # batch ids are shifted: every pair must cross the batch/corpus split
-    assert all(
-        r["new_id"] >= 1_000_000_000 and r["old_id"] < 1_000_000_000
-        for r in rows
-    )
-
-
-def test_semantic_dedup_gate_forms_real_components(spark):
-    """semantic_dedup must produce multi-member components (is_canonical
-    False rows) — an all-singleton result would verify the closure on
-    nothing, the r13 empty-join class."""
-    from quackpipe_spark.workloads.llm_ops import semantic_dedup_gate
-
-    rows = semantic_dedup_gate(spark, SF_DIR).collect()
-    dropped = [r for r in rows if not r["is_canonical"]]
-    assert dropped, "semantic dedup must drop at least one non-canonical row"
-    comps = {}
-    for r in rows:
-        comps.setdefault(r["component"], []).append(r["vec_id"])
-    multi = [ids for ids in comps.values() if len(ids) > 1]
-    assert multi, "must form >1-member components"
-    # canonical = min id of the component
-    assert all(min(ids) in ids for ids in multi)
-    by_id = {r["vec_id"]: r for r in rows}
-    for ids in multi:
-        assert by_id[min(ids)]["is_canonical"]
-
-
-def test_pack_gate_packs_are_nontrivial(spark):
-    """pack_sequences must form MULTI-doc packs (the running-sum window
-    really accumulating) and multiple packs per shard (the budget
-    boundary really firing) — one-doc-per-pack or one-pack-per-shard
-    would verify the window arithmetic on degenerate inputs."""
-    from collections import Counter
-
-    from quackpipe_spark.workloads.curation import pack_sequences_gate
-
-    rows = pack_sequences_gate(spark, SF_DIR).collect()
-    per_pack = Counter(r["pack_id"] for r in rows)
-    assert any(n > 1 for n in per_pack.values()), "no multi-doc pack formed"
-    shards = {r["shard"] for r in rows}
-    assert len(shards) > 1, "sharding must scatter"
-    packs_per_shard = Counter(r["pack_id"] >> 40 for r in rows if r["pack_id"] is not None)
-    assert any(
-        len({r["pack_id"] for r in rows if r["shard"] == s}) > 1 for s in shards
-    ), "budget boundary never fired (one pack per shard)"
-    assert len({r["n_tokens"] for r in rows}) > 1, "token counts must vary"
-
-
-def test_battery_gates_have_distinct_live_branches(spark):
-    """Each battery row must digest a NON-EMPTY branch with a distinct
-    checksum — an empty branch (n_rows 0, checksum NULL/0) would make
-    the consolidation silently weaker than the three standalone gates
-    it replaced."""
-    from quackpipe_spark.workloads.llm_ops import ann_battery, multimodal_battery
-
-    for fn, expect in (
-        (ann_battery, {"bruteforce", "ivf", "lsh"}),
-        (multimodal_battery, {"summary", "decode"}),
-    ):
-        rows = fn(spark, SF_DIR).collect()
-        assert {r["variant"] for r in rows} == expect
-        assert all(r["n_rows"] > 0 for r in rows)
-        checksums = [r["checksum"] for r in rows]
-        assert all(c is not None and c > 0 for c in checksums)
-        assert len(set(checksums)) == len(checksums), "branches must differ"
