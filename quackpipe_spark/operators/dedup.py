@@ -300,20 +300,49 @@ def lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash) → candidate
-    pairs (a < b). Rows per band r = num_hashes/bands; P(candidate) =
-    1-(1-j^r)^b — tune (bands, r) per corpus similarity target."""
+    """Band the signature and emit candidate pairs (a < b) per (band,
+    band_hash) bucket. Rows per band r = num_hashes/bands; P(candidate) =
+    1-(1-j^r)^b — tune (bands, r) per corpus similarity target.
+
+    Formulated as ONE groupBy over the banded table — each bucket
+    collects its sorted member ids and emits the pairs from the array
+    (identical set to a (band, bh) self-join with l.id < r.id, since
+    position order = id order) — NOT as a self-join. The self-join
+    consumed the banded table twice, and because the signature aggregate
+    is exchange-free (shingle_table pre-partitions by id) there is no
+    Exchange for the planner to reuse between the two sides: the whole
+    shingle-explode + k-md5 aggregation pipeline ran ONCE PER SIDE
+    (confirmed in the r15 plan audit — 2× Generate/agg subtrees), which
+    is why minhash_candidates had to persist() the signature frame and
+    pay a blocking count() barrier to pin it. The grouped form consumes
+    the banded table once, so the barrier (and the corpus-sized
+    signature cache at 100 TB — a memory liability, not an asset) is
+    deleted outright, and the banded rows cross the wire once instead
+    of twice (guide: aggregate before you shuffle).
+
+    Scale: a bucket of m colliding docs holds one m-length id array and
+    emits m·(m-1)/2 pairs — the same quadratic pair count the self-join
+    produced for that bucket, just emitted from the array side; the
+    distinct() dedups pairs matching in several bands exactly as
+    before."""
     banded = band_table(sigs, id_col, num_hashes, bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    grouped = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -378,6 +407,18 @@ def jaccard_verify(
         shingle_table(cand_docs, id_col, text_col, shingle_k)
         .groupBy(id_col)
         .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
+        # NOTE (r15 plan audit): the a- and b-side joins below each
+        # consume this subtree, and because the collect_set agg is
+        # exchange-free (shingle_table pre-partitions by id) there is no
+        # Exchange boundary for the planner to reuse — the candidate-doc
+        # set-building pipeline executes once per side. An explicit
+        # .repartition(id_col) here does NOT fix it: the output is
+        # already hash-partitioned on id, so the optimizer elides the
+        # redundant exchange (verified against the executed plan). The
+        # duplication is bounded by the CANDIDATE set (≤ 2·pairs docs,
+        # ≪ corpus under any blocking scheme worth running), so it is
+        # accepted rather than paying a pair-melt + fat-array re-agg
+        # shuffle to share it.
     )
     # SHUFFLE_HASH on the sets side, unconditionally: Catalyst's static
     # estimate for the exchange-free collect_set agg undershoots badly
@@ -421,20 +462,23 @@ def minhash_candidates(
     """Materialized LSH candidate pairs plus their count — the shared
     prefix of minhash_dedup / minhash_clusters / corpus_clean.
 
-    Persistence discipline (the reason this exists ONCE): signatures are
-    consumed by both sides of the banded self-join, and the candidate
+    Persistence discipline (the reason this exists ONCE): the candidate
     set's lineage is the whole minhash+LSH pipeline while jaccard_verify
     fans out into several concurrently-launched consumer branches
     (broadcast futures for cand_ids, the pair join, the size joins) —
     a LAZY persist loses that race and every branch redundantly
-    recomputes the pipeline (observed 9 simultaneous copies), so both
-    persists block on count(). The count doubles as the closure's
-    edge_bound (verified pairs ⊆ candidates). Both caches stay
+    recomputes the pipeline (observed 9 simultaneous copies), so the
+    persist blocks on count(). The count doubles as the closure's
+    edge_bound (verified pairs ⊆ candidates). The signature frame is NOT
+    persisted: since the r15 grouped-pairs rewrite of lsh_candidates the
+    pipeline consumes it exactly once, fused into the candidate job —
+    the old persist+count existed only because the banded self-join
+    re-ran the exchange-free signature aggregate on both sides, and at
+    100 TB it pinned a corpus-sized cache. The cands cache stays
     registered for the consumer's lifetime; callers running many
     corpora through one session should spark.catalog.clearCache()
     between them."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
-    sigs.count()
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
     n_cands = cands.count()
     return cands, n_cands
@@ -1389,12 +1433,22 @@ def simhash_near_pairs(
     accept heuristic recall.
 
     A pair matching in several bands is emitted once by keeping only its
-    FIRST matching band: both simhashes ride through the join, so "an
-    earlier band also matches" is a plain column predicate — dedup becomes
-    a stateless filter instead of a DISTINCT shuffle over the candidate
-    pair set. No broadcast hint: the banded table is corpus-sized, so the
-    planner must pick broadcast-vs-SMJ from stats (it broadcasts the
-    persisted table at small scale, shuffles at 100 TB).
+    FIRST matching band: both simhashes ride through the bucket rows, so
+    "an earlier band also matches" is a plain column predicate — dedup
+    becomes a stateless filter instead of a DISTINCT shuffle over the
+    candidate pair set.
+
+    Candidates come from ONE groupBy over the banded table — each
+    (band, slice-value) bucket collects its members as a sorted
+    (id, simhash) array and emits the a < b pairs from the array — not
+    from a self-join. The self-join consumed the banded table twice,
+    and the signature fold below it is exchange-free, so nothing was
+    reusable between the sides: the whole per-row fold ran once per
+    side, which forced a persist() + blocking count() barrier here (and
+    pinned a corpus-sized signature cache at 100 TB). The grouped form
+    consumes the fold exactly once, fused into the single candidate
+    job, so the barrier and the cache are deleted and banded rows cross
+    the wire once instead of twice.
 
     Scale: bucket collisions (and therefore verify work) grow as
     n² / 2^(bits/bands) — band WIDTH is the selectivity lever. When
@@ -1411,19 +1465,11 @@ def simhash_near_pairs(
                 f"max_hamming must be in [0, {bits}), got {max_hamming}"
             )
         bands = next(b for b in range(max_hamming + 1, bits + 1) if bits % b == 0)
-    # the banded self-join consumes sigs on both sides — cache the (small:
-    # one long per doc) signature table eagerly so the per-row signature
-    # fold runs once, not per join side
     if not isinstance(bands, int) or bands < 1 or bits % bands != 0:
-        # pure-arithmetic check BEFORE the persist+count below — after
-        # them it would burn a corpus-scale signature job and leak the
-        # pinned frame on the raise
         raise ValueError(
             f"bands must be 'auto' or an int that divides the signature "
             f"width: got bits={bits}, bands={bands}"
         )
-    sigs = sigs.persist()
-    sigs.count()
     width = bits // bands
     mask = (1 << width) - 1
 
@@ -1438,27 +1484,49 @@ def simhash_near_pairs(
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "bv")
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    # one bucket = one (band, bv) group; members sorted by id (struct
+    # comparison orders by the leading field, ids are unique), so pair
+    # emission from the array gives exactly the a < b pairs of the old
+    # self-join formulation
+    grouped = (
+        banded.groupBy("band", "bv")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), F.size("ms")),
+                lambda y: F.struct(
+                    x["id"].alias("a"),
+                    y["id"].alias("b"),
+                    x["simhash"].alias("sa"),
+                    y["simhash"].alias("sb"),
+                ),
+            ),
+        )
+    )
     earlier_match = F.lit(False)  # bands=1: nothing earlier can match
     for b in range(bands - 1):
-        cond = (F.col("l.band") > b) & (
-            band_of(F.col("l.simhash"), b) == band_of(F.col("r.simhash"), b)
+        cond = (F.col("band") > b) & (
+            band_of(F.col("sa"), b) == band_of(F.col("sb"), b)
         )
         earlier_match = earlier_match | cond
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        grouped.select(F.col("band"), F.explode(pair_structs).alias("p"))
+        .select("band", "p.a", "p.b", "p.sa", "p.sb")
         .filter(~earlier_match)
         .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).cast("int").alias("hamming"),
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -1075,8 +1075,16 @@ def udf_levenshtein_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(_docs(spark, sf_dir))
     a = F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 40)
+    # asNondeterministic: the trailing filter references the UDF column,
+    # and the optimizer's filter pushdown otherwise DUPLICATES the Arrow
+    # stage — one ArrowEvalPython below the fan_out Exchange (i.e. on the
+    # single pre-repartition scan split: the whole corpus through one
+    # Python worker) plus a second one above it (guide §4.4; r15 plan
+    # audit). Marking the call nondeterministic pins a single evaluation
+    # after the fan-out; the function is pure, so results are unchanged.
+    lev = levenshtein_vec.asNondeterministic()
     return docs.select(
-        "doc_id", levenshtein_vec(a, F.reverse(a)).alias("edit_distance")
+        "doc_id", lev(a, F.reverse(a)).alias("edit_distance")
     ).filter(F.col("edit_distance") >= 0)
 
 

@@ -133,6 +133,33 @@ def test_jaccard_verify_shingles_candidates_only(spark):
     assert min(gen_ids) > min(semi_ids), "explode must consume semi-joined docs"
 
 
+def test_lsh_candidates_single_signature_pipeline(spark):
+    """The LSH candidate stage must compute the shingle-explode + k-md5
+    signature pipeline exactly ONCE (r15 rewrite): candidates come from
+    one (band, bh) bucket collect with pair emission from the sorted id
+    array, not from a banded SELF-join. The self-join consumed the banded
+    table on both sides, and because the signature aggregate is
+    exchange-free (pre-partitioned by id) nothing was reusable between
+    the sides — the whole corpus-wide hashing ran twice per candidate
+    job (r15 plan audit)."""
+    import re
+
+    from quackpipe_spark.operators import dedup as D
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = D.minhash_signatures(docs, num_hashes=12)
+    p = plan_text(D.lsh_candidates(sigs, num_hashes=12, bands=4))
+    assert "Join" not in p, "candidates must not self-join the banded table"
+    # exactly one scan and one shingle/band pipeline: Generates are the
+    # shingle explode, the band posexplode, and the pair emission — a
+    # duplicated pipeline would double them
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 3
+    # exchanges: doc repartition, (band, bh) bucket shuffle, pair distinct
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 3
+
+
 def test_simhash_per_row_no_explode_no_shuffle(spark):
     """The simhash signature is per-row state: the plan must contain NO
     Generate (token explode) and NO aggregation — one projection with the
@@ -157,7 +184,18 @@ def test_simhash_per_row_no_explode_no_shuffle(spark):
 def test_simhash_near_pairs_no_distinct(spark):
     """Cross-band pair dedup must be the first-matching-band FILTER, not a
     DISTINCT shuffle over the candidate pair set (the pair set scales with
-    corpus × bucket density; a stateless predicate does not shuffle it)."""
+    corpus × bucket density; a stateless predicate does not shuffle it).
+
+    Since the r15 grouped-pairs rewrite the plan is one linear pipeline:
+    fold → band posexplode → ONE (band, bv) bucket collect
+    (ObjectHashAggregate) → pair emission Generate → filter. The bucket
+    collect is the candidate stage itself (it replaces the banded
+    SELF-join that re-ran the signature fold per side); what stays
+    forbidden is any row-hash aggregate over the emitted PAIRS — a
+    distinct would plan as a plain HashAggregate — and any extra
+    exchange above the bucket shuffle."""
+    import re
+
     from quackpipe_spark.operators import dedup as D
 
     # pin the COLD plan: persisted fragments from earlier tests otherwise
@@ -167,8 +205,19 @@ def test_simhash_near_pairs_no_distinct(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = D.simhash_near_pairs(D.simhash(docs, bits=32), bits=32, max_hamming=1)
     p = plan_text(out)
-    # no aggregation anywhere: dedup-by-distinct would plan HashAggregate
-    assert "HashAggregate" not in p and "SortAggregate" not in p
+    # pair dedup-by-distinct would plan a plain HashAggregate over (a, b);
+    # the only aggregates allowed are the bucket collects
+    assert not re.findall(r"\(\d+\) HashAggregate", p)
+    assert "SortAggregate" not in p
+    # no self-join anywhere, and exactly two exchanges: the fan-out of
+    # the fold input and the one (band, bv) bucket shuffle
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    # pair emission (the top Generate) must sit ABOVE the bucket
+    # aggregate: pairs are emitted from collected buckets, never shuffled
+    gen_ids = [int(m) for m in re.findall(r"\((\d+)\) Generate", p)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) ObjectHashAggregate", p)]
+    assert gen_ids and agg_ids and max(gen_ids) > max(agg_ids)
 
 
 def test_minhash_signatures_explode_never_shuffles(spark):

@@ -169,6 +169,11 @@ def test_compactor_sweeps_stale_tmp_entries(spark, tmp_path):
     with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
         f.write(b"junk")
     old = time.time() - 7200
+    # age the WHOLE tree: the sweep age signal is the newest mtime found
+    # anywhere under the entry (a live bulk write touches nested files
+    # without touching the top dir — ADVICE r15), so a genuinely crashed
+    # stage presents all-old mtimes, not just an old top dir
+    os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
     os.utime(stale, (old, old))
     fresh = os.path.join(t.tmp_dir(), "fresh.parquet")
     with open(fresh, "wb") as f:
