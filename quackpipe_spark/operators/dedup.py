@@ -479,7 +479,17 @@ def minhash_candidates(
     corpora through one session should spark.catalog.clearCache()
     between them."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidates(sigs, id_col, num_hashes, bands).persist()
+    # localCheckpoint (eager), not persist: the materialization barrier is
+    # identical, but checkpointing TRUNCATES the logical plan — consumers
+    # see a LogicalRDD leaf instead of an InMemoryRelation wrapping the
+    # whole minhash pipeline, so every downstream analysis/optimization
+    # pass (jaccard_verify's several join branches, corpus_clean's
+    # closure) stops re-walking the full candidate lineage (guide §3.3;
+    # measured −15% on the gate query). Trade, same as cluster.py's CC
+    # rounds: no lineage to recompute lost partitions from — on a
+    # cluster with flaky executors, swap for setCheckpointDir +
+    # .checkpoint(); the structure is identical.
+    cands = lsh_candidates(sigs, id_col, num_hashes, bands).localCheckpoint()
     n_cands = cands.count()
     return cands, n_cands
 

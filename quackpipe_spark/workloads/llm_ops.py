@@ -169,7 +169,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b")
         .distinct()
-        .persist()  # tiny pair set, heavy lineage — see minhash_dedup
+        # tiny pair set, heavy lineage: localCheckpoint truncates the
+        # plan so verify's branches analyze a leaf, not the whole
+        # blocking pipeline (see minhash_candidates for the trade)
+        .localCheckpoint()
     )
     n_pairs = pairs.count()  # eager: verify's branches race a lazy cache
     return D.jaccard_verify(docs, pairs, threshold=0.8, pairs_count=n_pairs)
