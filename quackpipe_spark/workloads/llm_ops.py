@@ -1148,9 +1148,14 @@ PREBUILD = {"ann_topk_ivf": prebuild, "ann_topk_pq": pq_prebuild}
 STATEFUL = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "corpus_clean_pipeline",
 }
+# dedup_simhash left the set in r15: the grouped-pairs rewrite of
+# simhash_near_pairs removed its signature persist()+count() barrier, so
+# construction is a pure plan (no jobs, no pinned state) — the same
+# reason dedup_embedding_cosine left in r7. The three remaining entries
+# still materialize their candidate set eagerly (localCheckpoint+count)
+# at build; that work IS the query and must be rebuilt per call.
 # dedup_embedding_cosine left the set in r7: blocked_near_pairs no longer
 # persists an intermediate (the canonical-cell emit removed the last one);
 # its only build-time driver work is the deterministic seeded-centers
