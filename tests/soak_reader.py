@@ -20,6 +20,13 @@ Protocol (all paths given on argv):
 
 Exit code 0 = every read satisfied the invariants; 1 = violation (the
 message is in the stats JSON under "error").
+
+Reads go through tests/soak_utils.collect_with_reap_retry: the parent
+reaps compaction inputs on a 2 s delay (production default 30 s), so a
+scan that outlives the window fails loudly and is retried against the
+re-listed store — the delayed-drop contract. Every result, retried or
+not, faces the exact-prefix/monotonicity invariants; only the narrow
+reaped-input error class is ever retried.
 """
 
 from __future__ import annotations
@@ -51,6 +58,8 @@ def main() -> int:
     from quackpipe_spark.query import QueryEngine
     from quackpipe_spark.session import get_spark
 
+    from tests.soak_utils import collect_with_reap_retry
+
     spark = get_spark(
         app_name="soak-querier", extra_conf={"spark.ui.enabled": "false"}
     )
@@ -66,6 +75,7 @@ def main() -> int:
         "first_n": None,
         "last_n": 0,
         "distinct_counts": 0,
+        "reap_retries": 0,
         "error": None,
     }
     # ready AFTER the pre-table state is recorded: the parent holds its
@@ -75,6 +85,24 @@ def main() -> int:
         pass
 
     seen: set[int] = set()
+    # progress beacon for the parent: on a slow box 60 s of wall clock
+    # may not contain enough successful reads to satisfy the soak's
+    # throughput asserts — the parent extends the soak (hard-capped)
+    # until this file shows the thresholds met, instead of the test
+    # encoding a box-speed assumption
+    progress_path = out_path + ".progress"
+
+    def _beacon() -> None:
+        with open(progress_path, "w") as pf:
+            json.dump(
+                {
+                    "reads": stats["reads"],
+                    "grouped_reads": stats["grouped_reads"],
+                    "distinct_counts": len(seen),
+                },
+                pf,
+            )
+
     deadline = time.time() + max_s
     try:
         while time.time() < deadline and not os.path.exists(stop_path):
@@ -86,10 +114,18 @@ def main() -> int:
             # query FIRST, then load snapshots: the parent registers a
             # state before publishing it, so a result's snapshot is
             # always on disk by the time the result exists — reading the
-            # file afterwards can only ever ADD newer states
-            row = qe.sql(
-                "SELECT count(*) AS n, sum(v) AS s FROM soak", db="d"
-            ).collect()[0]
+            # file afterwards can only ever ADD newer states.
+            # collect_with_reap_retry: the parent compacts with
+            # drop_delay_s=2.0, so on a slow box a scan can outlive the
+            # drop window and lose an input file mid-flight — a LOUD
+            # failure by design; the bounded retry is the client half of
+            # the delayed-drop contract (see tests/soak_utils.py) and
+            # every retried result still faces every invariant below
+            rows, r = collect_with_reap_retry(
+                qe, "SELECT count(*) AS n, sum(v) AS s FROM soak", "d"
+            )
+            stats["reap_retries"] += r
+            row = rows[0]
             n, s = row["n"], row["s"] or 0.0
             snaps = _snapshots(snap_path)
             if n not in snaps:
@@ -107,15 +143,17 @@ def main() -> int:
             stats["reads"] += 1
             # second query shape through the same engine: exercises the
             # file-list-keyed plan cache under cross-process file churn
-            rows = qe.sql(
-                "SELECT src, count(*) AS n FROM soak GROUP BY src", db="d"
-            ).collect()
+            rows, r = collect_with_reap_retry(
+                qe, "SELECT src, count(*) AS n FROM soak GROUP BY src", "d"
+            )
+            stats["reap_retries"] += r
             gn = sum(r["n"] for r in rows)
             if gn not in _snapshots(snap_path):
                 raise AssertionError(f"grouped total {gn} is no flush prefix")
             if len(rows) > 3:
                 raise AssertionError(f"grouped rows {len(rows)} > 3 src values")
             stats["grouped_reads"] += 1
+            _beacon()
     except Exception as e:  # violation or engine error: both fail the soak
         stats["error"] = f"{type(e).__name__}: {e}"
     stats["distinct_counts"] = len(seen)

@@ -151,11 +151,35 @@ def test_two_process_writer_querier_soak(spark, tmp_path):
             threading.Thread(target=writer, name="2p-writer"),
             threading.Thread(target=compactor, name="2p-compactor"),
         ]
+        # the querier beacons its progress (reads/grouped/distinct) each
+        # loop; after the nominal SOAK_S the parent keeps the soak alive
+        # (hard-capped) until the beacon meets the thresholds asserted
+        # below — the asserts keep full strength on a slow box, the test
+        # just waits for them to become true instead of assuming 60 s of
+        # wall clock contains enough successful reads
+        progress_path = out_path + ".progress"
+
+        def _progress_met() -> bool:
+            try:
+                with open(progress_path) as pf:
+                    p = json.load(pf)
+            except (OSError, ValueError):
+                return False
+            return (
+                p.get("reads", 0) >= 10
+                and p.get("grouped_reads", 0) >= 10
+                and p.get("distinct_counts", 0) >= 5
+            )
+
         t_end = time.time() + SOAK_S
+        t_hard = t_end + 180
         for t in threads:
             t.start()
         try:
-            while time.time() < t_end and not errors:
+            while not errors and (
+                time.time() < t_end
+                or (time.time() < t_hard and not _progress_met())
+            ):
                 assert proc.poll() is None, "querier exited mid-soak"
                 time.sleep(0.5)
         finally:
