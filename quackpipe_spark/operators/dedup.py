@@ -180,15 +180,22 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     The input is repartitioned by id first: a small/compact parquet source
     arrives as ONE scan split, which would single-thread every md5 in the
     pipeline downstream — and hashing id-partitions the rows so the
-    per-doc groupBys that follow need no further shuffle.
+    per-doc groupBys that follow need no further shuffle. The partition
+    COUNT follows the data (one partition per ~1 MB of docs, capped at
+    the cluster parallelism — guide §2.2): the exchange always stays (it
+    is the clustering the downstream aggs reuse; skipping it would push
+    a post-explode shuffle of the shingle rows back in), but a
+    kilobyte-scale corpus is no longer smeared over `parallelism` tasks
+    in every stage above it.
 
     Short docs are dropped by filtering on token count BEFORE building the
     shingle array (not by wrapping the array expression in when()+filter —
     projection collapse inlines that guarded expression into both the
     filter and the generate and the plan goes ~25× slower)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    from quackpipe_spark.operators.util import sized_parts
+
     base = (
-        docs.repartition(par, F.col(id_col))
+        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
     )
@@ -322,27 +329,29 @@ def lsh_candidates(
 
     Scale: a bucket of m colliding docs holds one m-length id array and
     emits m·(m-1)/2 pairs — the same quadratic pair count the self-join
-    produced for that bucket, just emitted from the array side; the
-    distinct() dedups pairs matching in several bands exactly as
-    before."""
+    produced for that bucket; the distinct() dedups pairs matching in
+    several bands exactly as before. Pair emission is CHUNKED per
+    member (posexplode the member index first, slice the tail after the
+    explode): every physical row is O(m) — the bucket's id array plus
+    one emitted pair — never the m·(m-1)/2-struct array a single-row
+    flatten(transform(transform)) materializes. A degenerate bucket
+    (boilerplate band value over millions of docs) therefore streams
+    its quadratic pair set through the Generate instead of building it
+    inside ONE aggregation buffer / UnsafeRow — the skewed-bucket OOM
+    class of the flattened form (guide §2.5); the quadratic WORK is
+    inherent to emitting the pairs and unchanged."""
     banded = band_table(sigs, id_col, num_hashes, bands)
     grouped = (
         banded.groupBy("band", "bh")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
+        grouped.select("ids", F.posexplode("ids").alias("i", "a"))
+        .select(
+            F.col("a"),
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b"),
+        )
         .distinct()
     )
 
@@ -1120,10 +1129,13 @@ def line_dedup(
     demotes that join to broadcast at real scale; the count table never
     contains singleton lines after the filter. Line ORDER is preserved
     via posexplode → array_sort on (pos, line) — no global sort."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from quackpipe_spark.operators.util import sized_parts
+
     lines = (
-        docs.repartition(par, F.col(id_col))
+        # data-sized id exchange (see shingle_table): the clustering is
+        # still established for the id-keyed reassembly, but a toy corpus
+        # is not fanned over `parallelism` tasks per stage
+        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
         .select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -1218,9 +1230,11 @@ def duplicate_passages(
     no jobs."""
     if k < 2:
         raise ValueError("passage gram size k must be >= 2")
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    from quackpipe_spark.operators.util import sized_parts
+
     base = (
-        docs.repartition(par, F.col(id_col))
+        # data-sized id exchange (see shingle_table)
+        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
     )
@@ -1414,7 +1428,7 @@ def simhash(
     # explode emitted no row for a NULL token array, so the fold must not
     # emit a NULL-signature row either
     return (
-        fan_out(docs)
+        fan_out(docs, bytes_per_task=1 << 20)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), sig.alias("simhash"))
     )
@@ -1507,29 +1521,28 @@ def simhash_near_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ms",
-            lambda x, i: F.transform(
-                F.slice("ms", i + F.lit(2), F.size("ms")),
-                lambda y: F.struct(
-                    x["id"].alias("a"),
-                    y["id"].alias("b"),
-                    x["simhash"].alias("sa"),
-                    y["simhash"].alias("sb"),
-                ),
-            ),
-        )
-    )
     earlier_match = F.lit(False)  # bands=1: nothing earlier can match
     for b in range(bands - 1):
         cond = (F.col("band") > b) & (
             band_of(F.col("sa"), b) == band_of(F.col("sb"), b)
         )
         earlier_match = earlier_match | cond
+    # chunked pair emission (see lsh_candidates): posexplode the member
+    # index first, slice the tail after the explode — every physical row
+    # is O(m), never the single m·(m-1)/2-struct array of the flattened
+    # form, so a degenerate (band, bv) bucket streams its pairs instead
+    # of materializing them in one aggregation buffer (guide §2.5 skew)
     return (
-        grouped.select(F.col("band"), F.explode(pair_structs).alias("p"))
-        .select("band", "p.a", "p.b", "p.sa", "p.sb")
+        grouped.select(
+            F.col("band"), F.col("ms"), F.posexplode("ms").alias("i", "x")
+        )
+        .select(
+            "band",
+            F.col("x.id").alias("a"),
+            F.col("x.simhash").alias("sa"),
+            F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("y"),
+        )
+        .select("band", "a", F.col("y.id").alias("b"), "sa", F.col("y.simhash").alias("sb"))
         .filter(~earlier_match)
         .select(
             "a",

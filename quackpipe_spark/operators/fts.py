@@ -49,11 +49,13 @@ def build_postings(
 ) -> DataFrame:
     """(term, id, tf) inverted postings plus per-doc length ``dl``.
 
-    One exchange total (the id-repartition); the explode and the
-    aggregate run exchange-free on top of it."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    One exchange total (the id-repartition, data-sized — see
+    dedup.shingle_table); the explode and the aggregate run
+    exchange-free on top of it."""
+    from quackpipe_spark.operators.util import sized_parts
+
     toks = (
-        docs.repartition(par, F.col(id_col))
+        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .select(id_col, F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
     )
@@ -626,10 +628,14 @@ def bm25_scan(
     # single-thread the tokenization. The null filter is on RAW text (not
     # the tokenized array — same rows: split/trim/lower are null-in
     # null-out) so the scan-side pushed filter stays a cheap null check
-    # instead of evaluating the split.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # instead of evaluating the split. The exchange is ALSO the
+    # ReuseExchange point both DAG branches share (stats agg + probe
+    # side), so it must stay even when tiny — but its partition COUNT
+    # follows the data (see dedup.shingle_table), not the core count.
+    from quackpipe_spark.operators.util import sized_parts
+
     rep = docs.filter(F.col(text_col).isNotNull()).repartition(
-        par, F.col(id_col)
+        sized_parts(docs, 1 << 20), F.col(id_col)
     )
     toks = rep.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
 

@@ -177,11 +177,15 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
     a corrupt blob, but a MISSING LIBRARY raises — silently skipping every
     row of a misconfigured cluster would ack an empty decode as success.
 
-    Fans out first (gated): a compact single-file source would otherwise
-    run the whole Python decode in ONE Arrow worker — decode is the
-    classic embarrassingly-parallel stage. On an already-split input the
-    gate skips the shuffle entirely (payload bytes are the widest column
-    in the table; re-shuffling them at 100 TB for no parallelism gain is
+    Fans out first (gated, data-sized): a compact single-file source
+    would otherwise run the whole Python decode in ONE Arrow worker —
+    decode is the classic embarrassingly-parallel stage. The fan-out
+    width follows the INPUT VOLUME (one task per ~4 MB of payload),
+    not the core count: a kilobyte-scale media table keeps its splits
+    (no exchange, no N-way Python worker dispatch for microseconds of
+    decode — guide §4/§2.2), while on an already-split 100 TB input the
+    gate skips the shuffle entirely (payload bytes are the widest
+    column in the table; re-shuffling them for no parallelism gain is
     pure waste)."""
     import pandas as pd
 
@@ -199,7 +203,7 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
     if missing:
         raise ValueError(f"decode_media input lacks column(s) {missing}; "
                          f"expected the MEDIA_SCHEMA shape")
-    media = fan_out(media)
+    media = fan_out(media, bytes_per_task=4 << 20)
 
     out_schema = (
         "media_id long, kind string, width int, height int, n_frames int, "

@@ -172,7 +172,7 @@ def brute_force_topk(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = fan_out(corpus).select(
+    c = fan_out(corpus, bytes_per_task=8 << 20).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -646,7 +646,7 @@ def prototype_sample(
         n_cells = auto_cells(corpus)
     centers = seeded_centers(corpus, id_col, vec_col, n_cells)
     assigned = assign_cells(
-        fan_out(corpus), centers, id_col, vec_col, probes=1
+        fan_out(corpus, bytes_per_task=8 << 20), centers, id_col, vec_col, probes=1
     )
     import math
 
@@ -775,7 +775,7 @@ def _assigned_index(
     Single-sourced so the eager-persist discipline and the postings
     column contract can't drift between the trained and seeded paths."""
     assigned = (
-        assign_cells(fan_out(corpus), centers, id_col, vec_col, probes=1)
+        assign_cells(fan_out(corpus, bytes_per_task=8 << 20), centers, id_col, vec_col, probes=1)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
@@ -1174,7 +1174,9 @@ def lsh_topk(
     class the r12 review closed on the IVF path; review r14)."""
     # norms once per row BEFORE the bucket join (the brute_force_topk
     # pattern): the pair space pays one dot, not dot + two norm re-folds.
-    cb = hyperplane_buckets(fan_out(corpus), id_col, vec_col, n_planes, dims).withColumn(
+    cb = hyperplane_buckets(
+        fan_out(corpus, bytes_per_task=8 << 20), id_col, vec_col, n_planes, dims
+    ).withColumn(
         "_cnorm", norm(F.col(vec_col))
     )
     qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dims).select(

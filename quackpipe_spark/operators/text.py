@@ -156,8 +156,15 @@ def bigram_repetition(
     whole-stage codegen. (A per-row distinct×filter formulation is
     O(n·d) interpreted lambda steps per doc — quadratic in doc length.)
     Docs with <2 tokens emit no row; callers left-join and coalesce."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return _top_bigram(docs.repartition(par, F.col(id_col)), id_col, text_col)
+    from quackpipe_spark.operators.util import sized_parts
+
+    # data-sized id exchange (see dedup.shingle_table): clustering kept,
+    # partition count follows the data instead of the core count
+    return _top_bigram(
+        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col)),
+        id_col,
+        text_col,
+    )
 
 
 def _top_bigram(base: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -346,9 +353,11 @@ def ngram_counts(
     # fan_out, not an unconditional repartition: the explode needs
     # per-row parallelism but nothing downstream needs id-partitioning
     # (the only groupBy is on ngram) — a round-robin shuffle of an
-    # already well-split 100 TB scan moved every row for no gain (r12)
+    # already well-split 100 TB scan moved every row for no gain (r12).
+    # Data-sized (r16, guide §2.2): one task per ~1 MB of docs, so a
+    # toy corpus is not smeared over `parallelism` tasks per stage
     base = (
-        fan_out(docs)
+        fan_out(docs, bytes_per_task=1 << 20)
         .select(toks.alias("_toks"), F.monotonically_increasing_id().alias("_d"))
         .filter(F.size("_toks") >= n)
     )
@@ -442,8 +451,10 @@ def analyze(
 
     if not repetition:
         return _proj(docs)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.repartition(par, F.col(id_col))
+    from quackpipe_spark.operators.util import sized_parts
+
+    # data-sized id exchange (see dedup.shingle_table)
+    base = docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
     rep = _top_bigram(base, id_col, text_col)
     # MERGE hint: rep is a corpus-scaled per-doc aggregate with NO
     # shuffle below it (it reuses base's id-partitioning), so AQE never
@@ -481,11 +492,13 @@ def linear_text_score(
     weightless docs still score sigmoid(bias). All JVM expressions;
     exp() is the only libm call, absorbed by round-to-``round_to`` for
     cross-engine comparison."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    from quackpipe_spark.operators.util import sized_parts
+
     # NULL text → empty token array (not a filter): the contract is that
     # EVERY doc scores at least sigmoid(bias); dropping NULL-text rows
     # would silently lose them from an inner-join score gate
-    base = docs.repartition(par, F.col(id_col)).select(
+    # (id exchange data-sized — see dedup.shingle_table)
+    base = docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col)).select(
         F.col(id_col),
         F.coalesce(
             tokenize(F.col(text_col)), F.array().cast("array<string>")

@@ -15,7 +15,32 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def fan_out(df: DataFrame, cols=None, skip_under_bytes: int | None = None) -> DataFrame:
+def sized_parts(df: DataFrame, bytes_per_task: int) -> int:
+    """Partition count for a REQUIRED repartition (e.g. the id-hash
+    exchange whose partitioning a downstream groupBy reuses), sized to
+    the data instead of pinned to the core count (guide §2.2/§6):
+    clamp(ceil(estimated_bytes / bytes_per_task), 1, parallelism).
+
+    Unlike :func:`fan_out` this never *skips* the exchange — callers use
+    it where the exchange itself establishes a clustering the rest of
+    the pipeline relies on (skipping would push a bigger shuffle past an
+    explode) — it only stops a kilobyte-scale input from being smeared
+    over ``parallelism`` tasks per stage, each paying the fixed task
+    cost for microseconds of work. Estimate unavailable → assume large
+    (full parallelism)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sz = plan_size_bytes(df)
+    if sz is None:
+        return par
+    return min(par, max(1, -(-sz // bytes_per_task)))
+
+
+def fan_out(
+    df: DataFrame,
+    cols=None,
+    skip_under_bytes: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Repartition up to the cluster's parallelism — only when the input is
     under-split.
 
@@ -32,12 +57,30 @@ def fan_out(df: DataFrame, cols=None, skip_under_bytes: int | None = None) -> Da
     (measured 0.84s → 0.40s on a 2k-row assignment). When set, inputs
     whose optimizer-estimated size is under the bound keep their
     partitioning; large inputs repartition as usual, so the knob is inert
-    at real scale."""
+    at real scale.
+
+    ``bytes_per_task``: size the fan-out to the DATA, not to the core
+    count (guide §2.2/§6 — partition count follows input volume). The
+    repartition target becomes clamp(ceil(estimated_bytes /
+    bytes_per_task), 1, parallelism) instead of an unconditional
+    ``parallelism``: a kilobyte-scale input stays on its existing splits
+    (no exchange, no N-way per-task fan-out of a tiny relation — the
+    measured per-task fixed cost at 32 tasks dwarfs the compute), while
+    an input with ≥ parallelism × bytes_per_task estimated bytes fans
+    out exactly as before. Callers pick the divisor by their per-byte
+    downstream cost (smaller divisor = heavier work per byte). Estimate
+    unavailable → assume large (full fan-out), so the knob can only ever
+    suppress a useless exchange, never a needed one."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
+    target = par
+    if bytes_per_task is not None:
+        sz = plan_size_bytes(df)
+        if sz is not None:
+            target = min(par, max(1, -(-sz // bytes_per_task)))
 
     def _repartition():
-        return df.repartition(par, *cols) if cols else df.repartition(par)
+        return df.repartition(target, *cols) if cols else df.repartition(target)
 
     try:
         qe = df._jdf.queryExecution()
@@ -59,6 +102,6 @@ def fan_out(df: DataFrame, cols=None, skip_under_bytes: int | None = None) -> Da
         nparts = qe.toRdd().getNumPartitions()
     except Exception:  # private-API guard: fall back to repartitioning
         return _repartition()
-    if nparts >= par:
+    if nparts >= target:
         return df
     return _repartition()

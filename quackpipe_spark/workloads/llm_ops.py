@@ -1076,7 +1076,10 @@ def udf_levenshtein_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackpipe_spark.functions.extensions import levenshtein_vec
     from quackpipe_spark.operators.util import fan_out
 
-    docs = fan_out(_docs(spark, sf_dir))
+    # data-sized fan-out (guide §4/§2.2): one task per ~4 MB of docs —
+    # a toy corpus stays on its scan splits (no exchange, no N-way
+    # Arrow worker dispatch), a big single-split input still spreads
+    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=4 << 20)
     a = F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 40)
     # asNondeterministic: the trailing filter references the UDF column,
     # and the optimizer's filter pushdown otherwise DUPLICATES the Arrow
@@ -1110,7 +1113,7 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackpipe_spark.functions.extensions import compression_ratio
     from quackpipe_spark.operators.util import fan_out
 
-    docs = fan_out(_docs(spark, sf_dir))
+    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=4 << 20)
     return docs.select(
         "doc_id",
         F.round(compression_ratio("text"), 4).alias("compression_ratio"),
