@@ -483,10 +483,13 @@ def minhash_candidates(
     pipeline consumes it exactly once, fused into the candidate job —
     the old persist+count existed only because the banded self-join
     re-ran the exchange-free signature aggregate on both sides, and at
-    100 TB it pinned a corpus-sized cache. The cands cache stays
-    registered for the consumer's lifetime; callers running many
-    corpora through one session should spark.catalog.clearCache()
-    between them."""
+    100 TB it pinned a corpus-sized cache. Lifetime note (the checkpoint
+    differs from the persist it replaced): checkpointed blocks do NOT
+    register in the cache manager, so spark.catalog.clearCache() no
+    longer frees them — they are released when the returned DataFrame
+    is garbage-collected (ContextCleaner). Callers running many corpora
+    through one session should DROP their references to the returned
+    frame between corpora rather than rely on clearCache()."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
     # localCheckpoint (eager), not persist: the materialization barrier is
     # identical, but checkpointing TRUNCATES the logical plan — consumers
@@ -495,10 +498,13 @@ def minhash_candidates(
     # pass (jaccard_verify's several join branches, corpus_clean's
     # closure) stops re-walking the full candidate lineage (guide §3.3;
     # measured −15% on the gate query). Trade, same as cluster.py's CC
-    # rounds: no lineage to recompute lost partitions from — on a
-    # cluster with flaky executors, swap for setCheckpointDir +
-    # .checkpoint(); the structure is identical.
-    cands = lsh_candidates(sigs, id_col, num_hashes, bands).localCheckpoint()
+    # rounds: localCheckpoint has no lineage to recompute lost
+    # partitions from — on a cluster with flaky executors, call
+    # spark.sparkContext.setCheckpointDir(...) and eager_barrier
+    # upgrades to the reliable checkpoint() automatically.
+    from quackpipe_spark.operators.util import eager_barrier
+
+    cands = eager_barrier(lsh_candidates(sigs, id_col, num_hashes, bands))
     n_cands = cands.count()
     return cands, n_cands
 
@@ -1036,9 +1042,11 @@ def dedup_against_index(
     # arms and its pair join, which project different columns so
     # exchange reuse can't collapse them) previously re-scanned the
     # index and re-hashed the whole batch per consumer (review r14).
-    pairs = cands.select(
-        F.col("new_id").alias("a"), F.col("old_id").alias("b")
-    ).localCheckpoint(eager=True)
+    from quackpipe_spark.operators.util import eager_barrier
+
+    pairs = eager_barrier(
+        cands.select(F.col("new_id").alias("a"), F.col("old_id").alias("b"))
+    )
     n_pairs = pairs.count()
     verified = jaccard_verify(
         both, pairs, id_col, text_col, m["shingle_k"], threshold,
@@ -1428,7 +1436,13 @@ def simhash(
     # explode emitted no row for a NULL token array, so the fold must not
     # emit a NULL-signature row either
     return (
-        fan_out(docs, bytes_per_task=1 << 20)
+        # 64 KB/task, the smallest divisor in the tree: the fold is
+        # ``bits`` interpreted array-adds per token (~30× the per-byte
+        # cost of a tokenize-only pipeline) — an in-session sweep at
+        # sf0.1 measured 1 task 3.0 s vs 8 tasks 2.5 s on a 0.6 MB
+        # corpus, so this path keeps fanning out far below the 1 MB/task
+        # the lighter pipelines use
+        fan_out(docs, bytes_per_task=64 << 10)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), sig.alias("simhash"))
     )

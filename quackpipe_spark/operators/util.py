@@ -15,6 +15,25 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def eager_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier with lineage truncation: the RELIABLE
+    ``checkpoint()`` when the session has a checkpoint directory set
+    (``spark.sparkContext.setCheckpointDir(...)`` — the standard Spark
+    switch, so callers on clusters with preemptible/flaky executors opt
+    in without editing library code), else ``localCheckpoint()`` — the
+    single-node default, whose blocks live only on executors with no
+    lineage to recover from executor loss. Both truncate the logical
+    plan to a leaf, which is the point (guide §3.3): consumers stop
+    re-analyzing the full upstream lineage. Callers still count() the
+    result to make the barrier blocking where consumers race a lazy
+    materialization."""
+    try:
+        has_dir = df.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # private-API guard
+        has_dir = False
+    return df.checkpoint() if has_dir else df.localCheckpoint()
+
+
 def sized_parts(df: DataFrame, bytes_per_task: int) -> int:
     """Partition count for a REQUIRED repartition (e.g. the id-hash
     exchange whose partitioning a downstream groupBy reuses), sized to

@@ -169,11 +169,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b")
         .distinct()
-        # tiny pair set, heavy lineage: localCheckpoint truncates the
-        # plan so verify's branches analyze a leaf, not the whole
-        # blocking pipeline (see minhash_candidates for the trade)
-        .localCheckpoint()
+        # tiny pair set, heavy lineage: the checkpoint barrier truncates
+        # the plan so verify's branches analyze a leaf, not the whole
+        # blocking pipeline (see minhash_candidates for the trade;
+        # eager_barrier upgrades to reliable checkpoint() when the
+        # session has a checkpoint dir set)
     )
+    from quackpipe_spark.operators.util import eager_barrier
+
+    pairs = eager_barrier(pairs)
     n_pairs = pairs.count()  # eager: verify's branches race a lazy cache
     return D.jaccard_verify(docs, pairs, threshold=0.8, pairs_count=n_pairs)
 

@@ -122,9 +122,9 @@ def main() -> int:
             # the delayed-drop contract (see tests/soak_utils.py) and
             # every retried result still faces every invariant below
             rows, r = collect_with_reap_retry(
-                qe, "SELECT count(*) AS n, sum(v) AS s FROM soak", "d"
+                qe, "SELECT count(*) AS n, sum(v) AS s FROM soak", "d",
+                stats=stats,
             )
-            stats["reap_retries"] += r
             row = rows[0]
             n, s = row["n"], row["s"] or 0.0
             snaps = _snapshots(snap_path)
@@ -144,9 +144,9 @@ def main() -> int:
             # second query shape through the same engine: exercises the
             # file-list-keyed plan cache under cross-process file churn
             rows, r = collect_with_reap_retry(
-                qe, "SELECT src, count(*) AS n FROM soak GROUP BY src", "d"
+                qe, "SELECT src, count(*) AS n FROM soak GROUP BY src", "d",
+                stats=stats,
             )
-            stats["reap_retries"] += r
             gn = sum(r["n"] for r in rows)
             if gn not in _snapshots(snap_path):
                 raise AssertionError(f"grouped total {gn} is no flush prefix")

@@ -45,12 +45,21 @@ def is_reaped_scan_error(exc: BaseException) -> bool:
     return any(m in msg for m in _REAPED_SCAN_MARKERS)
 
 
-def collect_with_reap_retry(qe, sql: str, db: str, retries: int = 3):
+def collect_with_reap_retry(qe, sql: str, db: str, retries: int = 3, stats: dict | None = None):
     """qe.sql(sql, db).collect() with a bounded retry when the scan's
     input was reaped mid-flight. Each retry issues a FRESH query, which
     re-lists the table's files (metadata.json) and re-plans — the race
     cannot persist across attempts unless a new compaction lands inside
-    every retry window. Returns (rows, n_retries)."""
+    every retry window. Returns (rows, n_retries).
+
+    ``stats``: optional dict the retry loop records into —
+    ``reap_retries`` (count) and ``last_reap_error`` (first line of the
+    matched error, which carries the missing PATH) — so a soak that
+    keeps hitting FileNotFound surfaces WHICH file and how often in its
+    failure output instead of silently absorbing a persistent engine
+    bug into the benign-race class (ADVICE r15): a genuinely corrupt
+    plan that names a never-written file still fails after ``retries``
+    attempts, now with the first occurrence's context preserved."""
     attempt = 0
     while True:
         try:
@@ -58,5 +67,8 @@ def collect_with_reap_retry(qe, sql: str, db: str, retries: int = 3):
         except Exception as e:
             if attempt >= retries or not is_reaped_scan_error(e):
                 raise
+            if stats is not None:
+                stats["reap_retries"] = stats.get("reap_retries", 0) + 1
+                stats.setdefault("last_reap_error", str(e).split("\n", 1)[0][:400])
             attempt += 1
             time.sleep(0.2)

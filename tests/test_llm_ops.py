@@ -531,19 +531,23 @@ def test_shingles_short_doc_guard(spark):
 
 def test_blocked_near_pairs_recall_at_auto_scale(spark):
     """The gate query pins n_cells=32 for oracle parity; this proves the
-    auto-scaled path (auto_cells → ~128 cells on a 100k corpus, well past
-    the old 32-task cap) still finds planted near-duplicates.
+    auto-scaled path (auto_cells → ~40 cells on a 40k corpus, past the
+    old 32-task cap — the `cells > 32` assert below is the claim) still
+    finds planted near-duplicates.
 
-    Corpus: 100k deterministic pseudo-random 64-dim vectors built JVM-side
-    (md5-derived components, no driver-side data). Ids 200000..200099 are
-    near-copies of ids 0..99 (component-wise +1% perturbation, cos ≈ 1),
-    everything else is near-orthogonal noise."""
+    Corpus: 40k deterministic pseudo-random 64-dim vectors built JVM-side
+    (md5-derived components, no driver-side data) — the smallest corpus
+    that pushes auto_cells past the 32-cell gate pin at any
+    SPARK_GRAFT_CPUS (r16: was 100k, which proved the same claim for 3×
+    the suite wall-clock). Ids 200000..200099 are near-copies of ids
+    0..99 (component-wise perturbation, cos ≈ 1), everything else is
+    near-orthogonal noise."""
     dims = 64
     comp = (
         "(cast(conv(substr(md5(concat(id, '|', d)), 1, 8), 16, 10) as double) "
         "% 1000) / 1000.0 - 0.5"
     )
-    base = spark.range(100_000).selectExpr(
+    base = spark.range(40_000).selectExpr(
         "id as vec_id",
         f"transform(sequence(0, {dims - 1}), d -> {comp}) as embedding",
     )
@@ -555,7 +559,7 @@ def test_blocked_near_pairs_recall_at_auto_scale(spark):
         f"d -> ({comp}) + 0.02 * (case when d % 2 = 0 then 1 else -1 end)) as embedding",
     )
     corpus = base.unionAll(clones)
-    # 1024-row cell budget → ≥98 cells at any SPARK_GRAFT_CPUS (the
+    # 1024-row cell budget → ≥40 cells at any SPARK_GRAFT_CPUS (the
     # 4×parallelism floor alone would stop at 32 on an 8-cpu box)
     cells = S.auto_cells(corpus, target_rows_per_cell=1024)
     assert cells > 32  # genuinely past the gate query's pinned cell count

@@ -100,7 +100,8 @@ def test_ingest_compact_serve_concurrently(spark, tmp_path):
             last_n = 0
             while not stop.is_set():
                 rows, _r = collect_with_reap_retry(
-                    qe, "SELECT count(*) AS n, sum(v) AS s FROM soak", "d"
+                    qe, "SELECT count(*) AS n, sum(v) AS s FROM soak", "d",
+                    stats=stats,
                 )
                 row = rows[0]
                 n, s = row["n"], row["s"]
@@ -121,7 +122,8 @@ def test_ingest_compact_serve_concurrently(spark, tmp_path):
         try:
             while not stop.is_set():
                 rows, _r = collect_with_reap_retry(
-                    qe, "SELECT src, count(*) AS n FROM soak GROUP BY src", "d"
+                    qe, "SELECT src, count(*) AS n FROM soak GROUP BY src", "d",
+                    stats=stats,
                 )
                 n = sum(r["n"] for r in rows)
                 with snap_lock:
