@@ -195,7 +195,14 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     from quackpipe_spark.operators.util import sized_parts
 
     base = (
-        docs.repartition(sized_parts(docs, 1 << 20), F.col(id_col))
+        # 64 KB/task like the simhash fold, NOT the 1 MB/task of the
+        # tokenize-only pipelines: the downstream signature stage runs
+        # num_hashes md5s per shingle (~1 shingle per text word), the
+        # heaviest per-byte work in the tree — at sf0.1 the candidate
+        # job is ~4-6 core-seconds of md5, which a 1 MB/task sizing
+        # measurably serialized (phase probe: candidates job ~5 s on
+        # one task vs ~1.5 s spread)
+        docs.repartition(sized_parts(docs, 64 << 10), F.col(id_col))
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= k)
     )

@@ -203,7 +203,12 @@ def decode_media(media: DataFrame, fake: bool = False, batch_feature_dim: int = 
     if missing:
         raise ValueError(f"decode_media input lacks column(s) {missing}; "
                          f"expected the MEDIA_SCHEMA shape")
-    media = fan_out(media, bytes_per_task=4 << 20)
+    # 128 KB/task: decode cost is per ROW (Python loop + hash per
+    # payload), not per byte — a 4 MB/task sizing measured +315% at the
+    # 20× growth SF (33k rows of per-row Python per task); at 128 KB
+    # anything past ~4 MB of payload fans fully out while a toy media
+    # table still skips the exchange
+    media = fan_out(media, bytes_per_task=128 << 10)
 
     out_schema = (
         "media_id long, kind string, width int, height int, n_frames int, "

@@ -354,10 +354,12 @@ def ngram_counts(
     # per-row parallelism but nothing downstream needs id-partitioning
     # (the only groupBy is on ngram) — a round-robin shuffle of an
     # already well-split 100 TB scan moved every row for no gain (r12).
-    # Data-sized (r16, guide §2.2): one task per ~1 MB of docs, so a
-    # toy corpus is not smeared over `parallelism` tasks per stage
+    # Data-sized (r16, guide §2.2): one task per ~256 KB of docs, so a
+    # toy corpus is not smeared over `parallelism` tasks per stage while
+    # a growth-SF corpus still fans fully out (1 MB/task measured +31%
+    # at 20× — the explode+count-distinct work is heavy per byte)
     base = (
-        fan_out(docs, bytes_per_task=1 << 20)
+        fan_out(docs, bytes_per_task=256 << 10)
         .select(toks.alias("_toks"), F.monotonically_increasing_id().alias("_d"))
         .filter(F.size("_toks") >= n)
     )

@@ -107,6 +107,16 @@ def get_spark(
         builder = builder.master(os.environ["SPARK_MASTER"])
     else:
         builder = builder.master(f"local[{cpus}]")
+    # Generic conf passthrough: SPARK_GRAFT_CONF="k=v;k2=v2". Scale- or
+    # deployment-dependent settings (shuffle codec, AQE coalescing mode,
+    # split sizes) stay parameterized instead of hard-coded for the local
+    # box — production values go in the environment, local defaults stay
+    # comparable across rounds. Explicit extra_conf still wins (applied
+    # after).
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

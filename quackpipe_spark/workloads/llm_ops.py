@@ -1080,10 +1080,12 @@ def udf_levenshtein_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackpipe_spark.functions.extensions import levenshtein_vec
     from quackpipe_spark.operators.util import fan_out
 
-    # data-sized fan-out (guide §4/§2.2): one task per ~4 MB of docs —
-    # a toy corpus stays on its scan splits (no exchange, no N-way
-    # Arrow worker dispatch), a big single-split input still spreads
-    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=4 << 20)
+    # data-sized fan-out (guide §4/§2.2), 128 KB/task: the Arrow UDF's
+    # cost is per ROW (a 40-char DP per doc), so a coarse divisor
+    # serializes real Python work at growth SFs (+45% at 20× with
+    # 4 MB/task) — at 128 KB a toy corpus still skips the exchange and
+    # anything past a few MB fans fully out
+    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=128 << 10)
     a = F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", ""), 1, 40)
     # asNondeterministic: the trailing filter references the UDF column,
     # and the optimizer's filter pushdown otherwise DUPLICATES the Arrow
@@ -1117,7 +1119,7 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackpipe_spark.functions.extensions import compression_ratio
     from quackpipe_spark.operators.util import fan_out
 
-    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=4 << 20)
+    docs = fan_out(_docs(spark, sf_dir), bytes_per_task=128 << 10)
     return docs.select(
         "doc_id",
         F.round(compression_ratio("text"), 4).alias("compression_ratio"),
