@@ -31,11 +31,21 @@ import time
 
 def _docs_batch(start: int, n: int, repeat_every: int = 3) -> str:
     """n JSON rows; every repeat_every-th row repeats an earlier doc's
-    text (stable duplicate stream), the rest are unique."""
+    text (stable duplicate stream), the rest are unique.
+
+    Measurement-bug fix (r16, declared in OPTIMIZATION_r16.md): the
+    original ``src = i - repeat_every`` pointed every repeat row at
+    ANOTHER repeat row's index (i and i-3 are both ≡0 mod 3), whose own
+    text was "body {i-6}" — so no emitted text ever actually recurred
+    and the duplicate state path never ran. ``src = i - repeat_every - 1``
+    lands on a unique row (i-4 ≢ 0 mod 3), giving the real ~1/3 repeat
+    ratio the docstring always claimed. BENCH_STREAM_r16.json (recorded
+    with the all-unique stream) is kept for comparison; post-fix numbers
+    live in BENCH_STREAM_r16b.json."""
     lines = []
     for i in range(start, start + n):
         if i % repeat_every == 0 and i > repeat_every:
-            src = i - repeat_every  # repeat a recent doc's content
+            src = i - repeat_every - 1  # repeat a recent UNIQUE doc's content
         else:
             src = i
         text = (

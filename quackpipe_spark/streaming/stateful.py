@@ -74,25 +74,34 @@ def _id_codec(docs: DataFrame, id_col: str):
     from pyspark.sql import functions as F
 
     id_type = dict(docs.dtypes)[id_col]
+    # .tolist() + plain python min/comprehension instead of Series.min()/
+    # per-element int(): the pandas reductions cost ~25-30us per call and
+    # these run once per GROUP per micro-batch (thousands of calls per
+    # batch in applyInPandasWithState, where per-group python overhead IS
+    # the batch cost — r16 streaming bench); tolist on an int64 column
+    # yields python ints (values identical), on an object column yields
+    # the stored str/None unchanged.
     if id_type in ("tinyint", "smallint", "int", "bigint"):
         _NULL_ID = (1 << 63) - 1
         id_expr = F.coalesce(F.col(id_col).cast("long"), F.lit(_NULL_ID))
 
         def batch_min_of(pdf):
-            m = int(pdf["_id"].min())
+            m = min(pdf["_id"].tolist())
             return None if m == _NULL_ID else m
 
         def batch_ids_of(pdf):
-            return [int(v) for v in pdf["_id"] if int(v) != _NULL_ID]
+            return [v for v in pdf["_id"].tolist() if v != _NULL_ID]
 
         return id_expr, "LONG", batch_min_of, batch_ids_of
     if id_type == "string":
+        # `v == v` mirrors the dropna() this replaces (also drops a float
+        # NaN, which a plain None check would let through to str min)
         def batch_min_of(pdf):
-            s = pdf["_id"].dropna()
-            return None if s.empty else str(s.min())
+            vals = [v for v in pdf["_id"].tolist() if v is not None and v == v]
+            return min(vals) if vals else None
 
         def batch_ids_of(pdf):
-            return [str(v) for v in pdf["_id"].dropna()]
+            return [v for v in pdf["_id"].tolist() if v is not None and v == v]
 
         return F.col(id_col), "STRING", batch_min_of, batch_ids_of
     raise TypeError(
@@ -152,6 +161,20 @@ def streaming_exact_dedup(
         f"fingerprint STRING, keep_id {keep_type}, n_copies LONG, is_new BOOLEAN"
     )
 
+    # one output row per touched fingerprint per micro-batch: the frame
+    # construction runs once per GROUP, so build it as template.copy() +
+    # 4 iat stores (~67us) instead of a fresh DataFrame from a tuple
+    # (~230us of dtype inference) — per-group python overhead is the
+    # micro-batch cost (r16 streaming bench). dtype=object keeps the
+    # None-keep_id row (all ids in the group were NULL-sentinel) exact:
+    # the Arrow writer casts each cell to the declared output type, while
+    # an int64 template cell could not hold None at all.
+    _out_tmpl = pd.DataFrame(
+        [(None, None, 0, False)],
+        columns=["fingerprint", "keep_id", "n_copies", "is_new"],
+        dtype=object,
+    )
+
     def update(key, pdfs, state: GroupState):
         keep_id, n_copies = state.get if state.exists else (None, 0)
         is_new = not state.exists
@@ -161,10 +184,12 @@ def streaming_exact_dedup(
             if batch_min is not None:
                 keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
         state.update((keep_id, n_copies))
-        yield pd.DataFrame(
-            [(key[0], keep_id, n_copies, is_new)],
-            columns=["fingerprint", "keep_id", "n_copies", "is_new"],
-        )
+        out = _out_tmpl.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = keep_id
+        out.iat[0, 2] = n_copies
+        out.iat[0, 3] = is_new
+        yield out
 
     return keyed.groupBy("fingerprint").applyInPandasWithState(
         update,
@@ -182,6 +207,7 @@ def streaming_near_dup_flags(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    sig_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup flagging across micro-batches: the incremental
     form of the batch minhash→LSH candidate stage for a continuously
@@ -221,7 +247,24 @@ def streaming_near_dup_flags(
     constant size, so the state store scales with DISTINCT buckets
     (≈ bands × distinct near-dup classes), not stream volume; for
     bounded retention add a watermark upstream and EventTimeTimeout
-    eviction."""
+    eviction.
+
+    ``sig_partitions`` (guide §2.2 — partition count follows data
+    volume): the signature pass runs on the SOURCE's splits, and a
+    file/kafka micro-batch usually arrives as ONE split — at ~0.2 ms of
+    md5 per doc that single lane is 20 s of serial hashing for a
+    100k-doc production batch. Setting sig_partitions adds a round-robin
+    exchange before the signature pass so the hashing fans out; the
+    flagged output is bit-identical (each (band, bucket) group receives
+    the same row SET through the state shuffle regardless of upstream
+    partitioning, and the per-bucket update is order-free — tested).
+    Streaming plans are static, so the operator cannot size this to the
+    batch at runtime (no AQE in micro-batch plans): the default None
+    keeps tiny/bench batches free of the extra exchange; size it to
+    expected_batch_rows x 0.2ms / target_task_seconds on real feeds
+    (r16 measured, BENCH_STREAM_r16b.json: 20k-row batches 5.13 ->
+    2.66 s/batch (-48%) at sig_partitions=16 on 32 cores; 2k-row
+    batches are a wash — the sig pass is too small a share there)."""
     if bands < 1 or num_hashes % bands != 0:
         # same recipe validation as dedup.band_table: truncation changes
         # the recall curve silently, and bands > num_hashes degenerates
@@ -243,9 +286,15 @@ def streaming_near_dup_flags(
     prefixes = [f"{i}|".encode() for i in range(num_hashes)]
 
     def sig_bands(batches):
+        md5 = hashlib.md5
+        # per-task init (guide §4): one md5 object per prefix, pre-fed
+        # with the prefix bytes — each (prefix, shingle) hash is then a
+        # copy()+update() instead of re-hashing the prefix. Built here
+        # (not in the closure) because hash objects don't pickle.
+        pre = [md5(p) for p in prefixes]
         for pdf in batches:
             out_id, out_band, out_bh = [], [], []
-            for _id, text in zip(pdf["_id"], pdf["_text"]):
+            for _id, text in zip(pdf["_id"].tolist(), pdf["_text"].tolist()):
                 if text is None:
                     continue
                 # mirror the batch tokenize EXACTLY — split(trim(lower)):
@@ -263,12 +312,25 @@ def streaming_near_dup_flags(
                     for j in range(len(toks) - shingle_k + 1)
                 }
                 enc = [s.encode() for s in sh]
-                sigs = [
-                    min(hashlib.md5(p + e).hexdigest() for e in enc)
-                    for p in prefixes
-                ]
+                # min over digest() BYTES == min over hexdigest(): hex
+                # encodes each byte to two chars from the ascending
+                # alphabet 0-9a-f, so byte order and hex order agree for
+                # the equal-length md5 digests. Taking the min on bytes
+                # and hex-encoding only the 16 winners skips ~|shingles|
+                # x num_hashes hexdigest conversions per doc (r16: -27%
+                # on this kernel, asserted output-identical).
+                sigs = []
+                for h0 in pre:
+                    best = None
+                    for e in enc:
+                        h = h0.copy()
+                        h.update(e)
+                        d = h.digest()
+                        if best is None or d < best:
+                            best = d
+                    sigs.append(best.hex())
                 for b in range(bands):
-                    bh = hashlib.md5(
+                    bh = md5(
                         "".join(sigs[b * rows : (b + 1) * rows]).encode()
                     ).hexdigest()
                     out_id.append(_id)
@@ -283,10 +345,19 @@ def streaming_near_dup_flags(
     # drops them after the shuffle) — filter them BEFORE shingling so
     # they don't cost bands× rows of hashing/shuffle and permanent
     # state-store entries for buckets with no usable member
-    keyed = (
-        docs.filter(F.col(id_col).isNotNull())
-        .select(id_expr.alias("_id"), F.col(text_col).alias("_text"))
-        .mapInPandas(sig_bands, schema=f"_id {keep_type}, band INT, bh STRING")
+    narrowed = docs.filter(F.col(id_col).isNotNull()).select(
+        id_expr.alias("_id"), F.col(text_col).alias("_text")
+    )
+    if sig_partitions is not None:
+        if sig_partitions < 1:
+            raise ValueError(
+                f"sig_partitions must be >= 1, got {sig_partitions}"
+            )
+        # fan the md5-heavy signature pass out BEFORE hashing (docstring;
+        # the exchange ships only the pruned id+text columns)
+        narrowed = narrowed.repartition(sig_partitions)
+    keyed = narrowed.mapInPandas(
+        sig_bands, schema=f"_id {keep_type}, band INT, bh STRING"
     )
 
     output_schema = (

@@ -16,7 +16,7 @@ DOC_B = "completely unrelated text about distributed query engines and shuffles"
 DOC_C = "a third cluster of words concerning parquet files and row groups here"
 
 
-def _run_stream(spark, tmp_path, batches, name):
+def _run_stream(spark, tmp_path, batches, name, **op_kwargs):
     src = tmp_path / f"{name}_src"
     src.mkdir()
     stream = (
@@ -24,7 +24,7 @@ def _run_stream(spark, tmp_path, batches, name):
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
-    out = streaming_near_dup_flags(stream)
+    out = streaming_near_dup_flags(stream, **op_kwargs)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -86,6 +86,37 @@ def test_streaming_flags_are_arrival_order_invariant(spark, tmp_path):
         for r in _run_stream(spark, tmp_path, backward, "near_dup_bwd")
     }
     assert f1 == f2 == expect
+
+
+def test_sig_partitions_fanout_is_row_identical(spark, tmp_path):
+    """The sig_partitions fan-out (r16: parallelizes the md5 signature
+    pass for big micro-batches) must not change a single emitted row:
+    every (band, bucket) group receives the same row SET through the
+    state shuffle regardless of upstream partitioning, and the per-
+    bucket update is order-free. Compare full row multisets, not just
+    the flagged id set."""
+    batches = [
+        [(9, DOC_A), (5, DOC_A), (20, DOC_B)],
+        [(3, DOC_A), (21, DOC_C), (22, DOC_B)],
+    ]
+    base = _run_stream(spark, tmp_path, batches, "near_dup_sp_base")
+    fanned = _run_stream(
+        spark, tmp_path, batches, "near_dup_sp_fan", sig_partitions=3
+    )
+    key = lambda r: (r["doc_id"], r["partner_id"], r["band"], r["band_hash"])
+    assert sorted(map(key, fanned)) == sorted(map(key, base))
+    # and the fan-out keeps the invalid-count guard
+    import pytest
+
+    empty_src = tmp_path / "sp_guard_src"
+    empty_src.mkdir()
+    with pytest.raises(ValueError, match="sig_partitions"):
+        streaming_near_dup_flags(
+            spark.readStream.schema("doc_id long, text string").json(
+                str(empty_src)
+            ),
+            sig_partitions=0,
+        )
 
 
 def test_streaming_short_and_unique_docs_unflagged(spark, tmp_path):
